@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark-first DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  * Column names/aliases MUST match between `fn`'s output and `oracle` —
+  * the driver sorts columns by name before hashing.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Central inventory of every operator-query the engine claims. */
+object Registry {
+  lazy val all: Seq[Q] =
+    queries.CoreQueries.all ++
+      queries.AnalyticQueries.all ++
+      queries.PipelineQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Scale note: every reader goes through `spark.read.parquet` so Catalyst's
+  * vectorized reader, predicate pushdown, and column pruning apply. On a real
+  * cluster the same code reads partitioned directories; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables we always broadcast in joins. */
+  val dims: Set[String] = Set("region", "nation")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is written with nanosecond precision, which Spark's parquet
+    // reader rejects; read it as a raw long (nanosAsLong) and normalize to a
+    // micros timestamp so downstream windowing is uniform.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register temp views for SQL-shaped queries (subqueries, grouping sets). */
+  def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Large-scale near-duplicate detection built entirely from codegen'd Spark
+  * built-ins — no UDFs, so every stage stays inside whole-stage codegen and
+  * distributes trivially.
+  *
+  * Scale design (100 TB corpus):
+  *  - shingling + hashing are narrow per-row transforms (no shuffle);
+  *  - MinHash signatures are one hash-aggregate keyed by doc_id;
+  *  - LSH banding turns the quadratic all-pairs problem into an equi-join
+  *    on (band, band_hash) — only colliding buckets produce candidates, so
+  *    shuffle volume is O(docs × bands), not O(docs²);
+  *  - SimHash uses 16-bit band exact-match as the blocking key, the
+  *    standard trick for hamming-distance search at scale.
+  */
+object Dedup {
+
+  /** word-level w-shingles per document, distinct per doc. */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$w), i -> concat_ws(' ', slice(ws, i+1, $w)))"
+      ))).as("shingle"))
+
+  /** MinHash signature: one column per hash fn, min over seeded xxhash64.
+    * A single hash-aggregate; map-side partial mins keep shuffle tiny.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
+    * components). bands*rowsPerBand == numHashes.
+    */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val sig = minhashSignatures(shingles(docs), numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val est = (0 until numHashes)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _) / lit(numHashes.toDouble)
+    cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash per document over word-shingles. Pure aggregation:
+    * per bit, sum of ±1 weighted votes; sign of the sum sets the bit.
+    */
+  def simhash(docs: DataFrame, w: Int = 3): DataFrame = {
+    val toks = shingles(docs, w).withColumn("h", xxhash64(col("shingle")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by hamming distance over SimHash, blocked on 16-bit
+    * bands (a pair within distance 3 must agree on >=1 of 4 bands).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

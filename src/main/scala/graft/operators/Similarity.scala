@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Embedding similarity search over an `Array[Float]` column, expressed
+  * with higher-order array functions (zip_with/aggregate) so the dot
+  * products run inside codegen'd expressions — no UDF, no collect.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - brute force is the exact baseline: broadcast the (small) query set,
+  *    one narrow pass over the corpus, per-query top-k via window rank —
+  *    compiles to WindowGroupLimit so only k rows per query survive
+  *    each partition before the final shuffle;
+  *  - IVF: assign every vector to its nearest centroid once (narrow pass
+  *    against broadcast centroids), then probe only nProbe clusters per
+  *    query — the corpus scan shrinks by ~|clusters|/nProbe. Centroid
+  *    assignment is re-usable (write once, partition by cluster_id).
+  */
+object Similarity {
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  private def norm(a: String) =
+    sqrt(expr(s"aggregate($a, 0D, (acc, v) -> acc + v * v)"))
+
+  /** Cast to double once; all math in f64 for oracle-stable results. */
+  def prep(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Exact brute-force cosine top-k for the given query vectors. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
+      .crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+  }
+
+  /** IVF-style ANN: cluster by nearest centroid, probe nProbe clusters. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
+
+    def nearestClusters(vecs: DataFrame, idCol: String, vecCol: String, top: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("c_id").asc)
+      vecs.crossJoin(cent)
+        .withColumn("csim", dot(vecCol, "c_emb") / (norm(vecCol) * norm("c_emb")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= top)
+    }
+
+    // corpus assignment: 1 cluster per vector (this is the index build; at
+    // scale it is computed once and persisted, partitioned by cluster_id)
+    val assigned = nearestClusters(emb, "vec_id", "emb", 1)
+      .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id"))
+    // queries probe their nProbe nearest clusters
+    val probes = nearestClusters(
+      queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+      "q_id", "q_emb", nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cluster_id"))
+
+    val cand = broadcast(probes).join(assigned, "cluster_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Event-time windowing (the Structured-Streaming-shaped extension; these
+  * run the same plans in batch so the DuckDB oracle can check them) plus the
+  * training-data-pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing.
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "is", "to")
+
+  val all: Seq[Q] = Seq(
+    // ---- tumbling event-time window (readStream-compatible plan) ----
+    Q("q45_events_tumbling", (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             count(*) AS n, round(sum(value),2) AS sum_value
+             FROM events GROUP BY 1, 2""")),
+
+    // ---- sliding/hopping window (1h window, 30m hop) ----
+    Q("q46_events_hopping", (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+      Some("""WITH wv AS (
+               SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+               UNION ALL
+               SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+               FROM events)
+             SELECT ws, event_type, count(*) AS n FROM wv GROUP BY 1, 2""")),
+
+    // ---- sessionization (30-min inactivity gap), gaps-and-islands form ----
+    Q("q47_events_session", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_s").as("n_sessions"))
+    },
+      Some("""WITH flagged AS (
+               SELECT user_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM events)
+             SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+             FROM flagged GROUP BY user_id""")),
+
+    // ---- exact dedup by content hash ----
+    Q("d01_dedup_exact", (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+             FROM documents GROUP BY md5(text)""")),
+
+    // ---- MinHash+LSH near-dup candidates (rows-only check; the LSH
+    //      band-join is the 100TB-scale path) ----
+    Q("d02_dedup_minhash", (s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents").filter(col("doc_id") < 300)),
+      None),
+
+    // ---- SimHash near-dup pairs (rows-only check) ----
+    Q("d03_dedup_simhash", (s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents").filter(col("doc_id") < 300), maxHamming = 16),
+      None),
+
+    // ---- exact token-set Jaccard over a bounded candidate set ----
+    Q("d04_dedup_jaccard", (s, d) => {
+      val toks = t(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = toks.as("a")
+        .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jac"))
+        .filter(col("jac") >= 0.85)
+    },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                            FROM documents WHERE doc_id < 150),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                    FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+             SELECT da, db, round(inter/(sa.sz + sb.sz - inter),4) AS jac
+             FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+             WHERE round(inter/(sa.sz + sb.sz - inter),4) >= 0.85""")),
+
+    // ---- exact brute-force cosine top-k (ANN baseline) ----
+    Q("s01_cosine_topk", (s, d) => {
+      val e = Similarity.prep(t(s, d, "embeddings"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    },
+      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                         FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sims AS (SELECT q_id, vec_id, list_cosine_similarity(qe, e) AS sim
+                       FROM q, c WHERE q_id <> vec_id),
+              r AS (SELECT q_id, vec_id AS neighbor_id, round(sim,6) AS sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+                    FROM sims)
+             SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 10""")),
+
+    // ---- IVF-bucketed ANN (scale path; rows-only check) ----
+    Q("s02_ann_ivf", (s, d) => {
+      val e = Similarity.prep(t(s, d, "embeddings"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        centroids = e.filter(col("vec_id") < 8), k = 5, nProbe = 2)
+    },
+      None),
+
+    // ---- language-ID heuristic (stopword fraction) ----
+    Q("t01_langid", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L)).as("sw_tok"))
+        .withColumn("sw_frac", round(col("sw_tok") / col("n_tok"), 4))
+        .withColumn("lang_pred", when(col("sw_frac") > 0.05, "en").otherwise("other"))
+    },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+              SELECT doc_id, count(*) AS n_tok,
+                CAST(sum(CASE WHEN w IN (${stopwords.map("'" + _ + "'").mkString(",")})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS sw_tok,
+                round(CAST(sum(CASE WHEN w IN (${stopwords.map("'" + _ + "'").mkString(",")})
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS sw_frac,
+                CASE WHEN round(CAST(sum(CASE WHEN w IN (${stopwords.map("'" + _ + "'").mkString(",")})
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) > 0.05
+                     THEN 'en' ELSE 'other' END AS lang_pred
+              FROM tok GROUP BY doc_id""")),
+
+    // ---- document quality scoring ----
+    Q("t02_quality", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          round(length(translate(col("text"), " ", "")) /
+            size(split(col("text"), " ")).cast("double"), 4).as("avg_tok_len"),
+          round(size(array_distinct(split(col("text"), " "))) /
+            size(split(col("text"), " ")).cast("double"), 4).as("distinct_ratio")),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             len(string_split(text,' ')) AS n_tokens,
+             round(CAST(length(replace(text,' ','')) AS DOUBLE)
+                   / len(string_split(text,' ')), 4) AS avg_tok_len,
+             round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')), 4) AS distinct_ratio
+             FROM documents""")),
+
+    // ---- token counting (whitespace + BPE-ish chars/4 estimate) ----
+    Q("t03_tokens", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_bpe"),
+          length(col("text")).cast("long").as("n_chars")),
+      Some("""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+             CAST(ceil(length(text)/4.0) AS BIGINT) AS approx_bpe,
+             length(text) AS n_chars
+             FROM documents""")),
+
+    // ---- normalized content fingerprint ----
+    Q("t04_fingerprint", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text),'\s+',' ','g')) AS fp
+             FROM documents""")),
+
+    // ---- multimodal binary plumbing + stubbed featurize (rows-only) ----
+    Q("m01_multimodal", (s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"))
+      Multimodal.featurize(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("dim").cast("long").as("dim"),
+          col("checksum"))
+    },
+      None)
+  )
+}
