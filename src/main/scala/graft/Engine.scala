@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.FieldExpr
+
+/** Session factory + function-gap installation.
+  *
+  * The reference's entire parse/optimize/execute stack collapses onto
+  * `SparkSession` (SURVEY.md §3.1): Catalyst is the optimizer, AQE the
+  * runtime re-planner, Tungsten the execution engine. What remains of
+  * "the engine" is configuration tuned for warehouse workloads plus the
+  * handful of Hive functions Spark lacks.
+  */
+object Engine {
+
+  /** Hive-compatible, scale-tuned local session. On a cluster the same
+    * configs apply; only master/memory change.
+    */
+  def session(master: String = "local[*]", appName: String = "graft",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      // local[n]: match cores, not the 200 default; clusters re-tune or
+      // rely on AQE coalescing
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    install(spark)
+    spark
+  }
+
+  /** Register the function-gap pack on any session (idempotent). */
+  def install(spark: SparkSession): SparkSession = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "field", exprs => FieldExpr(exprs), "scala_udf")
+    spark
+  }
+}

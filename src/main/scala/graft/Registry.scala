@@ -17,7 +17,8 @@ object Registry {
   lazy val all: Seq[Q] =
     queries.CoreQueries.all ++
       queries.AnalyticQueries.all ++
-      queries.PipelineQueries.all
+      queries.PipelineQueries.all ++
+      queries.ExtraQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Hive's `field(needle, v1, v2, ...)`: 1-based index of the first vN equal
+  * to needle, 0 if none match or needle is null.
+  *
+  * Reference: /root/reference/ql/src/java/org/apache/hadoop/hive/ql/udf/
+  * UDFField (registered in exec/FunctionRegistry.java) — one of the few
+  * registry entries with no Spark built-in (`array_position` differs: it
+  * searches inside one array and returns long, with different null rules).
+  */
+case class FieldExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2)
+      TypeCheckResult.TypeCheckFailure("field() needs a needle and >=1 candidate")
+    else if (children.tail.exists(_.dataType != children.head.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"field() arguments must share one type, got ${children.map(_.dataType).distinct}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: InternalRow): Any = {
+    val needle = children.head.eval(input)
+    if (needle == null) 0
+    else {
+      var i = 1
+      while (i < children.length) {
+        val v = children(i).eval(input)
+        if (v != null && v == needle) return i
+        i += 1
+      }
+      0
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object FieldExpr {
+  /** Column-API form; requires Engine.install(spark) to have registered
+    * the "field" function in the session's registry.
+    */
+  def field(needle: Column, candidates: Column*): Column =
+    org.apache.spark.sql.functions.call_function("field", (needle +: candidates): _*)
+}

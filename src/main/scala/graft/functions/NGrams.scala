@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Hive's `ngrams(array<string>, n, k)` UDAF: top-k most frequent word
+  * n-grams with their frequencies.
+  *
+  * Reference: /root/reference/ql/src/java/org/apache/hadoop/hive/ql/udf/
+  * generic/GenericUDAFnGrams.java (no Spark built-in). Implemented as a
+  * typed `Aggregator` — map-side partial maps merge associatively, so the
+  * shuffle carries at most one (ngram → count) map per partition, trimmed
+  * to a bounded size for 100 TB-safety.
+  */
+case class NGramFreq(ngram: String, freq: Long)
+
+class NGramsAggregator(n: Int, k: Int, maxPartialSize: Int = 100000)
+    extends Aggregator[Seq[String], Map[String, Long], Seq[NGramFreq]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  private def trim(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= maxPartialSize) m
+    // keep the heaviest entries; bounded error like space-saving sketches
+    else m.toSeq.sortBy { case (g, f) => (-f, g) }.take(maxPartialSize).toMap
+
+  override def reduce(buf: Map[String, Long], words: Seq[String]): Map[String, Long] =
+    if (words == null || words.length < n) buf
+    else trim(words.sliding(n).map(_.mkString(" "))
+      .foldLeft(buf)((m, g) => m.updated(g, m.getOrElse(g, 0L) + 1L)))
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    trim(b.foldLeft(a) { case (m, (g, f)) => m.updated(g, m.getOrElse(g, 0L) + f) })
+
+  override def finish(buf: Map[String, Long]): Seq[NGramFreq] =
+    buf.toSeq.sortBy { case (g, f) => (-f, g) }.take(k)
+      .map { case (g, f) => NGramFreq(g, f) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Seq[NGramFreq]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NGramFreq]]()
+}
+
+object NGrams {
+  /** ngrams(tokensCol, n, k) as an untyped column aggregate. */
+  def ngrams(tokens: Column, n: Int, k: Int): Column =
+    udaf(new NGramsAggregator(n, k)).apply(tokens)
+}
