@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming surface. The reference has no continuous engine — its only
+  * streaming is the hcatalog micro-batch ingest API (SURVEY.md §2.10:
+  * HiveEndPoint/TransactionBatch appending into tables). `ingest` is that
+  * capability on Structured Streaming; the windowed/sessionized/stateful
+  * transforms are the new-capability extension for the events table.
+  *
+  * Scale: all operators here are keyed-state streaming aggregations —
+  * state is partitioned by group key across executors, watermarks bound
+  * state size, and sinks are exactly-once via checkpointing.
+  */
+object EventStreams {
+
+  /** Schema-stable streaming read of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** Micro-batch append ingest (HiveEndPoint/TransactionBatch parity):
+    * stream a source directory into a parquet table with checkpointed
+    * exactly-once batches.
+    */
+  def ingest(spark: SparkSession, srcDir: String, sinkDir: String,
+             checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Tumbling event-time window with watermark (bounds state). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows keyed by user with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  case class UserEvent(user_id: Long, event_type: String)
+  case class UserStat(user_id: Long, n_events: Long, last_type: String)
+
+  /** Arbitrary stateful processing (mapGroupsWithState): running per-user
+    * event count + last event type, emitted each micro-batch.
+    */
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, ""))
+          val next = evs.foldLeft(prev)((st, e) => UserStat(uid, st.n_events + 1, e.event_type))
+          state.update(next)
+          next
+      }
+  }
+}

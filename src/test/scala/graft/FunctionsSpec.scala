@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.NGrams
+import graft.queries.Fns
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("field() returns 1-based index, 0 on miss, 0 on null needle") {
+    Engine.install(spark)
+    val df = Seq(("b", "x"), ("z", "y"), (null, "z")).toDF("needle", "pad")
+    val got = df.select(call_function("field", col("needle"),
+      lit("a"), lit("b"), lit("c")).as("f")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 0))
+  }
+
+  test("field() works from SQL text") {
+    Engine.install(spark)
+    Seq("F").toDF("s").createOrReplaceTempView("field_t")
+    assert(spark.sql("SELECT field(s, 'O','F','P') FROM field_t")
+      .collect().head.getInt(0) == 2)
+  }
+
+  test("ngrams aggregator counts top-k bigrams with deterministic order") {
+    val df = Seq(
+      Seq("a", "b", "a", "b"), // bigrams: "a b", "b a", "a b"
+      Seq("a", "b", "c")       // bigrams: "a b", "b c"
+    ).toDF("ws")
+    val out = df.agg(NGrams.ngrams(col("ws"), 2, 3).as("t"))
+      .select(explode(col("t")).as("g"))
+      .select("g.ngram", "g.freq").as[(String, Long)].collect().toSeq
+    assert(out.head == ("a b", 3L))
+    assert(out.toSet == Set(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  /** C-style round-half-away-from-zero at 2 decimals (what DuckDB does). */
+  private def cRound2(x: Double): Double = {
+    val y = x * 100.0
+    val r = if (y < 0) -Math.round(-y) else Math.round(y)
+    r.toDouble / 100.0
+  }
+
+  test("Fns.round matches C-style rounding on adversarial doubles") {
+    // 8298.675 as a double is 8298.6749..94: C rounds .67 while Spark's
+    // native round(col,2) gives .68 via shortest-decimal-repr HALF_UP
+    val vals = Seq(8298.675, 2.5, -2.5, 0.125, 1.005, -0.005, 123.456, 0.0)
+    val got = vals.toDF("x").select(Fns.round(col("x"), 2).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == vals.map(cRound2))
+  }
+
+  test("Fns.round agrees with C rounding on 10k seeded random doubles") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(10000)((rnd.nextDouble() - 0.5) * 2e6)
+    val got = vals.toDF("x").select(col("x"), Fns.round(col("x"), 2).as("r"))
+      .collect()
+    got.foreach { row =>
+      val (x, r) = (row.getDouble(0), row.getDouble(1))
+      assert(r == cRound2(x), s"x=$x")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming parity: the same event-time plans run as true
+  * streams (memory sink + processAllAvailable drives the micro-batches
+  * synchronously over the parquet fixture).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the streaming file source needs a directory; the fixture is one file
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-00000.parquet"))
+    dir.toString
+  }
+
+  test("micro-batch ingest appends the full source exactly once") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventStreams.ingest(spark, eventsDir, sink, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink).count()
+    val batch = Tables.t(spark, sf, "events").count()
+    assert(streamed == batch)
+  }
+
+  test("streaming tumbling window equals the batch plan") {
+    val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .select("ws", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.t(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // watermark in append mode may hold back the tail window; everything
+    // emitted must match batch, and coverage must be near-complete
+    assert(got.subsetOf(want))
+    assert(got.size >= want.size - 10)
+  }
+
+  test("session windows produce per-user sessions") {
+    val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_out")
+    assert(got.count() > 0)
+    assert(got.groupBy("user_id").count().count() > 1)
+  }
+
+  test("mapGroupsWithState keeps running per-user counts") {
+    val stream = EventStreams.runningUserStats(spark,
+      EventStreams.readEvents(spark, eventsDir))
+    val q = stream.toDF().writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable(); q.stop()
+    val finalCounts = spark.table("state_out")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+    val batchCounts = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val joined = finalCounts.as("a")
+      .join(batchCounts.as("b"), col("a.user_id") === col("b.user_id"))
+      .filter(col("a.n") =!= col("b.n")).count()
+    assert(joined == 0)
+  }
+}
