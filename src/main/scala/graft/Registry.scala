@@ -18,7 +18,8 @@ object Registry {
     queries.CoreQueries.all ++
       queries.AnalyticQueries.all ++
       queries.PipelineQueries.all ++
-      queries.ExtraQueries.all
+      queries.ExtraQueries.all ++
+      queries.FormatQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

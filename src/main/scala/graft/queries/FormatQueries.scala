@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Third sweep: storage formats (text/csv/json/orc — the reference's
+  * serde+fileformat matrix, SURVEY.md §2.1), dynamic-partitioned writes
+  * with partition pruning, null-safe join, global ORDER BY, the remaining
+  * string/timestamp function surface, exact decimal arithmetic, and
+  * embedding-cosine near-dup pairs.
+  */
+object FormatQueries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val all: Seq[Q] = Seq(
+    // ---- file formats: csv/json/orc round-trips preserve content ----
+    Q("q68_formats", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      val src = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      src.write.mode("overwrite").json(s"$base/json")
+      src.write.mode("overwrite").orc(s"$base/orc")
+      val csv = s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(s"$base/csv")
+      val json = s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(s"$base/json")
+      val orc = s.read.orc(s"$base/orc")
+      csv.select(lit("csv").as("fmt"), col("o_orderkey"))
+        .unionAll(json.select(lit("json").as("fmt"), col("o_orderkey")))
+        .unionAll(orc.select(lit("orc").as("fmt"), col("o_orderkey")))
+        .groupBy("fmt").agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("key_sum"))
+    },
+      Some("""SELECT fmt, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             FROM (SELECT 'csv' AS fmt, o_orderkey FROM orders
+                   UNION ALL SELECT 'json', o_orderkey FROM orders
+                   UNION ALL SELECT 'orc', o_orderkey FROM orders)
+             GROUP BY fmt""")),
+
+    // ---- dynamic partitioned write + partition-pruned read ----
+    Q("q69_partitioned_write", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+      t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+      // this read prunes to the click/ and purchase/ directories only
+      s.read.parquet(base)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+             FROM events WHERE event_type IN ('click','purchase')
+             GROUP BY event_type""")),
+
+    // ---- null-safe equality join (Hive <=>) ----
+    Q("q70_nullsafe_join", (s, d) => {
+      val a = t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          expr("nullif(o_orderstatus, 'O')").as("k"))
+      val b = t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey").as("rk"),
+          expr("nullif(o_orderstatus, 'O')").as("k2"))
+      a.join(b, col("k") <=> col("k2"))
+        .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+    },
+      Some("""WITH a AS (SELECT o_orderkey, nullif(o_orderstatus,'O') AS k
+                         FROM orders WHERE o_orderkey < 500),
+                  b AS (SELECT o_orderkey, nullif(o_orderstatus,'O') AS k
+                        FROM orders WHERE o_orderkey < 500)
+             SELECT a.k, count(*) AS n_pairs
+             FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             GROUP BY a.k""")),
+
+    // ---- global ORDER BY (range-partitioned total sort, no limit) ----
+    Q("q71_orderby_global", (s, d) =>
+      t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+      Some("""SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+             WHERE o_totalprice > 450000 ORDER BY o_orderdate, o_orderkey""")),
+
+    // ---- string surface, part 2 ----
+    Q("q72_string_funcs2", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+          instr(col("c_name"), "mer").cast("long").as("pos"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev"),
+          base64(col("c_mktsegment").cast("binary")).as("b64"),
+          ascii(col("c_mktsegment")).cast("long").as("asc"),
+          repeat(col("c_mktsegment"), 2).as("rep")),
+      Some("""SELECT c_custkey, translate(c_mktsegment,'AEIOU','aeiou') AS tr,
+             instr(c_name,'mer') AS pos,
+             levenshtein(c_mktsegment,'BUILDING') AS lev,
+             to_base64(encode(c_mktsegment)) AS b64,
+             ascii(c_mktsegment) AS asc, repeat(c_mktsegment,2) AS rep
+             FROM customer WHERE c_custkey < 100""")),
+
+    // ---- exact decimal arithmetic (DecimalTypeInfo parity) ----
+    Q("q73_decimal", (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
+        .groupBy("o_orderstatus")
+        .agg(sum("price_dec").as("sum_dec"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec,
+             count(*) AS n
+             FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- timestamp function surface ----
+    Q("q74_timestamp_funcs", (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy")),
+      Some("""SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+             weekofyear(o_orderdate) AS woy
+             FROM orders WHERE o_orderkey < 200""")),
+
+    // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
+    Q("s03_embed_neardup", (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .filter(col("vec_id") < 200)
+      val dot = expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val na = sqrt(expr("aggregate(a_emb, 0D, (acc, v) -> acc + v * v)"))
+      val nb = sqrt(expr("aggregate(b_emb, 0D, (acc, v) -> acc + v * v)"))
+      e.select(col("vec_id").as("va"), col("emb").as("a_emb"))
+        .crossJoin(e.select(col("vec_id").as("vb"), col("emb").as("b_emb")))
+        .filter(col("va") < col("vb"))
+        .withColumn("sim", dot / (na * nb))
+        .filter(col("sim") >= 0.4)
+        .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings WHERE vec_id < 200)
+             SELECT a.vec_id AS va, b.vec_id AS vb,
+               round(list_cosine_similarity(a.emb, b.emb),6) AS sim
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4"""))
+  )
+}
