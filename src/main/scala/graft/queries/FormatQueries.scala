@@ -124,6 +124,19 @@ object FormatQueries {
              weekofyear(o_orderdate) AS woy
              FROM orders WHERE o_orderkey < 200""")),
 
+    // ---- explicit salted skew join; must equal the plain join exactly ----
+    Q("q75_salted_join", (s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      graft.operators.Salt.saltedEquiJoin(l, o, "l_orderkey", "o_orderkey",
+        saltCol = col("l_partkey") * 7 + col("l_linenumber"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority""")),
+
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
       val e = t(s, d, "embeddings")

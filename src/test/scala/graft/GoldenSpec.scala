@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** q-test-style golden runner (reference: QTestUtil.java + the 1886
+  * clientpositive .q/.q.out pairs). Each resources/golden/NAME.sql runs
+  * through spark.sql over the sf0.001 fixture views; the canonicalized
+  * result (columns sorted by name, rows sorted, %.6g doubles, NULL
+  * spelled out) is diffed against NAME.out. Regenerate with
+  * GOLDEN_REGEN=1 sbt test.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val goldenDir: Path = {
+    // prefer the source tree (so regen writes where git sees it)
+    val src = Paths.get("src/test/resources/golden")
+    if (Files.isDirectory(src)) src
+    else Paths.get(getClass.getResource("/golden").toURI)
+  }
+
+  private def canon(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => f"$d%.6g"
+    case f: Float => f"${f.toDouble}%.6g"
+    case x => x.toString
+  }
+
+  private def canonicalize(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.sorted
+    val proj = df.selectExpr(cols.map(c => s"`$c`"): _*)
+    val rows = proj.collect()
+      .map(r => (0 until r.length).map(i => canon(r.get(i))).mkString("\t"))
+      .sorted
+    (cols.mkString("\t") +: rows).mkString("\n") + "\n"
+  }
+
+  private lazy val ready: Unit = Tables.views(spark, sf, Tables.all: _*)
+
+  Files.list(goldenDir).iterator().asScala
+    .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+    .foreach { sqlPath =>
+      val name = sqlPath.getFileName.toString.stripSuffix(".sql")
+      test(s"golden $name") {
+        ready
+        val got = canonicalize(spark.sql(Files.readString(sqlPath)))
+        val outPath = sqlPath.resolveSibling(s"$name.out")
+        if (sys.env.contains("GOLDEN_REGEN")) {
+          Files.writeString(outPath, got)
+        } else {
+          assert(Files.exists(outPath), s"missing golden $outPath — run with GOLDEN_REGEN=1")
+          val want = Files.readString(outPath)
+          assert(got == want, s"golden mismatch for $name")
+        }
+      }
+    }
+}
