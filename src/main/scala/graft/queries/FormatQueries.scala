@@ -124,6 +124,42 @@ object FormatQueries {
              weekofyear(o_orderdate) AS woy
              FROM orders WHERE o_orderkey < 200""")),
 
+    // ---- math surface, part 2: trig / sign / pi / degrees ----
+    Q("q76_math_funcs2", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 60)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sin(col("l_discount")), 6).as("sn"),
+          round(cos(col("l_discount")), 6).as("cs"),
+          round(atan(col("l_discount")), 6).as("at"),
+          round(degrees(col("l_discount")), 6).as("dg"),
+          round(radians(col("l_quantity")), 6).as("rd"),
+          signum(col("l_discount") - 0.05).as("sg"),
+          round(lit(math.Pi), 6).as("pi_c")),
+      Some("""SELECT l_orderkey, l_linenumber, round(sin(l_discount),6) AS sn,
+             round(cos(l_discount),6) AS cs, round(atan(l_discount),6) AS at,
+             round(degrees(l_discount),6) AS dg, round(radians(l_quantity),6) AS rd,
+             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+             round(pi(),6) AS pi_c
+             FROM lineitem WHERE l_orderkey < 60""")),
+
+    // ---- string surface, part 3: locate / find_in_set / elt / space ----
+    Q("q77_string_funcs3", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          locate("mer", col("c_name")).cast("long").as("loc"),
+          expr("find_in_set(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY')")
+            .cast("long").as("fis"),
+          expr("elt(2, 'x', c_mktsegment, 'y')").as("el"),
+          concat(expr("space(3)"), col("c_mktsegment")).as("sp")),
+      Some("""SELECT c_custkey, strpos(c_name,'mer') AS loc,
+             CASE WHEN list_position(string_split('BUILDING,AUTOMOBILE,MACHINERY',','),
+                    c_mktsegment) IS NULL THEN 0
+                  ELSE list_position(string_split('BUILDING,AUTOMOBILE,MACHINERY',','),
+                    c_mktsegment) END AS fis,
+             c_mktsegment AS el,
+             repeat(' ',3) || c_mktsegment AS sp
+             FROM customer WHERE c_custkey < 100""")),
+
     // ---- explicit salted skew join; must equal the plain join exactly ----
     Q("q75_salted_join", (s, d) => {
       val l = t(s, d, "lineitem")

@@ -34,6 +34,16 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSet == Set(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("uniontype shim: tagged struct with exactly one live field") {
+    import graft.functions.UnionTypeShim._
+    val df = Seq((0, "s", 7), (1, "t", 9)).toDF("tag", "sval", "ival")
+      .select(createUnion(col("tag"), col("sval"), col("ival")).as("u"))
+      .select(unionTag(col("u")).as("t"),
+        unionExtract(col("u"), 0).as("f0"), unionExtract(col("u"), 1).as("f1"))
+    val rows = df.collect().map(r => (r.getInt(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((0, "s", null), (1, null, 9)))
+  }
+
   /** C-style round-half-away-from-zero at 2 decimals (what DuckDB does). */
   private def cRound2(x: Double): Double = {
     val y = x * 100.0
