@@ -31,6 +31,9 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive 1.2 semantics: permissive implicit coercions (string<->numeric
+      // comparisons via double), no ANSI cast/overflow errors
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.ui.enabled", "false")

@@ -47,4 +47,29 @@ object NGrams {
   /** ngrams(tokensCol, n, k) as an untyped column aggregate. */
   def ngrams(tokens: Column, n: Int, k: Int): Column =
     udaf(new NGramsAggregator(n, k)).apply(tokens)
+
+  /** Hive `context_ngrams(tokens, context, k)` (GenericUDAFContextNGrams):
+    * top-k fillers for a context pattern, where None marks the wildcard
+    * slots. Composition: carve context-matching windows out of each token
+    * array with built-ins (filter/transform over start offsets), then
+    * reuse the ngrams aggregator to count the wildcard fillers.
+    *
+    * @param tokensCol name of an array<string> column
+    */
+  def contextNGrams(tokensCol: String, context: Seq[Option[String]], k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val n = context.length
+    require(context.exists(_.isEmpty), "context needs at least one wildcard (None)")
+    val fixed = context.zipWithIndex.collect { case (Some(w), i) =>
+      s"$tokensCol[i + $i] = '${w.replace("'", "''")}'"
+    }
+    // i <= size-n guards short arrays (sequence upper bound is clamped >=0)
+    val cond = (s"i <= size($tokensCol) - $n" +: fixed).mkString(" AND ")
+    val fillers = context.zipWithIndex.collect { case (None, i) => s"$tokensCol[i + $i]" }
+    val windows = expr(
+      s"""transform(
+            filter(sequence(0, greatest(size($tokensCol) - $n, 0)), i -> $cond),
+            i -> concat_ws(' ', ${fillers.mkString(", ")}))""")
+    udaf(new NGramsAggregator(1, k)).apply(windows)
+  }
 }

@@ -160,6 +160,32 @@ object FormatQueries {
              repeat(' ',3) || c_mktsegment AS sp
              FROM customer WHERE c_custkey < 100""")),
 
+    // ---- xpath family (reference udf/xml/; no DuckDB xpath, so the
+    //      oracle derives the same values from the base columns) ----
+    Q("q78_xpath", (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("xml", concat(lit("<doc><lang>"), col("lang"),
+          lit("</lang><src>"), col("source"), lit("</src></doc>")))
+        .select(col("doc_id"),
+          expr("xpath_string(xml, 'doc/lang')").as("xlang"),
+          expr("xpath_string(xml, 'doc/src')").as("xsrc"),
+          expr("xpath_boolean(xml, 'doc/lang')").as("has_lang"),
+          expr("size(xpath(xml, 'doc/*/text()'))").cast("long").as("n_parts")),
+      Some("""SELECT doc_id, lang AS xlang, source AS xsrc, true AS has_lang,
+             CAST(2 AS BIGINT) AS n_parts
+             FROM documents WHERE doc_id < 100""")),
+
+    // ---- reflect / java_method (reference GenericUDFReflect) ----
+    Q("q79_reflect", (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          expr("reflect('java.lang.String', 'valueOf', o_orderkey)").as("sval"),
+          expr("java_method('java.lang.Long', 'bitCount', o_orderkey)")
+            .cast("long").as("bits")),
+      Some("""SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS sval,
+             CAST(bit_count(o_orderkey) AS BIGINT) AS bits
+             FROM orders WHERE o_orderkey < 100""")),
+
     // ---- explicit salted skew join; must equal the plain join exactly ----
     Q("q75_salted_join", (s, d) => {
       val l = t(s, d, "lineitem")

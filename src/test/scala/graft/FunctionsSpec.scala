@@ -34,6 +34,30 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSet == Set(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("hive-style permissive coercions (Engine sets ansi off)") {
+    // SURVEY §7.4 risk register: string<->numeric comparison via double,
+    // null (not error) on bad casts and division by zero
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+    val r = spark.sql(
+      "SELECT '10.0' = 10, '10' = 10, 7 / 0, CAST('abc' AS INT)").collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("context_ngrams: top fillers for a wildcard context") {
+    import graft.functions.NGrams
+    val df = Seq(
+      Seq("i", "like", "tea", "a", "lot"),
+      Seq("i", "like", "coffee"),
+      Seq("you", "like", "tea", "too"),
+      Seq("too", "short")
+    ).toDF("ws")
+    val out = df.agg(NGrams.contextNGrams("ws", Seq(Some("like"), None), 2).as("t"))
+      .select(explode(col("t")).as("g")).select("g.ngram", "g.freq")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("tea", 2L), ("coffee", 1L)))
+  }
+
   test("uniontype shim: tagged struct with exactly one live field") {
     import graft.functions.UnionTypeShim._
     val df = Seq((0, "s", 7), (1, "t", 9)).toDF("tag", "sval", "ival")
