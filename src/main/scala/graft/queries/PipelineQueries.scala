@@ -122,13 +122,34 @@ object PipelineQueries {
                     FROM sims)
              SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 10""")),
 
-    // ---- IVF-bucketed ANN (scale path; rows-only check) ----
+    // ---- IVF-bucketed ANN (scale path; oracle mirrors the index logic) ----
     Q("s02_ann_ivf", (s, d) => {
       val e = Similarity.prep(t(s, d, "embeddings"))
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
         centroids = e.filter(col("vec_id") < 8), k = 5, nProbe = 2)
     },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+              assign AS (
+                SELECT vec_id, emb, c_id AS cluster_id FROM (
+                  SELECT v.vec_id, v.emb, c.c_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.emb, c.c_emb) DESC, c.c_id) AS crn
+                  FROM e v, cent c) WHERE crn = 1),
+              probes AS (
+                SELECT q_id, q_emb, c_id AS cluster_id FROM (
+                  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.c_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.emb, c.c_emb) DESC, c.c_id) AS crn
+                  FROM e q, cent c WHERE q.vec_id < 5) WHERE crn <= 2),
+              cand AS (
+                SELECT p.q_id, a.vec_id, list_cosine_similarity(p.q_emb, a.emb) AS sim
+                FROM probes p JOIN assign a ON p.cluster_id = a.cluster_id
+                WHERE p.q_id <> a.vec_id),
+              r AS (SELECT q_id, vec_id AS neighbor_id, round(sim,6) AS sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+                    FROM cand)
+             SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 5""")),
 
     // ---- language-ID heuristic (stopword fraction) ----
     Q("t01_langid", (s, d) => {
@@ -188,6 +209,82 @@ object PipelineQueries {
           md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")),
       Some("""SELECT doc_id, md5(regexp_replace(lower(text),'\s+',' ','g')) AS fp
              FROM documents""")),
+
+    // ---- near-dup dedup resolution: drop the higher doc_id of each pair ----
+    Q("d05_dedup_keep", (s, d) => {
+      val scope = t(s, d, "documents").filter(col("doc_id") < 150)
+      val toks = scope.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dupIds = toks.as("a")
+        .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .filter(round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4) >= 0.85)
+        .select(col("db")).distinct()
+      scope.join(dupIds, scope("doc_id") === dupIds("db"), "left_anti")
+        .select(col("doc_id"))
+    },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                            FROM documents WHERE doc_id < 150),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+              dup AS (SELECT DISTINCT db FROM (
+                        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+                        GROUP BY 1,2) i
+                      JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                      WHERE round(inter/(sa.sz + sb.sz - inter),4) >= 0.85)
+             SELECT doc_id FROM documents
+             WHERE doc_id < 150 AND doc_id NOT IN (SELECT db FROM dup)""")),
+
+    // ---- end-to-end corpus preprocessing: quality gate -> corpus stats ----
+    Q("t05_corpus_pipeline", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val stats = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct("w").as("nd_tok"),
+          sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L)).as("sw_tok"))
+      stats
+        .filter(col("n_tok") >= 20 &&
+          col("nd_tok") / col("n_tok") >= 0.4 &&
+          col("sw_tok") / col("n_tok") > 0.02)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          round(avg(col("nd_tok") / col("n_tok")), 4).as("avg_distinct_ratio"))
+    },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+              stats AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS nd_tok,
+                          sum(CASE WHEN w IN (${stopwords.map("'" + _ + "'").mkString(",")})
+                              THEN 1 ELSE 0 END) AS sw_tok
+                        FROM toks GROUP BY doc_id)
+             SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(CAST(nd_tok AS DOUBLE)/n_tok), 4) AS avg_distinct_ratio
+             FROM stats
+             WHERE n_tok >= 20 AND CAST(nd_tok AS DOUBLE)/n_tok >= 0.4
+               AND CAST(sw_tok AS DOUBLE)/n_tok > 0.02""")),
+
+    // ---- null semantics through outer joins and aggregates ----
+    Q("q80_null_semantics", (s, d) => {
+      val o = t(s, d, "orders")
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey"), col("c_acctbal"))
+      o.join(rich, o("o_custkey") === rich("c_custkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_all"),
+          count(rich("c_custkey")).as("n_matched"),
+          round(sum(coalesce(rich("c_acctbal"), lit(0.0))), 2).as("bal_tot"),
+          countDistinct(rich("c_custkey")).as("nd_cust"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n_all, count(c_custkey) AS n_matched,
+             round(sum(coalesce(c_acctbal, 0)),2) AS bal_tot,
+             count(DISTINCT c_custkey) AS nd_cust
+             FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                                    WHERE c_acctbal > 9900) r
+               ON o_custkey = c_custkey
+             GROUP BY o_orderstatus""")),
 
     // ---- multimodal binary plumbing + stubbed featurize (rows-only) ----
     Q("m01_multimodal", (s, d) => {
