@@ -199,6 +199,56 @@ object FormatQueries {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY o_orderpriority""")),
 
+    // ---- aggregate FILTER clause ----
+    Q("q81_agg_filter", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderstatus,
+              count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+              count(*) FILTER (WHERE o_totalprice <= 300000) AS n_small,
+              count(*) AS n
+              FROM orders GROUP BY o_orderstatus""")
+    },
+      Some("""SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+             count(*) FILTER (WHERE o_totalprice <= 300000) AS n_small,
+             count(*) AS n
+             FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- min_by / max_by (deterministic composite ordering value) ----
+    Q("q82_minmax_by", (s, d) => {
+      val key = round(col("o_totalprice") * 100).cast("long") * 100000 + col("o_orderkey")
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(min_by(col("o_orderkey"), key).as("cheapest"),
+          max_by(col("o_orderkey"), key).as("dearest"))
+    },
+      Some("""SELECT o_orderstatus,
+             min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*100000 + o_orderkey) AS cheapest,
+             max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*100000 + o_orderkey) AS dearest
+             FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- bool_and / bool_or / sum(DISTINCT) ----
+    Q("q83_misc_agg", (s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 490000).as("any_huge"),
+          sum_distinct(col("o_custkey")).as("sum_cust")),
+      Some("""SELECT o_orderstatus, bool_and(o_totalprice > 0) AS all_pos,
+             bool_or(o_totalprice > 490000) AS any_huge,
+             CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_cust
+             FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- regexp_extract / rlike ----
+    Q("q84_regex", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") < 200)
+        .filter(col("c_name").rlike("Customer#\\d+"))
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("id_digits"),
+          regexp_extract(col("c_name"), "(\\d+)$", 1).cast("long").as("id_num")),
+      Some("""SELECT c_custkey, regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_digits,
+             CAST(regexp_extract(c_name, '(\d+)$', 1) AS BIGINT) AS id_num
+             FROM customer
+             WHERE c_custkey < 200 AND regexp_matches(c_name, 'Customer#\d+')""")),
+
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
       val e = t(s, d, "embeddings")
