@@ -199,6 +199,26 @@ object FormatQueries {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY o_orderpriority""")),
 
+    // ---- Hive's full physical layout: PARTITIONED BY + CLUSTERED BY
+    //      (partition dirs for pruning, buckets within for join locality) ----
+    Q("q85_part_bucket", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.events_pb")
+      val loc = java.nio.file.Files.createTempDirectory("graft_pb").toString
+      t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("path", s"$loc/events_pb")
+        .partitionBy("event_type")
+        .bucketBy(4, "user_id").sortBy("user_id")
+        .saveAsTable("graft_tmp.events_pb")
+      s.table("graft_tmp.events_pb")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+    },
+      Some("""SELECT user_id, count(*) AS n, round(sum(value),2) AS v
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id""")),
+
     // ---- aggregate FILTER clause ----
     Q("q81_agg_filter", (s, d) => {
       Tables.views(s, d, "orders")

@@ -56,6 +56,14 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact-dedup: watermark-bounded state keyed on the dedup
+    * columns (the streaming face of the batch keep-first dedup q61).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   case class UserEvent(user_id: Long, event_type: String)
   case class UserStat(user_id: Long, n_events: Long, last_type: String)
 

@@ -59,6 +59,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy("user_id").count().count() > 1)
   }
 
+  test("streaming dedup emits at most one row per key within the watermark") {
+    val stream = EventStreams.dedupStream(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out")
+    val perKey = got.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(perKey == 0, "duplicate key emitted")
+    assert(got.count() > 0)
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = EventStreams.runningUserStats(spark,
       EventStreams.readEvents(spark, eventsDir))
