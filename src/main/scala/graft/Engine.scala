@@ -48,4 +48,31 @@ object Engine {
       "field", exprs => FieldExpr(exprs), "scala_udf")
     spark
   }
+
+  // one registration per (session, dataDir); avoids 10 schema reads per query
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Drop-in SQL entry point: register the fixture tables that exist under
+    * `dataDir` by their reference names and run HiveQL/Spark SQL text —
+    * the workflow a reference user keeps when switching engines. Spark SQL
+    * natively parses the HiveQL surface exercised here (LATERAL VIEW,
+    * DISTRIBUTE/SORT/CLUSTER BY, TRANSFORM ... USING, GROUPING SETS,
+    * LEFT SEMI JOIN).
+    *
+    * NOTE: registration REPLACES any same-named temp views on the session
+    * (first call per (session, dataDir) only). Missing fixture files are
+    * skipped so partial directories still serve the tables they do have.
+    */
+  def sql(spark: SparkSession, dataDir: String,
+          query: String): org.apache.spark.sql.DataFrame = {
+    install(spark)
+    val key = System.identityHashCode(spark) + "|" + dataDir
+    if (registered.add(key)) {
+      val present = Tables.all.filter(n =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataDir/$n.parquet")))
+      Tables.views(spark, dataDir, present: _*)
+    }
+    spark.sql(query)
+  }
 }

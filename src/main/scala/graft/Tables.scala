@@ -21,11 +21,19 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is written with nanosecond precision, which Spark's parquet
-    // reader rejects; read it as a raw long (nanosAsLong) and normalize to a
-    // micros timestamp so downstream windowing is uniform.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // reader rejects. Only when that actually bites, flip nanosAsLong (it
+    // must stay on for the DataFrame's whole lifetime, so it cannot be
+    // restored here — a session that reads nanos fixtures keeps the flag)
+    // and normalize to a micros timestamp so downstream windowing is uniform.
+    val df =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        case e: Exception if name == "events" &&
+            (String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+              String.valueOf(e.getMessage).contains("Illegal Parquet type")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/$name.parquet")
+      }
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else df

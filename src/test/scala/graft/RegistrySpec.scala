@@ -26,6 +26,17 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("Engine.sql runs HiveQL text against the registered tables") {
+    val df = Engine.sql(spark, sf,
+      """SELECT n_name, count(*) AS n FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |DISTRIBUTE BY n_name SORT BY n DESC""".stripMargin)
+    assert(df.count() > 0)
+    assert(Engine.sql(spark, sf,
+      "SELECT field(o_orderstatus,'O','F','P') AS f FROM orders LIMIT 1").count() == 1)
+  }
+
   test("selected queries return nonempty results") {
     for (n <- Seq("q01_agg", "q10_join_multiway", "q19_window_rank",
       "q29_explode", "q45_events_tumbling", "d01_dedup_exact",
