@@ -20,16 +20,16 @@ object Tables {
   val dims: Set[String] = Set("region", "nation")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is written with nanosecond precision, which Spark's parquet
-    // reader rejects. Only when that actually bites, flip nanosAsLong (it
+    // Nanosecond parquet timestamps (the events fixture) are rejected by
+    // Spark's reader. Only when that actually bites, flip nanosAsLong (it
     // must stay on for the DataFrame's whole lifetime, so it cannot be
     // restored here — a session that reads nanos fixtures keeps the flag)
-    // and normalize to a micros timestamp so downstream windowing is uniform.
+    // and normalize the known ts column to micros so windowing is uniform.
     val df =
       try spark.read.parquet(s"$dir/$name.parquet")
       catch {
-        case e: Exception if name == "events" &&
-            (String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+        case e: Exception
+            if (String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
               String.valueOf(e.getMessage).contains("Illegal Parquet type")) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(s"$dir/$name.parquet")

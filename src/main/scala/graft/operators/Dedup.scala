@@ -80,6 +80,27 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Exact token-set Jaccard for every pair sharing >=1 token: explode
+    * distinct tokens, self-join on token, |A∩B| / (|A|+|B|-|A∩B|).
+    * Output: (da, db, jac) with da < db, jac rounded to 4.
+    * Quadratic in the worst case — run on LSH candidates or a bounded
+    * scope, not a raw 100 TB corpus.
+    */
+  def tokenJaccardPairs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    toks.as("a")
+      .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        graft.queries.Fns.round(
+          col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jac"))
+  }
+
   /** Near-dup pairs by hamming distance over SimHash, blocked on 16-bit
     * bands (a pair within distance 3 must agree on >=1 of 4 bands).
     */

@@ -43,10 +43,12 @@ object MatchPath {
         symCol.as("sym"))
       .as[(String, Long, Long, String)]
 
+    // compiled once on the driver, serialized into the task closure
+    // (Pattern is Serializable) instead of recompiling per group
+    val regex = java.util.regex.Pattern.compile(pattern)
     prepared
       .groupByKey(_._1)
       .flatMapSortedGroups(col("o1"), col("o2")) { (key, rows) =>
-        val regex = java.util.regex.Pattern.compile(pattern)
         val syms = new StringBuilder
         rows.foreach(r => syms.append(r._4))
         val m = regex.matcher(syms)

@@ -26,6 +26,10 @@ object Similarity {
   private def norm(a: String) =
     sqrt(expr(s"aggregate($a, 0D, (acc, v) -> acc + v * v)"))
 
+  /** Cosine similarity between two array<double> columns (by name). */
+  def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    dot(a, b) / (norm(a) * norm(b))
+
   /** Cast to double once; all math in f64 for oracle-stable results. */
   def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

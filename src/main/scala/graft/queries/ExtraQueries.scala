@@ -70,9 +70,10 @@ object ExtraQueries {
       t(s, d, "documents").filter(col("doc_id") < 100)
         .withColumn("kv", concat(lit("id:"), col("doc_id").cast("string"),
           lit(",lang:"), col("lang")))
+        .withColumn("m", expr("str_to_map(kv, ',', ':')"))
         .select(col("doc_id"),
-          element_at(expr("str_to_map(kv, ',', ':')"), "lang").as("m_lang"),
-          element_at(expr("str_to_map(kv, ',', ':')"), "id").cast("long").as("m_id")),
+          element_at(col("m"), "lang").as("m_lang"),
+          element_at(col("m"), "id").cast("long").as("m_id")),
       Some("""SELECT doc_id, lang AS m_lang, doc_id AS m_id
              FROM documents WHERE doc_id < 100""")),
 

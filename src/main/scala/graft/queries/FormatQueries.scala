@@ -271,16 +271,12 @@ object FormatQueries {
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val e = graft.operators.Similarity.prep(t(s, d, "embeddings"))
         .filter(col("vec_id") < 200)
-      val dot = expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-      val na = sqrt(expr("aggregate(a_emb, 0D, (acc, v) -> acc + v * v)"))
-      val nb = sqrt(expr("aggregate(b_emb, 0D, (acc, v) -> acc + v * v)"))
       e.select(col("vec_id").as("va"), col("emb").as("a_emb"))
         .crossJoin(e.select(col("vec_id").as("vb"), col("emb").as("b_emb")))
         .filter(col("va") < col("vb"))
-        .withColumn("sim", dot / (na * nb))
+        .withColumn("sim", graft.operators.Similarity.cosine("a_emb", "b_emb"))
         .filter(col("sim") >= 0.4)
         .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
     },

@@ -82,21 +82,9 @@ object PipelineQueries {
       None),
 
     // ---- exact token-set Jaccard over a bounded candidate set ----
-    Q("d04_dedup_jaccard", (s, d) => {
-      val toks = t(s, d, "documents").filter(col("doc_id") < 150)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = toks.as("a")
-        .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"),
-          round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jac"))
-        .filter(col("jac") >= 0.85)
-    },
+    Q("d04_dedup_jaccard", (s, d) =>
+      Dedup.tokenJaccardPairs(t(s, d, "documents").filter(col("doc_id") < 150))
+        .filter(col("jac") >= 0.85),
       Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
                             FROM documents WHERE doc_id < 150),
               sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
@@ -213,16 +201,8 @@ object PipelineQueries {
     // ---- near-dup dedup resolution: drop the higher doc_id of each pair ----
     Q("d05_dedup_keep", (s, d) => {
       val scope = t(s, d, "documents").filter(col("doc_id") < 150)
-      val toks = scope.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val dupIds = toks.as("a")
-        .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-        .filter(round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 4) >= 0.85)
+      val dupIds = Dedup.tokenJaccardPairs(scope)
+        .filter(col("jac") >= 0.85)
         .select(col("db")).distinct()
       scope.join(dupIds, scope("doc_id") === dupIds("db"), "left_anti")
         .select(col("doc_id"))

@@ -68,6 +68,42 @@ class OperatorsSpec extends SparkSpec {
     assert(m.head.getString(0) == "1" && m.head.getString(3) == "ccp")
   }
 
+  test("dedup operators tolerate empty and single-token inputs") {
+    val edge = docs(0L -> "", 1L -> "one", 2L -> "a b c d e")
+    // shingle width 3: docs 0 and 1 are too short and simply drop out
+    assert(Dedup.minhashPairs(edge, minEstJaccard = 0.0).collect().length == 0)
+    val sigs = Dedup.simhash(edge).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("salted join with saltFactor=1 degenerates to the plain join") {
+    val l = Tables.t(spark, sf, "lineitem").limit(500)
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    val salted = graft.operators.Salt
+      .saltedEquiJoin(l, o, "l_orderkey", "o_orderkey", col("l_partkey"), 1)
+      .count()
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
+    assert(salted == plain)
+  }
+
+  test("matchPath yields nothing when no symbols match") {
+    val ev = Seq((1L, 1L, "view"), (1L, 2L, "view"))
+      .toDF("user_id", "event_id", "event_type")
+    val m = MatchPath.matchPath(spark, ev,
+      col("user_id"), col("event_id"), col("event_id"),
+      Seq('c' -> (col("event_type") === "click")), "c+").collect()
+    assert(m.isEmpty)
+  }
+
+  test("bruteForceTopK with k larger than corpus returns all neighbors ranked") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.prep(emb)
+    val top = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0), k = 99).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getLong(3)).toSeq.sorted == Seq(1L, 2L))
+  }
+
   test("multimodal featurize is deterministic with declared shape") {
     val media = Multimodal.asMedia(Tables.t(spark, sf, "documents").limit(50))
     val f1 = Multimodal.featurize(spark, media).collect().sortBy(_.doc_id)
