@@ -34,8 +34,10 @@ object Tables {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(s"$dir/$name.parquet")
       }
+    // integer `div`, NOT `/`: epoch nanos exceed double's 2^53 mantissa, so
+    // float division shifts timestamps by up to a microsecond
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{round => _, _}
 import graft.queries.Fns.round
 
@@ -268,6 +269,73 @@ object FormatQueries {
              CAST(regexp_extract(c_name, '(\d+)$', 1) AS BIGINT) AS id_num
              FROM customer
              WHERE c_custkey < 200 AND regexp_matches(c_name, 'Customer#\d+')""")),
+
+    // ---- RANGE frame with time-interval bounds ----
+    Q("q86_window_range_interval", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS w7d
+              FROM orders WHERE o_orderkey < 1000""")
+    },
+      Some("""SELECT o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),2) AS w7d
+             FROM orders WHERE o_orderkey < 1000""")),
+
+    // ---- LATERAL correlated subquery join (top-n per group) ----
+    Q("q87_lateral_join", (s, d) => {
+      Tables.views(s, d, "nation", "supplier")
+      s.sql("""SELECT n_name, s.s_suppkey FROM nation,
+              LATERAL (SELECT s_suppkey FROM supplier
+                       WHERE s_nationkey = n_nationkey
+                       ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s""")
+    },
+      Some("""SELECT n_name, s.s_suppkey FROM nation,
+             LATERAL (SELECT s_suppkey FROM supplier
+                      WHERE s_nationkey = n_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s""")),
+
+    // ---- bitwise operator surface ----
+    Q("q88_bitwise", (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(10).as("ba"),
+          col("o_orderkey").bitwiseOR(10).as("bo"),
+          col("o_orderkey").bitwiseXOR(10).as("bx"),
+          expr("~o_orderkey").as("bn"),
+          shiftleft(col("o_orderkey"), 2).cast("long").as("sl"),
+          shiftright(col("o_orderkey"), 1).cast("long").as("sr")),
+      Some("""SELECT o_orderkey, o_orderkey & 10 AS ba, o_orderkey | 10 AS bo,
+             xor(o_orderkey, 10) AS bx, ~o_orderkey AS bn,
+             o_orderkey << 2 AS sl, o_orderkey >> 1 AS sr
+             FROM orders WHERE o_orderkey < 100""")),
+
+    // ---- interval arithmetic on timestamps ----
+    Q("q89_interval_arith", (s, d) =>
+      t(s, d, "events").filter(col("event_id") < 100)
+        .select(col("event_id"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("t_plus"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("t_minus"),
+          hour(col("ts")).cast("long").as("hr")),
+      Some("""SELECT event_id, ts + INTERVAL 3 HOUR AS t_plus,
+             ts - INTERVAL 30 MINUTE AS t_minus, hour(ts) AS hr
+             FROM events WHERE event_id < 100""")),
+
+    // ---- first_value with IGNORE NULLS (Hive first_value(x, true)) ----
+    Q("q90_first_ignore_nulls", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(expr("nullif(o_orderstatus, 'O')"), ignoreNulls = true)
+            .over(w).as("first_closed"))
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+             first_value(nullif(o_orderstatus,'O') IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_closed
+             FROM orders WHERE o_custkey < 100""")),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
