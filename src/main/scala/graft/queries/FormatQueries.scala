@@ -337,6 +337,29 @@ object FormatQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_closed
              FROM orders WHERE o_custkey < 100""")),
 
+    // ---- array function surface (set ops, slice, flatten) ----
+    Q("q91_array_funcs", (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .withColumn("w1", slice(split(col("text"), " "), 1, 8))
+        .withColumn("w2", slice(split(col("text"), " "), 5, 8))
+        .select(col("doc_id"),
+          array_join(array_sort(array_intersect(col("w1"), col("w2"))), ",").as("inter"),
+          array_join(array_sort(array_union(col("w1"), col("w2"))), ",").as("uni"),
+          array_join(array_sort(array_except(col("w1"), col("w2"))), ",").as("exc"),
+          array_join(flatten(array(col("w1"), col("w2"))), ",").as("flat"),
+          size(col("w1")).cast("long").as("sz")),
+      Some("""WITH b AS (SELECT doc_id, string_split(text,' ')[1:8] AS w1,
+                    string_split(text,' ')[5:12] AS w2
+                  FROM documents WHERE doc_id < 50)
+             SELECT doc_id,
+               array_to_string(list_sort(list_intersect(w1, w2)), ',') AS inter,
+               array_to_string(list_sort(list_distinct(list_concat(w1, w2))), ',') AS uni,
+               array_to_string(list_sort(list_distinct(
+                 list_filter(w1, x -> NOT list_contains(w2, x)))), ',') AS exc,
+               array_to_string(list_concat(w1, w2), ',') AS flat,
+               len(w1) AS sz
+             FROM b""")),
+
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
       val e = graft.operators.Similarity.prep(t(s, d, "embeddings"))
