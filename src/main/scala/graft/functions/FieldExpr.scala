@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** Hive's `field(needle, v1, v2, ...)`: 1-based index of the first vN equal
@@ -16,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * searches inside one array and returns long, with different null rules).
   */
 case class FieldExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -41,6 +42,41 @@ case class FieldExpr(children: Seq[Expression])
       }
       0
     }
+  }
+
+  /** Whole-stage-codegen path: an unrolled chain of candidate comparisons
+    * so field() stays inside the generated loop (SURVEY §2.14 — the
+    * preference order puts a doGenCode Expression above any UDF).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val needle = children.head.genCode(ctx)
+    val cands = children.tail.map(_.genCode(ctx))
+    val compare = (a: String, b: String) => children.head.dataType match {
+      case IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.BooleanType => s"$a == $b"
+      case _ => s"$a.equals($b)"
+    }
+    val body = cands.zipWithIndex.map { case (c, i) =>
+      s"""
+         |if (${ev.value} == 0) {
+         |  ${c.code}
+         |  if (!${c.isNull} && ${compare(c.value.toString, needle.value.toString)}) {
+         |    ${ev.value} = ${i + 1};
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |${needle.code}
+        |int ${ev.value} = 0;
+        |if (!${needle.isNull}) {
+        |  $body
+        |}
+      """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -57,6 +57,44 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream join: clicks joined to the same user's purchases within
+    * one hour (event-time range condition). Both sides carry watermarks so
+    * join state is bounded; Spark co-partitions both streams on user_id.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming multi-sink fan-out via foreachBatch: each micro-batch is
+    * routed through the batch MultiInsert operator (one cached pass, N
+    * sinks) — the streaming face of Hive's multi-insert.
+    */
+  def fanOutStream(events: DataFrame, highDir: String, lowDir: String,
+                   checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.MultiInsert.fanOut(batch.toDF(), Seq(
+          highDir -> ((df: DataFrame) => df.filter(col("value") > 10)),
+          lowDir -> ((df: DataFrame) => df.filter(col("value") <= 10))))
+        // note: parquet-dir fan-out overwrites per batch; production sinks
+        // would append or use transactional tables
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact-dedup: watermark-bounded state keyed on the dedup
     * columns (the streaming face of the batch keep-first dedup q61).
     */

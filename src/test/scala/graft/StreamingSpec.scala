@@ -71,6 +71,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("stream-stream join matches the equivalent batch join") {
+    val stream = EventStreams.clickToPurchase(EventStreams.readEvents(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.t(spark, sf, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val want = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append-mode inner join may withhold tail rows until watermark passes
+    assert(got.subsetOf(want))
+    assert(got.size >= (want.size * 0.9).toInt)
+    assert(got.nonEmpty)
+  }
+
+  test("foreachBatch fan-out routes each batch through MultiInsert") {
+    val hi = java.nio.file.Files.createTempDirectory("fan_hi").toString
+    val lo = java.nio.file.Files.createTempDirectory("fan_lo").toString
+    val ck = java.nio.file.Files.createTempDirectory("fan_ck").toString
+    val q = EventStreams.fanOutStream(
+      EventStreams.readEvents(spark, eventsDir), hi, lo, ck)
+    q.awaitTermination()
+    val nHi = spark.read.parquet(hi).count()
+    val nLo = spark.read.parquet(lo).count()
+    val src = Tables.t(spark, sf, "events")
+    assert(nHi == src.filter(col("value") > 10).count())
+    assert(nLo == src.filter(col("value") <= 10).count())
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = EventStreams.runningUserStats(spark,
       EventStreams.readEvents(spark, eventsDir))
