@@ -42,10 +42,17 @@ object Engine {
     spark
   }
 
-  /** Register the function-gap pack on any session (idempotent). */
+  /** Register the function-gap pack + optional optimizer rules on any
+    * session (idempotent). The stats-answer rule stays dormant unless
+    * spark.graft.statsAnswer.enabled=true.
+    */
   def install(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "field", exprs => FieldExpr(exprs), "scala_udf")
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.StatsAnswerRule(spark)
     spark
   }
 
