@@ -360,6 +360,26 @@ object FormatQueries {
                len(w1) AS sz
              FROM b""")),
 
+    // ---- higher-order array functions (transform/filter/exists/forall/
+    //      aggregate) — the codegen'd alternative to UDFs ----
+    Q("q92_higher_order", (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_join(expr("transform(slice(ws, 1, 5), x -> upper(x))"), ",").as("up5"),
+          size(expr("filter(ws, x -> length(x) > 4)")).cast("long").as("n_long"),
+          expr("exists(ws, x -> x = 'the')").as("has_the"),
+          expr("forall(ws, x -> length(x) >= 1)").as("all_nonempty"),
+          expr("aggregate(transform(ws, x -> length(x)), 0, (a, x) -> a + x)")
+            .cast("long").as("char_sum")),
+      Some("""SELECT doc_id,
+             array_to_string(list_transform(string_split(text,' ')[1:5], x -> upper(x)), ',') AS up5,
+             len(list_filter(string_split(text,' '), x -> length(x) > 4)) AS n_long,
+             len(list_filter(string_split(text,' '), x -> x = 'the')) > 0 AS has_the,
+             len(list_filter(string_split(text,' '), x -> NOT (length(x) >= 1))) = 0 AS all_nonempty,
+             CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS char_sum
+             FROM documents WHERE doc_id < 100""")),
+
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     Q("s03_embed_neardup", (s, d) => {
       val e = graft.operators.Similarity.prep(t(s, d, "embeddings"))
