@@ -17,6 +17,9 @@ class EngineSpec extends SparkSpec {
   test("Engine.sql reports a missing table cleanly, not a path error") {
     val part = Files.createTempDirectory("part_fix2")
     Files.copy(Paths.get(s"$sf/nation.parquet"), part.resolve("nation.parquet"))
+    // other suites may have registered lineitem on the shared session;
+    // the assertion is that Engine.sql itself won't (no file in this dir)
+    spark.catalog.dropTempView("lineitem")
     val e = intercept[Exception] {
       Engine.sql(spark, part.toString, "SELECT count(*) FROM lineitem").collect()
     }
