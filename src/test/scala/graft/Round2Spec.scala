@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Acid, Dedup, Similarity}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-2 operators: copy-on-write DML must touch
+  * only the files that contain matching rows, parse_url_tuple must behave
+  * like the reference generator (nulls on malformed input), and the dedup /
+  * near-dup resolution chains must keep the plan shapes that make them
+  * viable at 100 TB (band/cluster equi-joins, never a cartesian product).
+  */
+class Round2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def partFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .map(_.getName).filter(n => n.startsWith("part-") || n.startsWith("cow-"))
+      .toSet
+
+  private def writeKv(dir: String): Unit =
+    (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(dir)
+
+  test("CoW update rewrites only the files containing matching rows") {
+    val dir = tools.Tmp.dir("acid_spec") + "/t"
+    writeKv(dir)
+    val before = partFiles(dir)
+    assert(before.size == 4)
+    // range-partitioned by k, so k <= 100 lives in exactly one file
+    Acid.updateWhere(spark, dir, col("k") <= 100, Map("v" -> lit("X")))
+    val after = partFiles(dir)
+    // three untouched files survive under their original names
+    assert((before intersect after).size == 3)
+    assert(after.exists(_.startsWith("cow-")))
+    val got = spark.read.parquet(dir)
+    assert(got.filter($"v" === "X").count() == 100)
+    assert(got.filter($"k" > 100 && $"v".startsWith("v")).count() == 300)
+    assert(got.count() == 400)
+  }
+
+  test("CoW delete keeps rows with null condition (SQL semantics)") {
+    val dir = tools.Tmp.dir("acid_spec") + "/t"
+    Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("k", "v").write.mode("overwrite").parquet(dir)
+    // v = 'a' is NULL for row 2: DELETE must keep it
+    Acid.deleteWhere(spark, dir, col("v") === "a")
+    val left = spark.read.parquet(dir).select("k").as[Long].collect().sorted
+    assert(left.toSeq == Seq(2L, 3L))
+  }
+
+  test("CoW update with no matching rows leaves the table untouched") {
+    val dir = tools.Tmp.dir("acid_spec") + "/t"
+    writeKv(dir)
+    val before = partFiles(dir)
+    Acid.updateWhere(spark, dir, col("k") > 9999, Map("v" -> lit("X")))
+    assert(partFiles(dir) == before)
+  }
+
+  test("parse_url_tuple extracts parts; malformed URLs and unknown parts are null") {
+    Engine.install(spark)
+    Seq("https://user@example.com/a/b?x=1&y=2#frag", ":::not a url")
+      .toDF("url").createOrReplaceTempView("r2_urls")
+    val rows = spark.sql(
+      """SELECT t.* FROM r2_urls
+         LATERAL VIEW parse_url_tuple(url,
+           'HOST', 'PATH', 'QUERY:y', 'USERINFO', 'REF', 'NOPE') t""")
+      .collect().sortBy(r => String.valueOf(r.getString(0)))
+    assert(rows.length == 2)
+    val bad = rows.find(_.getString(0) == null).get
+    assert((0 until 6).forall(bad.isNullAt))
+    val ok = rows.find(_.getString(0) != null).get
+    assert(ok.getString(0) == "example.com" && ok.getString(1) == "/a/b")
+    assert(ok.getString(2) == "2" && ok.getString(3) == "user")
+    assert(ok.getString(4) == "frag" && ok.isNullAt(5))
+  }
+
+  test("dedup resolve: LSH chain output equals the exact all-pairs resolution") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq(0L -> base, 1L -> near, 2L -> far).toDF("doc_id", "text")
+    val kept = Dedup.resolve(docs).as[Long].collect().sorted.toSeq
+    // 0 and 1 share 57/63 tokens (jaccard 0.905 >= 0.85): 1 drops, 2 stays
+    assert(kept == Seq(0L, 2L))
+  }
+
+  test("d06/s04 plans block by band/cluster — no cartesian product anywhere") {
+    for (name <- Seq("d06_dedup_resolve", "s04_embed_neardup_ivf")) {
+      val p = Registry.byName(name).fn(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian join")
+    }
+  }
+
+  test("s04 candidate join is an equi-join on cluster_id") {
+    val e = Similarity.prep(Tables.t(spark, sf, "embeddings")).filter($"vec_id" < 60)
+    val p = Similarity.neardupIVF(e, e.filter($"vec_id" < 4), minSim = 0.0)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("cluster_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
