@@ -201,6 +201,35 @@ object Round2Queries {
     },
       Some("""SELECT doc_id, source || '.example.com' AS host,
              '/docs/' || CAST(doc_id AS VARCHAR) AS pth, lang AS qlang
-             FROM documents WHERE doc_id < 100"""))
+             FROM documents WHERE doc_id < 100""")),
+
+    // ---- in_file (UDFInFile): dictionary-file membership. The file is
+    //      read once on the driver; executors get the line set with the
+    //      task, so only the submitting host needs the file. ----
+    Q("q101_in_file", (s, d) => {
+      Engine.install(s)
+      val f = java.nio.file.Paths.get(graft.tools.Tmp.dir("graft_dict"), "segs.txt")
+      java.nio.file.Files.write(f, "BUILDING\nAUTOMOBILE\n".getBytes("UTF-8"))
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr(s"in_file(c_mktsegment, '${f}')").as("in_dict"))
+        .filter(col("c_custkey") < 200)
+    },
+      Some("""SELECT c_custkey, c_mktsegment IN ('BUILDING','AUTOMOBILE') AS in_dict
+             FROM customer WHERE c_custkey < 200""")),
+
+    // ---- SHOW TABLES surface (exec/DDLTask.java); temp views filtered out
+    //      so the oracle is a stable literal ----
+    Q("q102_show_tables", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_show")
+      s.sql("DROP TABLE IF EXISTS graft_show.alpha")
+      s.sql("DROP TABLE IF EXISTS graft_show.beta")
+      val loc = graft.tools.Tmp.dir("graft_show")
+      s.sql(s"CREATE TABLE graft_show.alpha USING parquet LOCATION '$loc/alpha' AS SELECT 1 AS x")
+      s.sql(s"CREATE TABLE graft_show.beta USING parquet LOCATION '$loc/beta' AS SELECT 2 AS y")
+      s.sql("SHOW TABLES IN graft_show")
+        .filter(!col("isTemporary")).select("tableName")
+    },
+      Some("SELECT 'alpha' AS tableName UNION ALL SELECT 'beta'"))
   )
 }

@@ -94,6 +94,25 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("in_file matches whole lines only, null str -> null, codegen path") {
+    Engine.install(spark)
+    val f = java.nio.file.Paths.get(tools.Tmp.dir("infile_spec"), "dict.txt")
+    java.nio.file.Files.write(f, "alpha\nbeta\n".getBytes("UTF-8"))
+    // force doGenCode (no interpreted fallback) for the assertion
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq(Some("alpha"), Some("alph"), Some("beta "), None).toDF("s")
+        .createOrReplaceTempView("infile_t")
+      val got = spark.sql(s"SELECT in_file(s, '$f') FROM infile_t")
+        .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+      assert(got.toSeq == Seq(true, false, false, null))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("s04 candidate join is an equi-join on cluster_id") {
     val e = Similarity.prep(Tables.t(spark, sf, "embeddings")).filter($"vec_id" < 60)
     val p = Similarity.neardupIVF(e, e.filter($"vec_id" < 4), minSim = 0.0)
