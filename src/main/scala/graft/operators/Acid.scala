@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write UPDATE/DELETE over a parquet table directory.
@@ -35,6 +35,72 @@ object Acid {
   def deleteWhere(spark: SparkSession, path: String, cond: Column): Unit =
     rewrite(spark, path, cond, identityKept = false, Map.empty)
 
+  /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
+    *
+    * WHEN MATCHED THEN UPDATE: every `setFromSource` column is overwritten
+    * with the source row's value. WHEN NOT MATCHED THEN INSERT: source rows
+    * with no target match append as new files (source must carry the
+    * target's schema). Matched-row files are found the same way
+    * updateWhere finds them — a key semi-join collects FILE PATHS only —
+    * and only those files are rewritten.
+    *
+    * Reference semantics: MERGE is the reference's UPDATE+INSERT rewrite
+    * (parse/UpdateDeleteSemanticAnalyzer.java) fused over one source scan.
+    * Requires source keys to be unique (standard MERGE precondition;
+    * duplicate source keys make the update non-deterministic).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String], setFromSource: Seq[String],
+                insertNotMatched: Boolean = true): Unit = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSeq
+    val withFile = df.withColumn(FILE, col("_metadata.file_path"))
+    val srcKeyed = source.select(cols.map(col): _*)
+    val joinCond = keys.map(k => withFile(k) <=> srcKeyed(k)).reduce(_ && _)
+
+    val affected = withFile.join(srcKeyed, joinCond, "left_semi")
+      .select(FILE).distinct().collect().map(_.getString(0))
+
+    if (affected.nonEmpty) {
+      val survivors = withFile.filter(col(FILE).isin(affected.toSeq: _*))
+      // left join against the source: matched rows take source values for
+      // the set columns, unmatched rows in the same file pass through
+      val src = srcKeyed.select(
+        keys.map(k => col(k).as(s"__src_$k")) ++
+          setFromSource.map(c => col(c).as(s"__src_$c")) :+
+          lit(true).as("__src_matched"): _*)
+      val cond = keys.map(k => survivors(k) <=> src(s"__src_$k")).reduce(_ && _)
+      val merged = survivors.join(src, cond, "left")
+        .select(cols.map { c =>
+          (if (setFromSource.contains(c))
+             when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
+           else survivors(c)).as(c)
+        }: _*)
+      swapIn(spark, path, affected, merged)
+    }
+
+    if (insertNotMatched) {
+      val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
+      val inserts = srcKeyed.join(existingKeys,
+        keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
+      // append lands new part- files; existing files untouched
+      inserts.write.mode("append").parquet(path)
+    }
+  }
+
+  /** Small-file compaction: coalesce the table directory to `numFiles`
+    * (bin-packing by Spark's file committer). Content-preserving —
+    * the reference's minor/major compactor (ql/txn/compactor/Worker.java)
+    * exists to merge ACID deltas; under copy-on-write the only compaction
+    * concern left is file-count hygiene after many small merges/appends.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val all = df.withColumn(FILE, col("_metadata.file_path"))
+      .select(FILE).distinct().collect().map(_.getString(0))
+    swapIn(spark, path, all, df.repartition(numFiles))
+  }
+
   private def rewrite(spark: SparkSession, path: String, cond: Column,
                       identityKept: Boolean, set: Map[String, Column]): Unit = {
     val df = spark.read.parquet(path)
@@ -57,8 +123,17 @@ object Acid {
         // DELETE: keep rows where cond is false or null (SQL semantics)
         survivors.filter(!coalesce(cond, lit(false))).select(cols.map(col): _*)
 
+    swapIn(spark, path, affected, rewritten)
+  }
+
+  /** Write `newData` beside the table, move its files in, drop the stale
+    * ones. A concurrent reader sees duplicates at worst, never missing
+    * files (the commit-log-free stand-in for a lakehouse atomic commit).
+    */
+  private def swapIn(spark: SparkSession, path: String,
+                     staleFiles: Seq[String], newData: DataFrame): Unit = {
     val tmp = path.stripSuffix("/") + "_cow_" + java.util.UUID.randomUUID().toString
-    rewritten.write.mode("overwrite").parquet(tmp)
+    newData.write.mode("overwrite").parquet(tmp)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(tmp), conf)
@@ -66,14 +141,12 @@ object Acid {
       val tableDir = new Path(path)
       val newFiles = fs.listStatus(new Path(tmp))
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      // swap: land the rewritten files first, then drop the stale ones —
-      // a concurrent reader sees duplicates at worst, never missing files
       newFiles.foreach { st =>
         fs.rename(st.getPath,
           new Path(tableDir, "cow-" + java.util.UUID.randomUUID().toString +
             "-" + st.getPath.getName))
       }
-      affected.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+      staleFiles.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     } finally fs.delete(new Path(tmp), true): Unit
   }
 }

@@ -95,6 +95,36 @@ object Round2Queries {
              FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
              GROUP BY o_orderstatus""")),
 
+    // ---- copy-on-write MERGE (upsert): update matched rows from the
+    //      source, append unmatched source rows; only files containing a
+    //      matched key are rewritten ----
+    Q("a03_merge_cow", (s, d) => {
+      val tbl = graft.tools.Tmp.dir("graft_acid") + "/orders"
+      t(s, d, "orders").repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      // source: flip priority on existing keys < 200 and bring brand-new
+      // keys (offset past the fixture keyspace)
+      val updates = t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+      val inserts = t(s, d, "orders").filter(col("o_orderkey") < 40)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      Acid.mergeInto(s, tbl, updates.unionByName(inserts),
+        keys = Seq("o_orderkey"), setFromSource = Seq("o_orderpriority"))
+      s.read.parquet(tbl).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    },
+      Some("""WITH merged AS (
+               SELECT o_orderkey,
+                 CASE WHEN o_orderkey < 200 THEN '9-MERGED'
+                      ELSE o_orderpriority END AS o_orderpriority
+               FROM orders
+               UNION ALL
+               SELECT o_orderkey + 10000000, o_orderpriority
+               FROM orders WHERE o_orderkey < 40)
+             SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             FROM merged GROUP BY o_orderpriority""")),
+
     // ---- inline UDTF (GenericUDTFInline) ----
     Q("q93_inline", (s, d) => {
       Tables.views(s, d, "orders")

@@ -50,6 +50,36 @@ class Round2Spec extends SparkSpec {
     assert(left.toSeq == Seq(2L, 3L))
   }
 
+  test("CoW merge rewrites only matched-key files and appends inserts") {
+    val dir = tools.Tmp.dir("acid_spec") + "/t"
+    writeKv(dir)
+    val before = partFiles(dir)
+    // keys 1..50 live in the first range file; 9001/9002 are new
+    val src = Seq((1L, "U1"), (50L, "U50"), (9001L, "N1"), (9002L, "N2"))
+      .toDF("k", "v")
+    Acid.mergeInto(spark, dir, src, keys = Seq("k"), setFromSource = Seq("v"))
+    val after = partFiles(dir)
+    assert((before intersect after).size == 3, "unmatched files must survive")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 402)
+    assert(got.filter($"k" === 1L).select("v").as[String].head() == "U1")
+    assert(got.filter($"k" === 9001L).select("v").as[String].head() == "N1")
+    assert(got.filter($"k" === 2L).select("v").as[String].head() == "v2")
+  }
+
+  test("CoW compact coalesces files and preserves every row") {
+    val dir = tools.Tmp.dir("acid_spec") + "/t"
+    writeKv(dir)
+    Acid.mergeInto(spark, dir, Seq((9001L, "N1")).toDF("k", "v"),
+      keys = Seq("k"), setFromSource = Seq("v"))
+    assert(partFiles(dir).size > 4)
+    Acid.compact(spark, dir, numFiles = 2)
+    assert(partFiles(dir).size == 2)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 401)
+    assert(got.select(sum("k")).as[Long].head() == (1L to 400L).sum + 9001L)
+  }
+
   test("CoW update with no matching rows leaves the table untouched") {
     val dir = tools.Tmp.dir("acid_spec") + "/t"
     writeKv(dir)
