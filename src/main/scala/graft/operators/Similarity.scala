@@ -80,6 +80,49 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
   }
 
+  /** Lloyd's k-means over the embedding column, fully distributed — the
+    * trained upgrade over "first k vectors as centroids" for the IVF index.
+    *
+    * Each iteration is two narrow-plus-one-shuffle jobs: (1) assign every
+    * vector to its nearest current centroid (broadcast the k centroids,
+    * codegen'd dot products, WindowGroupLimit rank-1); (2) recompute each
+    * centroid as the per-dimension mean of its members (posexplode →
+    * groupBy(cluster, dim) — ONE hash aggregate whose key space is
+    * k × dims, tiny regardless of corpus size). The only driver-side state
+    * is the k × dims centroid matrix itself (collected per iteration to
+    * keep the next plan flat and broadcastable — the same metadata-sized
+    * collect discipline as Acid's file list).
+    *
+    * Deterministic init: the k lowest vec_ids. Spherical flavor: vectors
+    * are assigned by cosine, so means are direction estimates; magnitude
+    * cancels in the next assignment.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cent: DataFrame = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("c_id").as("cluster_id"), col("emb"))
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim").agg(avg("v").as("m"))
+        .groupBy("cluster_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
+          .as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cent = means.toSeq.toDF("c_id", "c_emb")
+    }
+    // expose with the (vec_id, emb) shape ivfTopK/neardupIVF expect
+    cent.select(col("c_id").as("vec_id"), col("c_emb").as("emb"))
+  }
+
   /** Scale path for embedding near-dup: candidate pairs are vectors that
     * share an IVF cluster under multi-probe assignment (each vector joins
     * its nProbe nearest centroids), exact cosine is computed ONLY on those

@@ -59,6 +59,16 @@ object Round2Queries {
              FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
              WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4""")),
 
+    // ---- ANN with TRAINED centroids: Lloyd k-means (distributed assign +
+    //      per-dimension mean) feeds the same IVF probe path. Rows-only:
+    //      float summation order makes trained centroids bit-unstable,
+    //      which is inherent to distributed k-means, so no hash oracle. ----
+    Q("s05_ann_kmeans", (s, d) => {
+      val e = Similarity.prep(Tables.t(s, d, "embeddings")).filter(col("vec_id") < 300)
+      val cents = Similarity.kmeansCentroids(e, k = 8, iters = 3)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), cents, k = 5, nProbe = 3)
+    }, None),
+
     // ---- copy-on-write UPDATE (reference: UpdateDeleteSemanticAnalyzer
     //      rewrite-as-insert; here: rewrite only the affected files) ----
     Q("a01_update_cow", (s, d) => {

@@ -143,6 +143,23 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("kmeans centroids recover well-separated clusters") {
+    // 30 vectors in 3 axis-aligned clusters, ids interleaved so the
+    // deterministic init (lowest ids) starts with one seed per cluster
+    val rows = (0 until 30).map { i =>
+      val c = i % 3
+      val jitter = 0.01f * (i / 3)
+      val v = Array.tabulate(3)(d => if (d == c) 1.0f else jitter)
+      (i.toLong, v)
+    }
+    val emb = Similarity.prep(rows.toDF("vec_id", "embedding"))
+    val cents = Similarity.kmeansCentroids(emb, k = 3, iters = 4)
+      .select("emb").as[Seq[Double]].collect()
+    assert(cents.length == 3)
+    val argmaxes = cents.map(c => c.indexOf(c.max)).toSet
+    assert(argmaxes == Set(0, 1, 2), s"centroids collapsed: ${cents.toSeq}")
+  }
+
   test("s04 candidate join is an equi-join on cluster_id") {
     val e = Similarity.prep(Tables.t(spark, sf, "embeddings")).filter($"vec_id" < 60)
     val p = Similarity.neardupIVF(e, e.filter($"vec_id" < 4), minSim = 0.0)
