@@ -209,6 +209,25 @@ object Round2Queries {
           expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)").as("p_arr")),
       None),
 
+    // ---- compute_stats UDAF parity (GenericUDAFComputeStats): the column
+    //      statistics Hive's ANALYZE collects, as one aggregation ----
+    Q("q103_compute_stats", (s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("num_nulls"),
+        min("l_discount").as("mn"),
+        max("l_discount").as("mx"),
+        countDistinct("l_discount").as("ndv"),
+        round(avg(length(col("l_returnflag"))), 4).as("avg_len"),
+        max(length(col("l_returnflag"))).cast("long").as("max_len")),
+      Some("""SELECT count(*) AS cnt,
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_nulls,
+             min(l_discount) AS mn, max(l_discount) AS mx,
+             count(DISTINCT l_discount) AS ndv,
+             round(avg(length(l_returnflag))*10000)/10000 AS avg_len,
+             CAST(max(length(l_returnflag)) AS BIGINT) AS max_len
+             FROM lineitem""")),
+
     // ---- SQL-text TABLESAMPLE (FromClauseParser.g:154-166); the ROWS form
     //      has a deterministic row count, which is what the oracle pins ----
     Q("q98_tablesample", (s, d) => {

@@ -95,6 +95,33 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming upsert sink: every micro-batch MERGEs into a copy-on-write
+    * parquet table — the CDC-into-lakehouse pattern. Each batch is first
+    * reduced to one row per key (latest by `ordCol`) to satisfy MERGE's
+    * unique-source-key precondition; `Acid.mergeInto` then rewrites only
+    * the files containing matched keys. Exactly-once: the checkpoint
+    * replays at-least-once and the per-key merge is idempotent for a
+    * given batch, so replayed batches converge to the same table.
+    */
+  def upsertStream(updates: DataFrame, tableDir: String, keys: Seq[String],
+                   setFromSource: Seq[String], ordCol: String,
+                   checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
+        val latest = batch.toDF().withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!new java.io.File(tableDir).exists())
+          latest.write.mode("overwrite").parquet(tableDir) // bootstrap batch
+        else
+          graft.operators.Acid.mergeInto(batch.sparkSession, tableDir,
+            latest, keys, setFromSource)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact-dedup: watermark-bounded state keyed on the dedup
     * columns (the streaming face of the batch keep-first dedup q61).
     */

@@ -143,6 +143,40 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("streaming upsert merges each micro-batch into the CoW table") {
+    val srcDir = tools.Tmp.dir("upsert_src")
+    val tbl = tools.Tmp.dir("upsert_tbl") + "/t"
+    val ckpt = tools.Tmp.dir("upsert_ckpt")
+
+    def addFile(rows: Seq[(Long, String, Long)], name: String, mtime: Long): Unit = {
+      val stage = tools.Tmp.dir("upsert_stage")
+      rows.toDF("k", "v", "ord").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime): Unit
+    }
+    // two files = two micro-batches (maxFilesPerTrigger=1, mtime-ordered);
+    // batch 1 bootstraps; batch 2 updates k=2 (latest ord wins within the
+    // batch) and inserts k=3
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(Seq((1L, "a1", 1L), (2L, "a2", 1L)), "b1.parquet", t0)
+    addFile(Seq((2L, "b2-old", 2L), (2L, "b2", 3L), (3L, "b3", 2L)), "b2.parquet", t0 + 30000)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.EventStreams.upsertStream(
+      stream, tbl, keys = Seq("k"), setFromSource = Seq("v", "ord"),
+      ordCol = "ord", checkpointDir = ckpt)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(tbl).select("k", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "a1", 2L -> "b2", 3L -> "b3"))
+  }
+
   test("kmeans centroids recover well-separated clusters") {
     // 30 vectors in 3 axis-aligned clusters, ids interleaved so the
     // deterministic init (lowest ids) starts with one seed per cluster
@@ -158,6 +192,21 @@ class Round2Spec extends SparkSpec {
     assert(cents.length == 3)
     val argmaxes = cents.map(c => c.indexOf(c.max)).toSet
     assert(argmaxes == Set(0, 1, 2), s"centroids collapsed: ${cents.toSeq}")
+  }
+
+  test("percentile_approx tracks the exact percentile within accuracy bound") {
+    // accuracy=10000 bounds rank error by n/10000; the fixture is far
+    // smaller, so approx and exact must agree on the value grid
+    val li = Tables.t(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx"),
+        expr("percentile(l_quantity, 0.5)").as("exact"))
+      .select("approx", "exact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0,
+        s"approx ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+    }
   }
 
   test("s04 candidate join is an equi-join on cluster_id") {
