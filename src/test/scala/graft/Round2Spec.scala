@@ -209,6 +209,21 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays within its declared error bound") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact"),
+        approx_count_distinct("l_partkey", 0.02).as("approx"))
+      .select("exact", "approx").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      // 0.02 is the HLL++ relative standard deviation; 5 sd is generous
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("s04 candidate join is an equi-join on cluster_id") {
     val e = Similarity.prep(Tables.t(spark, sf, "embeddings")).filter($"vec_id" < 60)
     val p = Similarity.neardupIVF(e, e.filter($"vec_id" < 4), minSim = 0.0)
