@@ -245,6 +245,43 @@ object Round2Queries {
       Some("""SELECT 'r_regionkey' AS col_name, 'int' AS data_type
              UNION ALL SELECT 'r_name', 'string'""")),
 
+    // ---- CREATE/DROP VIEW + CTE query-through (exec/DDLTask.java) ----
+    Q("q104_create_view", (s, d) => {
+      Tables.views(s, d, "orders")
+      // TEMPORARY: a persistent view may not reference the temp fixture
+      // views; the DDL surface (create/replace/query-through) is the same
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_v_orders AS
+              SELECT o_orderstatus, o_totalprice FROM orders
+              WHERE o_totalprice > 100000""")
+      s.sql("""WITH agg AS (SELECT o_orderstatus, count(*) AS n,
+                            round(avg(o_totalprice) * 100) / 100 AS avg_price
+                            FROM graft_v_orders GROUP BY o_orderstatus)
+              SELECT * FROM agg""")
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             round(avg(o_totalprice)*100)/100 AS avg_price
+             FROM orders WHERE o_totalprice > 100000
+             GROUP BY o_orderstatus""")),
+
+    // ---- ALTER TABLE ADD COLUMNS (DDLTask alter-table path): new column
+    //      reads as NULL for pre-existing rows, writable after ----
+    Q("q105_alter_table", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.nation_alter")
+      val loc = graft.tools.Tmp.dir("graft_alter")
+      s.sql(s"""CREATE TABLE graft_tmp.nation_alter USING parquet
+               LOCATION '$loc/nation_alter' AS
+               SELECT n_nationkey, n_name FROM parquet.`$d/nation.parquet`""")
+      s.sql("ALTER TABLE graft_tmp.nation_alter ADD COLUMNS (zone STRING)")
+      s.sql("""INSERT INTO graft_tmp.nation_alter
+              VALUES (999, 'ATLANTIS', 'myth')""")
+      s.sql("""SELECT n_nationkey, n_name, zone FROM graft_tmp.nation_alter
+              WHERE n_nationkey >= 20""")
+    },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS zone
+             FROM nation WHERE n_nationkey >= 20
+             UNION ALL SELECT 999, 'ATLANTIS', 'myth'""")),
+
     // ---- parse_url_tuple as a true Generator via LATERAL VIEW ----
     Q("q100_parse_url_tuple", (s, d) => {
       Engine.install(s)

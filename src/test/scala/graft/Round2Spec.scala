@@ -224,6 +224,23 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("bucketed table: equality filter on the bucket column prunes buckets") {
+    // q58 builds the bucketed tables as a side effect
+    Registry.byName("q58_bucketed_join").fn(spark, sf).collect()
+    // auto-bucketed-scan turns bucketed reading off for bare filters (no
+    // shuffle to elide); disable it so the pruning path is observable
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = spark.table("graft_tmp.orders_bkt")
+        .filter($"o_custkey" === 42L)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from plan:\n$p")
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("s04 candidate join is an equi-join on cluster_id") {
     val e = Similarity.prep(Tables.t(spark, sf, "embeddings")).filter($"vec_id" < 60)
     val p = Similarity.neardupIVF(e, e.filter($"vec_id" < 4), minSim = 0.0)
