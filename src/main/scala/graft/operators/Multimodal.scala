@@ -39,6 +39,36 @@ object Multimodal {
     Array.tabulate(dim)(i => (((base >>> (i % 56)) & 0xFF).toFloat - 128f) / 128f)
   }
 
+  /** Frame sampling: one output row per fixed-stride "frame" of the
+    * payload — the video frame-extraction shape with a stub codec (frame k
+    * is the byte slice [k·stride, (k+1)·stride)). Pure built-in
+    * expressions (sequence → transform → posexplode → substring), so
+    * sampling runs inside whole-stage codegen: no UDF, zero shuffle, and
+    * the real frame decoder drops in by replacing the slice lambda.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(col("meta.n_bytes") / lit(stride.toDouble)).cast("int"))
+      .select(col("doc_id"), col("n_frames"),
+        // CASE guard: sequence(0, -1) would DESCEND ([0,-1]), turning an
+        // empty payload into two phantom frames
+        posexplode(expr(
+          s"""CASE WHEN n_frames > 0
+             THEN transform(sequence(0, n_frames - 1), k -> substring(payload, k * $stride + 1, $stride))
+             ELSE CAST(array() AS array<binary>) END"""))
+          .as(Seq("frame_id", "frame")))
+
+  /** Stub resize: truncate the payload to `targetBytes` and update the
+    * metadata — the image-resize shape (real resize swaps the substring
+    * for a codec call; the schema contract and narrow-map shape stay).
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media.select(col("doc_id"),
+      substring(col("payload"), 1, targetBytes).as("payload"),
+      struct(least(col("meta.n_bytes"), lit(targetBytes.toLong)).as("n_bytes"),
+        col("meta.mime"), col("meta.origin")).as("meta"))
+
   /** Batched featurize: one setup per partition, streaming over rows. */
   def featurize(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._

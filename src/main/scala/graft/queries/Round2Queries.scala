@@ -135,6 +135,37 @@ object Round2Queries {
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              FROM merged GROUP BY o_orderpriority""")),
 
+    // ---- multimodal frame-sampling: one row per fixed-stride payload
+    //      slice; fully ORACLED (the fixture text is pure ASCII, so byte
+    //      slices equal DuckDB char substr) — the decode stays a stub,
+    //      the Spark plumbing (generator shape, codegen slicing) is real ----
+    Q("m02_frame_sample", (s, d) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, d, "documents").filter(col("doc_id") < 100))
+      graft.operators.Multimodal.frameSample(media, stride = 40)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_id").cast("long").as("frame_id"),
+          col("frame").cast("string").as("frame_text"))
+    },
+      Some("""WITH m AS (SELECT doc_id, text, CAST(ceil(length(text)/40.0) AS BIGINT) AS n_frames
+                         FROM documents WHERE doc_id < 100)
+             SELECT doc_id, n_frames, k AS frame_id,
+                    substr(text, CAST(k*40+1 AS INT), 40) AS frame_text
+             FROM m, (SELECT unnest(range(0, 1000)) AS k)
+             WHERE k < n_frames""")),
+
+    // ---- multimodal resize: payload truncation with metadata update ----
+    Q("m03_resize", (s, d) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, d, "documents").filter(col("doc_id") < 200))
+      graft.operators.Multimodal.resize(media, targetBytes = 64)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("payload").cast("string").as("head_text"))
+    },
+      Some("""SELECT doc_id, least(CAST(length(text) AS BIGINT), 64) AS n_bytes,
+             substr(text, 1, 64) AS head_text
+             FROM documents WHERE doc_id < 200""")),
+
     // ---- inline UDTF (GenericUDTFInline) ----
     Q("q93_inline", (s, d) => {
       Tables.views(s, d, "orders")

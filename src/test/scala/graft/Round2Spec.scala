@@ -177,6 +177,20 @@ class Round2Spec extends SparkSpec {
     assert(got == Seq(1L -> "a1", 2L -> "b2", 3L -> "b3"))
   }
 
+  test("frameSample slices cover the payload exactly; empty payload -> no frames") {
+    val docs = Seq((0L, "abcdefghij", "s"), (1L, "", "s"), (2L, "xyz", "s"))
+      .toDF("doc_id", "text", "source")
+    val media = graft.operators.Multimodal.asMedia(docs)
+    val frames = graft.operators.Multimodal.frameSample(media, stride = 4)
+      .select($"doc_id", $"frame_id", $"frame".cast("string").as("f"))
+      .collect().groupBy(_.getLong(0))
+    // 10 bytes / stride 4 -> 3 frames, concatenation reconstructs payload
+    val d0 = frames(0L).sortBy(_.getInt(1)).map(_.getString(2))
+    assert(d0.toSeq == Seq("abcd", "efgh", "ij"))
+    assert(!frames.contains(1L))
+    assert(frames(2L).map(_.getString(2)).toSeq == Seq("xyz"))
+  }
+
   test("kmeans centroids recover well-separated clusters") {
     // 30 vectors in 3 axis-aligned clusters, ids interleaved so the
     // deterministic init (lowest ids) starts with one seed per cluster
