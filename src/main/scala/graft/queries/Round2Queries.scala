@@ -276,6 +276,37 @@ object Round2Queries {
       Some("""SELECT 'r_regionkey' AS col_name, 'int' AS data_type
              UNION ALL SELECT 'r_name', 'string'""")),
 
+    // ---- Hive default textfile SerDe: ctrl-A (\x01) delimited, \N for
+    //      NULL (LazySimpleSerDe defaults) — write + read round-trip ----
+    Q("q106_textfile_serde", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_text")
+      t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("sep", "").option("nullValue", "\\N")
+        .csv(s"$base/txt")
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("sep", "").option("nullValue", "\\N")
+        .csv(s"$base/txt")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max("n_name").as("max_name"))
+    },
+      Some("""SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+             FROM nation GROUP BY n_regionkey""")),
+
+    // ---- permissive malformed-row handling (LazySimpleSerDe parity:
+    //      bad cells become NULL, the row survives) ----
+    Q("q107_permissive_csv", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_badcsv")
+      java.nio.file.Files.write(java.nio.file.Paths.get(base, "data.csv"),
+        "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n".getBytes("UTF-8"))
+      s.read.schema("id INT, name STRING, v INT")
+        .option("mode", "PERMISSIVE").csv(base)
+        .select(col("id").cast("long").as("id"), col("name"), col("v").cast("long").as("v"))
+    },
+      Some("""SELECT CAST(1 AS BIGINT) AS id, 'alpha' AS name, CAST(10 AS BIGINT) AS v
+             UNION ALL SELECT 2, 'beta', NULL
+             UNION ALL SELECT 3, 'gamma', 30""")),
+
     // ---- CREATE/DROP VIEW + CTE query-through (exec/DDLTask.java) ----
     Q("q104_create_view", (s, d) => {
       Tables.views(s, d, "orders")
