@@ -276,6 +276,35 @@ object Round2Queries {
       Some("""SELECT 'r_regionkey' AS col_name, 'int' AS data_type
              UNION ALL SELECT 'r_name', 'string'""")),
 
+    // ---- end-to-end training-data pipeline v2: LENGTH/quality gate →
+    //      scale-safe near-dup resolution (the d06 LSH chain) → per-lang
+    //      corpus stats. The whole flow is equi-join/aggregate shaped:
+    //      nothing here degrades at 100 TB. Oracle mirrors each stage. ----
+    Q("t06_corpus_pipeline2", (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 150)
+      val gated = docs.filter(size(split(col("text"), " ")) >= 20)
+      val kept = Dedup.resolve(gated)
+      gated.join(kept, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+    },
+      Some("""WITH gated AS (SELECT * FROM documents
+                             WHERE doc_id < 150 AND len(string_split(text,' ')) >= 20),
+              toks AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                       FROM gated),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+              dup AS (SELECT DISTINCT db FROM (
+                        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+                        GROUP BY 1,2) i
+                      JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                      WHERE round(inter/(sa.sz + sb.sz - inter),4) >= 0.85)
+             SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+             FROM gated WHERE doc_id NOT IN (SELECT db FROM dup)
+             GROUP BY lang""")),
+
     // ---- Hive default textfile SerDe: ctrl-A (\x01) delimited, \N for
     //      NULL (LazySimpleSerDe defaults) — write + read round-trip ----
     Q("q106_textfile_serde", (s, d) => {

@@ -177,6 +177,33 @@ class Round2Spec extends SparkSpec {
     assert(got == Seq(1L -> "a1", 2L -> "b2", 3L -> "b3"))
   }
 
+  test("streaming upsert restart from checkpoint processes only new files") {
+    val srcDir = tools.Tmp.dir("upsert2_src")
+    val tbl = tools.Tmp.dir("upsert2_tbl") + "/t"
+    val ckpt = tools.Tmp.dir("upsert2_ckpt")
+    def run(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      graft.streaming.EventStreams.upsertStream(
+        stream, tbl, keys = Seq("k"), setFromSource = Seq("v", "ord"),
+        ordCol = "ord", checkpointDir = ckpt).awaitTermination()
+    }
+    def addFile(rows: Seq[(Long, String, Long)], name: String): Unit = {
+      val stage = tools.Tmp.dir("upsert2_stage")
+      rows.toDF("k", "v", "ord").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(srcDir, name)): Unit
+    }
+    addFile(Seq((1L, "a1", 1L), (2L, "a2", 1L)), "b1.parquet")
+    run() // first run bootstraps the table
+    addFile(Seq((2L, "b2", 2L), (3L, "b3", 2L)), "b2.parquet")
+    run() // restart: checkpoint skips b1, merges only b2
+    val got = spark.read.parquet(tbl).select("k", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "a1", 2L -> "b2", 3L -> "b3"))
+  }
+
   test("frameSample slices cover the payload exactly; empty payload -> no frames") {
     val docs = Seq((0L, "abcdefghij", "s"), (1L, "", "s"), (2L, "xyz", "s"))
       .toDF("doc_id", "text", "source")
