@@ -276,6 +276,33 @@ object Round2Queries {
       Some("""SELECT 'r_regionkey' AS col_name, 'int' AS data_type
              UNION ALL SELECT 'r_name', 'string'""")),
 
+    // ---- last §2.8 registry names with no sweep coverage: format_number,
+    //      printf, next_day, add_months, pmod, unhex, from/to_utc_timestamp
+    //      (fixed-offset zones pin the semantics without DST dependence) ----
+    Q("q108_funcs_gap", (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          format_number(col("o_orderkey") * 1000000L, 0).as("fmt"),
+          expr("printf('%05d_%s', o_custkey, o_orderstatus)").as("pf"),
+          next_day(col("o_orderdate").cast("date"), "Friday").as("nd"),
+          add_months(col("o_orderdate").cast("date"), 2).as("am"),
+          expr("pmod(-o_custkey, 7)").cast("long").as("pm"),
+          from_utc_timestamp(date_trunc("day", col("o_orderdate")), "+05:30").as("fu"),
+          to_utc_timestamp(date_trunc("day", col("o_orderdate")), "+05:30").as("tu"),
+          expr("cast(unhex(hex(o_orderstatus)) as string)").as("uh")),
+      Some("""SELECT o_orderkey,
+             format('{:,}', CAST(o_orderkey * 1000000 AS BIGINT)) AS fmt,
+             printf('%05d_%s', o_custkey, o_orderstatus) AS pf,
+             CAST(CAST(o_orderdate AS DATE) +
+               CAST(CASE WHEN (5 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7 = 0 THEN 7
+                    ELSE (5 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7 END AS INTEGER) AS DATE) AS nd,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS am,
+             ((-o_custkey % 7) + 7) % 7 AS pm,
+             date_trunc('day', o_orderdate) + INTERVAL '5 hours 30 minutes' AS fu,
+             date_trunc('day', o_orderdate) - INTERVAL '5 hours 30 minutes' AS tu,
+             o_orderstatus AS uh
+             FROM orders WHERE o_orderkey < 100""")),
+
     // ---- end-to-end training-data pipeline v2: LENGTH/quality gate →
     //      scale-safe near-dup resolution (the d06 LSH chain) → per-lang
     //      corpus stats. The whole flow is equi-join/aggregate shaped:
