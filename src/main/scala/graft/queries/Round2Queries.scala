@@ -303,6 +303,29 @@ object Round2Queries {
              o_orderstatus AS uh
              FROM orders WHERE o_orderkey < 100""")),
 
+    // ---- explode over a MAP (two output columns — the Hive UDTF shape
+    //      q29 doesn't cover) + map_keys/map_values ----
+    Q("q109_explode_map", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderkey, k, v,
+                size(map_keys(map('status', o_orderstatus, 'prio', o_orderpriority))) AS nk,
+                array_join(sort_array(map_values(map('status', o_orderstatus, 'prio', o_orderpriority))), '|') AS vals
+              FROM orders
+              LATERAL VIEW explode(map('status', o_orderstatus, 'prio', o_orderpriority)) t AS k, v
+              WHERE o_orderkey < 60""")
+    },
+      Some("""WITH kv AS (
+               SELECT o_orderkey, 'status' AS k, o_orderstatus AS v,
+                 o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 60
+               UNION ALL
+               SELECT o_orderkey, 'prio', o_orderpriority,
+                 o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 60)
+             SELECT o_orderkey, k, v, 2 AS nk,
+               CASE WHEN o_orderstatus <= o_orderpriority
+                    THEN o_orderstatus || '|' || o_orderpriority
+                    ELSE o_orderpriority || '|' || o_orderstatus END AS vals
+             FROM kv""")),
+
     // ---- end-to-end training-data pipeline v2: LENGTH/quality gate →
     //      scale-safe near-dup resolution (the d06 LSH chain) → per-lang
     //      corpus stats. The whole flow is equi-join/aggregate shaped:
