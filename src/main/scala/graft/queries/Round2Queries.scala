@@ -303,6 +303,25 @@ object Round2Queries {
              o_orderstatus AS uh
              FROM orders WHERE o_orderkey < 100""")),
 
+    // ---- text scrubbing (training-data cleaning): mask digit runs,
+    //      collapse whitespace, strip a stopword — chained regexp_replace,
+    //      all codegen'd, identical regex semantics in both engines ----
+    Q("t07_scrub", (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+              "\\bthe\\b", ""),
+            " +", " ").as("clean"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("n_digits")),
+      Some("""SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[0-9]+', '<NUM>', 'g'), '\b(the)\b', '', 'g'), ' +', ' ', 'g') AS clean,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+             FROM documents WHERE doc_id < 200""")),
+
     // ---- explode over a MAP (two output columns — the Hive UDTF shape
     //      q29 doesn't cover) + map_keys/map_values ----
     Q("q109_explode_map", (s, d) => {

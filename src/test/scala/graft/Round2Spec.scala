@@ -116,8 +116,16 @@ class Round2Spec extends SparkSpec {
     assert(kept == Seq(0L, 2L))
   }
 
-  test("d06/s04 plans block by band/cluster — no cartesian product anywhere") {
-    for (name <- Seq("d06_dedup_resolve", "s04_embed_neardup_ivf")) {
+  test("m02 frame sampling is a pure narrow map — Generate, no Exchange") {
+    val p = Registry.byName("m02_frame_sample").fn(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate"))
+    assert(!p.contains("Exchange"), s"frame sampling must not shuffle:\n$p")
+  }
+
+  test("d06/s04/t06 plans block by band/cluster — no cartesian product anywhere") {
+    for (name <- Seq("d06_dedup_resolve", "s04_embed_neardup_ivf",
+                     "t06_corpus_pipeline2")) {
       val p = Registry.byName(name).fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian join")
