@@ -116,6 +116,20 @@ class Round2Spec extends SparkSpec {
     assert(kept == Seq(0L, 2L))
   }
 
+  test("LSH band candidates recall every true >=0.85-jaccard pair (fixture)") {
+    // deterministic: xxhash64 is seeded, the fixture is fixed — this is
+    // the no-false-negative property d06's oracle equality relies on
+    val docs = Tables.t(spark, sf, "documents").filter($"doc_id" < 150)
+    val exact = Dedup.tokenJaccardPairs(docs).filter($"jac" >= 0.85)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs, w = 1), 64), 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${exact.size} true pairs: $missed")
+  }
+
   test("m02 frame sampling is a pure narrow map — Generate, no Exchange") {
     val p = Registry.byName("m02_frame_sample").fn(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
