@@ -130,6 +130,22 @@ class Round2Spec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed ${missed.size}/${exact.size} true pairs: $missed")
   }
 
+  test("simhash banding recalls every pair the pigeonhole guarantees (fixture)") {
+    // 4 bands of 16 bits: any pair at hamming <= 3 MUST agree on >= 1
+    // band (pigeonhole) — banding is exact, not approximate, there
+    val docs = Tables.t(spark, sf, "documents").filter($"doc_id" < 150)
+    val sig = Dedup.simhash(docs)
+    val exact = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.simhash".bitwiseXOR($"b.simhash")) <= 3)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact, s"banding must equal all-pairs at hamming<=3; " +
+      s"missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+  }
+
   test("m02 frame sampling is a pure narrow map — Generate, no Exchange") {
     val p = Registry.byName("m02_frame_sample").fn(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
