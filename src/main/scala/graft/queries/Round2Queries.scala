@@ -405,6 +405,17 @@ object Round2Queries {
              UNION ALL SELECT 2, 'beta', NULL
              UNION ALL SELECT 3, 'gamma', 30""")),
 
+    // ---- INSERT OVERWRITE DIRECTORY (the reference's write-query-results
+    //      -to-path surface, exec/MoveTask.java) + read-back ----
+    Q("q110_insert_directory", (s, d) => {
+      Tables.views(s, d, "region")
+      val out = graft.tools.Tmp.dir("graft_iod") + "/region_out"
+      s.sql(s"""INSERT OVERWRITE DIRECTORY '$out' USING parquet
+               SELECT r_regionkey, upper(r_name) AS uname FROM region""")
+      s.read.parquet(out).orderBy("r_regionkey")
+    },
+      Some("SELECT r_regionkey, upper(r_name) AS uname FROM region")),
+
     // ---- CREATE/DROP VIEW + CTE query-through (exec/DDLTask.java) ----
     Q("q104_create_view", (s, d) => {
       Tables.views(s, d, "orders")
