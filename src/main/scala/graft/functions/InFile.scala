@@ -30,35 +30,52 @@ case class InFile(str: Expression, fileName: Expression) extends Expression {
       TypeCheckResult.TypeCheckFailure("in_file(str, filename) takes two strings")
     else if (!fileName.foldable)
       TypeCheckResult.TypeCheckFailure("in_file() filename must be a constant")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Force the dictionary read HERE, on the driver, during analysis.
+      // A forced lazy val serializes its computed value with the plan, so
+      // the interpreted-eval path on executors reuses the driver's set and
+      // never touches the (driver-local) filesystem. A missing file fails
+      // the query at analysis time, like Hive's UDFInFile initialize().
+      lineSet
+      TypeCheckResult.TypeCheckSuccess
+    }
 
-  // loaded once per plan on the driver; serialized to executors with the task
+  // null ⇔ the filename literal itself was NULL (in_file then returns NULL)
   private lazy val lineSet: java.util.HashSet[String] = {
     val f = fileName.eval(InternalRow.empty)
-    val set = new java.util.HashSet[String]()
-    if (f != null) {
+    if (f == null) null
+    else {
+      val set = new java.util.HashSet[String]()
       val src = scala.io.Source.fromFile(f.toString, "UTF-8")
       try src.getLines().foreach(set.add) finally src.close()
+      set
     }
-    set
   }
 
   override def eval(input: InternalRow): Any = {
+    if (lineSet == null) return null
     val s = str.eval(input)
     if (s == null) null else lineSet.contains(s.toString)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("inFileSet", lineSet, "java.util.HashSet<String>")
-    val c = str.genCode(ctx)
-    ev.copy(code = code"""
-      |${c.code}
-      |boolean ${ev.isNull} = ${c.isNull};
-      |boolean ${ev.value} = false;
-      |if (!${ev.isNull}) {
-      |  ${ev.value} = $setRef.contains(${c.value}.toString());
-      |}
-    """.stripMargin)
+    if (lineSet == null) {
+      ev.copy(code = code"""
+        |boolean ${ev.isNull} = true;
+        |boolean ${ev.value} = false;
+      """.stripMargin)
+    } else {
+      val setRef = ctx.addReferenceObj("inFileSet", lineSet, "java.util.HashSet<String>")
+      val c = str.genCode(ctx)
+      ev.copy(code = code"""
+        |${c.code}
+        |boolean ${ev.isNull} = ${c.isNull};
+        |boolean ${ev.value} = false;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $setRef.contains(${c.value}.toString());
+        |}
+      """.stripMargin)
+    }
   }
 
   override protected def withNewChildrenInternal(

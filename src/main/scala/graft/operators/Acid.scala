@@ -127,8 +127,13 @@ object Acid {
   }
 
   /** Write `newData` beside the table, move its files in, drop the stale
-    * ones. A concurrent reader sees duplicates at worst, never missing
-    * files (the commit-log-free stand-in for a lakehouse atomic commit).
+    * ones. Real guarantees (there is no commit log, so this is weaker than
+    * a lakehouse atomic commit): single-writer only; a crash between the
+    * renames and the deletes leaves duplicate rows permanently; a
+    * concurrent reader whose file listing predates the swap can hit
+    * FileNotFoundException when stale files are deleted mid-scan. A
+    * production deployment would layer a manifest/commit log (Delta-style)
+    * over this file-swap primitive to close those windows.
     */
   private def swapIn(spark: SparkSession, path: String,
                      staleFiles: Seq[String], newData: DataFrame): Unit = {

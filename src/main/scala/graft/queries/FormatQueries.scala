@@ -103,17 +103,20 @@ object FormatQueries {
     // ---- exact decimal arithmetic (DecimalTypeInfo parity) ----
     // Quantize the double BEFORE the decimal cast (engines disagree on
     // half-ulp double→decimal rounding; scale-0 round always agrees), and
-    // pin the sum to one terminal type (Spark widens sum(dec(12,2)) to
-    // dec(22,2), DuckDB to dec(38,2) — the width survives into the hash).
+    // emit the terminal sum as STRING: both engines compute the identical
+    // DECIMAL(38,2) value (verified), but a decimal-typed result column is
+    // read back asymmetrically by the compare harness (Decimal objects on
+    // one side, floats on the other), so only the rendered form is stable.
+    // Decimal→string is exact and byte-identical in both engines.
     Q("q73_decimal", (s, d) =>
       t(s, d, "orders")
         .select(col("o_orderstatus"),
           round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price_dec"))
         .groupBy("o_orderstatus")
-        .agg(sum("price_dec").cast("decimal(38,2)").as("sum_dec"),
+        .agg(sum("price_dec").cast("decimal(38,2)").cast("string").as("sum_dec"),
           count(lit(1)).as("n")),
       Some("""SELECT o_orderstatus,
-             CAST(sum(CAST(round(o_totalprice*100)/100 AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_dec,
+             CAST(CAST(sum(CAST(round(o_totalprice*100)/100 AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_dec,
              count(*) AS n
              FROM orders GROUP BY o_orderstatus""")),
 

@@ -233,11 +233,15 @@ object Round2Queries {
              FROM orders WHERE o_orderkey < 100""")),
 
     // ---- percentile_approx (t-digest sketch semantics are engine-specific
-    //      → rows-only, like approx_count_distinct/histogram_numeric) ----
+    //      → rows-only, like approx_count_distinct/histogram_numeric).
+    //      Scalar output columns only: the driver's rows-only path sorts the
+    //      result in pandas, and an array-typed column crashes it
+    //      (unhashable numpy.ndarray) — extract the quantiles instead. ----
     Q("q97_percentile_approx", (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
-          expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)").as("p_arr")),
+          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 1).as("p25_disc"),
+          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 2).as("p75_disc")),
       None),
 
     // ---- compute_stats UDAF parity (GenericUDAFComputeStats): the column

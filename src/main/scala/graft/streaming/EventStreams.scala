@@ -112,7 +112,13 @@ object EventStreams {
           .partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
         val latest = batch.toDF().withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        if (!new java.io.File(tableDir).exists())
+        // Bootstrap check must go through the Hadoop FileSystem (like
+        // Acid.swapIn) — java.io.File only answers for local paths, and on
+        // HDFS/S3 it would say "missing" forever, making every batch
+        // overwrite the table instead of merging.
+        val hconf = batch.sparkSession.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(tableDir)
+        if (!p.getFileSystem(hconf).exists(p))
           latest.write.mode("overwrite").parquet(tableDir) // bootstrap batch
         else
           graft.operators.Acid.mergeInto(batch.sparkSession, tableDir,

@@ -175,6 +175,10 @@ class Round2Spec extends SparkSpec {
       val got = spark.sql(s"SELECT in_file(s, '$f') FROM infile_t")
         .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
       assert(got.toSeq == Seq(true, false, false, null))
+      // null filename -> null (Hive UDFInFile semantics), not false
+      val nf = spark.sql("SELECT in_file(s, CAST(NULL AS STRING)) FROM infile_t")
+        .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+      assert(nf.forall(_ == null))
     } finally {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       spark.conf.set("spark.sql.codegen.fallback", "true")
