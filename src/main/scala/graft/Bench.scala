@@ -39,22 +39,37 @@ object Bench {
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Driver contract: ONE JSON line. sbt interleaves its own log lines on
-    // stdout, so (a) force a fresh line + flush around the JSON and (b) also
-    // write it to BENCH_RESULT.json in the working dir as a deterministic
-    // fallback for the parser.
+    // Full per-query detail goes to BENCH_RESULT.json; the stdout line keeps
+    // a headline subset only. The driver keeps just a tail of the sbt output
+    // when it parses, and a 130-query dict (~4.5 KB) overflows that window —
+    // r01 and r02 both came back "parsed": null because the line's start was
+    // cut off. ~25 headline queries keep the line under ~1 KB.
+    val headline = Vector(
+      "q01_agg", "q03_join_inner", "q10_join_multiway", "q18_topk",
+      "q19_window_rank", "q45_events_tumbling", "q56_multi_insert",
+      "q58_bucketed_join", "q64_ngrams_udaf", "q65_matchpath",
+      "q68_formats", "q71_orderby_global", "q75_salted_join",
+      "a01_update_cow", "d01_dedup_exact", "d02_dedup_minhash",
+      "d06_dedup_resolve", "m02_frame_sample", "s01_cosine_topk",
+      "s02_ann_ivf", "s04_embed_neardup_ivf", "s05_ann_kmeans",
+      "t01_langid", "t05_corpus_pipeline", "t07_scrub")
+    val headSet = headline.toSet
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
-        (json + "\n").getBytes("UTF-8"))
+        (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    spark.stop()
+    // Print after spark.stop() so no executor/shutdown log line lands between
+    // the JSON and the end of output; one flush'd line on its own.
     System.out.flush()
     System.out.println()
     System.out.println(json)
     System.out.flush()
-    spark.stop()
   }
 }
