@@ -20,7 +20,8 @@ object Registry {
       queries.PipelineQueries.all ++
       queries.ExtraQueries.all ++
       queries.FormatQueries.all ++
-      queries.Round2Queries.all
+      queries.Round2Queries.all ++
+      queries.Round3Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.time.LocalDate
+
+import scala.collection.JavaConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink.
+  *
+  * Parity target: the reference's Avro SerDe
+  * (serde/src/java/org/apache/hadoop/hive/serde2/avro/AvroSerDe.java,
+  * AvroDeserializer.java) — tables stored as Avro object-container files
+  * with a record schema derived from the table schema.
+  *
+  * The environment ships avro-core/avro-mapred but NOT the spark-avro
+  * connector module, so this is a from-scratch source built on the public
+  * Avro file API. Scale design:
+  *
+  *   - WRITE: one container file per partition (the parquet layout
+  *     convention), written by executors directly to the table directory
+  *     through the Hadoop FileSystem — no driver funnel, no shuffle.
+  *   - READ: file-granularity parallelism (one task per container file, the
+  *     same granularity Hive's AvroContainerInputFormat defaults to when
+  *     files are written partition-sized); records stream through an
+  *     iterator, never materialized per-file. Block-level splitting via
+  *     Avro sync markers is a possible refinement for single huge files —
+  *     the writer above never produces those.
+  *
+  * Type coverage: the primitive lattice + date/timestamp-micros logical
+  * types + arrays — the types the fixture tables (and Hive's Avro tables in
+  * the reference test corpus) actually use. Nested records/maps would slot
+  * into the same two convert functions.
+  */
+object Avro {
+
+  // ---- schema mapping ----
+
+  def toAvroSchema(st: StructType, name: String = "row"): Schema = {
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, nullable(toAvroType(f.dataType)), null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+
+  private def toAvroType(dt: DataType): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case DateType    =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(elem, _) => Schema.createArray(toAvroType(elem))
+    case other => throw new IllegalArgumentException(s"avro sink: unsupported type $other")
+  }
+
+  def toSparkType(s: Schema): DataType = unwrap(s) match {
+    case u if u.getType == Schema.Type.LONG =>
+      if (u.getLogicalType != null && u.getLogicalType.getName.startsWith("local-timestamp")) TimestampNTZType
+      else if (u.getLogicalType != null && u.getLogicalType.getName.startsWith("timestamp")) TimestampType
+      else LongType
+    case u if u.getType == Schema.Type.INT =>
+      if (u.getLogicalType != null && u.getLogicalType.getName == "date") DateType else IntegerType
+    case u if u.getType == Schema.Type.DOUBLE  => DoubleType
+    case u if u.getType == Schema.Type.FLOAT   => FloatType
+    case u if u.getType == Schema.Type.STRING  => StringType
+    case u if u.getType == Schema.Type.BOOLEAN => BooleanType
+    case u if u.getType == Schema.Type.BYTES   => BinaryType
+    case u if u.getType == Schema.Type.ARRAY   => ArrayType(toSparkType(u.getElementType))
+    case other => throw new IllegalArgumentException(s"avro source: unsupported type $other")
+  }
+
+  /** Strip the [null, T] union wrapper the writer (and Hive) emit. */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  // ---- value conversion ----
+
+  private def toAvroValue(v: Any): AnyRef = v match {
+    case null                     => null
+    case t: java.sql.Timestamp    => Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case ldt: java.time.LocalDateTime =>
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+    case d: java.sql.Date         => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case b: Array[Byte]           => ByteBuffer.wrap(b)
+    case xs: scala.collection.Seq[_] =>
+      new java.util.ArrayList[AnyRef](xs.map(toAvroValue).asJava)
+    case other                    => other.asInstanceOf[AnyRef]
+  }
+
+  private def toSparkValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (l: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(l.longValue, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(l.longValue, 1000000L) * 1000L).toInt)
+      ts
+    case (l: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l.longValue, 1000000L),
+        (Math.floorMod(l.longValue, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(LocalDate.ofEpochDay(i.longValue))
+    case (b: ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
+      xs.asScala.map(toSparkValue(_, elem)).toSeq
+    case (other, _) => other
+  }
+
+  // ---- sink ----
+
+  /** Write `df` as a directory of Avro container files, one per partition.
+    * Overwrites `dir`. Deflate-compressed, like Hive's default avro tables.
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schemaJson = toAvroSchema(df.schema).toString
+    val sparkSchema = df.schema
+    val out = new Path(dir)
+    val fs = out.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(out)) fs.delete(out, true): Unit
+    fs.mkdirs(out): Unit
+
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val schema = new Schema.Parser().parse(schemaJson)
+        // executor-side Configuration: loads the cluster's site configs from
+        // the executor classpath, so this works beyond local mode
+        val pfs = new Path(dir).getFileSystem(new Configuration())
+        val file = new Path(dir, f"part-$pid%05d.avro")
+        val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        writer.create(schema, pfs.create(file, true)): Unit
+        try rows.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSchema.length) {
+            rec.put(i, toAvroValue(row.get(i)))
+            i += 1
+          }
+          writer.append(rec)
+        } finally writer.close()
+      }
+    }
+  }
+
+  // ---- source ----
+
+  /** Read a directory of Avro container files as a DataFrame; schema taken
+    * from the first file (Hive semantics: one schema per table).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.globStatus(new Path(root, "*.avro")).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no .avro files under $dir")
+
+    val first = new DataFileReader[GenericRecord](
+      new FsInput(new Path(files.head), conf), new GenericDatumReader[GenericRecord]())
+    val avroSchema = try first.getSchema finally first.close()
+    val sparkSchema = StructType(avroSchema.getFields.asScala.map { f =>
+      StructField(f.name, toSparkType(f.schema()), nullable = true)
+    }.toArray)
+    val fieldTypes = sparkSchema.fields.map(_.dataType)
+
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .flatMap { file =>
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new Path(file), new Configuration()),
+          new GenericDatumReader[GenericRecord]())
+        // stream records; close the reader when the iterator drains
+        new Iterator[Row] {
+          private var closed = false
+          def hasNext: Boolean = {
+            if (closed) false
+            else if (reader.hasNext) true
+            else { reader.close(); closed = true; false }
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(fieldTypes.indices.map(i => toSparkValue(rec.get(i), fieldTypes(i))))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

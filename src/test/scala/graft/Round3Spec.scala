@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{Acid, AsOf, Ranges, Sample}
+import graft.sources.Avro
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-3 operators: Avro round-trip fidelity across
+  * the full supported type lattice, as-of tie/null semantics, the range
+  * join's no-nested-loop plan shape, deterministic sampling invariants, and
+  * compaction's file-count + content contract.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Avro ----
+
+  test("avro round-trips every supported type exactly, including nulls") {
+    val dir = tools.Tmp.dir("avro_spec") + "/t"
+    val src = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, 7, 1.5D, CAST(2.25 AS FLOAT), 'a', true,
+         CAST('ab' AS BINARY), DATE'2024-02-29',
+         TIMESTAMP'2024-02-29 12:34:56.123456',
+         array(CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT)), array('x','y')),
+        (2L, CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS FLOAT),
+         CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), CAST(NULL AS BINARY),
+         CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+         CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<STRING>))
+      AS t(id, i, d, f, s, b, bin, dt, ts, af, as)""")
+    Avro.write(src, dir)
+    val back = Avro.read(spark, dir)
+    // avro tables are all-nullable ([null, T] unions, Hive semantics), so
+    // compare against the nullable-normalized source schema
+    val srcNullable = org.apache.spark.sql.types.StructType(
+      src.schema.fields.map(_.copy(nullable = true)))
+    assert(back.schema == srcNullable)
+    val a = src.orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    val b = back.orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("avro write emits one container file per non-empty partition") {
+    val dir = tools.Tmp.dir("avro_spec") + "/parts"
+    Avro.write((1 to 100).toDF("n").repartition(5), dir)
+    val files = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".avro"))
+    assert(files.size == 5)
+    assert(Avro.read(spark, dir).agg(sum("n")).as[Long].head() == 5050L)
+  }
+
+  // ---- as-of join ----
+
+  test("asof join takes the latest right row at-or-before each left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 3L, "e2"), (2L, 7L, "e3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r5"), (1L, 9L, "r9"), (1L, 10L, "r10"),
+      (3L, 1L, "rx")).toDF("k", "t", "v")
+    val got = AsOf.join(left, right, "k", "t", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    // t=10 ties with the right row at 10 → >= semantics take it
+    assert(got == Map("e1" -> Some("r10"), "e2" -> None, "e3" -> None))
+  }
+
+  test("asof join is a single-shuffle window plan, not a nested loop") {
+    val ev = Tables.t(spark, sf, "events")
+    val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    val pur = ev.filter($"event_type" === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pval"))
+    val plan = AsOf.join(clicks, pur, "user_id", "ts", "ts", Seq("pval"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  // ---- range join ----
+
+  test("range join matches the naive inequality join") {
+    val pts = Seq((1L, 0.5), (2L, 7.0), (3L, 12.3), (4L, 25.0)).toDF("pid", "v")
+    val iv = Seq((10L, 0.0, 8.0), (20L, 7.0, 13.0), (30L, 30.0, 40.0))
+      .toDF("iid", "lo", "hi")
+    val got = Ranges.pointInInterval(pts, "v", iv, "lo", "hi", 5.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.crossJoin(iv).filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("range join plans as an equi-join on bins, never a nested loop") {
+    val pts = Tables.t(spark, sf, "events").select($"event_id", ($"value" * 2).as("v"))
+    val iv = Tables.t(spark, sf, "part")
+      .select($"p_partkey", ($"p_retailprice" - 2).as("lo"), ($"p_retailprice" + 2).as("hi"))
+    val plan = Ranges.pointInInterval(pts, "v", iv, "lo", "hi", 5.0)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- deterministic sampling ----
+
+  test("stratified sample is deterministic, stratum-scoped, and rate-shaped") {
+    val ev = Tables.t(spark, sf, "events")
+    val rates = Map("click" -> 0.25, "purchase" -> 1.0)
+    val s1 = Sample.stratified(ev, $"event_type", $"event_id", rates)
+      .select("event_id").as[Long].collect().toSet
+    val s2 = Sample.stratified(ev.repartition(13), $"event_type", $"event_id", rates)
+      .select("event_id").as[Long].collect().toSet
+    assert(s1 == s2) // partitioning-independent
+    val byType = Sample.stratified(ev, $"event_type", $"event_id", rates)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val totals = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(byType.keySet == Set("click", "purchase")) // absent strata dropped
+    assert(byType("purchase") == totals("purchase")) // rate 1.0 keeps all
+    val clickRate = byType("click").toDouble / totals("click")
+    assert(clickRate > 0.15 && clickRate < 0.35, s"click rate $clickRate")
+  }
+
+  // ---- compaction ----
+
+  test("compact coalesces to the requested file count, content-preserving") {
+    val dir = tools.Tmp.dir("compact_spec") + "/t"
+    (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    Acid.compact(spark, dir, 2)
+    val files = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    assert(files.size == 2, files)
+    assert(spark.read.parquet(dir).orderBy("k").collect().toSeq == before)
+  }
+}
