@@ -56,7 +56,8 @@ object Bench {
       "a01_update_cow", "d01_dedup_exact", "d02_dedup_minhash",
       "d06_dedup_resolve", "m02_frame_sample", "s01_cosine_topk",
       "s02_ann_ivf", "s04_embed_neardup_ivf", "s05_ann_kmeans",
-      "t01_langid", "t05_corpus_pipeline", "t07_scrub")
+      "t01_langid", "t05_corpus_pipeline", "t07_scrub",
+      "q111_avro_roundtrip", "q112_asof_join", "q113_range_join")
     val headSet = headline.toSet
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""
