@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Acid, AsOf, Ranges, Sample}
-import graft.sources.Avro
+import graft.operators.{Acid, AsOf, Ranges, Sample, UniqueJoin}
+import graft.sources.{Avro, SequenceFileText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
 
 /** Round-3 sweep: the Avro source/sink (the last open §2.1 row), plus the
   * time-series / pipeline operators a training-data stack needs beyond the
@@ -109,5 +110,90 @@ object Round3Queries {
       s.read.parquet(tbl).select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
-             FROM orders WHERE o_orderkey < 1000""")))
+             FROM orders WHERE o_orderkey < 1000""")),
+
+    // ---- STORED AS SEQUENCEFILE round-trip (HiveSequenceFileOutputFormat +
+    //      LazySimpleSerDe layout: \x01 separators, \N nulls, ignored key).
+    //      Read path re-parses through the csv dialect, sharing coercion
+    //      semantics with the textfile gates q106/q107. ----
+    Q("q115_sequencefile", (s, d) => {
+      val dir = graft.tools.Tmp.dir("graft_seq") + "/nation_seq"
+      SequenceFileText.write(
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"), dir)
+      SequenceFileText.read(s, dir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max("n_name").as("max_name"))
+    },
+      Some("""SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+             FROM nation GROUP BY n_regionkey""")),
+
+    // ---- UNIQUEJOIN (HiveParser KW_UNIQUEJOIN / JoinDesc.UNIQUE_JOIN):
+    //      PRESERVE customer- and supplier-side per-nation aggregates; the
+    //      (filtered) nation table is NOT preserved, so its exclusive keys
+    //      drop out while preserved unmatched keys survive with NULLs —
+    //      which is why the oracle is FULL JOIN + LEFT JOIN. ----
+    Q("q116_uniquejoin", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") < 500)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("nc"))
+      val sup = t(s, d, "supplier").filter(col("s_suppkey") < 30)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("ns"))
+      val n = t(s, d, "nation").filter(col("n_nationkey") < 20)
+        .select("n_nationkey", "n_name")
+      UniqueJoin(Seq(
+        (c, col("c_nationkey"), true),
+        (sup, col("s_nationkey"), true),
+        (n, col("n_nationkey"), false)))
+        .select(col("k").cast("long").as("k"), col("nc"), col("ns"), col("n_name"))
+    },
+      Some("""WITH c AS (SELECT c_nationkey AS ck, count(*) AS nc FROM customer
+                         WHERE c_custkey < 500 GROUP BY 1),
+              s AS (SELECT s_nationkey AS sk, count(*) AS ns FROM supplier
+                    WHERE s_suppkey < 30 GROUP BY 1),
+              n AS (SELECT n_nationkey AS nk, n_name FROM nation
+                    WHERE n_nationkey < 20)
+             SELECT CAST(COALESCE(ck, sk) AS BIGINT) AS k, nc, ns, n_name
+             FROM c FULL JOIN s ON ck = sk
+                    LEFT JOIN n ON COALESCE(ck, sk) = nk""")),
+
+    // ---- Gopher-style document quality rules (beyond-reference pipeline
+    //      op): mean word length band, stopword floor, alpha-word ratio —
+    //      the heuristic battery large-corpus curation applies before
+    //      training. All metrics exact-arithmetic; shared split semantics
+    //      with the d06 chain. ----
+    Q("t08_gopher_rules", (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          expr("size(filter(split(text,' '), w -> w IN ('the','and','of','to','a')))")
+            .cast("long").as("stop_cnt"),
+          expr("size(filter(split(text,' '), w -> w rlike '^[a-z]+$'))")
+            .cast("long").as("alpha_cnt"))
+        // mean word length over single-space text = (chars - (n-1)) / n;
+        // multiply-round-divide keeps the double oracle-stable (Fns.round)
+        .withColumn("mean_word_len",
+          round((col("n_chars2") - col("n_words") + lit(1)).cast("double") / col("n_words"), 2))
+        .withColumn("pass",
+          col("mean_word_len").between(3.0, 10.0) &&
+            col("stop_cnt") >= 1 &&
+            (col("alpha_cnt").cast("double") / col("n_words")) >= 0.5)
+        .drop("n_chars2"),
+      Some("""SELECT doc_id,
+             len(string_split(text,' ')) AS n_words,
+             len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','and','of','to','a'))) AS stop_cnt,
+             len(list_filter(string_split(text,' '),
+                 w -> regexp_full_match(w, '^[a-z]+$'))) AS alpha_cnt,
+             round((length(text) - len(string_split(text,' ')) + 1)
+                   / len(string_split(text,' ')) * 100) / 100 AS mean_word_len,
+             (round((length(text) - len(string_split(text,' ')) + 1)
+                    / len(string_split(text,' ')) * 100) / 100 BETWEEN 3.0 AND 10.0)
+               AND len(list_filter(string_split(text,' '),
+                       w -> w IN ('the','and','of','to','a'))) >= 1
+               AND (CAST(len(list_filter(string_split(text,' '),
+                        w -> regexp_full_match(w, '^[a-z]+$'))) AS DOUBLE)
+                    / len(string_split(text,' '))) >= 0.5 AS pass
+             FROM documents WHERE doc_id < 300""")))
 }
+

@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Acid, AsOf, Ranges, Sample}
-import graft.sources.Avro
+import graft.operators.{Acid, AsOf, Ranges, Sample, UniqueJoin}
+import graft.sources.{Avro, SequenceFileText}
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,40 @@ class Round3Spec extends SparkSpec {
     assert(byType("purchase") == totals("purchase")) // rate 1.0 keeps all
     val clickRate = byType("click").toDouble / totals("click")
     assert(clickRate > 0.15 && clickRate < 0.35, s"click rate $clickRate")
+  }
+
+  // ---- sequencefile ----
+
+  test("sequencefile round-trips the LazySimpleSerDe layout incl. nulls") {
+    val dir = tools.Tmp.dir("seq_spec") + "/t"
+    val src = Seq((1L, Some("a"), Some(10L)), (2L, None, None), (3L, Some("c"), Some(30L)))
+      .toDF("k", "s", "v")
+    SequenceFileText.write(src, dir)
+    val back = SequenceFileText.read(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING, v BIGINT"))
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  // ---- uniquejoin ----
+
+  test("uniquejoin: PRESERVE keeps unmatched keys, non-PRESERVE requires them") {
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("ak", "av")
+    val b = Seq((2L, "b2"), (3L, "b3")).toDF("bk", "bv")
+    val c = Seq((1L, "c1"), (2L, "c2"), (3L, "c3"), (4L, "c4")).toDF("ck", "cv")
+    // all PRESERVE → n-way full outer: keys 1,2,3,4
+    val full = UniqueJoin(Seq((a, $"ak", true), (b, $"bk", true), (c, $"ck", true)))
+    assert(full.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // none PRESERVE → n-way inner: key 2 only
+    val inner = UniqueJoin(Seq((a, $"ak", false), (b, $"bk", false), (c, $"ck", false)))
+    assert(inner.select("k").as[Long].collect().toSeq == Seq(2L))
+    // mixed: a,b preserved, c required → keys (1,2,3); c4 dropped, nulls kept
+    val mixed = UniqueJoin(Seq((a, $"ak", true), (b, $"bk", true), (c, $"ck", false)))
+    val rows = mixed.select("k", "av", "bv", "cv")
+      .as[(Long, Option[String], Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, Some("a1"), None, Some("c1")),
+      (2L, Some("a2"), Some("b2"), Some("c2")),
+      (3L, None, Some("b3"), Some("c3"))))
   }
 
   // ---- compaction ----
