@@ -112,6 +112,25 @@ object Round3Queries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
              FROM orders WHERE o_orderkey < 1000""")),
 
+    // ---- Avro as a registered DataSource V2 format (parity with the
+    //      reference's AvroStorageFormatDescriptor registration): write +
+    //      read through spark.read.format("graft-avro"), column pruning
+    //      pushed into Avro schema resolution (Round3Spec pins the pruned
+    //      ReadSchema in the plan). ----
+    Q("q117_avro_dsv2", (s, d) => {
+      val dir = graft.tools.Tmp.dir("graft_avro_v2") + "/orders_v2"
+      t(s, d, "orders").filter(col("o_orderkey") < 800)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.format("graft-avro").mode("overwrite").save(dir)
+      s.read.format("graft-avro").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+          max("o_orderdate").as("max_date"))
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
+             max(o_orderdate) AS max_date
+             FROM orders WHERE o_orderkey < 800 GROUP BY o_orderstatus""")),
+
     // ---- STORED AS SEQUENCEFILE round-trip (HiveSequenceFileOutputFormat +
     //      LazySimpleSerDe layout: \x01 separators, \N nulls, ignored key).
     //      Read path re-parses through the csv dialect, sharing coercion

@@ -53,6 +53,21 @@ class Round3Spec extends SparkSpec {
     assert(Avro.read(spark, dir).agg(sum("n")).as[Long].head() == 5050L)
   }
 
+  test("graft-avro dsv2 prunes columns into the avro reader schema") {
+    val dir = tools.Tmp.dir("avro_v2_spec") + "/t"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val pruned = spark.read.format("graft-avro").load(dir).select("k")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft-avro ReadSchema: k"), plan)
+    assert(pruned.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // full read round-trips
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   // ---- as-of join ----
 
   test("asof join takes the latest right row at-or-before each left time") {
