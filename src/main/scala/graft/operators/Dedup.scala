@@ -161,4 +161,31 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination: drop every document that shares ANY
+    * word-level n-gram with the benchmark corpus — the standard test-set
+    * leakage filter a training-data pipeline runs before training.
+    *
+    * Scale design: gram extraction is a narrow per-row transform; the
+    * benchmark side (always orders of magnitude smaller than the corpus)
+    * is deduplicated and BROADCAST, so the contamination check is a
+    * broadcast semi-join with no corpus shuffle at all; the final
+    * keep-filter is a broadcast anti-join on the contaminated id set.
+    * Grams are joined as raw strings here for oracle-exactness; at 100 TB
+    * you would join on xxhash64(gram) to shrink the broadcast (same plan
+    * shape, strictly less data).
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"
+        ))).as("gram"))
+    val benchGrams = broadcast(grams(bench).select("gram").distinct())
+    val contaminated = grams(docs)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
 }

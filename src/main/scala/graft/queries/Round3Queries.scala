@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Acid, AsOf, Ranges, Sample, UniqueJoin}
+import graft.operators.{Acid, AsOf, Dedup, Ranges, Sample, UniqueJoin}
 import graft.sources.{Avro, SequenceFileText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{round => _, _}
@@ -181,6 +181,28 @@ object Round3Queries {
     //      the heuristic battery large-corpus curation applies before
     //      training. All metrics exact-arithmetic; shared split semantics
     //      with the d06 chain. ----
+    // ---- benchmark decontamination (test-set leakage filter): documents
+    //      sharing any 4-gram with the "benchmark" slice (doc_id >= 480)
+    //      are dropped; broadcast semi/anti joins, zero corpus shuffle. ----
+    Q("d07_decontaminate", (s, d) => {
+      val all = t(s, d, "documents")
+      Dedup.decontaminate(
+        all.filter(col("doc_id") < 480).select("doc_id", "text", "source"),
+        all.filter(col("doc_id") >= 480), n = 4)
+        .select("doc_id", "source")
+    },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              grams AS (SELECT doc_id,
+                          array_to_string(list_slice(w, i, i+3), ' ') AS gram
+                        FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w)-2, 1))) AS i
+                              FROM d)),
+              bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id >= 480),
+              cont AS (SELECT DISTINCT g.doc_id FROM grams g
+                       JOIN bench b USING (gram) WHERE g.doc_id < 480)
+             SELECT doc_id, source FROM documents
+             WHERE doc_id < 480 AND doc_id NOT IN (SELECT doc_id FROM cont)""")),
+
     Q("t08_gopher_rules", (s, d) =>
       t(s, d, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),

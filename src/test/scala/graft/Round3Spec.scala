@@ -117,6 +117,21 @@ class Round3Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ---- decontamination ----
+
+  test("decontaminate drops exactly the docs sharing an n-gram with bench") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // shares 2-gram "beta gamma"
+      (2L, "epsilon zeta eta theta"),      // clean
+      (3L, "short"),                       // < n words, can't be contaminated
+      (4L, "iota kappa beta gamma")        // shares "beta gamma"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma omicron pi")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.decontaminate(docs, bench, n = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
   // ---- deterministic sampling ----
 
   test("stratified sample is deterministic, stratum-scoped, and rate-shaped") {
