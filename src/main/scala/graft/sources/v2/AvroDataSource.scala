@@ -234,7 +234,10 @@ case class AvroWriterFactory(path: String, schemaJson: String) extends DataWrite
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val avroSchema = Avro.toAvroSchema(sparkSchema)
-    val file = new Path(path, f"part-$partitionId%05d-$taskId.avro")
+    // uuid guards against (partitionId, taskId) reuse across separate
+    // append jobs — fs.create(overwrite) would silently clobber otherwise
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val file = new Path(path, f"part-$partitionId%05d-$taskId-$uid.avro")
     val fs = file.getFileSystem(new Configuration())
     val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))

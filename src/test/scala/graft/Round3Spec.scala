@@ -132,6 +132,16 @@ class Round3Spec extends SparkSpec {
     assert(kept == Seq(2L, 3L))
   }
 
+  test("decontaminate plans as broadcast joins with no corpus shuffle join") {
+    val docs = Tables.t(spark, sf, "documents").filter($"doc_id" < 480)
+    val bench = Tables.t(spark, sf, "documents").filter($"doc_id" >= 480)
+    val plan = graft.operators.Dedup.decontaminate(docs, bench, 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   // ---- deterministic sampling ----
 
   test("stratified sample is deterministic, stratum-scoped, and rate-shaped") {
@@ -183,6 +193,24 @@ class Round3Spec extends SparkSpec {
       (1L, Some("a1"), None, Some("c1")),
       (2L, Some("a2"), Some("b2"), Some("c2")),
       (3L, None, Some("b3"), Some("c3"))))
+  }
+
+  // ---- streaming composability ----
+
+  test("stratified sample composes onto a stream with batch-identical output") {
+    val dir = tools.Tmp.dir("sample_stream") + "/src"
+    val batch = Tables.t(spark, sf, "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val rates = Map("click" -> 0.25, "purchase" -> 1.0)
+    val q = graft.operators.Sample.stratified(stream, $"event_type", $"event_id", rates)
+      .select("event_id").writeStream.format("memory").queryName("sample_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sample_out").as[Long].collect().toSet
+    val batched = graft.operators.Sample.stratified(batch, $"event_type", $"event_id", rates)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed == batched) // stateless narrow op: identical verdicts
   }
 
   // ---- compaction ----
