@@ -181,6 +181,61 @@ object Round3Queries {
     //      the heuristic battery large-corpus curation applies before
     //      training. All metrics exact-arithmetic; shared split semantics
     //      with the d06 chain. ----
+    // ---- scalar-function registry stragglers, sweep 4 (data-driven):
+    //      sha2/base64 round-trip/factorial/cbrt/rpad/substring_index/
+    //      bit_length/width_bucket/bround. bround's half-even tie break is
+    //      spelled out in the oracle (DuckDB rounds .5 away from zero);
+    //      exact .5 is representable so the CASE is precise. ----
+    Q("q118_funcs_gap2", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          sha2(col("c_name").cast("binary"), 256).as("sha256_name"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string").as("b64rt"),
+          factorial((col("c_custkey") % 10).cast("int")).as("fact"),
+          round(cbrt(col("c_custkey").cast("double")), 6).as("cbrt6"),
+          rpad(col("c_mktsegment"), 12, "*").as("seg_pad"),
+          substring_index(col("c_name"), "#", 1).as("name_head"),
+          bit_length(col("c_mktsegment")).cast("long").as("seg_bits"),
+          width_bucket((col("c_custkey") % 100).cast("double"), lit(0d), lit(100d), lit(4)).as("wb"),
+          bround(col("c_acctbal")).as("bal_even")),
+      Some("""SELECT c_custkey,
+             sha256(c_name) AS sha256_name,
+             CAST(from_base64(to_base64(encode(c_name))) AS VARCHAR) AS b64rt,
+             factorial(CAST(c_custkey % 10 AS INTEGER)) AS fact,
+             round(cbrt(CAST(c_custkey AS DOUBLE)) * 1000000) / 1000000 AS cbrt6,
+             rpad(c_mktsegment, 12, '*') AS seg_pad,
+             array_to_string(string_split(c_name, '#')[1:1], '#') AS name_head,
+             CAST(bit_length(c_mktsegment) AS BIGINT) AS seg_bits,
+             CAST(FLOOR((c_custkey % 100) / 25) + 1 AS BIGINT) AS wb,
+             CASE WHEN c_acctbal - floor(c_acctbal) = 0.5
+                  THEN CASE WHEN CAST(floor(c_acctbal) AS BIGINT) % 2 = 0
+                            THEN floor(c_acctbal) ELSE floor(c_acctbal) + 1 END
+                  ELSE round(c_acctbal) END AS bal_even
+             FROM customer WHERE c_custkey <= 300""")),
+
+    // ---- digest functions DuckDB lacks (sha1/crc32/soundex), gated
+    //      against published test vectors; months_between on literal dates
+    //      (DuckDB has no fractional month arithmetic). ----
+    Q("q119_hash_vectors", (s, _) =>
+      s.sql("""SELECT * FROM VALUES (1,'abc','Robert'), (2,'hello world','Smith'),
+               (3,'Spark SQL','Miller') AS t(id, txt, nm)""")
+        .select(col("id").cast("long").as("id"),
+          sha1(col("txt").cast("binary")).as("sha1_hex"),
+          crc32(col("txt").cast("binary")).as("crc"),
+          md5(col("txt").cast("binary")).as("md5_hex"),
+          soundex(col("nm")).as("sdx"),
+          months_between(lit(java.sql.Date.valueOf("2024-07-15")),
+            lit(java.sql.Date.valueOf("2024-01-15"))).as("mb")),
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 'a9993e364706816aba3e25717850c26c9cd0d89d',
+              CAST(891568578 AS BIGINT), '900150983cd24fb0d6963f7d28e17f72', 'R163',
+              CAST(6.0 AS DOUBLE)),
+             (2, '2aae6c35c94fcfb415dbe95f408b9ce91ee846ed',
+              222957957, '5eb63bbbe01eeed093cb22bb8f5acdc3', 'S530', 6.0),
+             (3, '032e50ab7e1a2421a1515810b22938320751dce4',
+              2521631539, '14ab8df5135825bc9f5ff7c30609f02f', 'M460', 6.0))
+             AS t(id, sha1_hex, crc, md5_hex, sdx, mb)""")),
+
     // ---- benchmark decontamination (test-set leakage filter): documents
     //      sharing any 4-gram with the "benchmark" slice (doc_id >= 480)
     //      are dropped; broadcast semi/anti joins, zero corpus shuffle. ----
