@@ -181,6 +181,61 @@ object Round3Queries {
     //      the heuristic battery large-corpus curation applies before
     //      training. All metrics exact-arithmetic; shared split semantics
     //      with the d06 chain. ----
+    // ---- MSCK REPAIR TABLE (DDLTask partition discovery): files land in
+    //      hive-style partition dirs OUTSIDE the catalog's knowledge; the
+    //      repair scan registers them. ----
+    Q("q120_msck_repair", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_msck") + "/t"
+      val n = t(s, d, "nation")
+      // simulate externally-landed partition files (no catalog involvement)
+      n.filter(col("n_regionkey") <= 1).select("n_nationkey", "n_name")
+        .write.parquet(base + "/p=0")
+      n.filter(col("n_regionkey") > 1).select("n_nationkey", "n_name")
+        .write.parquet(base + "/p=1")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.msck_t")
+      s.sql(s"""CREATE TABLE graft_tmp.msck_t (n_nationkey BIGINT, n_name STRING)
+               USING parquet PARTITIONED BY (p INT) LOCATION '$base'""")
+      s.sql("MSCK REPAIR TABLE graft_tmp.msck_t")
+      s.sql("""SELECT p, count(*) AS n, max(n_name) AS max_name
+              FROM graft_tmp.msck_t GROUP BY p""")
+    },
+      Some("""SELECT CASE WHEN n_regionkey <= 1 THEN 0 ELSE 1 END AS p,
+             count(*) AS n, max(n_name) AS max_name
+             FROM nation GROUP BY 1""")),
+
+    // ---- INSERT INTO ... VALUES + INSERT INTO ... SELECT (DML surface,
+    //      reference grammar HiveParser.g insert clauses) ----
+    Q("a05_insert_values", (s, d) => {
+      Tables.views(s, d, "nation")
+      val loc = graft.tools.Tmp.dir("graft_insv") + "/t"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.insv")
+      s.sql(s"CREATE TABLE graft_tmp.insv (k BIGINT, v STRING) USING parquet LOCATION '$loc'")
+      s.sql("INSERT INTO graft_tmp.insv VALUES (100, 'alpha'), (101, 'beta')")
+      s.sql("INSERT INTO graft_tmp.insv SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3")
+      s.sql("SELECT k, v FROM graft_tmp.insv")
+    },
+      Some("""SELECT CAST(100 AS BIGINT) AS k, 'alpha' AS v
+             UNION ALL SELECT 101, 'beta'
+             UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3""")),
+
+    // ---- named WINDOW clause (SQL-text window sharing, grammar
+    //      parse/HiveParser.g window_clause) ----
+    Q("q121_named_window", (s, d) => {
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderkey,
+                      CAST(rank() OVER w AS BIGINT) AS rk,
+                      sum(o_custkey) OVER w2 AS cust_sum
+               FROM orders WHERE o_orderkey < 200
+               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+                      w2 AS (PARTITION BY o_orderstatus)""")
+    },
+      Some("""SELECT o_orderkey, rank() OVER w AS rk, sum(o_custkey) OVER w2 AS cust_sum
+             FROM orders WHERE o_orderkey < 200
+             WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+                    w2 AS (PARTITION BY o_orderstatus)""")),
+
     // ---- scalar-function registry stragglers, sweep 4 (data-driven):
     //      sha2/base64 round-trip/factorial/cbrt/rpad/substring_index/
     //      bit_length/width_bucket/bround. bround's half-even tie break is
