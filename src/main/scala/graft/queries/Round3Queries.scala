@@ -204,6 +204,23 @@ object Round3Queries {
              count(*) AS n, max(n_name) AS max_name
              FROM nation GROUP BY 1""")),
 
+    // ---- SHOW PARTITIONS over a discovered partitioned table ----
+    Q("q122_show_partitions", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_showpart") + "/t"
+      val n = t(s, d, "nation")
+      n.filter(col("n_regionkey") <= 1).select("n_nationkey")
+        .write.parquet(base + "/p=0")
+      n.filter(col("n_regionkey") > 1).select("n_nationkey")
+        .write.parquet(base + "/p=1")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.showpart_t")
+      s.sql(s"""CREATE TABLE graft_tmp.showpart_t (n_nationkey BIGINT)
+               USING parquet PARTITIONED BY (p INT) LOCATION '$base'""")
+      s.sql("MSCK REPAIR TABLE graft_tmp.showpart_t")
+      s.sql("SHOW PARTITIONS graft_tmp.showpart_t")
+    },
+      Some("SELECT 'p=0' AS partition UNION ALL SELECT 'p=1'")),
+
     // ---- INSERT INTO ... VALUES + INSERT INTO ... SELECT (DML surface,
     //      reference grammar HiveParser.g insert clauses) ----
     Q("a05_insert_values", (s, d) => {

@@ -195,6 +195,26 @@ class Round3Spec extends SparkSpec {
       (3L, None, Some("b3"), Some("c3"))))
   }
 
+  test("range join composes as a stream-static join, nested-loop-free") {
+    val dir = tools.Tmp.dir("range_stream") + "/src"
+    val batchPts = Tables.t(spark, sf, "events").filter($"event_type" === "purchase")
+      .select($"event_id", ($"value" * 4).as("v"))
+    batchPts.write.mode("overwrite").parquet(dir)
+    val streamPts = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val iv = Tables.t(spark, sf, "part").filter($"p_partkey" <= 200)
+      .select($"p_partkey", ($"p_retailprice" - 2).as("lo"), ($"p_retailprice" + 2).as("hi"))
+    val q = graft.operators.Ranges.pointInInterval(streamPts, "v", iv, "lo", "hi", 5.0)
+      .select("event_id", "p_partkey")
+      .writeStream.format("memory").queryName("range_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("range_out").as[(Long, Long)].collect().toSet
+    val batched = graft.operators.Ranges.pointInInterval(batchPts, "v", iv, "lo", "hi", 5.0)
+      .select("event_id", "p_partkey").as[(Long, Long)].collect().toSet
+    assert(streamed == batched)
+  }
+
   // ---- streaming composability ----
 
   test("stratified sample composes onto a stream with batch-identical output") {
