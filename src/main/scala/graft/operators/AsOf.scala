@@ -52,7 +52,11 @@ object AsOf {
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_p", lit(null).cast(payloadType))
+    // NULL-time right rows can never satisfy l.t >= r.t (SQL comparison
+    // semantics; DuckDB ASOF agrees) — drop them, or the ascending sort
+    // would place them first and carry their payload onto every left row
     val r = right
+      .filter(col(rightTime).isNotNull)
       .select((Seq(col(key), col(rightTime).as("_t")) :+
         struct(payload.map(col): _*).as("_p")): _*)
       .withColumn("_side", lit(0))

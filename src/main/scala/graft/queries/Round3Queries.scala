@@ -38,7 +38,7 @@ object Round3Queries {
           max("o_totalprice").as("max_price"),
           max("o_orderdate").as("max_date"))
     },
-      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
              max(o_orderdate) AS max_date
              FROM orders WHERE o_orderkey < 500 GROUP BY o_orderstatus""")),
@@ -127,7 +127,7 @@ object Round3Queries {
         .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
           max("o_orderdate").as("max_date"))
     },
-      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              max(o_orderdate) AS max_date
              FROM orders WHERE o_orderkey < 800 GROUP BY o_orderstatus""")),
 
@@ -248,7 +248,7 @@ object Round3Queries {
                WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
                       w2 AS (PARTITION BY o_orderstatus)""")
     },
-      Some("""SELECT o_orderkey, rank() OVER w AS rk, sum(o_custkey) OVER w2 AS cust_sum
+      Some("""SELECT o_orderkey, rank() OVER w AS rk, CAST(sum(o_custkey) OVER w2 AS BIGINT) AS cust_sum
              FROM orders WHERE o_orderkey < 200
              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
                     w2 AS (PARTITION BY o_orderstatus)""")),
@@ -273,7 +273,7 @@ object Round3Queries {
       Some("""SELECT c_custkey,
              sha256(c_name) AS sha256_name,
              CAST(from_base64(to_base64(encode(c_name))) AS VARCHAR) AS b64rt,
-             factorial(CAST(c_custkey % 10 AS INTEGER)) AS fact,
+             CAST(factorial(CAST(c_custkey % 10 AS INTEGER)) AS BIGINT) AS fact,
              round(cbrt(CAST(c_custkey AS DOUBLE)) * 1000000) / 1000000 AS cbrt6,
              rpad(c_mktsegment, 12, '*') AS seg_pad,
              array_to_string(string_split(c_name, '#')[1:1], '#') AS name_head,

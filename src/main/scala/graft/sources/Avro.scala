@@ -69,7 +69,8 @@ object Avro {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case TimestampNTZType =>
       LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-    case ArrayType(elem, _) => Schema.createArray(toAvroType(elem))
+    // element union keeps containsNull=true arrays writable
+    case ArrayType(elem, _) => Schema.createArray(nullable(toAvroType(elem)))
     case other => throw new IllegalArgumentException(s"avro sink: unsupported type $other")
   }
 
@@ -164,6 +165,15 @@ object Avro {
         } finally writer.close()
       }
     }
+
+    // an all-empty dataset must still round-trip: leave one schema-bearing
+    // empty container so read() can recover the schema and return 0 rows
+    if (Option(fs.globStatus(new Path(out, "*.avro"))).forall(_.isEmpty)) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      writer.create(schema, fs.create(new Path(out, "part-00000.avro"), true)): Unit
+      writer.close()
+    }
   }
 
   // ---- source ----
@@ -175,7 +185,8 @@ object Avro {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.globStatus(new Path(root, "*.avro")).map(_.getPath.toString).sorted
+    val files = Option(fs.globStatus(new Path(root, "*.avro"))).toSeq.flatten
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
 
     val first = new DataFileReader[GenericRecord](
@@ -192,13 +203,18 @@ object Avro {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(file), new Configuration()),
           new GenericDatumReader[GenericRecord]())
-        // stream records; close the reader when the iterator drains
+        // stream records; close when the iterator drains AND on task
+        // completion (limit/take stop consuming early and would otherwise
+        // leak one fd per container file)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
-          private var closed = false
           def hasNext: Boolean = {
             if (closed) false
             else if (reader.hasNext) true
-            else { reader.close(); closed = true; false }
+            else { closeOnce(); false }
           }
           def next(): Row = {
             val rec = reader.next()

@@ -36,8 +36,12 @@ object SequenceFileText {
       .map(_._2.toString)
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(lines)
+    // LazySimpleSerDe has no quote/escape concept — disable both or a
+    // leading '"' in a field value would be parsed as a csv quote and
+    // swallow \x01 separators (silent field merging)
     spark.read.schema(schema)
       .option("sep", SEP).option("nullValue", "\\N")
+      .option("quote", "\u0000").option("escape", "\u0000")
       .csv(ds)
   }
 }

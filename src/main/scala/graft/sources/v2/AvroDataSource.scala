@@ -61,8 +61,11 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    AvroTable(properties.get("path"), schema)
+                        properties: JMap[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null, "graft-avro requires a path")
+    AvroTable(p, schema)
+  }
 }
 
 object AvroV2Util {
@@ -135,6 +138,15 @@ object AvroV2Util {
       case DoubleType => Double.box(arr.getDouble(j))
       case FloatType => Float.box(arr.getFloat(j))
       case BooleanType => Boolean.box(arr.getBoolean(j))
+      case DateType => Int.box(arr.getInt(j))                        // epoch days
+      case TimestampType | TimestampNTZType => Long.box(arr.getLong(j)) // micros
+      case BinaryType => java.nio.ByteBuffer.wrap(arr.getBinary(j))
+      case ArrayType(inner, _) =>
+        val nested = arr.getArray(j)
+        val out = new java.util.ArrayList[AnyRef](nested.numElements())
+        var m = 0
+        while (m < nested.numElements()) { out.add(fromArrayElem(nested, m, inner)); m += 1 }
+        out
       case other => throw new IllegalArgumentException(s"graft-avro: unsupported array elem $other")
     }
   }
@@ -212,8 +224,13 @@ class AvroWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = AvroBatchWrite(path, schema.json, doTruncate)
+  override def build(): Write = {
+    // fail fast on unsupported types HERE, before BatchWrite truncates the
+    // destination — a mid-write schema error must not destroy existing data
+    Avro.toAvroSchema(schema): Unit
+    new Write {
+      override def toBatch: BatchWrite = AvroBatchWrite(path, schema.json, doTruncate)
+    }
   }
 }
 

@@ -68,6 +68,18 @@ class Round3Spec extends SparkSpec {
       Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("avro round-trips an empty dataset and null array elements") {
+    val dir = tools.Tmp.dir("avro_spec") + "/empty"
+    val src = spark.sql("SELECT CAST(1 AS BIGINT) AS k, array('a', CAST(NULL AS STRING)) AS xs")
+    Avro.write(src.filter($"k" < 0), dir) // zero rows
+    assert(Avro.read(spark, dir).count() == 0)
+    assert(Avro.read(spark, dir).schema.fieldNames.toSeq == Seq("k", "xs"))
+    val dir2 = tools.Tmp.dir("avro_spec") + "/nullelem"
+    Avro.write(src, dir2) // array containing a null element
+    assert(Avro.read(spark, dir2).select(explode($"xs")).as[Option[String]]
+      .collect().toSet == Set(Some("a"), None))
+  }
+
   // ---- as-of join ----
 
   test("asof join takes the latest right row at-or-before each left time") {
@@ -79,6 +91,16 @@ class Round3Spec extends SparkSpec {
       .select("tag", "v").as[(String, Option[String])].collect().toMap
     // t=10 ties with the right row at 10 → >= semantics take it
     assert(got == Map("e1" -> Some("r10"), "e2" -> None, "e3" -> None))
+  }
+
+  test("asof join never matches a NULL-time right row (DuckDB semantics)") {
+    val left = Seq((1L, Some(5L), "e1"), (1L, None, "e2")).toDF("k", "t", "tag")
+    val right = Seq((1L, None: Option[Long], "bad"), (1L, Some(3L), "ok"))
+      .toDF("k", "t", "v")
+    val got = AsOf.join(left, right, "k", "t", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    // the NULL-time right row must never win; NULL-time left rows match nothing
+    assert(got == Map("e1" -> Some("ok"), "e2" -> None))
   }
 
   test("asof join is a single-shuffle window plan, not a nested loop") {
@@ -170,6 +192,16 @@ class Round3Spec extends SparkSpec {
     SequenceFileText.write(src, dir)
     val back = SequenceFileText.read(spark, dir,
       org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING, v BIGINT"))
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
+  test("sequencefile round-trips quote and backslash characters verbatim") {
+    val dir = tools.Tmp.dir("seq_spec") + "/quotes"
+    val src = Seq((1L, "\"quoted\" start"), (2L, "back\\slash"), (3L, "a\"b"))
+      .toDF("k", "s")
+    SequenceFileText.write(src, dir)
+    val back = SequenceFileText.read(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"))
     assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
   }
 
