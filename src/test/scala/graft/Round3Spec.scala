@@ -265,6 +265,52 @@ class Round3Spec extends SparkSpec {
     assert(streamed == batched) // stateless narrow op: identical verdicts
   }
 
+  test("runtime bloom-filter injection prunes the probe side pre-shuffle") {
+    // Spark's runtime bloom filter (the scale path for selective joins)
+    // stays off at fixture sizes; lower the thresholds to observe the
+    // injected bloom_filter_might_contain on the probe side of the join.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = Tables.t(spark, sf, "lineitem")
+      val small = Tables.t(spark, sf, "orders").filter($"o_totalprice" > 400000)
+      val plan = big.join(small, $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderstatus").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("catalog partition pruning reaches the scan of a discovered table") {
+    val base = tools.Tmp.dir("prune_spec") + "/t"
+    val n = Tables.t(spark, sf, "nation")
+    n.filter($"n_regionkey" <= 1).select("n_nationkey").write.parquet(base + "/p=0")
+    n.filter($"n_regionkey" > 1).select("n_nationkey").write.parquet(base + "/p=1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.prune_t")
+    spark.sql(s"""CREATE TABLE graft_tmp.prune_t (n_nationkey BIGINT)
+                 USING parquet PARTITIONED BY (p INT) LOCATION '$base'""")
+    spark.sql("MSCK REPAIR TABLE graft_tmp.prune_t")
+    val q = spark.sql("SELECT count(*) FROM graft_tmp.prune_t WHERE p = 0")
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the scan must carry the partition predicate (AQE wraps the physical
+    // scan, so assert on the formatted plan), and the result must be
+    // exactly the p=0 slice (pruning correct by value)
+    assert("PartitionFilters: \\[isnotnull\\(p#\\d+\\), \\(p#\\d+ = 0\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    val expected = n.filter($"n_regionkey" <= 1).count()
+    assert(q.as[Long].head() == expected)
+  }
+
   // ---- compaction ----
 
   test("compact coalesces to the requested file count, content-preserving") {
