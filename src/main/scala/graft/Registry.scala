@@ -21,7 +21,8 @@ object Registry {
       queries.ExtraQueries.all ++
       queries.FormatQueries.all ++
       queries.Round2Queries.all ++
-      queries.Round3Queries.all
+      queries.Round3Queries.all ++
+      queries.Round4Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -90,11 +90,24 @@ object Dedup {
     */
   def resolve(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
               minJaccard: Double = 0.85): DataFrame = {
+    val dupIds = confirmedPairs(docs, numHashes, bands, minJaccard)
+      .select(col("db")).distinct()
+    docs.join(dupIds, docs("doc_id") === dupIds("db"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  /** LSH candidates confirmed by exact token-set jaccard — the (da, db)
+    * pair set the resolution/clustering stages consume. Same chain as
+    * `resolve` (band equi-join for candidates, per-pair codegen'd
+    * array_intersect for the exact check, never an all-pairs join).
+    */
+  def confirmedPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                     minJaccard: Double = 0.85): DataFrame = {
     val sig = minhashSignatures(shingles(docs, w = 1), numHashes)
     val cand = minhashCandidates(sig, numHashes, bands)
     val tsets = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("tset"))
-    val dupIds = cand
+    cand
       .join(tsets.as("ta"), col("da") === col("ta.doc_id"))
       .join(tsets.as("tb"), col("db") === col("tb.doc_id"))
       .withColumn("inter",
@@ -102,8 +115,67 @@ object Dedup {
       .withColumn("jac", round(col("inter") /
         (size(col("ta.tset")) + size(col("tb.tset")) - col("inter")), 4))
       .filter(col("jac") >= minJaccard)
-      .select(col("db")).distinct()
-    docs.join(dupIds, docs("doc_id") === dupIds("db"), "left_anti")
+      .select(col("da"), col("db"))
+  }
+
+  /** Connected components over an undirected (da, db) pair set: every node
+    * is labeled with the smallest doc_id reachable through any chain of
+    * pairs — the transitive closure pair-based keep-lists get wrong on
+    * chains (A~B, B~C but not A~C must still collapse to ONE cluster).
+    *
+    * Algorithm: min-label propagation with pointer-doubling shortcuts.
+    * Each round is two hash-shuffles: (1) every node takes the min of its
+    * own label and its neighbors' labels; (2) labels chase one level
+    * through the label table itself (label(n) := label(label(n))), which
+    * halves chain depth per round, so convergence is O(log n) rounds —
+    * chain graphs do NOT degrade to O(diameter). Per round the lineage is
+    * cut with localCheckpoint (on a real cluster: checkpoint to durable
+    * storage) and convergence is an exact changed-row count, so the loop
+    * does constant rounds on already-star-shaped graphs.
+    * Reference intent: Hive has no graph operator; this serves the dedup
+    * resolution chain (d06/d08) the way SkewJoinHandler serves joins —
+    * keep every stage a bounded equi-join.
+    *
+    * Output: (node, cluster_id) for every node appearing in `pairs`.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+      .union(pairs.select(col("db").as("u"), col("da").as("v")))
+      .distinct().localCheckpoint()
+    var lbl = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(lbl, edges("v") === lbl("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+      val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("u"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val shortcut = stepped.as("a")
+        .join(stepped.as("b"), col("a.label") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.label"), col("a.label")).as("label"))
+        .localCheckpoint()
+      val changed = shortcut.as("n").join(lbl.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      lbl = shortcut
+      converged = changed == 0
+      it += 1
+    }
+    lbl.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-correct dedup resolution: keep exactly one document (the
+    * smallest doc_id) per connected component of confirmed near-dup pairs,
+    * plus every untouched document. Strictly stronger than the pair-based
+    * keep-list in `resolve`, which over-keeps on transitive chains like
+    * (2,3),(1,3): pair-based keeps {1,2}, cluster-based keeps only {1}.
+    */
+  def resolveByCluster(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                       minJaccard: Double = 0.85): DataFrame = {
+    val comp = clusters(confirmedPairs(docs, numHashes, bands, minJaccard))
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .filter(col("node").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"))
   }
 

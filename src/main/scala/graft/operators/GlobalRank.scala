@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global row_number/rank over a total order WITHOUT the single-partition
+  * WindowExec that `row_number() OVER (ORDER BY ...)` plans to — the one
+  * Spark shape that cannot survive 100 TB (every row funnels through one
+  * task; Spark itself warns "Moving all data to a single partition").
+  *
+  * This is the reference's parallel total-order discipline
+  * (exec/HiveTotalOrderPartitioner.java + PartitionKeySampler) re-expressed
+  * on DataFrames: range-repartition on the sort key (sampled boundaries —
+  * the same machinery `orderBy` uses), sort within partitions, then convert
+  * per-partition local row numbers to global ones by adding per-partition
+  * row-count offsets. The offsets are one count per partition — metadata
+  * scale — collected to the driver and re-broadcast, the same bounded
+  * collect discipline as Acid's file lists and kmeans' centroid matrix.
+  * Every heavy stage stays fully parallel.
+  */
+object GlobalRank {
+
+  /** Global 1-based row_number by `order` (must be a total order — include
+    * a unique tiebreaker column). Output column `out` is LONG.
+    */
+  def rowNumber(df: DataFrame, order: Seq[Column], out: String = "rn",
+                numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // one row per partition; cumulative offsets computed driver-side
+    val counts = parted.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    parted.join(offDf, "__pid")
+      .withColumn(out, row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
+  /** Global SQL `rank()` (ties share a rank): the global row_number over
+    * `keyOrder ++ tieBreak`, then the minimum row number within each tie
+    * group (`keys` = the bare ordering columns) — one additional
+    * PARTITIONED window, never a single-partition one. Emits both the
+    * row_number (`rnOut`) and the rank (`out`).
+    */
+  def rank(df: DataFrame, keyOrder: Seq[Column], keys: Seq[Column],
+           tieBreak: Seq[Column], out: String = "rk",
+           rnOut: String = "rn"): DataFrame =
+    rowNumber(df, keyOrder ++ tieBreak, rnOut)
+      .withColumn(out, min(col(rnOut)).over(Window.partitionBy(keys: _*)))
+}

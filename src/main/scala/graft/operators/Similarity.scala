@@ -123,6 +123,45 @@ object Similarity {
     cent.select(col("c_id").as("vec_id"), col("c_emb").as("emb"))
   }
 
+  /** Int8 scalar-quantized ANN: the memory-bound scale path. Every vector
+    * is quantized once to int8 components (per-vector max-abs scale:
+    * q_i = floor(x_i / max|x| * 127 + 0.5)) — an 8× smaller index that a
+    * real deployment keeps hot while the float vectors stay on disk.
+    * Candidate generation ranks by the INTEGER dot product rescaled by the
+    * two exact per-vector scales (idot * mx_a * mx_b) — deliberately no
+    * norms: idot is exact integer math and mx is an exact max, so the
+    * candidate ranking is bit-reproducible on any engine/partitioning
+    * (the property that lets the oracle mirror it), while norm sums would
+    * inject summation-order float noise into a top-C cut. Exact cosine
+    * then reranks only the candFactor*k survivors per query.
+    */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                    candFactor: Int = 4): DataFrame = {
+    def quantize(df: DataFrame, pfx: String) = df
+      .withColumn(s"${pfx}mx", array_max(transform(col(s"${pfx}emb"), x => abs(x))))
+      .withColumn(s"${pfx}qv", transform(col(s"${pfx}emb"),
+        x => floor(x / col(s"${pfx}mx") * 127 + lit(0.5)).cast("int")))
+    val corpus = quantize(emb.select(col("vec_id"), col("emb").as("c_emb")), "c_")
+      .withColumnRenamed("c_emb", "emb")
+    val qs = quantize(
+      queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_")
+    val idot = aggregate(zip_with(col("q_qv"), col("c_qv"),
+      (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    val scored = broadcast(qs).crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("ord", idot.cast("double") * col("q_mx") * col("c_mx"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ord").desc, col("vec_id").asc)
+    val cand = scored.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= k * candFactor)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+  }
+
   /** Scale path for embedding near-dup: candidate pairs are vectors that
     * share an IVF cluster under multi-probe assignment (each vector joins
     * its nProbe nearest centroids), exact cosine is computed ONLY on those

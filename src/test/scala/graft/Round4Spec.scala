@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.Bitmap
+import graft.operators.{Dedup, GlobalRank, Similarity}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-4 operators: connected-component clustering
+  * (transitive closure, pointer-doubling convergence), cluster-vs-pair
+  * resolution difference, the bitmap family's set semantics, the
+  * single-partition-free global rank, and quantized-ANN recall.
+  */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Dedup.clusters ----
+
+  test("clusters labels a long chain with its min id (pointer doubling)") {
+    // path graph 0-1-2-...-40: naive propagation needs 40 rounds; the
+    // shortcutting loop must finish well inside maxIters=25
+    val pairs = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("da", "db")
+    val lbl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == 41)
+    assert(lbl.values.forall(_ == 0L))
+  }
+
+  test("clusters merges transitive pairs into one component") {
+    // (2,3) and (1,3) but never (1,2): 1-2-3 is ONE component labeled 1
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("da", "db")
+    val lbl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveByCluster collapses chains the pair-based keep-list cannot") {
+    // doc 3 is near-dup of BOTH 1 and 2, but 1 vs 2 falls below 0.85:
+    // pair set is (1,3),(2,3). Pair-based resolve drops only db=3 and
+    // keeps {1,2}; cluster-based resolution keeps exactly min{1,2,3}=1.
+    val base = (1 to 20).map(i => s"t$i")
+    val doc1 = ("x1" +: base.tail).mkString(" ")                // 19/21 vs doc3
+    val doc2 = (base.init :+ "x2").mkString(" ")                // 19/21 vs doc3
+    val doc3 = base.mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val pairKept = Dedup.resolve(docs).as[Long].collect().sorted
+    val ccKept = Dedup.resolveByCluster(docs).as[Long].collect().sorted
+    assert(pairKept.toSeq == Seq(1L, 2L))
+    assert(ccKept.toSeq == Seq(1L))
+  }
+
+  // ---- Bitmap family ----
+
+  test("bitmap aggregate + and/or/count/empty match set semantics") {
+    val df = Seq(("a", 1L), ("a", 65L), ("a", 1L), ("a", 200L),
+                 ("b", 65L), ("b", 3L)).toDF("g", "v")
+    val bm = df.groupBy("g").agg(Bitmap.bitmapAgg(col("v")).as("bm"))
+    val row = bm.as("x").join(bm.as("y"),
+        col("x.g") === lit("a") && col("y.g") === lit("b"))
+      .select(
+        Bitmap.bitmapCount(col("x.bm")).as("ca"),
+        Bitmap.bitmapCount(col("y.bm")).as("cb"),
+        Bitmap.bitmapCount(Bitmap.bitmapAnd(col("x.bm"), col("y.bm"))).as("cand"),
+        Bitmap.bitmapCount(Bitmap.bitmapOr(col("x.bm"), col("y.bm"))).as("cor"),
+        Bitmap.bitmapEmpty(Bitmap.bitmapAnd(col("x.bm"), col("y.bm"))).as("e"))
+      .collect().head
+    assert(row.getLong(0) == 3)  // {1, 65, 200}
+    assert(row.getLong(1) == 2)  // {3, 65}
+    assert(row.getLong(2) == 1)  // {65}
+    assert(row.getLong(3) == 4)  // {1, 3, 65, 200}
+    assert(!row.getBoolean(4))
+  }
+
+  test("bitmap words are canonical: equal sets encode equal regardless of path") {
+    // same set built from different insertion orders/groups must produce
+    // identical word arrays (trailing zero words trimmed)
+    val a = Seq(1L, 200L, 65L).toDF("v").agg(Bitmap.bitmapAgg(col("v"))).collect().head.getSeq[Long](0)
+    val b = Seq(65L, 1L, 200L).toDF("v").agg(Bitmap.bitmapAgg(col("v"))).collect().head.getSeq[Long](0)
+    assert(a == b)
+    assert(a.last != 0L)
+    // disjoint-word AND is all-zero words, and bitmapEmpty sees it as empty
+    val z = Seq(1L).toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("x"))
+      .crossJoin(Seq(300L).toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("y")))
+      .select(Bitmap.bitmapEmpty(Bitmap.bitmapAnd(col("x"), col("y"))))
+      .collect().head.getBoolean(0)
+    assert(z)
+  }
+
+  test("bitmap aggregate rejects out-of-range inputs") {
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("v").agg(Bitmap.bitmapAgg(col("v"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- GlobalRank ----
+
+  test("global rank matches window semantics with no single-partition stage") {
+    val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    val got = GlobalRank.rank(c, Seq(col("c_acctbal").desc), Seq(col("c_acctbal")),
+      Seq(col("c_custkey").asc))
+    val want = c
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)).cast("long"))
+      .withColumn("rk", rank().over(
+        Window.orderBy(col("c_acctbal").desc)).cast("long"))
+    assert(got.select("c_custkey", "rn", "rk").except(
+      want.select("c_custkey", "rn", "rk")).isEmpty)
+    // the whole point: no Exchange SinglePartition anywhere in the plan
+    val plan = got.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"))
+  }
+
+  // ---- quantized ANN ----
+
+  test("quantized ANN achieves high recall vs exact brute force") {
+    val e = Similarity.prep(Tables.t(spark, sf, "embeddings"))
+    val qs = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, qs, k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.quantizedTopK(e, qs, k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+}
