@@ -55,4 +55,31 @@ object GlobalRank {
            rnOut: String = "rn"): DataFrame =
     rowNumber(df, keyOrder ++ tieBreak, rnOut)
       .withColumn(out, min(col(rnOut)).over(Window.partitionBy(keys: _*)))
+
+  /** Global distribution functions — ntile(buckets), percent_rank,
+    * cume_dist — from the same machinery: the global row number, the tie
+    * rank, and the single total row count (one driver-side long). All
+    * derived with exact integer arithmetic (+ one terminal division), so
+    * results are engine-reproducible; no single-partition stage anywhere.
+    * ntile uses the exact SQL distribution — with n = q·b + r, the first
+    * r groups take q+1 rows, the rest q (NOT the proportional
+    * floor((rn-1)b/n) split, which places the bigger groups differently);
+    * cume_dist is max row number within the tie group over n.
+    */
+  def distribution(df: DataFrame, keyOrder: Seq[Column], keys: Seq[Column],
+                   tieBreak: Seq[Column], buckets: Int): DataFrame = {
+    val n = df.count()
+    val q = n / buckets
+    val r = n % buckets
+    val ntileExpr =
+      if (q == 0) "rn"
+      else s"""CASE WHEN rn <= ${r * (q + 1)}L THEN (rn - 1L) div ${q + 1}L + 1L
+               ELSE ${r}L + (rn - ${r * (q + 1)}L - 1L) div ${q}L + 1L END"""
+    rank(df, keyOrder, keys, tieBreak)
+      .withColumn("nt", expr(ntileExpr))
+      .withColumn("pr", (col("rk") - 1).cast("double") / lit(n - 1).cast("double"))
+      .withColumn("cd",
+        max(col("rn")).over(Window.partitionBy(keys: _*)).cast("double") /
+          lit(n).cast("double"))
+  }
 }

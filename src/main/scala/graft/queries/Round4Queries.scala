@@ -147,6 +147,66 @@ object Round4Queries {
                     FROM cand WHERE crn <= 40)
              SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 10""")),
 
+    // ---- EXPORT TABLE / IMPORT (ExportSemanticAnalyzer +
+    //      ImportSemanticAnalyzer + CopyTask): snapshot to a movable dir
+    //      with a _metadata descriptor, recreate as a catalog table via a
+    //      byte copy of the data files (no rewrite). ----
+    Q("a06_export_import", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_export")
+      val src = t(s, d, "supplier").filter(col("s_suppkey") < 100)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      graft.operators.ExportImport.exportTable(src, base + "/exp")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.imported_sup")
+      graft.operators.ExportImport.importTable(
+        s, base + "/exp", "graft_tmp.imported_sup", base + "/tbl")
+    },
+      Some("""SELECT s_suppkey, s_name, s_acctbal
+             FROM supplier WHERE s_suppkey < 100""")),
+
+    // ---- reduce-side TRANSFORM script (ScriptOperator after the shuffle —
+    //      the reference's genReduceSinkPlan + genScriptPlan idiom). The
+    //      awk script counts rows per key with a per-partition END block:
+    //      per-key counts are only globally correct because DISTRIBUTE BY
+    //      routes every occurrence of a key to exactly ONE partition — so
+    //      this gate FAILS if reduce-side grouping semantics break. ----
+    Q("q127_reduce_transform", (s, d) => {
+      Tables.views(s, d, "orders")
+      val sh = graft.tools.Tmp.dir("graft_rtrans") + "/cnt.sh"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(sh),
+        "#!/bin/sh\nexec awk '{c[$1]++} END {for (k in c) print k\"\\t\"c[k]}'\n")
+      new java.io.File(sh).setExecutable(true)
+      // the output ROW FORMAT is explicit: Spark's no-serde TRANSFORM
+      // defaults to \u0001 field delimiters, not Hive's script-transform
+      // tab convention the awk script emits
+      s.sql(s"""SELECT CAST(k AS BIGINT) AS o_custkey, CAST(cnt AS BIGINT) AS cnt
+               FROM (SELECT TRANSFORM(o_custkey) USING '$sh' AS (k STRING, cnt STRING)
+                     ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+                     FROM (SELECT o_custkey FROM orders DISTRIBUTE BY o_custkey) t) o""")
+    },
+      Some("""SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey""")),
+
+    // ---- global distribution functions at scale: ntile / percent_rank /
+    //      cume_dist from GlobalRank's offset machinery + ONE total count
+    //      (a driver-side long) — q23 keeps the reference's literal
+    //      global-window semantics on dimension-sized input; this is the
+    //      shape a 100 TB global ranking must route through. percent_rank
+    //      and cume_dist carry REAL tie groups (keys = acctbal only). ----
+    Q("q126_global_distribution", (s, d) => {
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_acctbal")
+      GlobalRank.distribution(sup, Seq(col("s_acctbal").desc),
+        Seq(col("s_acctbal")), Seq(col("s_suppkey").asc), buckets = 4)
+        .select(col("s_suppkey"), col("rn"), col("rk"), col("nt"),
+          round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
+    },
+      Some("""SELECT s_suppkey,
+             row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn,
+             rank() OVER (ORDER BY s_acctbal DESC) AS rk,
+             ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS nt,
+             round(percent_rank() OVER (ORDER BY s_acctbal DESC) * 1000000) / 1000000 AS pr,
+             round(cume_dist() OVER (ORDER BY s_acctbal DESC) * 1000000) / 1000000 AS cd
+             FROM supplier""")),
+
     // ---- scalar registry stragglers, sweep 6: conv (base conversion),
     //      assert_true (NULL on pass — Hive GenericUDFAssertTrue), and
     //      current_database (FunctionRegistry misc). conv is mirrored via

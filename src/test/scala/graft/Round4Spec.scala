@@ -110,6 +110,47 @@ class Round4Spec extends SparkSpec {
     assert(plan.contains("rangepartitioning"))
   }
 
+  // ---- GlobalRank.distribution ----
+
+  test("global ntile/percent_rank/cume_dist match window semantics") {
+    // buckets=7 over n=150 → n mod b = 3 larger groups; exercises the
+    // exact SQL ntile distribution, not a proportional split
+    val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    val got = GlobalRank.distribution(c, Seq(col("c_acctbal").desc),
+      Seq(col("c_acctbal")), Seq(col("c_custkey").asc), buckets = 7)
+      .select(col("c_custkey"), col("nt"), col("pr"), col("cd"))
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wk = Window.orderBy(col("c_acctbal").desc)
+    val want = c.select(col("c_custkey"),
+      ntile(7).over(w).cast("long").as("nt"),
+      percent_rank().over(wk).as("pr"),
+      cume_dist().over(wk).as("cd"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  // ---- ExportImport ----
+
+  test("export/import round-trips schema and bytes through _metadata") {
+    val base = tools.Tmp.dir("exp_spec")
+    val src = Tables.t(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.operators.ExportImport.exportTable(src, base + "/exp")
+    assert(new java.io.File(base + "/exp/_metadata").exists())
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.exp_spec_t")
+    val back = graft.operators.ExportImport.importTable(
+      spark, base + "/exp", "graft_tmp.exp_spec_t", base + "/tbl")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // import is a byte copy: same file sizes as the export snapshot
+    val expSizes = new java.io.File(base + "/exp/data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sorted.toSeq
+    val tblSizes = new java.io.File(base + "/tbl").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sorted.toSeq
+    assert(expSizes == tblSizes && expSizes.nonEmpty)
+  }
+
   // ---- quantized ANN ----
 
   test("quantized ANN achieves high recall vs exact brute force") {
