@@ -149,16 +149,18 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(lbl, edges("v") === lbl("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+      // carry the previous label through both steps so convergence is a
+      // cheap filter over the checkpointed result, not an extra join
       val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("u"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       val shortcut = stepped.as("a")
         .join(stepped.as("b"), col("a.label") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
+        .select(col("a.node").as("node"), col("a.prev").as("prev"),
           coalesce(col("b.label"), col("a.label")).as("label"))
         .localCheckpoint()
-      val changed = shortcut.as("n").join(lbl.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      lbl = shortcut
+      val changed = shortcut.filter(col("label") =!= col("prev")).count()
+      lbl = shortcut.select(col("node"), col("label"))
       converged = changed == 0
       it += 1
     }

@@ -29,8 +29,16 @@ object GlobalRank {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    // Materialize the range-partitioned layout ONCE: repartitionByRange
+    // samples its boundaries per execution, so the offsets job and the
+    // window job would otherwise see (slightly) different partitionings
+    // on a multi-split scan and the offsets would be wrong. One
+    // materialization is the same cost class as the sort itself; a real
+    // cluster would persist/checkpoint the sorted layout it is about to
+    // number anyway.
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // one row per partition; cumulative offsets computed driver-side
     val counts = parted.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -207,6 +207,68 @@ object Round4Queries {
              round(cume_dist() OVER (ORDER BY s_acctbal DESC) * 1000000) / 1000000 AS cd
              FROM supplier""")),
 
+    // ---- character-entropy quality signal (beyond-reference pipeline op):
+    //      Shannon entropy of the per-document character distribution — a
+    //      cheap perplexity proxy that flags mojibake/boilerplate (too low)
+    //      and binary junk (too high). One explode + two hash aggregates,
+    //      all narrow per doc_id; log2 via ln/ln(2) so both engines compute
+    //      the identical expression tree. ----
+    Q("t09_char_entropy", (s, d) => {
+      val chars = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) === 1)
+      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(round(-sum((col("cnt") / col("n")) *
+          log(col("cnt") / col("n")) / log(lit(2.0))), 4).as("entropy"),
+          countDistinct(col("ch")).as("alphabet"))
+    },
+      Some("""WITH chars AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                             FROM documents WHERE doc_id < 300),
+              ok AS (SELECT doc_id, ch FROM chars WHERE length(ch) = 1),
+              freq AS (SELECT doc_id, ch, count(*) AS cnt FROM ok GROUP BY 1,2),
+              tot AS (SELECT doc_id, count(*) AS n FROM ok GROUP BY 1)
+             SELECT f.doc_id,
+                    round(-sum((cnt / n) * ln(cnt / n) / ln(2.0)) * 10000) / 10000 AS entropy,
+                    count(DISTINCT ch) AS alphabet
+             FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+             GROUP BY f.doc_id""")),
+
+    // ---- repetition-ratio filter (Gopher repetition rules): fraction of
+    //      all token positions covered by occurrences of the single most
+    //      frequent trigram. High ratio = template/boilerplate text. Per-doc
+    //      narrow aggregation; ties on trigram count resolved by max, so
+    //      the ratio (not the gram) is the output — engine-stable. ----
+    Q("t10_repetition", (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val grams = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+        explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))"
+        )).as("gram"))
+      grams.groupBy("doc_id", "n_tok", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n_tok").agg(max(col("cnt")).as("top_cnt"))
+        .select(col("doc_id"),
+          round(col("top_cnt") * 3 / col("n_tok").cast("double"), 4).as("rep_ratio"),
+          (round(col("top_cnt") * 3 / col("n_tok").cast("double"), 4) > 0.2).as("flagged"))
+    },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+                         WHERE doc_id < 300 AND len(string_split(text,' ')) >= 3),
+              grams AS (SELECT doc_id, len(ws) AS n_tok,
+                          array_to_string(list_slice(ws, i, i+2), ' ') AS gram
+                        FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM d)),
+              cnts AS (SELECT doc_id, n_tok, gram, count(*) AS cnt
+                       FROM grams GROUP BY 1,2,3),
+              tops AS (SELECT doc_id, n_tok, max(cnt) AS top_cnt
+                       FROM cnts GROUP BY 1,2)
+             SELECT doc_id,
+                    round(top_cnt * 3 / CAST(n_tok AS DOUBLE) * 10000) / 10000 AS rep_ratio,
+                    round(top_cnt * 3 / CAST(n_tok AS DOUBLE) * 10000) / 10000 > 0.2 AS flagged
+             FROM tops""")),
+
     // ---- scalar registry stragglers, sweep 6: conv (base conversion),
     //      assert_true (NULL on pass — Hive GenericUDFAssertTrue), and
     //      current_database (FunctionRegistry misc). conv is mirrored via
