@@ -37,7 +37,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release any localCheckpoint the query materialized — leaked blocks
+      // would shrink execution memory for every query after it (the r4
+      // fleet-wide regression)
+      tools.Checkpoints.sweep()
+      name -> dt
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def dict(rs: Seq[(String, Double)]): String =

@@ -139,11 +139,13 @@ object Dedup {
     * Output: (node, cluster_id) for every node appearing in `pairs`.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
-      .union(pairs.select(col("db").as("u"), col("da").as("v")))
-      .distinct().localCheckpoint()
-    var lbl = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
+    import graft.tools.Checkpoints
+    val edges = Checkpoints.local(
+      pairs.select(col("da").as("u"), col("db").as("v"))
+        .union(pairs.select(col("db").as("u"), col("da").as("v")))
+        .distinct())
+    var lbl = Checkpoints.local(edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -154,16 +156,21 @@ object Dedup {
       val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("u"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val shortcut = stepped.as("a")
+      val shortcut = Checkpoints.local(stepped.as("a")
         .join(stepped.as("b"), col("a.label") === col("b.node"), "left")
         .select(col("a.node").as("node"), col("a.prev").as("prev"),
-          coalesce(col("b.label"), col("a.label")).as("label"))
-        .localCheckpoint()
+          coalesce(col("b.label"), col("a.label")).as("label")))
       val changed = shortcut.filter(col("label") =!= col("prev")).count()
+      // the new generation is materialized (count above forced it) — the
+      // superseded label table's storage can go; otherwise every iteration
+      // pins another copy of the label set for the session's lifetime
+      Checkpoints.release(lbl)
       lbl = shortcut.select(col("node"), col("label"))
       converged = changed == 0
       it += 1
     }
+    // edges fed only the loop; the returned plan depends on lbl alone
+    Checkpoints.release(edges)
     lbl.select(col("node"), col("label").as("cluster_id"))
   }
 

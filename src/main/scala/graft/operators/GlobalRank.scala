@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Global 1-based row_number by `order` (must be a total order — include
-    * a unique tiebreaker column). Output column `out` is LONG.
+  /** Global 1-based row_number by `order` plus the total row count — both
+    * from ONE pass over the input. The checkpoint that materializes the
+    * range layout is tracked through [[graft.tools.Checkpoints]]; the
+    * harness sweeps it after the consuming action (the caller-must-release
+    * contract Bench/Verify honor between queries).
     */
-  def rowNumber(df: DataFrame, order: Seq[Column], out: String = "rn",
-                numPartitions: Int = 0): DataFrame = {
+  private def numbered(df: DataFrame, order: Seq[Column], out: String,
+                       numPartitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -36,10 +39,12 @@ object GlobalRank {
     // materialization is the same cost class as the sort itself; a real
     // cluster would persist/checkpoint the sorted layout it is about to
     // number anyway.
-    val parted = df.repartitionByRange(n, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // one row per partition; cumulative offsets computed driver-side
+    val parted = graft.tools.Checkpoints.local(
+      df.repartitionByRange(n, order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // one row per partition; cumulative offsets computed driver-side. The
+    // per-partition counts also carry the total — callers needing n (the
+    // distribution functions) must NOT pay a second full scan for it.
     val counts = parted.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
@@ -47,9 +52,24 @@ object GlobalRank {
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    parted.join(offDf, "__pid")
+    val numbered = parted.join(offDf, "__pid")
       .withColumn(out, row_number().over(w).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
+    (numbered, acc)
+  }
+
+  /** Global 1-based row_number by `order` (must be a total order — include
+    * a unique tiebreaker column). Output column `out` is LONG.
+    */
+  def rowNumber(df: DataFrame, order: Seq[Column], out: String = "rn",
+                numPartitions: Int = 0): DataFrame =
+    numbered(df, order, out, numPartitions)._1
+
+  private def ranked(df: DataFrame, keyOrder: Seq[Column], keys: Seq[Column],
+                     tieBreak: Seq[Column], out: String,
+                     rnOut: String): (DataFrame, Long) = {
+    val (rn, n) = numbered(df, keyOrder ++ tieBreak, rnOut, 0)
+    (rn.withColumn(out, min(col(rnOut)).over(Window.partitionBy(keys: _*))), n)
   }
 
   /** Global SQL `rank()` (ties share a rank): the global row_number over
@@ -61,8 +81,7 @@ object GlobalRank {
   def rank(df: DataFrame, keyOrder: Seq[Column], keys: Seq[Column],
            tieBreak: Seq[Column], out: String = "rk",
            rnOut: String = "rn"): DataFrame =
-    rowNumber(df, keyOrder ++ tieBreak, rnOut)
-      .withColumn(out, min(col(rnOut)).over(Window.partitionBy(keys: _*)))
+    ranked(df, keyOrder, keys, tieBreak, out, rnOut)._1
 
   /** Global distribution functions — ntile(buckets), percent_rank,
     * cume_dist — from the same machinery: the global row number, the tie
@@ -76,14 +95,16 @@ object GlobalRank {
     */
   def distribution(df: DataFrame, keyOrder: Seq[Column], keys: Seq[Column],
                    tieBreak: Seq[Column], buckets: Int): DataFrame = {
-    val n = df.count()
+    // n comes from the per-partition counts `numbered` already collected —
+    // a second df.count() would be a full extra pass over the input
+    val (rk, n) = ranked(df, keyOrder, keys, tieBreak, "rk", "rn")
     val q = n / buckets
     val r = n % buckets
     val ntileExpr =
       if (q == 0) "rn"
       else s"""CASE WHEN rn <= ${r * (q + 1)}L THEN (rn - 1L) div ${q + 1}L + 1L
                ELSE ${r}L + (rn - ${r * (q + 1)}L - 1L) div ${q}L + 1L END"""
-    rank(df, keyOrder, keys, tieBreak)
+    rk
       .withColumn("nt", expr(ntileExpr))
       .withColumn("pr", (col("rk") - 1).cast("double") / lit(n - 1).cast("double"))
       .withColumn("cd",
