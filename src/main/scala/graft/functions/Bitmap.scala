@@ -56,15 +56,30 @@ object Bitmap {
   def bitmapAgg(v: Column, maxBits: Int = 1 << 22): Column =
     udaf(new BitmapAggregator(maxBits)).apply(v)
 
-  import org.apache.spark.sql.functions.{aggregate, bit_count, coalesce, lit, zip_with}
+  import org.apache.spark.sql.functions.{aggregate, bit_count, coalesce, lit, slice, struct, when, zip_with}
 
-  /** ewah_bitmap_and: word-wise intersection (shorter side zero-padded). */
-  def bitmapAnd(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L))))
+  /** Re-canonicalize a word vector: drop trailing zero words, so combined
+    * bitmaps stay hash/group-by comparable with aggregated ones (AND of
+    * disjoint high words would otherwise leave an all-zero tail — same set,
+    * different encoding). One codegen'd aggregate + slice, no UDF.
+    */
+  private def trimmed(r: Column): Column = {
+    val last = aggregate(r,
+      struct(lit(0).as("i"), lit(0).as("n")),
+      (acc, w) => struct(
+        (acc("i") + 1).as("i"),
+        when(w =!= 0L, acc("i") + 1).otherwise(acc("n")).as("n")))("n")
+    slice(r, lit(1), last)
+  }
 
-  /** ewah_bitmap_or: word-wise union. */
-  def bitmapOr(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => coalesce(x, lit(0L)).bitwiseOR(coalesce(y, lit(0L))))
+  /** ewah_bitmap_and: word-wise intersection (shorter side zero-padded),
+    * trimmed back to canonical form. */
+  def bitmapAnd(a: Column, b: Column): Column = trimmed(
+    zip_with(a, b, (x, y) => coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L)))))
+
+  /** ewah_bitmap_or: word-wise union, trimmed back to canonical form. */
+  def bitmapOr(a: Column, b: Column): Column = trimmed(
+    zip_with(a, b, (x, y) => coalesce(x, lit(0L)).bitwiseOR(coalesce(y, lit(0L)))))
 
   /** Cardinality: sum of per-word popcounts. */
   def bitmapCount(a: Column): Column =

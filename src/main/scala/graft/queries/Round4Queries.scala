@@ -175,12 +175,15 @@ object Round4Queries {
       val sh = graft.tools.Tmp.dir("graft_rtrans") + "/cnt.sh"
       java.nio.file.Files.writeString(java.nio.file.Paths.get(sh),
         "#!/bin/sh\nexec awk '{c[$1]++} END {for (k in c) print k\"\\t\"c[k]}'\n")
-      new java.io.File(sh).setExecutable(true)
+      // shipped as a job resource (ADD FILE / distributed-cache parity) —
+      // the USING command resolves the executor-local copy, never a
+      // driver-only absolute path
+      val cmd = graft.tools.Scripts.ship(s, sh)
       // the output ROW FORMAT is explicit: Spark's no-serde TRANSFORM
       // defaults to \u0001 field delimiters, not Hive's script-transform
       // tab convention the awk script emits
       s.sql(s"""SELECT CAST(k AS BIGINT) AS o_custkey, CAST(cnt AS BIGINT) AS cnt
-               FROM (SELECT TRANSFORM(o_custkey) USING '$sh' AS (k STRING, cnt STRING)
+               FROM (SELECT TRANSFORM(o_custkey) USING '$cmd' AS (k STRING, cnt STRING)
                      ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
                      FROM (SELECT o_custkey FROM orders DISTRIBUTE BY o_custkey) t) o""")
     },

@@ -76,12 +76,25 @@ class Round4Spec extends SparkSpec {
     val b = Seq(65L, 1L, 200L).toDF("v").agg(Bitmap.bitmapAgg(col("v"))).collect().head.getSeq[Long](0)
     assert(a == b)
     assert(a.last != 0L)
-    // disjoint-word AND is all-zero words, and bitmapEmpty sees it as empty
+    // disjoint-word AND trims to the canonical EMPTY encoding (no all-zero
+    // tail), so it is empty AND hash-equal to an aggregated empty bitmap
     val z = Seq(1L).toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("x"))
       .crossJoin(Seq(300L).toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("y")))
-      .select(Bitmap.bitmapEmpty(Bitmap.bitmapAnd(col("x"), col("y"))))
-      .collect().head.getBoolean(0)
-    assert(z)
+      .select(Bitmap.bitmapEmpty(Bitmap.bitmapAnd(col("x"), col("y"))).as("e"),
+        Bitmap.bitmapAnd(col("x"), col("y")).as("w"))
+      .collect().head
+    assert(z.getBoolean(0))
+    assert(z.getSeq[Long](1).isEmpty)
+    // AND/OR of equal sets reproduce the aggregated encoding word-for-word
+    val sets = Seq(1L, 65L, 200L)
+    val agg = sets.toDF("v").agg(Bitmap.bitmapAgg(col("v"))).collect().head.getSeq[Long](0)
+    val both = sets.toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("x"))
+      .crossJoin(sets.toDF("v").agg(Bitmap.bitmapAgg(col("v")).as("y")))
+      .select(Bitmap.bitmapAnd(col("x"), col("y")).as("a"),
+        Bitmap.bitmapOr(col("x"), col("y")).as("o"))
+      .collect().head
+    assert(both.getSeq[Long](0) == agg)
+    assert(both.getSeq[Long](1) == agg)
   }
 
   test("bitmap aggregate rejects out-of-range inputs") {
