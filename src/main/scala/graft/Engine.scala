@@ -60,6 +60,46 @@ object Engine {
     spark
   }
 
+  /** CREATE/DROP [TEMPORARY] FUNCTION DDL surface — the reference's
+    * FunctionSemanticAnalyzer + FunctionTask: a statement names an
+    * implementing class, the task resolves the class to a function builder
+    * and registers it under the statement's name. The class catalog maps
+    * BOTH this engine's expression classes and the reference's Hive UDF
+    * class names (what a migrating user's scripts actually contain) onto
+    * the same Catalyst builders, so `CREATE TEMPORARY FUNCTION f AS
+    * 'org.apache.hadoop.hive.ql.udf.generic.GenericUDFField'` just works.
+    * Statements with an unknown class fall through to Spark's native
+    * parser (which handles UDF1..22 classes and USING JAR).
+    */
+  private val functionClasses: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression] = Map(
+    "graft.functions.FieldExpr" -> (exprs => FieldExpr(exprs)),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFField" -> (exprs => FieldExpr(exprs)),
+    "graft.functions.ParseUrlTuple" -> (exprs => graft.functions.ParseUrlTuple(exprs)),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFParseUrlTuple" -> (exprs => graft.functions.ParseUrlTuple(exprs)),
+    "graft.functions.InFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))),
+    "org.apache.hadoop.hive.ql.udf.UDFInFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))))
+
+  private val createFunRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
+  private val dropFunRe =
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+
+  /** Run one statement, intercepting function DDL (result: empty frame,
+    * like a DDL command). Everything else goes to Spark SQL unchanged.
+    */
+  def ddl(spark: SparkSession, stmt: String): org.apache.spark.sql.DataFrame =
+    stmt match {
+      case createFunRe(name, cls) if functionClasses.contains(cls) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name.split('.').last, functionClasses(cls), "scala_udf")
+        spark.emptyDataFrame
+      case dropFunRe(name) =>
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name.split('.').last))
+        spark.emptyDataFrame
+      case _ => spark.sql(stmt)
+    }
+
   // one registration per (session, dataDir); avoids 10 schema reads per query
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
@@ -84,6 +124,8 @@ object Engine {
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataDir/$n.parquet")))
       Tables.views(spark, dataDir, present: _*)
     }
-    spark.sql(query)
+    // function DDL is part of the drop-in surface: a migrating user's
+    // script may open with CREATE TEMPORARY FUNCTION lines
+    ddl(spark, query)
   }
 }

@@ -26,18 +26,32 @@ object ExportImport {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
-  /** EXPORT: snapshot `df` into `dir` (data/ + _metadata). */
-  def exportTable(df: DataFrame, dir: String): Unit = {
+  /** EXPORT: snapshot `df` into `dir` (data/ + _metadata). With
+    * `partitionBy`, the snapshot keeps the Hive partition-directory layout
+    * (`p=v/part-*.parquet`) and the descriptor records the partition
+    * columns — ExportSemanticAnalyzer exports per-partition subdirs plus
+    * the partition spec, so a partitioned table survives the round trip
+    * WITH its layout (import stays pruning-capable, no rewrite).
+    */
+  def exportTable(df: DataFrame, dir: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    df.write.mode("overwrite").parquet(dir + "/data")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir + "/data")
     val meta =
-      s"""{"format":"parquet","schema_ddl":${ujsonStr(df.schema.toDDL)}}"""
+      s"""{"format":"parquet","schema_ddl":${ujsonStr(df.schema.toDDL)},"partitions":${ujsonStr(partitionBy.mkString(","))}}"""
     val out = fs(spark, dir).create(new Path(dir, "_metadata"), true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
   /** IMPORT: recreate the exported table as catalog table `table` at
-    * `location`, byte-copying the exported data files.
+    * `location`, byte-copying the exported data files. Partitioned exports
+    * are copied subtree-by-subtree (the `p=v` dirs ARE the layout), the
+    * table is created `PARTITIONED BY` the descriptor's columns, and the
+    * partitions are recovered from the directory names (MSCK REPAIR) — so
+    * a filter on a partition column prunes directories exactly as it did
+    * on the source table.
     */
   def importTable(spark: SparkSession, dir: String, table: String,
                   location: String): DataFrame = {
@@ -49,16 +63,25 @@ object ExportImport {
     }
     val ddl = metaField(meta, "schema_ddl")
     val schema = StructType.fromDDL(ddl)
-    // byte copy of the data files (CopyTask semantics — no rewrite)
+    val parts = metaField(meta, "partitions", required = false)
+      .split(",").filter(_.nonEmpty).toSeq
+    // byte copy of the data files (CopyTask semantics — no rewrite):
+    // partition dirs copy recursively, preserving the layout
     val target = new Path(location)
     f.mkdirs(target)
     f.listStatus(new Path(dir, "data"))
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
       .foreach { st =>
         FileUtil.copy(f, st.getPath, f, new Path(target, st.getPath.getName),
           false, spark.sparkContext.hadoopConfiguration)
       }
-    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet LOCATION '$location'")
+    val partClause =
+      if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (", ", ", ")")
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet$partClause LOCATION '$location'")
+    if (parts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     spark.table(table)
   }
 
@@ -72,12 +95,14 @@ object ExportImport {
     case c => c.toString
   } + "\""
 
-  private def metaField(json: String, key: String): String = {
+  private def metaField(json: String, key: String,
+                        required: Boolean = true): String = {
     val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
     m.findFirstMatchIn(json) match {
       case Some(g) => g.group(1)
         .replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
-      case None => sys.error(s"_metadata missing $key")
+      case None if required => sys.error(s"_metadata missing $key")
+      case None => ""
     }
   }
 }

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{Engine, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{round => _, _}
+
+/** Round-5 sweep: partitioned EXPORT/IMPORT, the CREATE FUNCTION SQL
+  * surface, and real (byte-parsed) multimodal metadata decode.
+  */
+object Round5Queries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- partitioned EXPORT/IMPORT (ExportSemanticAnalyzer exports
+    //      per-partition subdirs + partition spec; import must stay
+    //      pruning-capable). The imported table is read back WITH a
+    //      partition filter — directory pruning, not a full scan. ----
+    Q("a07_export_import_part", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_export_part")
+      val src = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      graft.operators.ExportImport.exportTable(src, base + "/exp",
+        partitionBy = Seq("o_orderstatus"))
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.imported_ord_part")
+      graft.operators.ExportImport.importTable(
+        s, base + "/exp", "graft_tmp.imported_ord_part", base + "/tbl")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             FROM orders WHERE o_orderkey < 2000 AND o_orderstatus = 'F'""")),
+
+    // ---- CREATE TEMPORARY FUNCTION ... AS '<class>' (the reference's
+    //      FunctionSemanticAnalyzer + FunctionTask): the function is
+    //      registered FROM SQL TEXT by its Hive class name — the statement
+    //      a migrating user's script actually contains — then used in a
+    //      query under its new name. ----
+    Q("q128_create_function_sql", (s, d) => {
+      Engine.ddl(s, "DROP TEMPORARY FUNCTION IF EXISTS my_field")
+      Engine.ddl(s,
+        "CREATE TEMPORARY FUNCTION my_field AS 'org.apache.hadoop.hive.ql.udf.generic.GenericUDFField'")
+      Engine.sql(s, d,
+        """SELECT o_orderkey,
+           CAST(my_field(o_orderstatus, 'O', 'F', 'P') AS BIGINT) AS f
+           FROM orders WHERE o_orderkey < 200""")
+    },
+      Some("""SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3
+                  ELSE 0 END AS f
+             FROM orders WHERE o_orderkey < 200"""))
+  )
+}
