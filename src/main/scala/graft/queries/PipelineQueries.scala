@@ -266,13 +266,23 @@ object PipelineQueries {
                ON o_custkey = c_custkey
              GROUP BY o_orderstatus""")),
 
-    // ---- multimodal binary plumbing + stubbed featurize (rows-only) ----
+    // ---- multimodal decode, now REAL byte parsing: synthesize valid
+    //      PNG/JPEG headers per doc (dims a closed form of doc_id), then
+    //      decode them by walking the actual container structure (PNG
+    //      chunks → IHDR, JPEG marker segments → SOF0). The oracle is the
+    //      closed form — a parser bug (endianness, offset, segment skip)
+    //      breaks the hash match. The stub featurizer stays spec-gated. ----
     Q("m01_multimodal", (s, d) => {
-      val media = Multimodal.asMedia(t(s, d, "documents"))
-      Multimodal.featurize(s, media).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("dim").cast("long").as("dim"),
-          col("checksum"))
+      val media = Multimodal.synthImage(s, t(s, d, "documents"))
+      Multimodal.decodeImageMeta(s, media).toDF()
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_bytes"))
     },
-      None)
+      Some("""SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+             CAST(16 + doc_id % 640 AS BIGINT) AS width,
+             CAST(16 + (doc_id * 7) % 480 AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END AS BIGINT) AS n_bytes
+             FROM documents"""))
   )
 }

@@ -40,6 +40,34 @@ class Round5Spec extends SparkSpec {
     assert(persistentCount == base)
   }
 
+  test("image header parser walks real container structure") {
+    import graft.operators.Multimodal
+    // synthesized payloads round-trip
+    assert(Multimodal.parseImage(Multimodal.synthPayload(42L)) ==
+      Some(("image/png", 16 + 42, 16 + (42 * 7) % 480)))
+    assert(Multimodal.parseImage(Multimodal.synthPayload(43L)) ==
+      Some(("image/jpeg", 16 + 43, 16 + (43 * 7) % 480)))
+    // JPEG whose SOF sits behind EXTRA segments (APP1 + COM) — the parser
+    // must skip by each segment's declared length, not assume an offset
+    val app1 = Array(0xFF, 0xE1, 0x00, 0x06, 1, 2, 3, 4).map(_.toByte)
+    val com = Array(0xFF, 0xFE, 0x00, 0x04, 7, 7).map(_.toByte)
+    val base = Multimodal.synthPayload(43L)
+    val shifted = base.take(2) ++ app1 ++ com ++ base.drop(2)
+    assert(Multimodal.parseImage(shifted) ==
+      Some(("image/jpeg", 16 + 43, 16 + (43 * 7) % 480)))
+    // PNG with an ancillary chunk before IHDR still resolves via chunk walk
+    val png = Multimodal.synthPayload(42L)
+    val junkChunk = Array[Byte](0, 0, 0, 2) ++ "tEXt".getBytes ++
+      Array[Byte](9, 9) ++ Array[Byte](0, 0, 0, 0)
+    val pngShifted = png.take(8) ++ junkChunk ++ png.drop(8)
+    assert(Multimodal.parseImage(pngShifted) ==
+      Some(("image/png", 16 + 42, 16 + (42 * 7) % 480)))
+    // garbage and truncation degrade to None, not a crash
+    assert(Multimodal.parseImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseImage(png.take(10)).isEmpty)
+    assert(Multimodal.parseImage(Array.empty[Byte]).isEmpty)
+  }
+
   test("distribution derives n from the checkpoint — no second input scan") {
     val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val d = GlobalRank.distribution(c, Seq(col("c_acctbal").desc),
