@@ -9,6 +9,11 @@ import scala.jdk.CollectionConverters._
   * result (columns sorted by name, rows sorted, %.6g doubles, NULL
   * spelled out) is diffed against NAME.out. Regenerate with
   * GOLDEN_REGEN=1 sbt test.
+  *
+  * Like a .q file, a script may hold MULTIPLE statements separated by a
+  * line-ending semicolon (DROP/CREATE/multi-INSERT/...); the LAST
+  * statement's result is the golden. Statements run through Engine.ddl so
+  * the CREATE FUNCTION surface is available to scripts too.
   */
 class GoldenSpec extends SparkSpec {
 
@@ -43,7 +48,9 @@ class GoldenSpec extends SparkSpec {
       val name = sqlPath.getFileName.toString.stripSuffix(".sql")
       test(s"golden $name") {
         ready
-        val got = canonicalize(spark.sql(Files.readString(sqlPath)))
+        val stmts = Files.readString(sqlPath)
+          .split(";\\s*(\\n|$)").map(_.trim).filter(_.nonEmpty)
+        val got = canonicalize(stmts.map(Engine.ddl(spark, _)).last)
         val outPath = sqlPath.resolveSibling(s"$name.out")
         if (sys.env.contains("GOLDEN_REGEN")) {
           Files.writeString(outPath, got)
