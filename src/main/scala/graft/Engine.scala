@@ -128,4 +128,18 @@ object Engine {
     // script may open with CREATE TEMPORARY FUNCTION lines
     ddl(spark, query)
   }
+
+  /** Run a multi-statement script (statements separated by a line-ending
+    * semicolon, .q-file style) and return the LAST statement's result —
+    * the CliDriver per-statement loop. Semicolons inside one-line string
+    * literals are safe (the split needs end-of-line); multi-line literals
+    * containing `;\n` are not supported, matching CliDriver's own
+    * line-based splitting.
+    */
+  def script(spark: SparkSession, dataDir: String,
+             text: String): org.apache.spark.sql.DataFrame = {
+    val stmts = text.split(";\\s*(\\n|$)").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql(spark, dataDir, _)).last
+  }
 }

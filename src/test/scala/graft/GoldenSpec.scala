@@ -48,9 +48,10 @@ class GoldenSpec extends SparkSpec {
       val name = sqlPath.getFileName.toString.stripSuffix(".sql")
       test(s"golden $name") {
         ready
-        val stmts = Files.readString(sqlPath)
-          .split(";\\s*(\\n|$)").map(_.trim).filter(_.nonEmpty)
-        val got = canonicalize(stmts.map(Engine.ddl(spark, _)).last)
+        // the product-surface script runner (Engine.script → Engine.ddl →
+        // spark.sql), so goldens exercise the same path a migrating user's
+        // .q scripts take
+        val got = canonicalize(Engine.script(spark, sf, Files.readString(sqlPath)))
         val outPath = sqlPath.resolveSibling(s"$name.out")
         if (sys.env.contains("GOLDEN_REGEN")) {
           Files.writeString(outPath, got)

@@ -40,6 +40,27 @@ class Round5Spec extends SparkSpec {
     assert(persistentCount == base)
   }
 
+  test("partitioned export/import keeps layout and prunes on read") {
+    import graft.operators.ExportImport
+    val base = tools.Tmp.dir("exp_part_spec")
+    val src = Tables.t(spark, sf, "orders").filter(col("o_orderkey") < 500)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ExportImport.exportTable(src, base + "/exp", partitionBy = Seq("o_orderstatus"))
+    // the snapshot holds the Hive partition-directory layout
+    assert(new java.io.File(base + "/exp/data/o_orderstatus=O").isDirectory)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.exp_part_spec_t")
+    val back = ExportImport.importTable(
+      spark, base + "/exp", "graft_tmp.exp_part_spec_t", base + "/tbl")
+    val pruned = back.filter(col("o_orderstatus") === "O")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), plan)
+    assert(pruned.select("o_orderkey").except(
+      src.filter(col("o_orderstatus") === "O").select("o_orderkey")).isEmpty)
+    assert(back.count() == src.count())
+  }
+
   test("image header parser walks real container structure") {
     import graft.operators.Multimodal
     // synthesized payloads round-trip
