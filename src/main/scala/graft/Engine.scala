@@ -83,6 +83,46 @@ object Engine {
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
   private val dropFunRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val loadDataRe =
+    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
+
+  /** LOAD DATA INPATH — LoadSemanticAnalyzer + MoveTask parity: files move
+    * into the table's (or partition's) directory byte-for-byte, no rewrite
+    * and no validation, then the table is refreshed (and partitions
+    * recovered when a PARTITION spec names the target subdir). Spark's
+    * native LOAD DATA only serves Hive-catalog tables; this serves the
+    * engine's own parquet tables through the same statement text.
+    */
+  private def loadData(spark: SparkSession, inpath: String, overwrite: Boolean,
+                       table: String, partSpec: Option[String]): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val tableLoc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val dst = partSpec match {
+      case Some(spec) =>
+        val sub = spec.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+        }.mkString("/")
+        new Path(tableLoc, sub)
+      case None => tableLoc
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(inpath).getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    dstFs.mkdirs(dst)
+    if (overwrite)
+      dstFs.listStatus(dst).filter(_.isFile).foreach(st => dstFs.delete(st.getPath, false))
+    val src = new Path(inpath)
+    val files =
+      if (srcFs.getFileStatus(src).isDirectory)
+        srcFs.listStatus(src).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(_.getPath)
+      else Array(src)
+    files.foreach(f => FileUtil.copy(srcFs, f, dstFs, new Path(dst, f.getName), false, conf))
+    if (partSpec.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"REFRESH TABLE $table")
+  }
 
   /** Run one statement, intercepting function DDL (result: empty frame,
     * like a DDL command). Everything else goes to Spark SQL unchanged.
@@ -96,6 +136,9 @@ object Engine {
       case dropFunRe(name) =>
         spark.sessionState.functionRegistry.dropFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name.split('.').last))
+        spark.emptyDataFrame
+      case loadDataRe(inpath, over, table, part) =>
+        loadData(spark, inpath, over != null, table, Option(part))
         spark.emptyDataFrame
       case _ => spark.sql(stmt)
     }

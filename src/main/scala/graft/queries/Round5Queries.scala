@@ -49,6 +49,26 @@ object Round5Queries {
       Some("""SELECT o_orderkey,
              CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3
                   ELSE 0 END AS f
-             FROM orders WHERE o_orderkey < 200"""))
+             FROM orders WHERE o_orderkey < 200""")),
+
+    // ---- LOAD DATA INPATH (LoadSemanticAnalyzer + MoveTask): files land
+    //      in the table directory byte-for-byte, no rewrite — the
+    //      statement text a Hive user's ingest scripts contain, served for
+    //      this engine's own parquet tables. ----
+    Q("q129_load_data", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_load")
+      val src = t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      src.write.mode("overwrite").parquet(base + "/staging")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.loaded_sup")
+      s.sql(s"""CREATE TABLE graft_tmp.loaded_sup
+               (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE)
+               USING parquet LOCATION '$base/tbl'""")
+      Engine.ddl(s, s"LOAD DATA INPATH '$base/staging' INTO TABLE graft_tmp.loaded_sup")
+      s.table("graft_tmp.loaded_sup")
+    },
+      Some("""SELECT s_suppkey, s_name, s_acctbal
+             FROM supplier WHERE s_suppkey < 50"""))
   )
 }

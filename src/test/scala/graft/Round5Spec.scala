@@ -40,6 +40,43 @@ class Round5Spec extends SparkSpec {
     assert(persistentCount == base)
   }
 
+  test("LOAD DATA moves bytes, honors OVERWRITE and PARTITION specs") {
+    val base = tools.Tmp.dir("load_spec")
+    val src = Tables.t(spark, sf, "nation").select("n_nationkey", "n_name")
+    src.filter(col("n_nationkey") < 10).write.parquet(base + "/s1")
+    src.filter(col("n_nationkey") >= 10).write.parquet(base + "/s2")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.load_spec_t")
+    spark.sql(s"""CREATE TABLE graft_tmp.load_spec_t (n_nationkey BIGINT, n_name STRING)
+                 USING parquet LOCATION '$base/tbl'""")
+    Engine.ddl(spark, s"LOAD DATA INPATH '$base/s1' INTO TABLE graft_tmp.load_spec_t")
+    Engine.ddl(spark, s"LOAD DATA INPATH '$base/s2' INTO TABLE graft_tmp.load_spec_t")
+    assert(spark.table("graft_tmp.load_spec_t").count() == src.count())
+    // plain INTO appends; OVERWRITE replaces the directory's files
+    Engine.ddl(spark,
+      s"LOAD DATA INPATH '$base/s1' OVERWRITE INTO TABLE graft_tmp.load_spec_t")
+    assert(spark.table("graft_tmp.load_spec_t").count() ==
+      src.filter(col("n_nationkey") < 10).count())
+    // byte move, not a rewrite: same file names+sizes as the staged input
+    val staged = new java.io.File(base + "/s1").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length)).toSet
+    val landed = new java.io.File(base + "/tbl").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length)).toSet
+    assert(landed == staged)
+    // PARTITION spec routes into the partition subdir and registers it
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.load_spec_p")
+    spark.sql(s"""CREATE TABLE graft_tmp.load_spec_p
+                 (n_nationkey BIGINT, n_name STRING, side STRING)
+                 USING parquet PARTITIONED BY (side) LOCATION '$base/ptbl'""")
+    Engine.ddl(spark,
+      s"LOAD DATA INPATH '$base/s2' INTO TABLE graft_tmp.load_spec_p PARTITION (side = 'hi')")
+    val part = spark.table("graft_tmp.load_spec_p").filter(col("side") === "hi")
+    assert(part.count() == src.filter(col("n_nationkey") >= 10).count())
+    assert(new java.io.File(base + "/ptbl/side=hi").isDirectory)
+  }
+
   test("partitioned export/import keeps layout and prunes on read") {
     import graft.operators.ExportImport
     val base = tools.Tmp.dir("exp_part_spec")
