@@ -53,6 +53,8 @@ object Engine {
       "parse_url_tuple", exprs => graft.functions.ParseUrlTuple(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "in_file", exprs => graft.functions.InFile(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => graft.functions.CosineSim(exprs(0), exprs(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =

@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{round => _, _}
 import graft.queries.Fns.round
 
-/** Embedding similarity search over an `Array[Float]` column, expressed
-  * with higher-order array functions (zip_with/aggregate) so the dot
-  * products run inside codegen'd expressions — no UDF, no collect.
+/** Embedding similarity search over an `Array[Float]` column. The cosine
+  * kernel is a fused custom Catalyst expression with doGenCode
+  * (functions/CosineSim.scala) — one loop, no intermediate arrays — and
+  * the integer dot for quantized candidates stays a codegen'd
+  * zip_with/aggregate; no UDF, no collect anywhere.
   *
   * Scale design (100 TB / billions of vectors):
   *  - brute force is the exact baseline: broadcast the (small) query set,
@@ -21,14 +23,19 @@ import graft.queries.Fns.round
   */
 object Similarity {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-  private def norm(a: String) =
-    sqrt(expr(s"aggregate($a, 0D, (acc, v) -> acc + v * v)"))
-
-  /** Cosine similarity between two array<double> columns (by name). */
+  /** Cosine similarity between two array<double> columns (by name):
+    * the fused single-loop Catalyst expression (functions/CosineSim.scala)
+    * — same accumulation order and null/zero-norm semantics as the
+    * previous aggregate(zip_with(...)) composition, minus one intermediate
+    * array allocation and three extra traversals per row pair. Resolved
+    * through the session registry ("cosine_sim", Engine.install —
+    * idempotent, every public entry point below installs first).
+    */
   def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    dot(a, b) / (norm(a) * norm(b))
+    call_function("cosine_sim", col(a), col(b))
+
+  private def installed(df: DataFrame): Unit =
+    graft.Engine.install(df.sparkSession)
 
   /** Cast to double once; all math in f64 for oracle-stable results. */
   def prep(emb: DataFrame): DataFrame =
@@ -36,10 +43,11 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for the given query vectors. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    installed(emb)
     val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
       .crossJoin(emb)
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("sim", cosine("q_emb", "emb"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -50,12 +58,13 @@ object Similarity {
   /** IVF-style ANN: cluster by nearest centroid, probe nProbe clusters. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int = 2): DataFrame = {
+    installed(emb)
     val cent = broadcast(centroids.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
 
     def nearestClusters(vecs: DataFrame, idCol: String, vecCol: String, top: Int) = {
       val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("c_id").asc)
       vecs.crossJoin(cent)
-        .withColumn("csim", dot(vecCol, "c_emb") / (norm(vecCol) * norm("c_emb")))
+        .withColumn("csim", cosine(vecCol, "c_emb"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= top)
     }
@@ -72,7 +81,7 @@ object Similarity {
 
     val cand = broadcast(probes).join(assigned, "cluster_id")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("sim", cosine("q_emb", "emb"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -98,6 +107,7 @@ object Similarity {
     * cancels in the next assignment.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    installed(emb)
     val spark = emb.sparkSession
     import spark.implicits._
     var cent: DataFrame = emb.orderBy("vec_id").limit(k)
@@ -105,7 +115,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
       val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+        .withColumn("csim", cosine("emb", "c_emb"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1)
         .select(col("c_id").as("cluster_id"), col("emb"))
@@ -137,6 +147,7 @@ object Similarity {
     */
   def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int,
                     candFactor: Int = 4): DataFrame = {
+    installed(emb)
     def quantize(df: DataFrame, pfx: String) = df
       .withColumn(s"${pfx}mx", array_max(transform(col(s"${pfx}emb"), x => abs(x))))
       .withColumn(s"${pfx}qv", transform(col(s"${pfx}emb"),
@@ -155,7 +166,7 @@ object Similarity {
       .filter(col("crn") <= k * candFactor)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     cand
-      .withColumn("sim", dot("q_emb", "emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("sim", cosine("q_emb", "emb"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -171,10 +182,11 @@ object Similarity {
     */
   def neardupIVF(emb: DataFrame, centroids: DataFrame, minSim: Double,
                  nProbe: Int = 2): DataFrame = {
+    installed(emb)
     val cent = broadcast(centroids.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
     val assigned = emb.crossJoin(cent)
-      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+      .withColumn("csim", cosine("emb", "c_emb"))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nProbe)
       .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id"))
@@ -185,7 +197,7 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("a.emb").as("a_emb"),
         col("b.vec_id").as("vb"), col("b.emb").as("b_emb"))
       .dropDuplicates("va", "vb")
-      .withColumn("sim", dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
+      .withColumn("sim", cosine("a_emb", "b_emb"))
       .filter(col("sim") >= minSim)
       .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
   }

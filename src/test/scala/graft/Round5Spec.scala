@@ -40,6 +40,40 @@ class Round5Spec extends SparkSpec {
     assert(persistentCount == base)
   }
 
+  test("fused cosine_sim equals the composed form bit-for-bit, codegen path") {
+    Engine.install(spark)
+    val e = graft.operators.Similarity.prep(Tables.t(spark, sf, "embeddings"))
+    e.createOrReplaceTempView("cos_spec_e")
+    // force doGenCode (no interpreted fallback) for the assertion
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // same accumulation order → exact equality, not approximate
+      val diff = spark.sql(
+        """SELECT a.vec_id, b.vec_id,
+             cosine_sim(a.emb, b.emb) AS fused,
+             aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+               / (sqrt(aggregate(a.emb, 0D, (acc, v) -> acc + v * v))
+                  * sqrt(aggregate(b.emb, 0D, (acc, v) -> acc + v * v))) AS composed
+           FROM cos_spec_e a JOIN cos_spec_e b
+             ON a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id""")
+        .filter(col("fused") =!= col("composed")).count()
+      assert(diff == 0)
+      // null semantics: null array, null element, length mismatch, zero norm
+      val edge = spark.sql(
+        """SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS a,
+                  cosine_sim(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D)) AS b,
+                  cosine_sim(array(1D), array(1D, 2D)) AS c,
+                  cosine_sim(array(0D, 0D), array(1D, 2D)) AS d,
+                  cosine_sim(array(3D, 4D), array(3D, 4D)) AS e""").collect().head
+      assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2) && edge.isNullAt(3))
+      assert(math.abs(edge.getDouble(4) - 1.0) < 1e-12)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("LOAD DATA moves bytes, honors OVERWRITE and PARTITION specs") {
     val base = tools.Tmp.dir("load_spec")
     val src = Tables.t(spark, sf, "nation").select("n_nationkey", "n_name")
