@@ -37,21 +37,25 @@ object Acid {
 
   /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
     *
-    * WHEN MATCHED THEN UPDATE: every `setFromSource` column is overwritten
-    * with the source row's value. WHEN NOT MATCHED THEN INSERT: source rows
-    * with no target match append as new files (source must carry the
-    * target's schema). Matched-row files are found the same way
-    * updateWhere finds them — a key semi-join collects FILE PATHS only —
-    * and only those files are rewritten.
+    * WHEN MATCHED [AND deleteMatched] THEN DELETE: matched target rows
+    * satisfying the predicate (evaluated over the TARGET row's columns)
+    * are dropped. WHEN MATCHED THEN UPDATE: every other matched row has
+    * each `setFromSource` column overwritten with the source row's value.
+    * WHEN NOT MATCHED THEN INSERT: source rows with no target match append
+    * as new files (source must carry the target's schema). Matched-row
+    * files are found the same way updateWhere finds them — a key semi-join
+    * collects FILE PATHS only — and only those files are rewritten.
     *
-    * Reference semantics: MERGE is the reference's UPDATE+INSERT rewrite
-    * (parse/UpdateDeleteSemanticAnalyzer.java) fused over one source scan.
-    * Requires source keys to be unique (standard MERGE precondition;
-    * duplicate source keys make the update non-deterministic).
+    * Reference semantics: the full three-branch MERGE rewrite
+    * (parse/UpdateDeleteSemanticAnalyzer.java handles UPDATE/DELETE/INSERT
+    * branches) fused over one source scan. Requires source keys to be
+    * unique (standard MERGE precondition; duplicate source keys make the
+    * update non-deterministic).
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
                 keys: Seq[String], setFromSource: Seq[String],
-                insertNotMatched: Boolean = true): Unit = {
+                insertNotMatched: Boolean = true,
+                deleteMatched: Option[Column] = None): Unit = {
     val df = spark.read.parquet(path)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -60,6 +64,19 @@ object Acid {
 
     val affected = withFile.join(srcKeyed, joinCond, "left_semi")
       .select(FILE).distinct().collect().map(_.getString(0))
+
+    // INSERT branch first, anti-joined against the PRE-merge key snapshot
+    // (`df`'s file index is fixed at construction): every source row takes
+    // exactly ONE branch — a matched row the delete predicate removes must
+    // NOT come back through the not-matched insert. The appended files are
+    // not in `affected`, so the rewrite below never touches them.
+    if (insertNotMatched) {
+      val existingKeys = df.select(keys.map(col): _*)
+      val inserts = srcKeyed.join(existingKeys,
+        keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
+      // append lands new part- files; existing files untouched
+      inserts.write.mode("append").parquet(path)
+    }
 
     if (affected.nonEmpty) {
       val survivors = withFile.filter(col(FILE).isin(affected.toSeq: _*))
@@ -70,21 +87,21 @@ object Acid {
           setFromSource.map(c => col(c).as(s"__src_$c")) :+
           lit(true).as("__src_matched"): _*)
       val cond = keys.map(k => survivors(k) <=> src(s"__src_$k")).reduce(_ && _)
-      val merged = survivors.join(src, cond, "left")
+      val joined = survivors.join(src, cond, "left")
+      // DELETE branch before the update projection (SQL MERGE branch
+      // order: a row taken by the delete predicate is never updated)
+      val kept = deleteMatched match {
+        case Some(d) => joined.filter(
+          !(coalesce(src("__src_matched"), lit(false)) && coalesce(d, lit(false))))
+        case None => joined
+      }
+      val merged = kept
         .select(cols.map { c =>
           (if (setFromSource.contains(c))
              when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
            else survivors(c)).as(c)
         }: _*)
       swapIn(spark, path, affected, merged)
-    }
-
-    if (insertNotMatched) {
-      val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
-      val inserts = srcKeyed.join(existingKeys,
-        keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
-      // append lands new part- files; existing files untouched
-      inserts.write.mode("append").parquet(path)
     }
   }
 

@@ -69,6 +69,38 @@ object Round5Queries {
       s.table("graft_tmp.loaded_sup")
     },
       Some("""SELECT s_suppkey, s_name, s_acctbal
-             FROM supplier WHERE s_suppkey < 50"""))
+             FROM supplier WHERE s_suppkey < 50""")),
+
+    // ---- three-branch MERGE: WHEN MATCHED AND <cond> THEN DELETE,
+    //      WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — the
+    //      full UpdateDeleteSemanticAnalyzer branch set in one CoW pass.
+    //      Matched keys < 100 with status 'F' are deleted, other matched
+    //      keys get priority overwritten, new keys append. ----
+    Q("a08_merge_delete", (s, d) => {
+      val tbl = graft.tools.Tmp.dir("graft_acid_md") + "/orders"
+      t(s, d, "orders").repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      val updates = t(s, d, "orders").filter(col("o_orderkey") < 300)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+      val inserts = t(s, d, "orders").filter(col("o_orderkey") < 40)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      graft.operators.Acid.mergeInto(s, tbl, updates.unionByName(inserts),
+        keys = Seq("o_orderkey"), setFromSource = Seq("o_orderpriority"),
+        deleteMatched = Some(col("o_orderkey") < 100 && col("o_orderstatus") === "F"))
+      s.read.parquet(tbl).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    },
+      Some("""WITH merged AS (
+               SELECT o_orderkey,
+                 CASE WHEN o_orderkey < 300 THEN '9-MERGED'
+                      ELSE o_orderpriority END AS o_orderpriority
+               FROM orders
+               WHERE NOT (o_orderkey < 300 AND o_orderkey < 100 AND o_orderstatus = 'F')
+               UNION ALL
+               SELECT o_orderkey + 10000000, o_orderpriority
+               FROM orders WHERE o_orderkey < 40)
+             SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             FROM merged GROUP BY o_orderpriority"""))
   )
 }

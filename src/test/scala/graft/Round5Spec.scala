@@ -40,6 +40,23 @@ class Round5Spec extends SparkSpec {
     assert(persistentCount == base)
   }
 
+  test("MERGE delete branch: each source row takes exactly one branch") {
+    import spark.implicits._
+    val tbl = tools.Tmp.dir("merge_del_spec") + "/t"
+    Seq((1L, "F", "x"), (2L, "O", "x"), (3L, "F", "x"), (150L, "F", "x"))
+      .toDF("k", "st", "pr").repartition(2).write.parquet(tbl)
+    val src = Seq((1L, "F", "NEW"), (2L, "O", "NEW"), (3L, "F", "NEW"),
+      (150L, "F", "NEW"), (999L, "O", "NEW")).toDF("k", "st", "pr")
+    graft.operators.Acid.mergeInto(spark, tbl, src,
+      keys = Seq("k"), setFromSource = Seq("pr"),
+      deleteMatched = Some(col("k") < 100 && col("st") === "F"))
+    val got = spark.read.parquet(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    // 1 and 3 are MATCHED + delete-predicate rows: they must be deleted,
+    // and must NOT re-enter through the not-matched insert branch
+    assert(got.toSeq == Seq((2L, "NEW"), (150L, "NEW"), (999L, "NEW")))
+  }
+
   test("fused cosine_sim equals the composed form bit-for-bit, codegen path") {
     Engine.install(spark)
     val e = graft.operators.Similarity.prep(Tables.t(spark, sf, "embeddings"))
