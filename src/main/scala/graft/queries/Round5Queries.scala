@@ -101,6 +101,37 @@ object Round5Queries {
                FROM orders WHERE o_orderkey < 40)
              SELECT o_orderpriority, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-             FROM merged GROUP BY o_orderpriority"""))
+             FROM merged GROUP BY o_orderpriority""")),
+
+    // ---- UPDATE / DELETE as SQL TEXT (UpdateDeleteSemanticAnalyzer):
+    //      the statements a reference user's scripts contain, parsed by
+    //      Engine.ddl and routed onto the copy-on-write engine — Spark's
+    //      own parser rejects row-level DML on parquet tables. ----
+    Q("a09_dml_sql", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_dml_sql")
+      t(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .repartitionByRange(4, col("c_custkey"))
+        .write.mode("overwrite").parquet(base + "/tbl")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.dml_cust")
+      s.sql(s"""CREATE TABLE graft_tmp.dml_cust
+               (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING)
+               USING parquet LOCATION '${base + "/tbl"}'""")
+      Engine.ddl(s,
+        """UPDATE graft_tmp.dml_cust
+           SET c_acctbal = round(c_acctbal * 1.1 * 100) / 100, c_mktsegment = upper(c_mktsegment)
+           WHERE c_nationkey < 10""")
+      Engine.ddl(s, "DELETE FROM graft_tmp.dml_cust WHERE c_acctbal < 0")
+      s.table("graft_tmp.dml_cust")
+    },
+      Some("""SELECT c_custkey, c_nationkey,
+             CASE WHEN c_nationkey < 10 THEN round(c_acctbal * 1.1 * 100) / 100
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_nationkey < 10 THEN upper(c_mktsegment)
+                  ELSE c_mktsegment END AS c_mktsegment
+             FROM customer
+             WHERE NOT (CASE WHEN c_nationkey < 10 THEN round(c_acctbal * 1.1 * 100) / 100
+                             ELSE c_acctbal END < 0)"""))
   )
 }
