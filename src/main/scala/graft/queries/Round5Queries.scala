@@ -132,6 +132,42 @@ object Round5Queries {
                   ELSE c_mktsegment END AS c_mktsegment
              FROM customer
              WHERE NOT (CASE WHEN c_nationkey < 10 THEN round(c_acctbal * 1.1 * 100) / 100
-                             ELSE c_acctbal END < 0)"""))
+                             ELSE c_acctbal END < 0)""")),
+
+    // ---- multi-insert as SQL TEXT (`FROM src INSERT ... INSERT ...`,
+    //      SemanticAnalyzer.genBodyPlan): Spark's parser rejects the
+    //      FROM-first multi-destination form; Engine.ddl fans the branches
+    //      out over ONE shared scan of the source. Gate reads both
+    //      destinations back, tagged, and compares against the equivalent
+    //      two selects. ----
+    Q("a10_multi_insert_sql", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_mi_sql")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.mi_hi")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.mi_agg")
+      s.sql(s"""CREATE TABLE graft_tmp.mi_hi
+              (o_orderkey BIGINT, o_totalprice DOUBLE)
+              USING parquet LOCATION '$base/hi'""")
+      s.sql(s"""CREATE TABLE graft_tmp.mi_agg
+              (o_orderpriority STRING, n BIGINT)
+              USING parquet LOCATION '$base/agg'""")
+      Engine.sql(s, d,
+        """FROM orders
+           INSERT OVERWRITE TABLE graft_tmp.mi_hi
+             SELECT o_orderkey, o_totalprice WHERE o_totalprice > 300000
+           INSERT OVERWRITE TABLE graft_tmp.mi_agg
+             SELECT o_orderpriority, count(*) GROUP BY o_orderpriority""")
+      s.table("graft_tmp.mi_hi")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"),
+          lit("hi").as("dst"))
+        .unionByName(s.table("graft_tmp.mi_agg")
+          .select(col("n").as("k"), lit(null).cast("double").as("x"),
+            col("o_orderpriority").as("dst")))
+    },
+      Some("""SELECT o_orderkey AS k, o_totalprice AS x, 'hi' AS dst
+             FROM orders WHERE o_totalprice > 300000
+             UNION ALL
+             SELECT count(*) AS k, CAST(NULL AS DOUBLE) AS x, o_orderpriority AS dst
+             FROM orders GROUP BY o_orderpriority"""))
   )
 }

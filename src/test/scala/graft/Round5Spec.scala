@@ -177,6 +177,27 @@ class Round5Spec extends SparkSpec {
     assert(Multimodal.parseImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("multi-insert SQL: subquery source, view hygiene, single shared scan") {
+    spark.sql("DROP TABLE IF EXISTS g_mi_x")
+    spark.sql("DROP TABLE IF EXISTS g_mi_y")
+    spark.sql("CREATE TABLE g_mi_x (k BIGINT) USING parquet")
+    spark.sql("CREATE TABLE g_mi_y (s STRING, n BIGINT) USING parquet")
+    // aliased subquery source: branch SELECTs resolve via the alias
+    Engine.sql(spark, sf,
+      """FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 100) src
+         INSERT OVERWRITE TABLE g_mi_x SELECT src.o_orderkey WHERE src.o_orderstatus = 'O'
+         INSERT OVERWRITE TABLE g_mi_y SELECT src.o_orderstatus, count(*) GROUP BY src.o_orderstatus""")
+    val x = spark.table("g_mi_x").count()
+    val y = spark.table("g_mi_y").as[(String, Long)].collect().toMap
+    assert(y.values.sum == Tables.t(spark, sf, "orders")
+      .filter(col("o_orderkey") < 100).count())
+    assert(y("O") == x)
+    // the engine's fixture view survives the statement (the shared scan
+    // uses its own view name, dropped on exit)
+    assert(Engine.sql(spark, sf, "SELECT count(*) AS c FROM orders").count() == 1)
+    assert(!spark.catalog.tableExists("graft_mi_src"))
+  }
+
   test("distribution derives n from the checkpoint — no second input scan") {
     val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val d = GlobalRank.distribution(c, Seq(col("c_acctbal").desc),
