@@ -94,6 +94,14 @@ object Engine {
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
+  private val mergeRe =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s.+?)\s*;?\s*""".r
+  private val whenUpdateRe =
+    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val whenDeleteRe =
+    """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  private val whenInsertRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(\*|VALUES\s*\(.+?\))\s*""".r
 
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog.getTableMetadata(
