@@ -89,8 +89,13 @@ object Engine {
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // full-table UPDATE (no WHERE): every row rewrites — legal in HiveQL
+  private val updateAllRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val deleteAllRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*;?\s*""".r
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
@@ -158,7 +163,10 @@ object Engine {
       case aliasRe(a)   => Some(a)
       case _            => None
     }
-    val view = "graft_mi_src"
+    // UUID-suffixed so two concurrent multi-insert statements on one
+    // session never collide on the shared-scan view
+    val view = "graft_mi_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val fromClause = s"FROM $view" + alias.map(a => s" AS $a").getOrElse("")
     val cached = spark.sql(s"SELECT * FROM $src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -279,9 +287,25 @@ object Engine {
           org.apache.spark.sql.functions.expr(cond), set)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
+      // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
+      // after the WHERE forms, whose regexes are strictly more specific
+      case updateAllRe(table, setClause) =>
+        val set = splitAssignments(setClause).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          k.trim -> org.apache.spark.sql.functions.expr(v.trim)
+        }.toMap
+        operators.Acid.updateWhere(spark, tableLocation(spark, table),
+          org.apache.spark.sql.functions.lit(true), set)
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
       case deleteRe(table, cond) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond))
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      case deleteAllRe(table) =>
+        operators.Acid.deleteWhere(spark, tableLocation(spark, table),
+          org.apache.spark.sql.functions.lit(true))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       // FROM-first multi-destination insert (genBodyPlan): Spark's parser
@@ -321,17 +345,57 @@ object Engine {
     ddl(spark, query)
   }
 
+  private val setVarRe =
+    """(?is)\s*SET\s+(hivevar|hiveconf):([\w.]+)\s*=\s*(.+?)\s*;?\s*""".r
+
+  /** `${hivevar:name}` / `${hiveconf:name}` / bare `${name}` substitution
+    * over one statement — the reference's
+    * parse/VariableSubstitution.java:48 pass that every production .q
+    * script relies on. Iterates to a fixpoint (definitions may reference
+    * other variables), capped at 40 passes like the reference. Unknown
+    * variables are left verbatim so variable-free SQL passes through
+    * untouched.
+    */
+  def substitute(text: String, vars: Map[String, String]): String = {
+    val ref = """\$\{(?:(?:hivevar|hiveconf):)?([\w.]+)\}""".r
+    var cur = text
+    var pass = 0
+    var changed = true
+    while (changed && pass < 40) {
+      val next = ref.replaceAllIn(cur, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          vars.getOrElse(m.group(1), m.matched)))
+      changed = next != cur
+      cur = next
+      pass += 1
+    }
+    cur
+  }
+
   /** Run a multi-statement script (statements separated by a line-ending
     * semicolon, .q-file style) and return the LAST statement's result —
-    * the CliDriver per-statement loop. Semicolons inside one-line string
-    * literals are safe (the split needs end-of-line); multi-line literals
+    * the CliDriver per-statement loop, including its variable-substitution
+    * pass: `SET hivevar:name=value;` statements extend the in-script
+    * variable environment (seeded from `vars`, the -d/--hivevar CLI
+    * equivalents), and every statement is substituted before execution.
+    * `SET` without a hivevar/hiveconf namespace still reaches Spark as a
+    * session-conf statement. Semicolons inside one-line string literals
+    * are safe (the split needs end-of-line); multi-line literals
     * containing `;\n` are not supported, matching CliDriver's own
     * line-based splitting.
     */
-  def script(spark: SparkSession, dataDir: String,
-             text: String): org.apache.spark.sql.DataFrame = {
+  def script(spark: SparkSession, dataDir: String, text: String,
+             vars: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
     val stmts = text.split(";\\s*(\\n|$)").map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty script")
-    stmts.map(sql(spark, dataDir, _)).last
+    var env = vars
+    var last = spark.emptyDataFrame
+    stmts.foreach { raw =>
+      substitute(raw, env) match {
+        case setVarRe(_, name, value) => env += name -> value
+        case stmt => last = sql(spark, dataDir, stmt)
+      }
+    }
+    last
   }
 }

@@ -23,7 +23,8 @@ object Registry {
       queries.Round2Queries.all ++
       queries.Round3Queries.all ++
       queries.Round4Queries.all ++
-      queries.Round5Queries.all
+      queries.Round5Queries.all ++
+      queries.Round6Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -61,7 +61,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                    minEstJaccard: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(shingles(docs), numHashes)
+    // the signature table feeds FOUR aliased join sides (two in the band
+    // self-join, two in the estimate join); checkpointing it caps the
+    // corpus at ONE scan+aggregate instead of four (Spark does not reuse
+    // exchanges across self-join aliases). Released by the harness sweep.
+    val sig = graft.tools.Checkpoints.local(
+      minhashSignatures(shingles(docs), numHashes))
     val cand = minhashCandidates(sig, numHashes, bands)
     val est = (0 until numHashes)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
@@ -103,10 +108,21 @@ object Dedup {
     */
   def confirmedPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                      minJaccard: Double = 0.85): DataFrame = {
-    val sig = minhashSignatures(shingles(docs, w = 1), numHashes)
+    import graft.tools.Checkpoints
+    // ONE scan of the corpus: the checkpointed distinct-token sets feed
+    // both the MinHash signatures (the w=1 shingles ARE the token sets)
+    // and the two aliased sides of the exact-jaccard confirm join. Spark
+    // re-evaluates a subplan once per self-join alias, so without the
+    // checkpoints this chain scanned+aggregated the corpus twice — at
+    // 100 TB a full extra pass (the reference's shared-work elimination:
+    // optimizer/correlation/CorrelationOptimizer.java). Checkpoint storage
+    // is released by the harness sweep after the consuming action.
+    val tsets = Checkpoints.local(docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tset")))
+    val sig = Checkpoints.local(minhashSignatures(
+      tsets.select(col("doc_id"), explode(col("tset")).as("shingle")),
+      numHashes))
     val cand = minhashCandidates(sig, numHashes, bands)
-    val tsets = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("tset"))
     cand
       .join(tsets.as("ta"), col("da") === col("ta.doc_id"))
       .join(tsets.as("tb"), col("db") === col("tb.doc_id"))
@@ -209,8 +225,10 @@ object Dedup {
     * scope, not a raw 100 TB corpus.
     */
   def tokenJaccardPairs(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
+    // checkpointed: toks feeds three aliased plan legs (self-join a/b +
+    // the per-doc size aggregate) — one scan instead of three
+    val toks = graft.tools.Checkpoints.local(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     toks.as("a")
       .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -227,7 +245,9 @@ object Dedup {
     * bands (a pair within distance 3 must agree on >=1 of 4 bands).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
+    // checkpointed: the banded self-join would otherwise recompute the
+    // full SimHash aggregation once per alias (two corpus scans)
+    val sig = graft.tools.Checkpoints.local(simhash(docs))
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -185,11 +185,16 @@ object Similarity {
     installed(emb)
     val cent = broadcast(centroids.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
-    val assigned = emb.crossJoin(cent)
+    // checkpointed: the cluster self-join below would otherwise recompute
+    // the whole assignment subplan (corpus scan + k dot products per
+    // vector + window rank) once per alias — at 100 TB a full extra pass
+    // over the embeddings. One scan at checkpoint time, both join sides
+    // read the materialized rows; released by the harness sweep.
+    val assigned = graft.tools.Checkpoints.local(emb.crossJoin(cent)
       .withColumn("csim", cosine("emb", "c_emb"))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nProbe)
-      .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id"))
+      .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id")))
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
