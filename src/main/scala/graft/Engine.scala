@@ -97,6 +97,15 @@ object Engine {
   private val deleteAllRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*;?\s*""".r
 
+  // DROP PARTITION with comparison filters (c>='US', d<'2') — the
+  // reference's drop-by-filter form; Spark's parser only accepts exact
+  // `=` specs, so the filtered form is intercepted and expanded
+  private val dropPartFilterRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(IF\s+EXISTS\s+)?(PARTITION\s*\(.+?\)(?:\s*,\s*PARTITION\s*\(.+?\))*)\s*(PURGE\s*)?;?\s*""".r
+  private val partGroupRe = """(?is)PARTITION\s*\(([^)]*)\)""".r
+  private val partCmpRe =
+    """(?s)\s*([\w]+)\s*(<=|>=|!=|<>|<|>|=)\s*(?:'([^']*)'|"([^"]*)"|([\w.+-]+))\s*""".r
+
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
   private val mergeRe =
@@ -107,6 +116,60 @@ object Engine {
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
   private val whenInsertRe =
     """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(\*|VALUES\s*\(.+?\))\s*""".r
+
+  /** ALTER TABLE … DROP [IF EXISTS] PARTITION (filters)[, PARTITION …]
+    * with comparison operators — the reference's drop-by-filter form
+    * (DDLTask.dropPartitions; golden drop_partitions_filter.q), which
+    * Spark's parser rejects (exact `=` specs only). Each PARTITION group
+    * is a conjunction of per-column comparisons; groups union. Matching
+    * partitions resolve from the catalog (metadata-sized listing, never a
+    * data scan) and drop through Spark's native exact-spec command.
+    * Values compare numerically when both sides parse as numbers
+    * (partition values are stored as strings), lexicographically
+    * otherwise — the metastore filter's behavior. Without IF EXISTS a
+    * group matching nothing is an error, like
+    * hive.exec.drop.ignorenonexistent=false.
+    */
+  private def dropPartitionsByFilter(spark: SparkSession, table: String,
+                                     ifExists: Boolean, specText: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val parts = spark.sessionState.catalog.listPartitions(ident)
+    val groups = partGroupRe.findAllMatchIn(specText).map(_.group(1)).toSeq
+    val toDrop = groups.flatMap { g =>
+      val preds = g.split(",").toSeq.map {
+        case partCmpRe(name, op, v1, v2, v3) =>
+          (name, op, Seq(v1, v2, v3).find(_ != null).get)
+        case bad => sys.error(s"unsupported partition filter: $bad")
+      }
+      val matches = parts.filter { p =>
+        preds.forall { case (name, op, lit) =>
+          p.spec.find(_._1.equalsIgnoreCase(name)) match {
+            case None => sys.error(s"$name is not a partition column of $table")
+            case Some((_, v)) =>
+              val cmp = (v.toDoubleOption, lit.toDoubleOption) match {
+                case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+                case _ => v.compareTo(lit)
+              }
+              op match {
+                case "="         => cmp == 0
+                case "!=" | "<>" => cmp != 0
+                case "<"         => cmp < 0
+                case "<="        => cmp <= 0
+                case ">"         => cmp > 0
+                case ">="        => cmp >= 0
+              }
+          }
+        }
+      }
+      if (matches.isEmpty && !ifExists)
+        sys.error(s"no partition of $table matches ($g); use DROP IF EXISTS to ignore")
+      matches
+    }
+    toDrop.map(_.spec).distinct.foreach { spec =>
+      val specSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($specSql)")
+    }
+  }
 
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog.getTableMetadata(
@@ -275,6 +338,12 @@ object Engine {
       case loadDataRe(inpath, over, table, part) =>
         loadData(spark, inpath, over != null, table, Option(part))
         spark.emptyDataFrame
+      // DROP PARTITION with comparators goes through the catalog-filter
+      // expansion; exact =-only specs stay on Spark's native command
+      case dropPartFilterRe(table, ifEx, specText, _)
+          if "<>!".exists(specText.contains(_)) =>
+        dropPartitionsByFilter(spark, table, ifEx != null, specText)
+        spark.emptyDataFrame
       // row-level DML SQL text → the copy-on-write engine
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's
       // files; Spark's own parser rejects UPDATE/DELETE on parquet tables)
@@ -372,21 +441,55 @@ object Engine {
     cur
   }
 
-  /** Run a multi-statement script (statements separated by a line-ending
-    * semicolon, .q-file style) and return the LAST statement's result —
-    * the CliDriver per-statement loop, including its variable-substitution
-    * pass: `SET hivevar:name=value;` statements extend the in-script
-    * variable environment (seeded from `vars`, the -d/--hivevar CLI
-    * equivalents), and every statement is substituted before execution.
-    * `SET` without a hivevar/hiveconf namespace still reaches Spark as a
-    * session-conf statement. Semicolons inside one-line string literals
-    * are safe (the split needs end-of-line); multi-line literals
-    * containing `;\n` are not supported, matching CliDriver's own
-    * line-based splitting.
+  /** Split script text into statements on semicolons that sit OUTSIDE
+    * string literals (single/double/backtick, backslash escapes honored)
+    * and `--` line comments. Strictly stronger than CliDriver's
+    * line-based split: multi-line string literals containing `;` survive,
+    * and two statements on one line separate correctly. Pure-comment
+    * segments are dropped.
+    */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote = ' '
+    var comment = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (comment) { cur.append(c); if (c == '\n') comment = false; i += 1 }
+      else if (quote != ' ') {
+        cur.append(c)
+        if (c == '\\' && i + 1 < text.length) { cur.append(text.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = ' '
+        i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c); i += 1
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          comment = true; cur.append(c); i += 1
+        case ';' => out += cur.result(); cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(s =>
+      s.nonEmpty && !s.linesIterator.forall(l => {
+        val t = l.trim; t.isEmpty || t.startsWith("--")
+      }))
+  }
+
+  /** Run a multi-statement script (.q-file style) and return the LAST
+    * statement's result — the CliDriver per-statement loop, including its
+    * variable-substitution pass: `SET hivevar:name=value;` statements
+    * extend the in-script variable environment (seeded from `vars`, the
+    * -d/--hivevar CLI equivalents), and every statement is substituted
+    * before execution. `SET` without a hivevar/hiveconf namespace still
+    * reaches Spark as a session-conf statement. Statement splitting is
+    * literal- and comment-aware (see [[splitStatements]]), so `;` inside
+    * any string literal — including multi-line literals — is safe.
     */
   def script(spark: SparkSession, dataDir: String, text: String,
              vars: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
-    val stmts = text.split(";\\s*(\\n|$)").map(_.trim).filter(_.nonEmpty)
+    val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
     var env = vars
     var last = spark.emptyDataFrame

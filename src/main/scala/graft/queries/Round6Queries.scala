@@ -80,6 +80,55 @@ object Round6Queries {
              FROM supplier
              UNION ALL SELECT 0 AS k, -1.0 AS v""")),
 
+    // ---- DROP PARTITION with comparison filters (DDLTask.dropPartitions;
+    //      golden drop_partitions_filter.q): Spark's parser only accepts
+    //      exact `=` specs, so Engine.ddl expands the filtered form from a
+    //      catalog listing (metadata-sized, no data scan) into native
+    //      exact drops. Two statements: a range drop and a union of a
+    //      != filter group with an exact group. ----
+    Q("a13_drop_partitions_filter", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_dpf")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.dpf_t")
+      new java.io.File(base + "/tbl").mkdirs()
+      s.sql(s"""CREATE TABLE graft_tmp.dpf_t (n_nationkey INT, n_name STRING)
+               USING parquet PARTITIONED BY (rk INT) LOCATION '$base/tbl'""")
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("rk"))
+        .write.insertInto("graft_tmp.dpf_t")
+      Engine.ddl(s, "ALTER TABLE graft_tmp.dpf_t DROP PARTITION (rk < 2)")
+      Engine.ddl(s,
+        "ALTER TABLE graft_tmp.dpf_t DROP IF EXISTS PARTITION (rk != 3), PARTITION (rk = 2)")
+      s.table("graft_tmp.dpf_t").select("n_nationkey", "n_name", "rk")
+    },
+      Some("""SELECT n_nationkey, n_name, n_regionkey AS rk
+             FROM nation WHERE n_regionkey = 3""")),
+
+    // ---- TRUNCATE TABLE [PARTITION] (DDLTask truncateTable): whole-table
+    //      truncate empties the managed table; partition-spec truncate
+    //      empties only that partition's files. ----
+    Q("q133_truncate", (s, d) => {
+      val whBase = graft.tools.Tmp.dir("graft_trwh")
+      s.sql("DROP DATABASE IF EXISTS graft_tr CASCADE")
+      s.sql(s"CREATE DATABASE graft_tr LOCATION '$whBase'")
+      s.sql("CREATE TABLE graft_tr.f (s_suppkey BIGINT, s_name STRING) USING parquet")
+      t(s, d, "supplier").select("s_suppkey", "s_name")
+        .write.insertInto("graft_tr.f")
+      s.sql("CREATE TABLE graft_tr.p (n_nationkey INT) USING parquet PARTITIONED BY (pk INT)")
+      t(s, d, "nation").filter(col("n_regionkey") <= 1)
+        .select(col("n_nationkey"), col("n_regionkey").as("pk"))
+        .write.insertInto("graft_tr.p")
+      Engine.ddl(s, "TRUNCATE TABLE graft_tr.f")
+      Engine.ddl(s, "TRUNCATE TABLE graft_tr.p PARTITION (pk=0)")
+      s.table("graft_tr.p")
+        .select(col("n_nationkey").cast("long").as("k"), col("pk"))
+        .unionByName(s.table("graft_tr.f")
+          .agg(count(lit(1)).as("k")).select(col("k"), lit(-1).as("pk")))
+    },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, 1 AS pk
+             FROM nation WHERE n_regionkey = 1
+             UNION ALL SELECT 0, -1""")),
+
     // ---- SHOW FUNCTIONS (DDLTask.java:407 showFunctions): a migrating
     //      user's first discovery command. Filtered to a fixed prefix so
     //      the row set is stable: the xpath family is pinned by the Spark

@@ -89,6 +89,89 @@ class Round6Spec extends SparkSpec {
       .exists(_.name.startsWith("graft_mi_src")))
   }
 
+  test("splitStatements: literal-, escape- and comment-aware") {
+    assert(Engine.splitStatements("a; b;\n c") == Seq("a", "b", "c"))
+    // semicolons inside single/double/backtick literals survive, even
+    // across lines; backslash-escaped quotes don't close the literal
+    assert(Engine.splitStatements("select 'x;\ny'; select \"a;b\"")
+      == Seq("select 'x;\ny'", "select \"a;b\""))
+    assert(Engine.splitStatements("select 'don\\'t; stop'; next")
+      == Seq("select 'don\\'t; stop'", "next"))
+    assert(Engine.splitStatements("select `a;b` from t") == Seq("select `a;b` from t"))
+    // `;` inside a -- comment doesn't split; pure-comment segments drop
+    assert(Engine.splitStatements("select 1 -- trailing; note\n; select 2")
+      == Seq("select 1 -- trailing; note", "select 2"))
+    assert(Engine.splitStatements("-- only a comment\n; select 2") == Seq("select 2"))
+  }
+
+  test("script: multi-line string literal containing ';' survives the split") {
+    val df = Engine.script(spark, sf,
+      "SELECT 'a;\nb' AS s, n_nationkey FROM nation WHERE n_nationkey < 2;\n" +
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < 3;")
+    assert(df.count() == 3)
+  }
+
+  test("DROP PARTITION comparators mirror drop_partitions_filter.q") {
+    val base = tools.Tmp.dir("dpf_spec")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.dpf_spec_t")
+    new java.io.File(base + "/t").mkdirs()
+    spark.sql(s"""CREATE TABLE graft_tmp.dpf_spec_t (a INT)
+                 USING parquet PARTITIONED BY (c STRING, d STRING) LOCATION '$base/t'""")
+    for ((c, dd) <- Seq("US" -> 1, "US" -> 2, "Uganda" -> 2, "Germany" -> 2,
+        "Canada" -> 3, "Russia" -> 3, "Greece" -> 2, "India" -> 3, "France" -> 4))
+      Engine.ddl(spark,
+        s"ALTER TABLE graft_tmp.dpf_spec_t ADD PARTITION (c='$c', d='$dd')")
+    def partsLeft: Set[String] =
+      spark.sql("SHOW PARTITIONS graft_tmp.dpf_spec_t")
+        .collect().map(_.getString(0)).toSet
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c='US', d<'2')")
+    assert(!partsLeft.contains("c=US/d=1") && partsLeft.contains("c=US/d=2"))
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c>='US', d<='2')")
+    assert(!partsLeft.contains("c=US/d=2") && !partsLeft.contains("c=Uganda/d=2"))
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c>'India')")
+    assert(!partsLeft.contains("c=Russia/d=3"))
+    Engine.ddl(spark,
+      """ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c>='India'),
+         PARTITION (c='Greece', d='2')""")
+    assert(!partsLeft.contains("c=India/d=3") && !partsLeft.contains("c=Greece/d=2"))
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c != 'France')")
+    assert(partsLeft == Set("c=France/d=4"))
+    // no match without IF EXISTS = error (ignorenonexistent=false parity).
+    // Exact specs ride Spark's native command (NoSuchPartitionsException);
+    // comparator specs go through the filter path (RuntimeException).
+    intercept[Exception] {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c='US')")
+    }
+    intercept[RuntimeException] {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.dpf_spec_t DROP PARTITION (c<'Aa')")
+    }
+    // with IF EXISTS: silent
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.dpf_spec_t DROP IF EXISTS PARTITION (c='US')")
+    assert(partsLeft == Set("c=France/d=4"))
+  }
+
+  test("RENAME PARTITION passes through natively") {
+    val base = tools.Tmp.dir("renp_spec")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.renp_t")
+    new java.io.File(base + "/t").mkdirs()
+    spark.sql(s"""CREATE TABLE graft_tmp.renp_t (a INT)
+                 USING parquet PARTITIONED BY (p INT) LOCATION '$base/t'""")
+    spark.sql("INSERT INTO graft_tmp.renp_t PARTITION (p=1) VALUES (10), (20)")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.renp_t PARTITION (p=1) RENAME TO PARTITION (p=9)")
+    val parts = spark.sql("SHOW PARTITIONS graft_tmp.renp_t")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("p=9"))
+    assert(spark.table("graft_tmp.renp_t").filter(col("p") === 9).count() == 2)
+  }
+
   test("UPDATE/DELETE without WHERE rewrite every row") {
     val base = tools.Tmp.dir("nw_spec")
     Tables.t(spark, sf, "nation").select("n_nationkey", "n_name")
