@@ -68,7 +68,8 @@ object Bench {
       "s02_ann_ivf", "s04_embed_neardup_ivf", "s05_ann_kmeans",
       "t01_langid", "t05_corpus_pipeline", "t07_scrub",
       "q111_avro_roundtrip", "q112_asof_join", "q113_range_join",
-      "d08_dedup_cluster", "q124_global_rank", "s06_ann_quantized")
+      "d08_dedup_cluster", "q124_global_rank", "s06_ann_quantized",
+      "d10_span_dedup", "d11_dedup_incremental", "s07_ann_lsh")
     val headSet = headline.toSet
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""

@@ -27,27 +27,30 @@ object Dedup {
         s"transform(sequence(0, size(ws)-$w), i -> concat_ws(' ', slice(ws, i+1, $w)))"
       ))).as("shingle"))
 
-  /** MinHash signature: one column per hash fn, min over seeded xxhash64.
-    * A single hash-aggregate; map-side partial mins keep shuffle tiny.
+  /** MinHash signature: one column per hash fn. A single hash-aggregate;
+    * map-side partial mins keep shuffle tiny.
+    *
+    * The i-th hash function is `xxhash64(i, base)` over ONE base
+    * xxhash64 of the shingle string — so the variable-length string is
+    * traversed once and each derived hash mixes a fixed 8-byte long
+    * (a handful of ALU ops, overflow-free under ANSI). At 100 TB the
+    * string traversal IS the map-side cost, so this cuts the signature
+    * pass ~numHashes-fold while keeping a proper independent family.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    // materialize the base hash in a projection so codegen computes it
+    // once per row; each aggregate then mixes the 8-byte column
+    val based = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hb"))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("hb"))).as(s"mh$i"))
+    based.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band candidate pairs (da < db, distinct): the equi-join that
     * replaces all-pairs comparison. Shuffle is O(docs × bands).
     */
   def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandize(sig, numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -117,8 +120,14 @@ object Dedup {
     // 100 TB a full extra pass (the reference's shared-work elimination:
     // optimizer/correlation/CorrelationOptimizer.java). Checkpoint storage
     // is released by the harness sweep after the consuming action.
+    // tokens are dictionary-encoded to 64-bit hashes BEFORE anything is
+    // shuffled: set jaccard is hash-invariant (collisions are 2^-64), the
+    // confirm join then ships 8-byte ints instead of strings, and
+    // array_intersect compares longs — on skewed corpora (huge candidate
+    // sets) the string shuffle is the dominant cost
     val tsets = Checkpoints.local(docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("tset")))
+      expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
+        .as("tset")))
     val sig = Checkpoints.local(minhashSignatures(
       tsets.select(col("doc_id"), explode(col("tset")).as("shingle")),
       numHashes))
@@ -226,9 +235,11 @@ object Dedup {
     */
   def tokenJaccardPairs(docs: DataFrame): DataFrame = {
     // checkpointed: toks feeds three aliased plan legs (self-join a/b +
-    // the per-doc size aggregate) — one scan instead of three
+    // the per-doc size aggregate) — one scan instead of three; tokens are
+    // hash-encoded so the token self-join shuffles/compares 8-byte ints
     val toks = graft.tools.Checkpoints.local(docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w")))
+      explode(array_distinct(expr(
+        "transform(split(text, ' '), t -> xxhash64(t))"))).as("w")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     toks.as("a")
       .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -261,6 +272,105 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact shared-span duplicate pairs: every document pair sharing at
+    * least one identical n-token span (the "exact substring dedup" a
+    * training-data pipeline runs alongside MinHash — fuzzy dedup misses
+    * verbatim quotations embedded in otherwise-different documents).
+    *
+    * Scale design: gram extraction is a narrow per-row transform; the pair
+    * step is an equi-join on the gram (never all-pairs). `maxDf` drops
+    * grams appearing in more than that many documents BEFORE the self-join
+    * — boilerplate spans (headers, license text) are exactly the grams
+    * that would otherwise explode the join quadratically per gram, and a
+    * span shared by thousands of documents is boilerplate, not duplication.
+    * The df-filter is one hash aggregate; at 100 TB you'd join on
+    * xxhash64(gram) (same plan shape, 8-byte keys); raw strings here keep
+    * the oracle byte-exact.
+    *
+    * Output: (da, db, n_shared) with da < db — n_shared counts the
+    * distinct surviving spans the pair shares.
+    */
+  def sharedSpanPairs(docs: DataFrame, n: Int, maxDf: Long = 50): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"
+      ))).as("gram"))
+    // checkpointed: feeds the df-aggregate plus both self-join sides
+    val g = graft.tools.Checkpoints.local(grams)
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val gk = g.join(keep, Seq("gram"), "left_semi")
+    gk.as("a")
+      .join(gk.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Incremental dedup: keep only the documents of a NEW batch that are
+    * not near-duplicates of the EXISTING corpus — the per-crawl ingest
+    * path of a continuously-updated training corpus. Same MinHash+LSH →
+    * exact-jaccard chain as `confirmedPairs`, but the band join is
+    * batch-vs-corpus instead of a self-join.
+    *
+    * Scale design: at 100 TB the corpus signature/band table is computed
+    * ONCE and persisted partitioned by (band, bh); each increment signs
+    * only the (much smaller) batch and equi-joins it against the index —
+    * nothing here rescans the corpus per increment except the candidate
+    * confirm, which touches only colliding documents. Guarantee: with
+    * w=1 token shingles, 64 hashes / 16 bands, a pair at jaccard 0.85
+    * collides in >=1 band with p ≈ 0.99997 (see `resolve`), so the output
+    * equals the exact cross-comparison the oracle runs.
+    */
+  def dedupIncrement(corpus: DataFrame, batch: DataFrame,
+                     numHashes: Int = 64, bands: Int = 16,
+                     minJaccard: Double = 0.85): DataFrame = {
+    import graft.tools.Checkpoints
+    // same hash-encoded token sets as confirmedPairs: jaccard-invariant,
+    // int arrays (not strings) through the candidate-confirm shuffle
+    def tsets(df: DataFrame) = Checkpoints.local(df.select(col("doc_id"),
+      expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
+        .as("tset")))
+    def sig(t: DataFrame) = minhashSignatures(
+      t.select(col("doc_id"), explode(col("tset")).as("shingle")), numHashes)
+    val ct = tsets(corpus)
+    val bt = tsets(batch)
+    val cband = bandize(sig(ct), numHashes, bands)
+      .withColumnRenamed("doc_id", "c_id")
+    val bband = bandize(sig(bt), numHashes, bands)
+      .withColumnRenamed("doc_id", "b_id")
+    val cand = bband.join(cband, Seq("band", "bh"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val dup = cand
+      .join(bt.as("tb"), col("b_id") === col("tb.doc_id"))
+      .join(ct.as("tc"), col("c_id") === col("tc.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("tb.tset"), col("tc.tset"))).cast("long"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("tb.tset")) + size(col("tc.tset")) - col("inter")), 4))
+      .filter(col("jac") >= minJaccard)
+      .select(col("b_id")).distinct()
+    // anti-join off the checkpointed batch token sets — the batch parquet
+    // is read exactly once (at checkpoint time), like the corpus
+    bt.select(col("doc_id"))
+      .join(dup, col("doc_id") === dup("b_id"), "left_anti")
+  }
+
+  /** Explode a signature table into (doc_id, band, bh) band-bucket rows —
+    * the LSH index layout both the self-join and the incremental
+    * batch-vs-corpus join consume.
+    */
+  private def bandize(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** Benchmark decontamination: drop every document that shares ANY

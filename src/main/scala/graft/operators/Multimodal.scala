@@ -174,6 +174,92 @@ object Multimodal {
       }
   }
 
+  case class WavMeta(doc_id: Long, mime: String, channels: Long,
+                     sample_rate: Long, bits: Long, n_samples: Long)
+
+  /** Deterministic synthetic WAV payloads (one per doc): a structurally
+    * complete RIFF container — RIFF header, 16-byte PCM fmt chunk, data
+    * chunk of zero samples — whose audio parameters derive from doc_id.
+    * The audio face of `synthImage`: the generator doubles as the oracle's
+    * closed form while `decodeWavMeta` does real little-endian byte
+    * parsing (PNG/JPEG above exercise the big-endian walk).
+    */
+  def synthWav(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id, wavBytes(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val channels = 1 + (docId % 2).toInt
+    val sampleRate = 8000 << (docId % 3).toInt
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val nSamples = (docId % 100).toInt * 10
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array() // sample bytes stay zero — silence
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** REAL RIFF/WAV header decode — chunk walk to `fmt ` (PCM params) and
+    * `data` (sample count = data size / block align). Little-endian
+    * throughout, chunk sizes pad to even offsets per the RIFF spec.
+    */
+  private[graft] def parseWav(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+    if (b.length < 12 ||
+      new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Long, Int, Int)] = None
+    var dataSize = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32(b, off + 4)
+      if (id == "fmt " && len >= 16 && off + 8 + 16 <= b.length)
+        fmt = Some((le16(b, off + 10), le32(b, off + 12),
+          le16(b, off + 22), le16(b, off + 20)))
+      else if (id == "data") dataSize = len
+      off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+    }
+    fmt.flatMap { case (channels, rate, bits, blockAlign) =>
+      if (dataSize >= 0 && blockAlign > 0)
+        Some((channels, rate, bits, dataSize / blockAlign))
+      else None
+    }
+  }
+
+  /** Batched WAV decode: same per-partition parser shape as
+    * `decodeImageMeta`; unparseable payloads yield mime "unknown".
+    */
+  def decodeWavMeta(spark: SparkSession, media: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          parseWav(payload) match {
+            case Some((ch, rate, bits, n)) =>
+              WavMeta(id, "audio/wav", ch.toLong, rate, bits.toLong, n)
+            case None => WavMeta(id, "unknown", -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+  }
+
   /** Batched featurize: one setup per partition, streaming over rows. */
   def featurize(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._

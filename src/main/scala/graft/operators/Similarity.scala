@@ -173,6 +173,64 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
   }
 
+  /** Random-hyperplane LSH ANN — the bucketed alternative to IVF for
+    * corpora with no trained index: each vector's signature is the sign
+    * bit of its dot product with each of `planes` hyperplanes (sign-bit
+    * LSH preserves angular similarity: P[bit match] = 1 - θ/π), bits are
+    * grouped into bands, and candidates are vectors sharing ANY band
+    * bucket with a query. Exact cosine reranks candidates to top-k.
+    *
+    * Scale design: signatures are a narrow per-row pass (the planes are a
+    * broadcast-sized driver matrix folded into codegen'd literal arrays —
+    * same discipline as kmeans' centroid matrix); the candidate step is an
+    * equi-join on (band, bucket) so shuffle is O(vectors × bands), never
+    * all-pairs; per-query rerank survives WindowGroupLimit. Recall tunes
+    * with bands-vs-bits exactly like MinHash banding. Determinism: dots
+    * are sequential f64 folds, so bucket keys are bit-reproducible — the
+    * property that lets the oracle mirror the index logic.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, planes: DataFrame,
+              k: Int, bitsPerBand: Int = 8): DataFrame = {
+    installed(emb)
+    // planes: metadata-sized (numPlanes × dims) — collected once, inlined
+    // as literal arrays so the signature pass has no join at all
+    val pl = planes.select(col("vec_id"), col("emb")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1))
+    require(pl.length % bitsPerBand == 0, "planes must fill whole bands")
+    val bits = pl.map { p =>
+      val plit = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(col("emb"), plit, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      // sign taken on the 6-decimal rounding: engines may differ in the
+      // last ulp of a float sum, never at 1e-6 scale — keeps bucket keys
+      // reproducible across engines (and oracle-mirrorable)
+      when(round(dot, 6) > 0, "1").otherwise("0")
+    }
+    def bucketize(df: DataFrame, idCol: String): DataFrame = {
+      val bands = bits.grouped(bitsPerBand).zipWithIndex.map { case (bs, b) =>
+        struct(lit(b).as("band"), concat(bs: _*).as("bucket"))
+      }.toSeq
+      df.select(col(idCol), col("emb"),
+        explode(array(bands: _*)).as("bb"))
+        .select(col(idCol), col("emb"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val corpus = bucketize(emb, "vec_id")
+    val qs = bucketize(
+      queries.select(col("vec_id").as("q_id"), col("emb")), "q_id")
+      .withColumnRenamed("emb", "q_emb")
+    val cand = broadcast(qs).join(corpus, Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("sim", cosine("q_emb", "emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+  }
+
   /** Scale path for embedding near-dup: candidate pairs are vectors that
     * share an IVF cluster under multi-probe assignment (each vector joins
     * its nProbe nearest centroids), exact cosine is computed ONLY on those

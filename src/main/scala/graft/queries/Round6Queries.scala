@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.{Engine, Q, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
 
 /** Round-6 sweep: the last DDL holes — explicit partition lifecycle
   * (ALTER TABLE ADD/DROP PARTITION, RENAME TO), function discovery
@@ -177,6 +179,127 @@ object Round6Queries {
              WHERE c_custkey < 60
                AND c_custkey NOT IN
                  (SELECT CASE WHEN o_custkey >= 20 THEN NULL ELSE o_custkey END
-                  FROM orders WHERE o_custkey < 30)"""))
+                  FROM orders WHERE o_custkey < 30)""")),
+
+    // ---- exact shared-span dedup (verbatim n-token span shared between
+    //      two documents — what MinHash misses: a quoted paragraph inside
+    //      otherwise-different documents). Equi-join on the gram with a
+    //      document-frequency cap that simultaneously drops boilerplate
+    //      spans and bounds the per-gram join fan-out (the skew guard). ----
+    Q("d10_span_dedup", (s, d) =>
+      Dedup.sharedSpanPairs(
+        t(s, d, "documents").filter(col("doc_id") < 200), n = 10, maxDf = 20),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS ws
+                         FROM documents
+                         WHERE doc_id < 200 AND len(string_split(text,' ')) >= 10),
+              idx AS (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws)-9)) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(ws, i, i+9), ' ') AS gram FROM idx),
+              keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+              gk AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram))
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+             FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2""")),
+
+    // ---- incremental dedup: a new crawl batch deduped AGAINST the
+    //      existing corpus through the corpus's MinHash band index (the
+    //      per-increment ingest path — the corpus is signed once, only the
+    //      batch is signed per increment). Oracle = the exact batch-vs-
+    //      corpus cross comparison the banding provably reproduces. ----
+    Q("d11_dedup_incremental", (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupIncrement(
+        corpus = docs.filter(col("doc_id") < 250),
+        batch = docs.filter(col("doc_id") >= 250))
+    },
+      Some("""WITH ct AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                          FROM documents WHERE doc_id < 250),
+              bt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                     FROM documents WHERE doc_id >= 250),
+              cs AS (SELECT doc_id, count(*) AS sz FROM ct GROUP BY 1),
+              bs AS (SELECT doc_id, count(*) AS sz FROM bt GROUP BY 1),
+              i AS (SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS inter
+                    FROM bt b JOIN ct c ON b.w = c.w GROUP BY 1, 2),
+              dup AS (SELECT DISTINCT b_id FROM i
+                      JOIN bs ON i.b_id = bs.doc_id
+                      JOIN cs ON i.c_id = cs.doc_id
+                      WHERE round(inter/(bs.sz + cs.sz - inter),4) >= 0.85)
+             SELECT doc_id FROM documents
+             WHERE doc_id >= 250 AND doc_id NOT IN (SELECT b_id FROM dup)""")),
+
+    // ---- random-hyperplane LSH ANN: sign-bit signatures against 16
+    //      planes, 8-bit bands, bucket equi-join for candidates, exact
+    //      cosine rerank. The untrained-index alternative to IVF (s02);
+    //      oracle mirrors the index logic bit for bit. ----
+    Q("s07_ann_lsh", (s, d) => {
+      val e = Similarity.prep(t(s, d, "embeddings"))
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+        planes = e.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+        k = 5, bitsPerBand = 8)
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT vec_id AS p_id, emb AS p_emb FROM e
+                    WHERE vec_id >= 8 AND vec_id < 24),
+              bits AS (SELECT v.vec_id, p.p_id,
+                         CASE WHEN round(list_inner_product(v.emb, p.p_emb), 6) > 0
+                              THEN '1' ELSE '0' END AS bit
+                       FROM e v, p),
+              bk AS (SELECT vec_id, CAST((p_id - 8) // 8 AS INT) AS band,
+                       string_agg(bit, '' ORDER BY p_id) AS bucket
+                     FROM bits GROUP BY 1, 2),
+              cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+                       FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+                       WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              scored AS (SELECT cand.q_id, cand.vec_id,
+                           list_cosine_similarity(eq.emb, ec.emb) AS sim
+                         FROM cand JOIN e eq ON cand.q_id = eq.vec_id
+                                   JOIN e ec ON cand.vec_id = ec.vec_id),
+              r AS (SELECT q_id, vec_id AS neighbor_id, round(sim,6) AS sim,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id) AS rn
+                    FROM scored)
+             SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 5""")),
+
+    // ---- deterministic quality-weighted sampling: keep probability =
+    //      the document's distinct-token ratio, decided by a multiplicative
+    //      hash of doc_id (Knuth 2654435761) — reproducible importance
+    //      resampling with zero shuffle, the downsampling step a pipeline
+    //      runs between quality scoring and training. ----
+    Q("t11_weighted_sample", (s, d) =>
+      t(s, d, "documents")
+        .withColumn("quality",
+          round(size(array_distinct(split(col("text"), " "))) /
+            size(split(col("text"), " ")).cast("double"), 4))
+        .withColumn("u",
+          (col("doc_id") * lit(2654435761L) % lit(1048576L)) / lit(1048576.0))
+        .filter(col("u") < col("quality"))
+        .select(col("doc_id"), col("quality"), round(col("u"), 6).as("u")),
+      Some("""SELECT doc_id,
+             round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')), 4) AS quality,
+             round((doc_id * 2654435761 % 1048576) / 1048576.0, 6) AS u
+             FROM documents
+             WHERE (doc_id * 2654435761 % 1048576) / 1048576.0 <
+               round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                     / len(string_split(text,' ')), 4)""")),
+
+    // ---- audio metadata decode: synthetic but structurally complete
+    //      RIFF/WAV containers parsed by a REAL little-endian chunk walk
+    //      (fmt → PCM params, data → sample count); the oracle is the
+    //      generator's closed form, so any parse bug (endianness, chunk
+    //      padding, offset) breaks the hash match. ----
+    Q("m04_wav_meta", (s, d) => {
+      val media = Multimodal.synthWav(s, t(s, d, "documents"))
+      Multimodal.decodeWavMeta(s, media).toDF()
+        .select("doc_id", "mime", "channels", "sample_rate", "bits", "n_samples")
+    },
+      Some("""SELECT doc_id, 'audio/wav' AS mime,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 32000 END AS BIGINT) AS sample_rate,
+             CAST(16 AS BIGINT) AS bits,
+             CAST((doc_id % 100) * 10 AS BIGINT) AS n_samples
+             FROM documents"""))
   )
 }

@@ -172,6 +172,100 @@ class Round6Spec extends SparkSpec {
     assert(spark.table("graft_tmp.renp_t").filter(col("p") === 9).count() == 2)
   }
 
+  test("sharedSpanPairs: finds the quoted span, drops boilerplate, one scan") {
+    import spark.implicits._
+    val quote = (1 to 10).map("q" + _).mkString(" ")
+    val boiler = (1 to 10).map("b" + _).mkString(" ")
+    val docs = (Seq(
+      0L -> s"alpha beta $quote gamma",
+      1L -> s"$quote delta epsilon zeta eta theta iota kappa") ++
+      (2L to 30L).map(i => i -> s"$boiler unique$i")).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(docs, n = 10, maxDf = 20)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 29-doc boilerplate header is over the df cap — no pair from it;
+    // the quoted span yields exactly (0,1) sharing one surviving gram
+    assert(got.toSet == Set((0L, 1L, 1L)), got.mkString(","))
+    Checkpoints.sweep()
+    // plan shape on the real table: the gram table is checkpointed, so the
+    // df-filter leg and both self-join legs read it — no parquet rescans
+    val plan = planOf(Dedup.sharedSpanPairs(
+      Tables.t(spark, sf, "documents"), n = 10))
+    assert(!plan.contains("Scan parquet"), plan)
+    Checkpoints.sweep()
+  }
+
+  test("dedupIncrement: drops batch near-dups of the corpus, keeps novel docs") {
+    import spark.implicits._
+    val base = (0L to 9L).map(i => i -> (1 to 40).map(t => s"w${i}_$t").mkString(" "))
+    val corpus = base.toDF("doc_id", "text")
+    val batch = Seq(
+      100L -> base(3)._2, // exact copy of corpus doc 3 → jac 1.0, dropped
+      101L -> ((1 to 40).map(t => s"w0_$t").mkString(" ") + " extra1 extra2"),
+      // 40/42 = 0.952 vs corpus doc 0 → dropped
+      102L -> (1 to 40).map(t => s"z$t").mkString(" ") // novel → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(corpus, batch).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(102L), kept.mkString(","))
+    Checkpoints.sweep()
+    // corpus AND batch parquet are each scanned once (checkpoint build);
+    // the returned plan reads only checkpointed RDDs
+    val docs = Tables.t(spark, sf, "documents")
+    val plan = planOf(Dedup.dedupIncrement(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250)))
+    assert(!plan.contains("Scan parquet"), plan)
+    Checkpoints.sweep()
+  }
+
+  test("lshTopK: reranked sims are exact, ordered, and overlap brute force") {
+    val e = Similarity.prep(Tables.t(spark, sf, "embeddings"))
+    val qs = e.filter(col("vec_id") < 5)
+    val planes = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+    val got = Similarity.lshTopK(e, qs, planes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // per query: rn consecutive from 1, sims non-increasing
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"q=$q rns")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq, s"q=$q order")
+    }
+    // rerank exactness: reported sim equals the exact cosine of the pair
+    val embMap = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    got.foreach { case (q, n, sim, _) =>
+      assert(math.abs(sim - cos(embMap(q), embMap(n))) < 1e-4, s"($q,$n)")
+    }
+    // candidates come from bucket collisions — overlap with the exact
+    // brute-force top-5 must be non-trivial on this data
+    val exact = Similarity.bruteForceTopK(e, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.map(t => (t._1, t._2)).count(exact.contains)
+    assert(overlap > 0, s"no overlap with brute force (got ${got.length} rows)")
+  }
+
+  test("WAV: synth → parse round trip, odd-chunk padding, unknown payload") {
+    // closed-form round trip (doc 7: 2ch, 16 kHz, 16-bit, 70 samples)
+    assert(operators.Multimodal.parseWav(operators.Multimodal.wavBytes(7L))
+      .contains((2, 16000L, 16, 70L)))
+    assert(operators.Multimodal.parseWav(operators.Multimodal.wavBytes(0L))
+      .contains((1, 8000L, 16, 0L)))
+    // an odd-length chunk before fmt must be skipped with RIFF even-padding
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 24 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+    assert(operators.Multimodal.parseWav(bb.array()).contains((1, 44100L, 16, 4L)))
+    assert(operators.Multimodal.parseWav("not a wav at all".getBytes).isEmpty)
+  }
+
   test("UPDATE/DELETE without WHERE rewrite every row") {
     val base = tools.Tmp.dir("nw_spec")
     Tables.t(spark, sf, "nation").select("n_nationkey", "n_name")
