@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Engine, Q, Tables}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{round => _, _}
 import graft.queries.Fns.round
 
@@ -300,6 +301,122 @@ object Round6Queries {
                   ELSE 32000 END AS BIGINT) AS sample_rate,
              CAST(16 AS BIGINT) AS bits,
              CAST((doc_id % 100) * 10 AS BIGINT) AS n_samples
-             FROM documents"""))
+             FROM documents""")),
+
+    // ---- SHOW CREATE TABLE (DDLTask showCreateTable): the round-trip
+    //      DDL a migrating user copies out of the old warehouse. Managed
+    //      datasource tables print no LOCATION, so the statement is
+    //      machine-independent; compared line by line. ----
+    Q("q134_show_create_table", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.sct_t")
+      s.sql("""CREATE TABLE graft_tmp.sct_t (k INT, v STRING)
+              USING parquet PARTITIONED BY (p INT)
+              TBLPROPERTIES ('owner_team'='data')""")
+      Engine.sql(s, d, "SHOW CREATE TABLE graft_tmp.sct_t")
+        .select(explode(split(col("createtab_stmt"), "\n")).as("line"))
+        .filter(col("line") =!= "") // the statement ends with a newline
+    },
+      Some("""SELECT * FROM (VALUES
+             ('CREATE TABLE spark_catalog.graft_tmp.sct_t ('),
+             ('  k INT,'), ('  v STRING,'), ('  p INT)'),
+             ('USING parquet'), ('PARTITIONED BY (p)'),
+             ('TBLPROPERTIES ('), ('  ''owner_team'' = ''data'')'))
+             AS t(line)""")),
+
+    // ---- SHOW COLUMNS / SHOW TBLPROPERTIES / DESCRIBE DATABASE — the
+    //      rest of the discovery surface (DDLTask showColumns/
+    //      showTableProperties/descDatabase), unioned into one stable
+    //      (kind, k, v) shape; DESCRIBE DATABASE keeps only the
+    //      machine-independent namespace row. ----
+    Q("q135_catalog_discovery", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.disc_t")
+      s.sql("""CREATE TABLE graft_tmp.disc_t (a BIGINT, b STRING)
+              USING parquet TBLPROPERTIES ('retention'='30d', 'pii'='false')""")
+      Engine.sql(s, d, "SHOW COLUMNS IN graft_tmp.disc_t")
+        .select(lit("column").as("kind"), col("col_name").as("k"), lit("").as("v"))
+        .unionByName(Engine.sql(s, d, "SHOW TBLPROPERTIES graft_tmp.disc_t")
+          .select(lit("property").as("kind"), col("key").as("k"), col("value").as("v")))
+        .unionByName(Engine.sql(s, d, "DESCRIBE DATABASE graft_tmp")
+          .filter(col("info_name") === "Namespace Name")
+          .select(lit("database").as("kind"), col("info_name").as("k"),
+            col("info_value").as("v")))
+    },
+      Some("""SELECT * FROM (VALUES
+             ('column', 'a', ''), ('column', 'b', ''),
+             ('property', 'retention', '30d'), ('property', 'pii', 'false'),
+             ('database', 'Namespace Name', 'graft_tmp'))
+             AS t(kind, k, v)""")),
+
+    // ---- vocabulary build: global token counts → frequency-ranked top-20
+    //      with cumulative corpus coverage — the "initialize the tokenizer
+    //      vocab" pass. The heavy stage is one hash aggregate over the
+    //      exploded corpus (map-side combined); the ranked window runs on
+    //      the vocabulary-sized aggregate, not the corpus. ----
+    Q("t12_vocab_build", (s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val ord = Window.orderBy(col("cnt").desc, col("w").asc)
+      counts
+        .withColumn("rnk", row_number().over(ord))
+        .withColumn("cum", sum("cnt")
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("cnt").over(Window.partitionBy()))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk").cast("long").as("rnk"), col("w"), col("cnt"),
+          round(col("cum") / col("total"), 4).as("coverage"))
+    },
+      Some("""WITH c AS (SELECT w, count(*) AS cnt FROM
+               (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+               GROUP BY w),
+              r AS (SELECT w, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+                      sum(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM c)
+             SELECT rnk, w, cnt, round(CAST(cum AS DOUBLE)/total, 4) AS coverage
+             FROM r WHERE rnk <= 20""")),
+
+    // ---- TF-IDF document keywords: per-doc top-3 terms by tf·idf —
+    //      the classic relevance signal a corpus pipeline derives before
+    //      clustering/labeling. Shapes: tf is one corpus hash-aggregate;
+    //      df is a vocabulary-sized aggregate broadcast back onto tf;
+    //      top-3 survives WindowGroupLimit. Scores ranked on the
+    //      4-decimal rounding so float ulps can't flip orders. ----
+    Q("t13_tfidf_keywords", (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct("doc_id").as("n_docs"))
+      val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1.0)), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"),
+          col("score"), col("rnk").cast("long").as("rnk"))
+    },
+      Some("""WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
+               (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                FROM documents WHERE doc_id < 100)
+               GROUP BY doc_id, w),
+              df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs
+                    FROM documents WHERE doc_id < 100),
+              scored AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                           round(tf.tf * ln((n.n_docs + 1)/(df.df + 1.0)), 4) AS score
+                         FROM tf JOIN df USING (w), n),
+              r AS (SELECT doc_id, w, tf, df, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, w) AS rnk
+                    FROM scored)
+             SELECT doc_id, w, tf, df, score, rnk FROM r WHERE rnk <= 3"""))
   )
 }

@@ -136,6 +136,49 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+
+  /** Completed-session emission via flatMapGroupsWithState — the custom
+    * sessionizer `session_window` can't express: a session row is emitted
+    * exactly once, when its gap closes (the next event for the user
+    * arrives more than `gapMinutes` later); the open session stays in
+    * keyed state across micro-batches. The Append-mode variable-arity
+    * output (0..n completed sessions per key per batch) is what
+    * distinguishes flatMapGroupsWithState from mapGroupsWithState
+    * (`runningUserStats` above).
+    *
+    * Scale: state is one (start, last, n) triple per active user,
+    * partitioned by user_id across executors; events are sorted per
+    * key per batch only (micro-batch-sized, never global).
+    */
+  def completedSessions(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+          val out = Seq.newBuilder[SessionOut]
+          var st = state.getOption
+          rows.map(_._2).toArray.sorted.foreach { t =>
+            st match {
+              case Some(s) if t - s.last_us > gapUs =>
+                out += SessionOut(uid, s.start_us, s.last_us, s.n)
+                st = Some(SessState(t, t, 1L))
+              case Some(s) =>
+                st = Some(SessState(s.start_us, t, s.n + 1))
+              case None =>
+                st = Some(SessState(t, t, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String)
   case class UserStat(user_id: Long, n_events: Long, last_type: String)
 

@@ -108,6 +108,38 @@ class StreamingSpec extends SparkSpec {
     assert(nLo == src.filter(col("value") <= 10).count())
   }
 
+  test("flatMapGroupsWithState emits exactly the completed sessions") {
+    val stream = EventStreams.completedSessions(spark,
+      EventStreams.readEvents(spark, eventsDir))
+    val q = stream.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: gaps-and-islands sessions; every session except each
+    // user's LAST (still open in state) must have been emitted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val gap = 30L * 60L * 1000000L
+    val flagged = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gap, 1).otherwise(0))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = flagged.groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val last = sess.groupBy("user_id").agg(max("sid").as("maxsid"))
+    val want = sess.join(last, Seq("user_id"))
+      .filter(col("sid") =!= col("maxsid"))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"got ${got.size} sessions, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = EventStreams.runningUserStats(spark,
       EventStreams.readEvents(spark, eventsDir))
