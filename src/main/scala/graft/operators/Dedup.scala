@@ -285,9 +285,10 @@ object Dedup {
     * — boilerplate spans (headers, license text) are exactly the grams
     * that would otherwise explode the join quadratically per gram, and a
     * span shared by thousands of documents is boilerplate, not duplication.
-    * The df-filter is one hash aggregate; at 100 TB you'd join on
-    * xxhash64(gram) (same plan shape, 8-byte keys); raw strings here keep
-    * the oracle byte-exact.
+    * The df-filter is one hash aggregate. Grams are hashed to 64 bits
+    * right after extraction, so the df aggregate and the pair join move
+    * 8-byte keys, never n-token strings; shared-span counts are
+    * hash-invariant (collisions 2^-64).
     *
     * Output: (da, db, n_shared) with da < db — n_shared counts the
     * distinct surviving spans the pair shares.
@@ -296,7 +297,7 @@ object Dedup {
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"
+        s"transform(sequence(0, size(ws)-$n), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $n))))"
       ))).as("gram"))
     // checkpointed: feeds the df-aggregate plus both self-join sides
     val g = graft.tools.Checkpoints.local(grams)
@@ -382,16 +383,16 @@ object Dedup {
     * is deduplicated and BROADCAST, so the contamination check is a
     * broadcast semi-join with no corpus shuffle at all; the final
     * keep-filter is a broadcast anti-join on the contaminated id set.
-    * Grams are joined as raw strings here for oracle-exactness; at 100 TB
-    * you would join on xxhash64(gram) to shrink the broadcast (same plan
-    * shape, strictly less data).
+    * Grams are hashed to 64 bits at extraction, shrinking the broadcast
+    * ~10× vs n-token strings; the doc-level keep decision is
+    * hash-invariant (collisions 2^-64).
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
     def grams(df: DataFrame) =
       df.select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= n)
         .select(col("doc_id"), explode(array_distinct(expr(
-          s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"
+          s"transform(sequence(0, size(ws)-$n), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $n))))"
         ))).as("gram"))
     val benchGrams = broadcast(grams(bench).select("gram").distinct())
     val contaminated = grams(docs)

@@ -179,6 +179,15 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: each micro-batch joins the static
+    * dimension with no streaming state at all (the dimension is re-read
+    * per batch, so slowly-changing dims pick up updates between batches).
+    * Broadcast keeps the stream side shuffle-free — the standard
+    * fact-stream × dim-table shape.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class UserEvent(user_id: Long, event_type: String)
   case class UserStat(user_id: Long, n_events: Long, last_type: String)
 

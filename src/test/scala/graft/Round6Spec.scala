@@ -248,6 +248,23 @@ class Round6Spec extends SparkSpec {
     assert(overlap > 0, s"no overlap with brute force (got ${got.length} rows)")
   }
 
+  test("lshTopK/tfidf plan shapes: broadcast joins, no cartesian product") {
+    val e = Similarity.prep(Tables.t(spark, sf, "embeddings"))
+    val lsh = Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+      planes = e.filter(col("vec_id") >= 8 && col("vec_id") < 24), k = 5)
+    val lshPlan = planOf(lsh)
+    // candidates come from the (band, bucket) equi-join with the query
+    // side broadcast — an all-pairs fallback would surface as a cartesian
+    assert(lshPlan.contains("BroadcastHashJoin"), lshPlan)
+    assert(!lshPlan.contains("CartesianProduct"), lshPlan)
+    val tfidf = Registry.byName("t13_tfidf_keywords").fn(spark, sf)
+    val tfPlan = planOf(tfidf)
+    // vocabulary-sized df broadcasts onto tf (hash join); the 1-row doc
+    // count rides a broadcast nested loop, never a cartesian shuffle
+    assert(tfPlan.contains("BroadcastHashJoin"), tfPlan)
+    assert(!tfPlan.contains("CartesianProduct"), tfPlan)
+  }
+
   test("WAV: synth → parse round trip, odd-chunk padding, unknown payload") {
     // closed-form round trip (doc 7: 2ch, 16 kHz, 16-bit, 70 samples)
     assert(operators.Multimodal.parseWav(operators.Multimodal.wavBytes(7L))

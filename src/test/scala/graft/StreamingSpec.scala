@@ -140,6 +140,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static broadcast join enriches every micro-batch row") {
+    val dim = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val stream = EventStreams.enrichWithDim(
+      EventStreams.readEvents(spark, eventsDir), dim, "user_id")
+    val q = stream.select("user_id", "event_id", "user_total")
+      .writeStream.format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+    assert(got.count() == Tables.t(spark, sf, "events").count())
+    // every row carries its user's dim attribute (left join, full dim)
+    assert(got.filter(col("user_total").isNull).count() == 0)
+    val mismatched = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("user_total").as("ut"))
+      .filter(col("n") =!= col("ut")).count()
+    assert(mismatched == 0)
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = EventStreams.runningUserStats(spark,
       EventStreams.readEvents(spark, eventsDir))
