@@ -487,18 +487,27 @@ object Engine {
     * literal- and comment-aware (see [[splitStatements]]), so `;` inside
     * any string literal — including multi-line literals — is safe.
     */
+  private val sourceRe = """(?is)\s*SOURCE\s+'?([^';]+?)'?\s*;?\s*""".r
+
   def script(spark: SparkSession, dataDir: String, text: String,
              vars: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
-    val stmts = splitStatements(text)
-    require(stmts.nonEmpty, "empty script")
+    require(splitStatements(text).nonEmpty, "empty script")
     var env = vars
     var last = spark.emptyDataFrame
-    stmts.foreach { raw =>
+    // `SOURCE file` (CliDriver processFile parity) inlines the file's
+    // statements at the call site: variables defined inside a sourced
+    // file persist in the outer script, and sourced files may source
+    // further files (depth-bounded only by the stack, like the CLI)
+    def run(t: String): Unit = splitStatements(t).foreach { raw =>
       substitute(raw, env) match {
         case setVarRe(_, name, value) => env += name -> value
+        case sourceRe(path) =>
+          run(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path.trim)), "UTF-8"))
         case stmt => last = sql(spark, dataDir, stmt)
       }
     }
+    run(text)
     last
   }
 }

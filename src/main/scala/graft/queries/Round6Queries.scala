@@ -417,6 +417,39 @@ object Round6Queries {
                       row_number() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, w) AS rnk
                     FROM scored)
-             SELECT doc_id, w, tf, df, score, rnk FROM r WHERE rnk <= 3"""))
+             SELECT doc_id, w, tf, df, score, rnk FROM r WHERE rnk <= 3""")),
+
+    // ---- sequence packing: assign every document a (shard, bin, offset)
+    //      in fixed-token-budget training sequences — the batch-assembly
+    //      step between preprocessing and training. Contiguous packing in
+    //      doc_id order WITHIN a shard: the running-sum window runs per
+    //      shard (the parallelism unit), never globally, so there is no
+    //      single-partition stage at any corpus size; documents straddling
+    //      a bin boundary are split across sequences, exactly like
+    //      fixed-context pretraining batches. ----
+    Q("t14_sequence_pack", (s, d) => {
+      val budget = 2048
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start", sum("n_tok")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tok"))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr(s"start div $budget").as("bin_id"),
+          (col("start") % budget).as("bin_offset"))
+    },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                           len(string_split(text,' ')) AS n_tok
+                         FROM documents),
+              c AS (SELECT doc_id, shard, n_tok,
+                      sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS start
+                    FROM d)
+             SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(start // 2048 AS BIGINT) AS bin_id,
+               CAST(start % 2048 AS BIGINT) AS bin_offset
+             FROM c"""))
   )
 }

@@ -64,6 +64,27 @@ class Round6Spec extends SparkSpec {
     assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
   }
 
+  test("script: SOURCE inlines a file; its variable definitions persist") {
+    val inner = java.nio.file.Files.createTempFile("graft_src", ".sql")
+    java.nio.file.Files.writeString(inner,
+      "SET hivevar:cap=4;\nSELECT n_name FROM nation WHERE n_nationkey < 2;")
+    // sourced SELECT runs (becomes `last` unless the outer script follows
+    // up), and hivevar:cap defined INSIDE the file scopes the outer query
+    val df = Engine.script(spark, sf,
+      s"SOURCE ${inner.toString};\n" +
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < ${cap};")
+    assert(df.count() == 4)
+    // quoted path form; the sourced statement is the script's last
+    val df2 = Engine.script(spark, sf, s"SOURCE '${inner.toString}';")
+    assert(df2.count() == 2)
+    // ADD FILE / LIST FILES pass through to Spark's resource commands
+    val res = java.nio.file.Files.createTempFile("graft_res", ".txt")
+    Engine.script(spark, sf, s"ADD FILE ${res.toString};")
+    val listed = Engine.script(spark, sf, "LIST FILES;")
+      .collect().map(_.getString(0))
+    assert(listed.exists(_.contains(res.getFileName.toString)), listed.mkString(","))
+  }
+
   test("concurrent multi-insert statements keep separate shared-scan views") {
     for (i <- 1 to 2) {
       spark.sql(s"DROP TABLE IF EXISTS g_mi_conc_$i")
