@@ -450,6 +450,46 @@ object Round6Queries {
              SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
                CAST(start // 2048 AS BIGINT) AS bin_id,
                CAST(start % 2048 AS BIGINT) AS bin_offset
-             FROM c"""))
+             FROM c""")),
+
+    // ---- embedding-column QA stats: per-dimension mean/min/max plus the
+    //      vector-norm distribution — the sanity pass an embedding corpus
+    //      gets before index building (degenerate dims, unnormalized
+    //      vectors, NaN screens). One posexplode + one hash aggregate
+    //      keyed by dimension: k×dims output regardless of corpus size. ----
+    Q("s08_embedding_stats", (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val norm = e.select(col("vec_id"),
+        sqrt(aggregate(transform(col("emb"), x => x * x),
+          lit(0.0), (acc, v) => acc + v)).as("l2"))
+      val dims = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        // + 0.0 canonicalizes IEEE negative zero (a mean rounding to
+        // zero from below prints -0 in one engine and 0 in the other)
+        .agg((round(avg("v"), 4) + 0.0).as("mean_v"),
+          round(min("v"), 4).as("min_v"), round(max("v"), 4).as("max_v"))
+        .select(col("dim").cast("long").as("dim"),
+          col("mean_v"), col("min_v"), col("max_v"))
+      val normStats = norm.agg(
+        round(avg("l2"), 4).as("mean_v"),
+        round(min("l2"), 4).as("min_v"),
+        round(max("l2"), 4).as("max_v"))
+        .select(lit(-1L).as("dim"), col("mean_v"), col("min_v"), col("max_v"))
+      dims.unionByName(normStats)
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings),
+              x AS (SELECT unnest(range(len(emb))) AS dim, unnest(emb) AS v
+                    FROM e),
+              dims AS (SELECT dim, round(avg(v),4) + 0.0 AS mean_v,
+                         round(min(v),4) AS min_v, round(max(v),4) AS max_v
+                       FROM x GROUP BY dim),
+              n AS (SELECT sqrt(list_sum(list_transform(emb, a -> a*a))) AS l2
+                    FROM e)
+             SELECT dim, mean_v, min_v, max_v FROM dims
+             UNION ALL
+             SELECT -1, round(avg(l2),4), round(min(l2),4), round(max(l2),4)
+             FROM n"""))
   )
 }
