@@ -352,19 +352,24 @@ object Round6Queries {
     // ---- vocabulary build: global token counts → frequency-ranked top-20
     //      with cumulative corpus coverage — the "initialize the tokenizer
     //      vocab" pass. The heavy stage is one hash aggregate over the
-    //      exploded corpus (map-side combined); the ranked window runs on
-    //      the vocabulary-sized aggregate, not the corpus. ----
+    //      exploded corpus (map-side combined); the top-20 cut is a
+    //      distributed TakeOrderedAndProject (k rows survive each
+    //      partition), so no stage ever holds the full vocabulary in one
+    //      partition — the rank/cumulative window runs on the 20
+    //      survivors and the corpus total is a broadcast scalar. ----
     Q("t12_vocab_build", (s, d) => {
-      val counts = t(s, d, "documents")
+      // checkpointed: the vocabulary aggregate feeds both the total-count
+      // scalar and the top-k cut — one corpus scan, not two
+      val counts = graft.tools.Checkpoints.local(t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+      val total = counts.agg(sum("cnt").as("total"))
+      val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(20)
       val ord = Window.orderBy(col("cnt").desc, col("w").asc)
-      counts
+      top.crossJoin(broadcast(total))
         .withColumn("rnk", row_number().over(ord))
         .withColumn("cum", sum("cnt")
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("cnt").over(Window.partitionBy()))
-        .filter(col("rnk") <= 20)
         .select(col("rnk").cast("long").as("rnk"), col("w"), col("cnt"),
           round(col("cum") / col("total"), 4).as("coverage"))
     },

@@ -306,6 +306,15 @@ class Round6Spec extends SparkSpec {
     // side broadcast — an all-pairs fallback would surface as a cartesian
     assert(lshPlan.contains("BroadcastHashJoin"), lshPlan)
     assert(!lshPlan.contains("CartesianProduct"), lshPlan)
+    // vocab build: the top-20 cut is a distributed TakeOrderedAndProject
+    // (never a full-vocabulary single-partition sort) and the checkpointed
+    // vocabulary aggregate means the corpus parquet is scanned once
+    val vocab = Registry.byName("t12_vocab_build").fn(spark, sf)
+    val vPlan = planOf(vocab)
+    assert(vPlan.contains("TakeOrderedAndProject"), vPlan)
+    assert(!vPlan.contains("Scan parquet"), vPlan)
+    vocab.limit(1).collect()
+    Checkpoints.sweep()
     val tfidf = Registry.byName("t13_tfidf_keywords").fn(spark, sf)
     val tfPlan = planOf(tfidf)
     // vocabulary-sized df broadcasts onto tf (hash join); the 1-row doc
