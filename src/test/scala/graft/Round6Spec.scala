@@ -237,6 +237,22 @@ class Round6Spec extends SparkSpec {
     Checkpoints.sweep()
   }
 
+  test("dedupIncrement edges: empty batch, empty corpus, empty-text docs") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "a b c d e f g h").toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty batch → empty result; empty corpus → whole batch kept
+    assert(Dedup.dedupIncrement(corpus, empty).count() == 0)
+    assert(Dedup.dedupIncrement(empty, corpus).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // an empty-text batch doc has a one-token ("") set: never a near-dup
+    // of real text, still present in the output
+    val batch = Seq(10L -> "", 11L -> "a b c d e f g h").toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(corpus, batch).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), kept.mkString(","))
+    Checkpoints.sweep()
+  }
+
   test("lshTopK: reranked sims are exact, ordered, and overlap brute force") {
     val e = Similarity.prep(Tables.t(spark, sf, "embeddings"))
     val qs = e.filter(col("vec_id") < 5)
