@@ -495,6 +495,26 @@ object Round6Queries {
              SELECT dim, mean_v, min_v, max_v FROM dims
              UNION ALL
              SELECT -1, round(avg(l2),4), round(min(l2),4), round(max(l2),4)
-             FROM n"""))
+             FROM n""")),
+
+    // ---- last string-function stragglers: split_part, ANSI OVERLAY ...
+    //      PLACING, char_length/octet_length, POSITION ... IN — exercised
+    //      as SQL text so the parser forms are covered too. ----
+    Q("q136_funcs_gap4", (s, d) =>
+      Engine.sql(s, d,
+        """SELECT n_name,
+           split_part(n_name, '_', 2) AS part2,
+           overlay(n_name PLACING 'XX' FROM 3) AS ov,
+           CAST(char_length(n_name) AS BIGINT) AS clen,
+           CAST(octet_length(n_name) AS BIGINT) AS olen,
+           CAST(position('_' IN n_name) AS BIGINT) AS pos
+           FROM nation"""),
+      Some("""SELECT n_name,
+             split_part(n_name, '_', 2) AS part2,
+             substr(n_name, 1, 2) || 'XX' || substr(n_name, 5) AS ov,
+             length(n_name) AS clen,
+             strlen(n_name) AS olen,
+             CAST(position('_' IN n_name) AS BIGINT) AS pos
+             FROM nation"""))
   )
 }
