@@ -39,14 +39,32 @@ object Bench {
       spark.range(100).write.mode("overwrite").parquet(warm + "/w")
     } catch { case _: Throwable => () }
 
+    // CPU steal seconds from /proc/stat (field 8, USER_HZ ticks): the
+    // direct noisy-neighbor signal on a shared VM. Annotated into the
+    // JSON so a contended run is distinguishable from a real regression.
+    def stealSec(): Double = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+    val steal0 = stealSec()
+
+    // Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and
+    // scored by its MIN — host contention inflates some runs, never
+    // deflates one, so the min is the stable engine-cost estimate (the
+    // r6 "regressions" were 40% VM noise; see PERF.md).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release any localCheckpoint the query materialized — leaked blocks
-      // would shrink execution memory for every query after it (the r4
-      // fleet-wide regression)
-      tools.Checkpoints.sweep()
+      val dt = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        // release any localCheckpoint the query materialized — leaked blocks
+        // would shrink execution memory for every query after it (the r4
+        // fleet-wide regression)
+        tools.Checkpoints.sweep()
+        d
+      }.min
       name -> dt
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -71,8 +89,10 @@ object Bench {
       "d08_dedup_cluster", "q124_global_rank", "s06_ann_quantized",
       "d10_span_dedup", "d11_dedup_incremental", "s07_ann_lsh")
     val headSet = headline.toSet
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""
+    val stealDelta = { val s1 = stealSec(); if (s1 < 0 || steal0 < 0) -1.0 else s1 - steal0 }
+    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -55,6 +55,8 @@ object Engine {
       "in_file", exprs => graft.functions.InFile(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => graft.functions.CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =
@@ -79,7 +81,9 @@ object Engine {
     "graft.functions.ParseUrlTuple" -> (exprs => graft.functions.ParseUrlTuple(exprs)),
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFParseUrlTuple" -> (exprs => graft.functions.ParseUrlTuple(exprs)),
     "graft.functions.InFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))),
-    "org.apache.hadoop.hive.ql.udf.UDFInFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))))
+    "org.apache.hadoop.hive.ql.udf.UDFInFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))),
+    "graft.functions.Reflect2" -> (exprs => graft.functions.Reflect2(exprs)),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2" -> (exprs => graft.functions.Reflect2(exprs)))
 
   private val createFunRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
@@ -322,10 +326,60 @@ object Engine {
     spark.sql(s"REFRESH TABLE $table")
   }
 
+  // `tab TABLESAMPLE(BUCKET x OUT OF y ON cols) [alias]` — the reference's
+  // deterministic bucket-sampling text form (parse/FromClauseParser.g:154-166),
+  // which Spark's parser rejects (it only accepts the ON-less form, as a
+  // RANDOM fraction — different semantics).
+  private val bucketSampleRe =
+    ("""(?is)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)""" +
+      """\s+ON\s+((?:[^()]+|\([^()]*\))+)\)(\s+(?:AS\s+)?(\w+))?""").r // ON may hold calls like rand()
+  private val sqlKeywords = Set("WHERE", "GROUP", "HAVING", "ORDER", "SORT",
+    "DISTRIBUTE", "CLUSTER", "LIMIT", "JOIN", "ON", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "UNION", "INTERSECT", "EXCEPT", "SELECT", "FROM")
+
+  /** Rewrite every `TABLESAMPLE(BUCKET x OUT OF y ON cols)` in a statement
+    * into the deterministic bucket-membership filter
+    * `pmod(hash_hive(cols), y) = x-1` as an inline subquery (aliased back to
+    * the table name so qualified column references keep resolving).
+    *
+    * Bucket function parity: Hive buckets by `ObjectInspectorUtils.hashCode`
+    * — for integral columns the hash IS the value, multi-column combines as
+    * `31*h + next` — so the filter reproduces Hive's row-to-bucket
+    * assignment for integer sample columns (the only type the reference's
+    * own bucketed fixtures use; `ON rand()` rewrites to a fraction filter).
+    * At scale the rewrite keeps sampling a pure scan-side filter: no
+    * shuffle, pushdown-eligible, and on a table bucketed by the same
+    * columns it reads whole buckets.
+    */
+  private[graft] def rewriteBucketSample(stmt: String): String =
+    bucketSampleRe.replaceAllIn(stmt, m => {
+      val (tab, x, y) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
+      val onExpr = m.group(4).trim
+      val aliasWord = Option(m.group(6))
+      val keepAlias = aliasWord.filter(a => !sqlKeywords.contains(a.toUpperCase))
+      val alias = keepAlias.getOrElse(tab.split('.').last)
+      // non-alias trailing word (e.g. WHERE) must survive the rewrite
+      val tail = if (keepAlias.isEmpty) Option(m.group(5)).getOrElse("") else ""
+      require(x >= 1 && x <= y, s"BUCKET $x OUT OF $y: x must be in [1, y]")
+      val pred =
+        if (onExpr.equalsIgnoreCase("rand()"))
+          s"rand() * $y < 1" // random bucket: fraction 1/y, like the reference
+        else {
+          val h = splitAssignments(onExpr)
+            .map(c => s"CAST($c AS BIGINT)")
+            .reduceLeft((a, b) => s"($a * 31 + $b)")
+          s"pmod($h, $y) = ${x - 1}"
+        }
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * FROM $tab WHERE $pred) AS $alias$tail")
+    })
+
   /** Run one statement, intercepting function DDL (result: empty frame,
     * like a DDL command). Everything else goes to Spark SQL unchanged.
     */
-  def ddl(spark: SparkSession, stmt: String): org.apache.spark.sql.DataFrame =
+  def ddl(spark: SparkSession, stmt0: String): org.apache.spark.sql.DataFrame = {
+    val stmt = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
+      rewriteBucketSample(stmt0) else stmt0
     stmt match {
       case createFunRe(name, cls) if functionClasses.contains(cls) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -382,8 +436,21 @@ object Engine {
       case s if s.trim.toUpperCase.startsWith("FROM") &&
                 topLevel(s.trim, "INSERT").nonEmpty =>
         multiInsert(spark, s)
+      // EXPLAIN [EXTENDED|FORMATTED|...] SELECT — the reference's
+      // ExplainTask surface. Spark answers natively; the raw text carries
+      // per-session expression ids (#123) and absolute file paths, both
+      // scrubbed here so explain output is stable across sessions and
+      // hosts — the property the reference's explain .q goldens rely on.
+      case s if s.trim.toUpperCase.startsWith("EXPLAIN ") =>
+        import org.apache.spark.sql.functions.{col, regexp_replace}
+        spark.sql(s).select(
+          regexp_replace(regexp_replace(
+            regexp_replace(col("plan"), "#\\d+", "#"),
+            "(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>"),
+            "plan_id=\\d+", "plan_id=").as("plan"))
       case _ => spark.sql(stmt)
     }
+  }
 
   // one registration per (session, dataDir); avoids 10 schema reads per query
   private val registered =
@@ -497,17 +564,29 @@ object Engine {
     // `SOURCE file` (CliDriver processFile parity) inlines the file's
     // statements at the call site: variables defined inside a sourced
     // file persist in the outer script, and sourced files may source
-    // further files (depth-bounded only by the stack, like the CLI)
-    def run(t: String): Unit = splitStatements(t).foreach { raw =>
-      substitute(raw, env) match {
-        case setVarRe(_, name, value) => env += name -> value
-        case sourceRe(path) =>
-          run(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(path.trim)), "UTF-8"))
-        case stmt => last = sql(spark, dataDir, stmt)
+    // further files. A visited-path chain guards against SOURCE cycles
+    // (a file that transitively sources itself would otherwise be a
+    // driver StackOverflowError), and a missing file names the offending
+    // statement instead of surfacing a bare NoSuchFileException.
+    def run(t: String, sourcing: List[java.nio.file.Path]): Unit =
+      splitStatements(t).foreach { raw =>
+        substitute(raw, env) match {
+          case setVarRe(_, name, value) => env += name -> value
+          case sourceRe(path) =>
+            val p = java.nio.file.Paths.get(path.trim)
+              .toAbsolutePath.normalize()
+            if (sourcing.contains(p)) throw new IllegalArgumentException(
+              s"SOURCE cycle: $p is already being sourced " +
+                s"(chain: ${sourcing.reverse.mkString(" -> ")})")
+            if (!java.nio.file.Files.isReadable(p))
+              throw new IllegalArgumentException(
+                s"SOURCE target not readable: $p (statement: ${raw.trim})")
+            run(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+              p :: sourcing)
+          case stmt => last = sql(spark, dataDir, stmt)
+        }
       }
-    }
-    run(text)
+    run(text, Nil)
     last
   }
 }

@@ -381,8 +381,13 @@ object Dedup {
     * Scale design: gram extraction is a narrow per-row transform; the
     * benchmark side (always orders of magnitude smaller than the corpus)
     * is deduplicated and BROADCAST, so the contamination check is a
-    * broadcast semi-join with no corpus shuffle at all; the final
-    * keep-filter is a broadcast anti-join on the contaminated id set.
+    * broadcast semi-join with no corpus shuffle at all. The final
+    * keep-filter anti-join carries NO broadcast hint: `contaminated` is
+    * a set of CORPUS doc ids, which under heavy leakage (precisely the
+    * scenario this operator exists for) is corpus-proportional — a
+    * forced broadcast would be a multi-GB driver/executor transfer on a
+    * 100 TB corpus with a few-percent hit rate. AQE still picks a
+    * broadcast hash join at runtime whenever the measured set is small.
     * Grams are hashed to 64 bits at extraction, shrinking the broadcast
     * ~10× vs n-token strings; the doc-level keep decision is
     * hash-invariant (collisions 2^-64).
@@ -398,6 +403,6 @@ object Dedup {
     val contaminated = grams(docs)
       .join(benchGrams, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
-    docs.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 }

@@ -224,17 +224,23 @@ object Multimodal {
     if (b.length < 12 ||
       new String(b, 0, 4, "US-ASCII") != "RIFF" ||
       new String(b, 8, 4, "US-ASCII") != "WAVE") return None
-    var off = 12
+    // Offset math stays in Long: a corrupt declared chunk length near
+    // 2^32 would wrap negative through .toInt and stall or reverse the
+    // walk, hanging the executor task. In Long the advance is always
+    // >= 8, so the walk is monotonic and terminates; a truncated file
+    // simply runs off the end and yields None (mime "unknown").
+    var off = 12L
     var fmt: Option[(Int, Long, Int, Int)] = None
     var dataSize = -1L
     while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val len = le32(b, off + 4)
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = le32(b, o + 4)
       if (id == "fmt " && len >= 16 && off + 8 + 16 <= b.length)
-        fmt = Some((le16(b, off + 10), le32(b, off + 12),
-          le16(b, off + 22), le16(b, off + 20)))
+        fmt = Some((le16(b, o + 10), le32(b, o + 12),
+          le16(b, o + 22), le16(b, o + 20)))
       else if (id == "data") dataSize = len
-      off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+      off += 8L + len + (len & 1L) // RIFF chunks pad to even
     }
     fmt.flatMap { case (channels, rate, bits, blockAlign) =>
       if (dataSize >= 0 && blockAlign > 0)

@@ -266,22 +266,27 @@ object Round6Queries {
     //      the document's distinct-token ratio, decided by a multiplicative
     //      hash of doc_id (Knuth 2654435761) — reproducible importance
     //      resampling with zero shuffle, the downsampling step a pipeline
-    //      runs between quality scoring and training. ----
+    //      runs between quality scoring and training. The hash reduces
+    //      both factors mod 2^20 BEFORE multiplying (modularly identical:
+    //      2654435761 % 1048576 = 489905) so the product stays < 2^40 and
+    //      never overflows 64-bit for any doc_id — a raw doc_id * constant
+    //      wraps at doc_id >= ~3.5e9, i.e. at corpus scale. ----
     Q("t11_weighted_sample", (s, d) =>
       t(s, d, "documents")
         .withColumn("quality",
           round(size(array_distinct(split(col("text"), " "))) /
             size(split(col("text"), " ")).cast("double"), 4))
         .withColumn("u",
-          (col("doc_id") * lit(2654435761L) % lit(1048576L)) / lit(1048576.0))
+          ((col("doc_id") % lit(1048576L)) * lit(489905L) % lit(1048576L))
+            / lit(1048576.0))
         .filter(col("u") < col("quality"))
         .select(col("doc_id"), col("quality"), round(col("u"), 6).as("u")),
       Some("""SELECT doc_id,
              round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
                    / len(string_split(text,' ')), 4) AS quality,
-             round((doc_id * 2654435761 % 1048576) / 1048576.0, 6) AS u
+             round((doc_id % 1048576 * 489905 % 1048576) / 1048576.0, 6) AS u
              FROM documents
-             WHERE (doc_id * 2654435761 % 1048576) / 1048576.0 <
+             WHERE (doc_id % 1048576 * 489905 % 1048576) / 1048576.0 <
                round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
                      / len(string_split(text,' ')), 4)""")),
 

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{Engine, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{round => _, _}
+import graft.queries.Fns.round
+
+/** Round-7 sweep: the judge's remaining scalar/text-surface stragglers —
+  * TABLESAMPLE(BUCKET ...) as SQL text, current_user, reflect2, and the
+  * RegexSerDe read recipe.
+  */
+object Round7Queries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- current_user() / current_database() session context
+    //      (GenericUDFCurrentUser.java / GenericUDFCurrentDatabase.java,
+    //      both registered built-ins in exec/FunctionRegistry.java:178
+    //      area). Spark ships both; the gate pins that current_user()
+    //      answers with THIS session's user — compared engine-side against
+    //      the JVM/SPARK_USER identity so the oracle stays host-agnostic. ----
+    Q("q137_current_user", (s, d) => {
+      val expected = sys.env.getOrElse("SPARK_USER",
+        System.getProperty("user.name"))
+      t(s, d, "region").select(
+        col("r_regionkey"),
+        (expr("current_user()") === lit(expected)).as("user_ok"),
+        (length(expr("current_user()")) > 0).as("user_nonempty"))
+    },
+      Some("""SELECT r_regionkey, true AS user_ok, true AS user_nonempty
+             FROM region""")),
+
+    // ---- TABLESAMPLE(BUCKET x OUT OF y ON cols) SQL-text form
+    //      (parse/FromClauseParser.g:154-166) — the exact statement text a
+    //      migrating script contains, rewritten by Engine.ddl into the
+    //      deterministic bucket filter (Hive's int-column bucket hash IS
+    //      the value, so pmod(key, y) = x-1 reproduces the reference's
+    //      row-to-bucket assignment; same semantics q42 pins DataFrame-
+    //      side). Trailing alias + WHERE exercise the rewrite's tail
+    //      handling. ----
+    Q("q138_tablesample_bucket_sql", (s, d) =>
+      Engine.sql(s, d,
+        """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem TABLESAMPLE(BUCKET 4 OUT OF 7 ON l_orderkey) li
+           WHERE li.l_quantity > 5
+           GROUP BY l_returnflag"""),
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             FROM lineitem WHERE l_orderkey % 7 = 3 AND l_quantity > 5
+             GROUP BY l_returnflag""")),
+
+    // ---- reflect2 instance-method reflection (GenericUDFReflect2.java):
+    //      resolved once at analysis time, invoked per row; the gate runs
+    //      String methods with SQL-expressible oracles (Java substring is
+    //      0-based/end-exclusive, SQL's is 1-based/length). Registered both
+    //      as `reflect2` and under the Hive class name via CREATE FUNCTION. ----
+    Q("q139_reflect2", (s, d) => {
+      Tables.views(s, d, "customer")
+      Engine.ddl(s, """CREATE TEMPORARY FUNCTION hive_reflect2 AS
+        'org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2'""")
+      Engine.sql(s, d,
+        """SELECT c_custkey,
+                  reflect2(c_name, 'length') AS name_len,
+                  reflect2(c_name, 'substring', 9) AS name_tail,
+                  reflect2(c_name, 'replace', '#', '-') AS name_dash,
+                  hive_reflect2(c_name, 'toUpperCase') AS name_upper,
+                  reflect2(c_mktsegment, 'indexOf', 'I') AS seg_i
+           FROM customer WHERE c_custkey <= 200""")
+    },
+      Some("""SELECT c_custkey,
+             CAST(length(c_name) AS INT) AS name_len,
+             substring(c_name, 10) AS name_tail,
+             replace(c_name, '#', '-') AS name_dash,
+             upper(c_name) AS name_upper,
+             CAST(coalesce(nullif(instr(c_mktsegment, 'I'), 0), 0) - 1 AS INT) AS seg_i
+             FROM customer WHERE c_custkey <= 200""")),
+
+    // ---- RegexSerDe read recipe (serde2/RegexSerDe.java): an Apache-log-
+    //      style text file projected into columns by ONE regexp_extract
+    //      pass per column over spark.read.text — the SURVEY §2.1 mapping
+    //      for regex-described text layouts. The log lines are generated
+    //      from `orders`, so the oracle reconstructs the same rows
+    //      relationally; a malformed line must yield NULL columns and
+    //      survive (RegexSerDe's permissive contract). ----
+    Q("q140_regex_serde", (s, d) => {
+      val base = graft.tools.Tmp.dir("graft_regexserde")
+      val logs = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select(concat(
+          lit("10.0."), (col("o_orderkey") % 256).cast("string"),
+          lit(".1 - - [2015-01-01] \"GET /orders/"),
+          col("o_orderkey").cast("string"),
+          lit(" HTTP/1.1\" "), (lit(200) + col("o_orderkey") % 3).cast("string"),
+          lit(" "), floor(col("o_totalprice")).cast("long").cast("string")
+        ).as("value"))
+      logs.coalesce(1).write.mode("overwrite").text(s"$base/logs")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/logs", "malformed.txt"),
+        "this line matches no pattern\n".getBytes("UTF-8"))
+      val pat = """^(\S+) \S+ \S+ \[([^\]]+)\] "(\w+) (\S+) [^"]*" (\d+) (\d+)$"""
+      val raw = s.read.text(s"$base/logs")
+      raw.select(
+        nullif2(regexp_extract(col("value"), pat, 1)).as("host"),
+        nullif2(regexp_extract(col("value"), pat, 3)).as("method"),
+        nullif2(regexp_extract(col("value"), pat, 4)).as("path"),
+        nullif2(regexp_extract(col("value"), pat, 5)).cast("int").as("code"),
+        nullif2(regexp_extract(col("value"), pat, 6)).cast("long").as("bytes"))
+    },
+      Some("""SELECT concat('10.0.', CAST(o_orderkey % 256 AS VARCHAR), '.1') AS host,
+             'GET' AS method,
+             concat('/orders/', CAST(o_orderkey AS VARCHAR)) AS path,
+             CAST(200 + o_orderkey % 3 AS INT) AS code,
+             CAST(floor(o_totalprice) AS BIGINT) AS bytes
+             FROM orders WHERE o_orderkey <= 2000
+             UNION ALL
+             SELECT NULL, NULL, NULL, NULL, NULL"""))
+  )
+
+  /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits
+    * NULL for unmatched rows, so normalize. */
+  private def nullif2(c: org.apache.spark.sql.Column) =
+    when(c === "", lit(null)).otherwise(c)
+}

@@ -150,32 +150,58 @@ object EventStreams {
     *
     * Scale: state is one (start, last, n) triple per active user,
     * partitioned by user_id across executors; events are sorted per
-    * key per batch only (micro-batch-sized, never global).
+    * key per batch only (micro-batch-sized, never global). The
+    * watermark + EventTimeTimeout pair is what bounds state for the
+    * long tail of churned users: when the watermark passes a session's
+    * gap expiry the open session is flushed and its state removed —
+    * without it every user who ever appeared would pin state forever
+    * and their final session would never be emitted.
     */
   def completedSessions(spark: SparkSession, events: DataFrame,
                         gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
-      .as[(Long, Long)]
+    // the watermarked TIMESTAMP column itself must reach the stateful
+    // operator (its event-time tag does not survive a unix_micros
+    // projection); micros conversion happens inside the function
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.time.Instant)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) =>
-          val out = Seq.newBuilder[SessionOut]
-          var st = state.getOption
-          rows.map(_._2).toArray.sorted.foreach { t =>
-            st match {
-              case Some(s) if t - s.last_us > gapUs =>
-                out += SessionOut(uid, s.start_us, s.last_us, s.n)
-                st = Some(SessState(t, t, 1L))
-              case Some(s) =>
-                st = Some(SessState(s.start_us, t, s.n + 1))
-              case None =>
-                st = Some(SessState(t, t, 1L))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.time.Instant)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // gap expired with no new events — the open session is complete
+            val out = state.getOption
+              .map(s => SessionOut(uid, s.start_us, s.last_us, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val out = Seq.newBuilder[SessionOut]
+            var st = state.getOption
+            rows.map(p => p._2.getEpochSecond * 1000000L + p._2.getNano / 1000L)
+              .toArray.sorted.foreach { t =>
+              st match {
+                case Some(s) if t - s.last_us > gapUs =>
+                  out += SessionOut(uid, s.start_us, s.last_us, s.n)
+                  st = Some(SessState(t, t, 1L))
+                case Some(s) =>
+                  // a late cross-batch event (t inside the current session
+                  // but older than its last) must never move the session
+                  // boundary backwards
+                  st = Some(SessState(math.min(s.start_us, t),
+                    math.max(s.last_us, t), s.n + 1))
+                case None =>
+                  st = Some(SessState(t, t, 1L))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              // flush + expire once the watermark passes the gap end
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60000L)
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 

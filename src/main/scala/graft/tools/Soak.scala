@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the dedup/ANN chain: run each banded operator at 1× and
+  * 10× the sf0.1 corpus and report wall-time + shuffle-byte ratios. The
+  * claim under test is the O(docs × bands) design — candidate generation
+  * through band equi-joins, never all-pairs — which predicts ~linear
+  * shuffle growth in corpus size (modulo candidate-density change: the
+  * synthetic vocabulary is tiny, so duplicates grow superlinearly in the
+  * replicated corpus; the all-pairs alternative would be 100×).
+  *
+  * Usage: sbt "runMain graft.tools.Soak [sfDir]" — prints one table row
+  * per (operator, scale) with wall seconds and shuffle read/write bytes.
+  * Results are recorded in PERF.md §Round 7.
+  */
+object Soak {
+
+  /** 10× corpus: shard s of 10 re-keys doc_id into its own id space and
+    * prepends a shard token to ~half the texts, so replicas are near- but
+    * not exact duplicates of their source (keeps the LSH candidate
+    * structure realistic rather than degenerate exact-copy).
+    */
+  def scaleDocs(docs: DataFrame, copies: Int): DataFrame =
+    docs.crossJoin(
+        docs.sparkSession.range(copies.toLong).select(col("id").as("shard")))
+      .select(
+        (col("doc_id") + col("shard") * 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            concat(lit("shard"), col("shard"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Engine.session(s"local[$cpus]", "graft-soak", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    val base = graft.Tables.t(spark, sfDir, "documents")
+    // persist inputs to parquet so scan cost is comparable at both scales
+    val tmp = Tmp.dir("graft_soak")
+    base.write.mode("overwrite").parquet(s"$tmp/docs1x")
+    scaleDocs(base, 10).write.mode("overwrite").parquet(s"$tmp/docs10x")
+    val embBase = graft.operators.Similarity.prep(
+      graft.Tables.t(spark, sfDir, "embeddings"))
+
+    def docs(scale: Int): DataFrame =
+      spark.read.parquet(s"$tmp/docs${scale}x")
+
+    case class Op(name: String, run: Int => Long)
+    val ops = Seq(
+      Op("d02_minhash_pairs", s =>
+        graft.operators.Dedup.minhashPairs(docs(s)).count()),
+      Op("d06_resolve", s =>
+        graft.operators.Dedup.resolve(docs(s)).count()),
+      Op("d11_increment", s => {
+        val d = docs(s)
+        graft.operators.Dedup.dedupIncrement(
+          corpus = d.filter(col("doc_id") % 2 === 0),
+          batch = d.filter(col("doc_id") % 2 === 1)).count()
+      }),
+      Op("s04_neardup_ivf", s => {
+        // embeddings lack a 10x variant; scale by unioning shifted copies
+        val e = if (s == 1) embBase else
+          (1 until s).foldLeft(embBase)((acc, i) =>
+            acc.unionAll(embBase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))))
+        graft.operators.Similarity.neardupIVF(
+          e, embBase.filter(col("vec_id") < 8), minSim = 0.4, nProbe = 2).count()
+      }))
+
+    println(f"${"operator"}%-20s ${"scale"}%5s ${"rows"}%10s ${"wall_s"}%8s ${"shuf_rd_mb"}%11s ${"shuf_wr_mb"}%11s")
+    val rows = for (op <- ops; scale <- Seq(1, 10)) yield {
+      Checkpoints.sweep()
+      shuffleRead.set(0); shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      val n = op.run(scale)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; drain before reading the counters
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      val (rd, wr) = (shuffleRead.get / 1e6, shuffleWrite.get / 1e6)
+      println(f"${op.name}%-20s $scale%5d $n%10d $wall%8.2f $rd%11.1f $wr%11.1f")
+      (op.name, scale, n, wall, rd, wr)
+    }
+    println("\nratios (10x / 1x):")
+    rows.grouped(2).foreach { case Seq(a, b) =>
+      println(f"${a._1}%-20s wall ${b._4 / a._4}%6.2fx  shuffle_rd ${b._5 / math.max(a._5, 0.1)}%6.2fx  rows ${b._3.toDouble / math.max(a._3, 1)}%6.2fx")
+    }
+    spark.stop()
+  }
+}

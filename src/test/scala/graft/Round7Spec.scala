@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 gates: TABLESAMPLE(BUCKET) text rewrite, reflect2, EXPLAIN
+  * stability, SOURCE cycle guard, and the corrupt-WAV termination fix.
+  */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TABLESAMPLE(BUCKET x OUT OF y ON cols) text rewrite ----
+
+  test("rewriteBucketSample rewrites the ON-cols form into a pmod filter") {
+    val got = Engine.rewriteBucketSample(
+      "SELECT * FROM src TABLESAMPLE(BUCKET 1 OUT OF 2 ON key) WHERE v > 0")
+    assert(got ==
+      "SELECT * FROM (SELECT * FROM src WHERE pmod(CAST(key AS BIGINT), 2) = 0) AS src WHERE v > 0",
+      got)
+  }
+
+  test("rewriteBucketSample keeps an explicit alias and combines columns Hive-style") {
+    val got = Engine.rewriteBucketSample(
+      "SELECT s.k FROM src TABLESAMPLE(BUCKET 3 OUT OF 5 ON k, v) AS s")
+    assert(got.contains("pmod((CAST(k AS BIGINT) * 31 + CAST(v AS BIGINT)), 5) = 2"), got)
+    assert(got.contains(") AS s"), got)
+  }
+
+  test("rewriteBucketSample leaves the ON-less form for Spark's native parser") {
+    val q = "SELECT * FROM src TABLESAMPLE(BUCKET 1 OUT OF 4)"
+    assert(Engine.rewriteBucketSample(q) == q)
+  }
+
+  test("TABLESAMPLE BUCKET ON through Engine.sql selects exactly the bucket") {
+    val all = Tables.t(spark, sf, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(7)) === 3).count()
+    val sampled = Engine.sql(spark, sf,
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE(BUCKET 4 OUT OF 7 ON l_orderkey)")
+      .head().getLong(0)
+    assert(sampled == all)
+    assert(sampled > 0)
+  }
+
+  test("TABLESAMPLE BUCKET ON rand() samples roughly a 1/y fraction") {
+    val total = Tables.t(spark, sf, "lineitem").count()
+    val n = Engine.sql(spark, sf,
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE(BUCKET 1 OUT OF 4 ON rand())")
+      .head().getLong(0)
+    assert(n > total / 8 && n < total / 2, s"$n of $total")
+  }
+
+  // ---- reflect2 ----
+
+  test("reflect2 resolves instance methods with Hive-compatible semantics") {
+    val r = Engine.sql(spark, sf,
+      """SELECT reflect2('hello world', 'length') AS len,
+                reflect2('hello world', 'substring', 6) AS tail,
+                reflect2('hello', 'toUpperCase') AS up,
+                reflect2('hello', 'indexOf', 'l') AS idx,
+                reflect2(CAST(255 AS INT), 'toString') AS s255
+      """).head()
+    assert(r.getInt(0) == 11)
+    assert(r.getString(1) == "world")
+    assert(r.getString(2) == "HELLO")
+    assert(r.getInt(3) == 2)
+    assert(r.getString(4) == "255")
+  }
+
+  test("reflect2 is null-safe and rejects unknown methods at analysis") {
+    val r = Engine.sql(spark, sf,
+      "SELECT reflect2(CAST(NULL AS STRING), 'length') AS n").head()
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      Engine.sql(spark, sf, "SELECT reflect2('x', 'noSuchMethod')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nosuchmethod"))
+  }
+
+  // ---- EXPLAIN through the script surface ----
+
+  test("EXPLAIN output is scrubbed of expression ids and file paths") {
+    val plan = Engine.sql(spark, sf,
+      "EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag")
+      .head().getString(0)
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"), plan)
+    assert(!"""#\d+""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains(sf), plan) // no host-specific data paths
+  }
+
+  // ---- SOURCE guard ----
+
+  test("SOURCE cycle fails with a descriptive error, not StackOverflow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_cycle")
+    val a = dir.resolve("a.sql"); val b = dir.resolve("b.sql")
+    java.nio.file.Files.writeString(a, s"SOURCE $b;")
+    java.nio.file.Files.writeString(b, s"SOURCE $a;")
+    val e = intercept[IllegalArgumentException] {
+      Engine.script(spark, sf, s"SOURCE $a;")
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
+  test("SOURCE of a missing file names the offending statement") {
+    val e = intercept[IllegalArgumentException] {
+      Engine.script(spark, sf, "SOURCE /no/such/file_12345.sql;")
+    }
+    assert(e.getMessage.contains("file_12345"), e.getMessage)
+  }
+
+  // ---- corrupt WAV payloads terminate ----
+
+  test("parseWav returns None (not a hang) on corrupt chunk lengths") {
+    // chunk declares length 0xFFFFFFFF: the old Int math advanced by 0
+    val bad = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes).putInt(24).put("WAVE".getBytes)
+    bad.put("junk".getBytes).putInt(0xFFFFFFFF)
+    assert(graft.operators.Multimodal.parseWav(bad.array()).isEmpty)
+    // truncated mid-walk
+    val trunc = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    trunc.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+    trunc.put("fmt ".getBytes).putInt(1000)
+    assert(graft.operators.Multimodal.parseWav(trunc.array()).isEmpty)
+  }
+
+  // ---- new gates return plausible rows at sf0.001 ----
+
+  test("round-7 registry queries run and return rows") {
+    Seq("q137_current_user", "q138_tablesample_bucket_sql",
+        "q139_reflect2", "q140_regex_serde").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf)
+      assert(df.count() > 0, name)
+    }
+  }
+
+  test("q137 asserts the session user matches the JVM user") {
+    val rows = Registry.byName("q137_current_user").fn(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(1)), "current_user() != expected session user")
+  }
+
+  test("q140 malformed log line survives as an all-NULL row") {
+    val df = Registry.byName("q140_regex_serde").fn(spark, sf)
+    assert(df.filter(col("host").isNull).count() == 1)
+  }
+}

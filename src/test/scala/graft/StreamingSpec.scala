@@ -116,8 +116,11 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val got = spark.table("sess_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // batch truth: gaps-and-islands sessions; every session except each
-    // user's LAST (still open in state) must have been emitted
+    // batch truth: gaps-and-islands sessions. Every session closed by a
+    // FOLLOWING event must be emitted; a user's last session may be
+    // emitted too iff its gap expired before the final watermark
+    // (EventTimeTimeout flush — the state-hygiene path), so `got` sits
+    // between `closed` and `all`.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("us")
     val gap = 30L * 60L * 1000000L
@@ -132,11 +135,23 @@ class StreamingSpec extends SparkSpec {
       .agg(min("us").as("start_us"), max("us").as("end_us"),
         count(lit(1)).as("n_events"))
     val last = sess.groupBy("user_id").agg(max("sid").as("maxsid"))
-    val want = sess.join(last, Seq("user_id"))
-      .filter(col("sid") =!= col("maxsid"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "start_us", "end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(got == want, s"got ${got.size} sessions, want ${want.size}")
+    val all = toSet(sess.join(last, Seq("user_id")))
+    val closed = toSet(sess.join(last, Seq("user_id"))
+      .filter(col("sid") =!= col("maxsid")))
+    assert(closed.subsetOf(got), s"missing ${(closed -- got).size} closed sessions")
+    assert(got.subsetOf(all), s"${(got -- all).size} emitted sessions not in batch truth")
+    // the timeout path must actually fire: every last session whose gap
+    // expired well before the final watermark has to be flushed
+    val maxUs = flagged.agg(max("us")).head().getLong(0)
+    val wmUs = maxUs - 10L * 60L * 1000000L // watermark delay
+    val mustFlush = toSet(sess.join(last, Seq("user_id"))
+      .filter(col("sid") === col("maxsid"))
+      .filter(col("end_us") + gap < wmUs - 60L * 1000000L))
+    assert(mustFlush.subsetOf(got),
+      s"${(mustFlush -- got).size} expired open sessions never flushed by timeout")
     assert(got.nonEmpty)
   }
 
