@@ -18,19 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  /** 10× corpus: shard s of 10 re-keys doc_id into its own id space and
-    * prepends a shard token to ~half the texts, so replicas are near- but
-    * not exact duplicates of their source (keeps the LSH candidate
-    * structure realistic rather than degenerate exact-copy).
+  /** N× corpus: shard s re-keys doc_id into its own id space and prefixes
+    * every TOKEN with the shard id (shard 0 keeps the originals). Token
+    * prefixing makes shards mutually invisible to shingle LSH (cross-shard
+    * jaccard = 0), so the N× corpus is N independent copies of the 1×
+    * problem — exactly the controlled experiment for the O(docs × bands)
+    * claim. Naive replication instead creates cross-shard near-duplicates
+    * of every doc, inflating candidate pairs QUADRATICALLY in N: that
+    * measures the (already documented) candidate-density hazard, not the
+    * banding design.
     */
   def scaleDocs(docs: DataFrame, copies: Int): DataFrame =
     docs.crossJoin(
         docs.sparkSession.range(copies.toLong).select(col("id").as("shard")))
       .select(
         (col("doc_id") + col("shard") * 1000000L).as("doc_id"),
-        when(col("doc_id") % 2 === 0,
-            concat(lit("shard"), col("shard"), lit(" "), col("text")))
-          .otherwise(col("text")).as("text"))
+        when(col("shard") === 0, col("text")).otherwise(concat_ws(" ",
+          expr("transform(split(text, ' '), w -> concat('s', CAST(shard AS STRING), '_', w))")))
+          .as("text"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -74,23 +79,36 @@ object Soak {
           batch = d.filter(col("doc_id") % 2 === 1)).count()
       }),
       Op("s04_neardup_ivf", s => {
-        // embeddings lack a 10x variant; scale by unioning shifted copies
+        // Embedding shards get a cyclic DIMENSION rotation (shard 0 =
+        // identity): within-shard cosine structure is exactly the 1×
+        // problem (both vectors share the permutation), cross-shard
+        // cosines decorrelate so shards land in different clusters. The
+        // centroid set grows with the corpus (k ∝ N, the IVF scale rule)
+        // keeping per-cluster occupancy — hence candidate density — flat.
+        // (Plain replication is degenerate: identical copies + identical
+        // centroids pile every copy into one cluster, candidates ∝ N².)
         val e = if (s == 1) embBase else
-          (1 until s).foldLeft(embBase)((acc, i) =>
-            acc.unionAll(embBase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))))
+          embBase.crossJoin(embBase.sparkSession.range(s.toLong)
+              .select(col("id").as("shard")))
+            .select((col("vec_id") + col("shard") * 1000000L).as("vec_id"),
+              expr("""concat(slice(emb, CAST(shard AS INT) + 1,
+                             size(emb) - CAST(shard AS INT)),
+                             slice(emb, 1, CAST(shard AS INT)))""").as("emb"))
         graft.operators.Similarity.neardupIVF(
-          e, embBase.filter(col("vec_id") < 8), minSim = 0.4, nProbe = 2).count()
+          e, e.filter(col("vec_id") % 1000000L < 8), minSim = 0.4, nProbe = 2).count()
       }))
 
+    val opFilter = args.drop(1).headOption
+    val selected = ops.filter(o => opFilter.forall(o.name.contains))
     println(f"${"operator"}%-20s ${"scale"}%5s ${"rows"}%10s ${"wall_s"}%8s ${"shuf_rd_mb"}%11s ${"shuf_wr_mb"}%11s")
-    val rows = for (op <- ops; scale <- Seq(1, 10)) yield {
+    val rows = for (op <- selected; scale <- Seq(1, 10)) yield {
       Checkpoints.sweep()
       shuffleRead.set(0); shuffleWrite.set(0)
       val t0 = System.nanoTime()
       val n = op.run(scale)
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are async; drain before reading the counters
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(2000)
       val (rd, wr) = (shuffleRead.get / 1e6, shuffleWrite.get / 1e6)
       println(f"${op.name}%-20s $scale%5d $n%10d $wall%8.2f $rd%11.1f $wr%11.1f")
       (op.name, scale, n, wall, rd, wr)
