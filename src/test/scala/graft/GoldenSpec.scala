@@ -28,6 +28,7 @@ class GoldenSpec extends SparkSpec {
     case null => "NULL"
     case d: Double => f"$d%.6g"
     case f: Float => f"${f.toDouble}%.6g"
+    case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString // not [B@addr
     case x => x.toString
   }
 
