@@ -112,7 +112,56 @@ object Round7Queries {
              CAST(floor(o_totalprice) AS BIGINT) AS bytes
              FROM orders WHERE o_orderkey <= 2000
              UNION ALL
-             SELECT NULL, NULL, NULL, NULL, NULL"""))
+             SELECT NULL, NULL, NULL, NULL, NULL""")),
+
+    // ---- document chunking with overlap: the training-prep step that
+    //      splits each document into fixed-size token windows (size 32,
+    //      stride 24 = 8-token overlap) for embedding/context packing.
+    //      Pure narrow per-row transform — one posexplode per doc, no
+    //      shuffle at any corpus size; chunk boundaries are deterministic
+    //      functions of the token array. ----
+    Q("t15_chunk_overlap", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(ws) - 1, 24), st -> slice(ws, st + 1, 32))"))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          concat_ws(" ", col("chunk")).as("chunk_text"),
+          size(col("chunk")).cast("long").as("n_tokens")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                         WHERE len(string_split(text, ' ')) > 0),
+              st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS s0 FROM t)
+             SELECT doc_id, CAST(s0 // 24 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(ws, s0 + 1, least(s0 + 32, len(ws))), ' ') AS chunk_text,
+               CAST(len(list_slice(ws, s0 + 1, least(s0 + 32, len(ws)))) AS BIGINT) AS n_tokens
+             FROM st""")),
+
+    // ---- PII scrubbing: email / phone / IPv4 masking before training —
+    //      the redaction pass every corpus pipeline runs. Chained codegen'd
+    //      regexp_replace (same class as t07's masking); the PII-bearing
+    //      text is constructed deterministically so the oracle is the
+    //      closed-form scrubbed string. ----
+    Q("t16_pii_scrub", (s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          concat(lit("contact "), lower(col("c_name")),
+            lit("@corp.example.com or 555-01"),
+            lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+            lit(" ip 10.1."), (col("c_custkey") % 256).cast("string"),
+            lit(".7 segment "), col("c_mktsegment")).as("raw"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            "[\\w.+-]+@[\\w.-]+", "<EMAIL>"),
+            "\\b\\d{3}-\\d{4}\\b", "<PHONE>"),
+            "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"))
+        .select("c_custkey", "scrubbed"),
+      Some("""SELECT c_custkey,
+             concat('contact customer#<EMAIL> or <PHONE> ip <IP> segment ',
+                    c_mktsegment) AS scrubbed
+             FROM customer WHERE c_custkey <= 300"""))
   )
 
   /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits

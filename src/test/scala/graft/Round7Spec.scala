@@ -142,4 +142,48 @@ class Round7Spec extends SparkSpec {
     val df = Registry.byName("q140_regex_serde").fn(spark, sf)
     assert(df.filter(col("host").isNull).count() == 1)
   }
+
+  // ---- q23's single-partition window vs the GlobalRank scale path ----
+
+  test("q23 distribution functions == GlobalRank.distribution (no single partition)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val viaWindow = Registry.byName("q23_window_ntile").fn(spark, sf)
+      .collect().map(key).toSet
+    val sup = Tables.t(spark, sf, "supplier")
+    val global = graft.operators.GlobalRank.distribution(sup,
+      keyOrder = Seq(col("s_acctbal").desc),
+      keys = Seq(col("s_acctbal"), col("s_suppkey")),
+      tieBreak = Seq(col("s_suppkey").asc), buckets = 4)
+    val proj = global.select(col("s_suppkey"), col("nt").cast("long"),
+      (round(col("pr") * 1e6) / 1e6).as("pr"),
+      (round(col("cd") * 1e6) / 1e6).as("cd"))
+    val viaGlobal = proj.collect().map(key).toSet
+    // the literal-SQL gate (q23, dimension-sized input by contract) and
+    // the 100 TB shape (GlobalRank, range-partitioned) must agree exactly
+    assert(viaGlobal == viaWindow)
+    // and the scale path must plan WITHOUT the single-partition window
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    tools.Checkpoints.sweep()
+  }
+
+  test("t15 chunking covers every token with the declared overlap") {
+    import spark.implicits._
+    val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("chunked"), count(lit(1)).as("n_chunks"))
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val joined = perDoc.join(docs, "doc_id")
+      .select($"doc_id", $"chunked", $"n_chunks", $"n").collect()
+    joined.foreach { r =>
+      val (chunked, nChunks, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // one chunk per stride-24 start below n
+      assert(nChunks == (n - 1) / 24 + 1, r.toString)
+      // full coverage, overlap bounded by 8 tokens per chunk boundary
+      assert(chunked >= n && chunked <= n + (nChunks - 1) * 8, r.toString)
+    }
+    assert(joined.nonEmpty)
+  }
 }
