@@ -161,7 +161,39 @@ object Round7Queries {
       Some("""SELECT c_custkey,
              concat('contact customer#<EMAIL> or <PHONE> ip <IP> segment ',
                     c_mktsegment) AS scrubbed
-             FROM customer WHERE c_custkey <= 300"""))
+             FROM customer WHERE c_custkey <= 300""")),
+
+    // ---- legacy Hive CREATE TABLE DDL text: ROW FORMAT DELIMITED +
+    //      STORED AS TEXTFILE (the statement every clientpositive .q
+    //      opens with — LazySimpleSerDe \001/\N defaults) rewritten by
+    //      Engine.rewriteHiveCreate onto datasource DDL, then written and
+    //      read back through the same table. STORED AS PARQUET covered in
+    //      the same script. ----
+    Q("q141_hive_create_ddl", (s, d) => {
+      Tables.views(s, d, "nation")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_txt")
+      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_par")
+      // a fresh session's DROP is a catalog no-op, but a managed location
+      // left by a PREVIOUS process blocks CREATE (LOCATION_ALREADY_EXISTS)
+      // — remove the stale warehouse dir like a real operator would
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_tmp.db/q141_txt")
+      wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
+      Engine.ddl(s,
+        """CREATE TABLE graft_tmp.q141_txt (n_nationkey INT, n_name STRING)
+           ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' NULL DEFINED AS '\N'
+           STORED AS TEXTFILE""")
+      Engine.ddl(s,
+        "CREATE EXTERNAL TABLE graft_tmp.q141_par (n_nationkey INT, n_regionkey INT) STORED AS PARQUET LOCATION '" +
+          graft.tools.Tmp.dir("graft_q141") + "/par'")
+      s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_txt SELECT n_nationkey, n_name FROM nation")
+      s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_par SELECT n_nationkey, n_regionkey FROM nation")
+      s.sql("""SELECT t.n_nationkey, t.n_name, p.n_regionkey
+               FROM graft_tmp.q141_txt t JOIN graft_tmp.q141_par p
+               ON t.n_nationkey = p.n_nationkey""")
+    },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation"""))
   )
 
   /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits

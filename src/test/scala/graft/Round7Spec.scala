@@ -143,6 +143,50 @@ class Round7Spec extends SparkSpec {
     assert(df.filter(col("host").isNull).count() == 1)
   }
 
+  // ---- legacy Hive CREATE TABLE DDL rewrite ----
+
+  test("rewriteHiveCreate maps TEXTFILE + delimiters onto csv options") {
+    val got = Engine.rewriteHiveCreate(
+      """CREATE TABLE t1 (a STRING, b INT)
+        |ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t' NULL DEFINED AS 'NUL'
+        |STORED AS TEXTFILE""".stripMargin)
+    assert(got.contains("USING csv"), got)
+    assert(got.contains("sep = '\t'"), got)
+    assert(got.contains("nullValue = 'NUL'"), got)
+    assert(!got.toUpperCase.contains("STORED AS"), got)
+    assert(!got.toUpperCase.contains("ROW FORMAT"), got)
+  }
+
+  test("rewriteHiveCreate anchors USING after the schema, before clauses") {
+    val got = Engine.rewriteHiveCreate(
+      "CREATE EXTERNAL TABLE t2 (k INT) PARTITIONED BY (p INT) STORED AS PARQUET LOCATION '/tmp/x'")
+    assert("(?is)\\(k INT\\)\\s+USING parquet\\s+PARTITIONED BY".r
+      .findFirstIn(got).nonEmpty, got)
+    assert(!got.toUpperCase.contains("EXTERNAL"), got)
+    assert(got.contains("LOCATION '/tmp/x'"), got)
+  }
+
+  test("rewriteHiveCreate decodes octal delimiters and leaves non-Hive DDL alone") {
+    val oct = Engine.rewriteHiveCreate(
+      "CREATE TABLE t3 (a STRING) ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\001' STORED AS TEXTFILE")
+    assert(oct.contains("sep = ''"), oct)
+    val plain = "CREATE TABLE t4 (a STRING) USING parquet"
+    assert(Engine.rewriteHiveCreate(plain) == plain)
+    val seq = "CREATE TABLE t5 (a STRING) STORED AS SEQUENCEFILE"
+    assert(Engine.rewriteHiveCreate(seq) == seq) // no mapping: untouched
+  }
+
+  test("legacy textfile DDL round-trips data through the csv provider") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r7_txt")
+    Engine.ddl(spark,
+      "CREATE TABLE graft_tmp.r7_txt (k INT, v STRING) ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' STORED AS TEXTFILE")
+    spark.sql("INSERT OVERWRITE TABLE graft_tmp.r7_txt VALUES (1, 'a'), (2, NULL), (3, 'c,d')")
+    val got = spark.table("graft_tmp.r7_txt").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1, Some("a")), (2, None), (3, Some("c,d"))))
+  }
+
   // ---- q23's single-partition window vs the GlobalRank scale path ----
 
   test("q23 distribution functions == GlobalRank.distribution (no single partition)") {
