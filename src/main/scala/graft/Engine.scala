@@ -467,13 +467,59 @@ object Engine {
     }
   }
 
+  private val iodRe =
+    ("""(?is)(\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'[^']+')""" +
+      """((?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)|\s+STORED\s+AS\s+\w+)+(\s+SELECT\b.*|\s+FROM\b.*)""").r
+
+  /** `INSERT OVERWRITE [LOCAL] DIRECTORY '<p>' [ROW FORMAT DELIMITED ...]
+    * [STORED AS fmt] SELECT ...` — the reference's write-results-to-path
+    * statement (exec/MoveTask.java). Spark's datasource form wants
+    * `USING provider [OPTIONS(...)]`; same delimiter mapping as
+    * [[rewriteHiveCreate]].
+    */
+  private[graft] def rewriteHiveInsertDir(stmt0: String): String =
+    iodRe.replaceAllIn(stmt0, m => {
+      val clauses = m.group(0).substring(m.group(1).length,
+        m.group(0).length - m.group(3).length)
+      var fmt = "TEXTFILE"
+      val opts = scala.collection.mutable.LinkedHashMap[String, String]()
+      storedAsRe.findFirstMatchIn(clauses).foreach(x => fmt = x.group(1).toUpperCase)
+      rowFormatOptRe.findAllMatchIn(clauses).foreach { o =>
+        o.group(1).toUpperCase.replaceAll("\\s+", " ") match {
+          case "FIELDS TERMINATED BY" => opts += "sep" -> delimChar(o.group(2))
+          case "ESCAPED BY"           => opts += "escape" -> delimChar(o.group(2))
+          case "NULL DEFINED AS"      => opts += "nullValue" -> o.group(2)
+          case _                      => ()
+        }
+      }
+      val provider = fmt match {
+        case "TEXTFILE" =>
+          if (!opts.contains("sep")) opts += "sep" -> ""
+          if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
+          "csv"
+        case "PARQUET" => "parquet"
+        case "ORC" => "orc"
+        case "AVRO" => "avro"
+        case "JSONFILE" => "json"
+        case _ => return stmt0
+      }
+      val optsSql = if (opts.isEmpty) "" else
+        opts.map { case (k, v) => s"$k = '${v.replace("'", "\\'")}'" }
+          .mkString(" OPTIONS (", ", ", ")")
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} USING $provider$optsSql${m.group(3)}")
+    })
+
   /** Run one statement, intercepting function DDL (result: empty frame,
     * like a DDL command). Everything else goes to Spark SQL unchanged.
     */
   def ddl(spark: SparkSession, stmt0: String): org.apache.spark.sql.DataFrame = {
     val stmt1 = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
       rewriteBucketSample(stmt0) else stmt0
-    val stmt = rewriteHiveCreate(stmt1)
+    val stmt2 = rewriteHiveCreate(stmt1)
+    val stmt = if (stmt2.toUpperCase.contains("OVERWRITE") &&
+      (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
+      rewriteHiveInsertDir(stmt2) else stmt2
     stmt match {
       case createFunRe(name, cls) if functionClasses.contains(cls) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -176,6 +176,28 @@ class Round7Spec extends SparkSpec {
     assert(Engine.rewriteHiveCreate(seq) == seq) // no mapping: untouched
   }
 
+  test("rewriteHiveInsertDir maps directory writes onto USING providers") {
+    val got = Engine.rewriteHiveInsertDir(
+      "INSERT OVERWRITE DIRECTORY '/tmp/out' ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' STORED AS TEXTFILE SELECT 1")
+    assert(got.contains("USING csv"), got)
+    assert(got.contains("sep = ','"), got)
+    assert(got.endsWith(" SELECT 1"), got)
+    val par = Engine.rewriteHiveInsertDir(
+      "INSERT OVERWRITE DIRECTORY '/tmp/out2' STORED AS PARQUET SELECT 2 AS v")
+    assert(par.contains("'/tmp/out2' USING parquet SELECT 2 AS v"), par)
+  }
+
+  test("INSERT OVERWRITE DIRECTORY with Hive serde text writes and reads back") {
+    val out = java.nio.file.Files.createTempDirectory("r7_iod").toString + "/d"
+    Engine.sql(spark, sf,
+      s"""INSERT OVERWRITE DIRECTORY '$out'
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' STORED AS TEXTFILE
+          SELECT r_regionkey, r_name FROM region""")
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.length == 5)
+    assert(lines.forall(_.contains("|")), lines.mkString(","))
+  }
+
   test("legacy textfile DDL round-trips data through the csv provider") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
     Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r7_txt")
