@@ -100,6 +100,18 @@ object Engine {
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val deleteAllRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*;?\s*""".r
+  // ALTER TABLE t [PARTITION (...)] CONCATENATE — DDLSemanticAnalyzer's
+  // merge-small-files task (exec/DDLTask mergeFiles); routed to the CoW
+  // compactor over the table's (or partition's) directory
+  private val concatenateRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?CONCATENATE\s*;?\s*""".r
+  // EXPORT TABLE t TO 'dir' / IMPORT TABLE t FROM 'dir' [LOCATION 'loc']
+  // (ExportSemanticAnalyzer / ImportSemanticAnalyzer) — Spark's parser has
+  // no such statements; routed to the ExportImport operator
+  private val exportRe =
+    """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val importRe =
+    """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
 
   // DROP PARTITION with comparison filters (c>='US', d<'2') — the
   // reference's drop-by-filter form; Spark's parser only accepts exact
@@ -570,6 +582,38 @@ object Engine {
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true))
         spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      case concatenateRe(table, part) =>
+        val partitioned = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+          .partitionColumnNames.nonEmpty
+        val dir = Option(part) match {
+          case Some(spec) =>
+            val sub = spec.split(",").map { kv =>
+              val Array(k, v) = kv.split("=", 2).map(_.trim)
+              s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+            }.mkString("/")
+            tableLocation(spark, table).stripSuffix("/") + "/" + sub
+          case None =>
+            // Hive rejects whole-table CONCATENATE on partitioned tables
+            // (a flat rewrite would destroy the partition layout)
+            require(!partitioned,
+              s"$table is partitioned: CONCATENATE needs a PARTITION spec")
+            tableLocation(spark, table)
+        }
+        operators.Acid.compact(spark, dir, numFiles = 1)
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      case exportRe(table, dir) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        operators.ExportImport.exportTable(spark.table(table), dir,
+          meta.partitionColumnNames)
+        spark.emptyDataFrame
+      case importRe(table, dir, loc) =>
+        val location = Option(loc).getOrElse(
+          graft.tools.Tmp.dir("graft_import") + "/" + table.split('.').last)
+        operators.ExportImport.importTable(spark, dir, table, location)
         spark.emptyDataFrame
       // FROM-first multi-destination insert (genBodyPlan): Spark's parser
       // rejects it, so detect and fan out over one shared scan

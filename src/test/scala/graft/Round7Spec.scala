@@ -209,6 +209,28 @@ class Round7Spec extends SparkSpec {
     assert(got == Set((1, Some("a")), (2, None), (3, Some("c,d"))))
   }
 
+  test("ALTER TABLE CONCATENATE merges files, preserves content, guards partitioned") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r7_cc")
+    val loc = java.nio.file.Files.createTempDirectory("r7_cc").toString
+    spark.sql(s"CREATE TABLE graft_tmp.r7_cc (k INT) USING parquet LOCATION '$loc'")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft_tmp.r7_cc VALUES ($i), (${i * 10})"))
+    def nFiles = new java.io.File(loc).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 3)
+    Engine.ddl(spark, "ALTER TABLE graft_tmp.r7_cc CONCATENATE")
+    assert(nFiles == 1)
+    val got = spark.table("graft_tmp.r7_cc").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(1, 2, 3, 10, 20, 30))
+    // partitioned table without a PARTITION spec must be rejected
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r7_ccp")
+    spark.sql("CREATE TABLE graft_tmp.r7_ccp (k INT) USING parquet PARTITIONED BY (p INT)")
+    intercept[IllegalArgumentException] {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r7_ccp CONCATENATE")
+    }
+  }
+
   // ---- q23's single-partition window vs the GlobalRank scale path ----
 
   test("q23 distribution functions == GlobalRank.distribution (no single partition)") {
