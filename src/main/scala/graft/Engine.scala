@@ -386,6 +386,24 @@ object Engine {
         s"(SELECT * FROM $tab WHERE $pred) AS $alias$tail")
     })
 
+  /** Hive virtual columns (reference
+    * ql/src/java/org/apache/hadoop/hive/ql/metadata/VirtualColumn.java)
+    * mapped onto Spark equivalents as a statement-text rewrite:
+    * INPUT__FILE__NAME → input_file_name(), BLOCK__OFFSET__INSIDE__FILE →
+    * input_file_block_start() (block granularity — the reference also
+    * reports block, not row, offsets for columnar formats; unlike
+    * _metadata.file_block_start this resolves through temp views),
+    * GROUPING__ID → grouping_id() (bit order matches the reference's
+    * post-HIVE-16102 standard semantics: leftmost group-by column is the
+    * most significant bit). ROW__ID is deliberately absent: the CoW DML
+    * engine (operators/Acid.scala) has no ACID row ids by design.
+    */
+  private[graft] def rewriteVirtualColumns(stmt: String): String =
+    stmt.replaceAll("\\bINPUT__FILE__NAME\\b", "input_file_name()")
+      .replaceAll("\\bBLOCK__OFFSET__INSIDE__FILE\\b",
+        "input_file_block_start()")
+      .replaceAll("\\bGROUPING__ID\\b", "grouping_id()")
+
   /** Decode a Hive delimiter literal: `\t`/`\n`/`\r`, octal `\001`, else
     * the raw text. */
   private def delimChar(s: String): String = s match {
@@ -526,8 +544,10 @@ object Engine {
     * like a DDL command). Everything else goes to Spark SQL unchanged.
     */
   def ddl(spark: SparkSession, stmt0: String): org.apache.spark.sql.DataFrame = {
-    val stmt1 = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
+    val stmt1a = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
       rewriteBucketSample(stmt0) else stmt0
+    val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
+      else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)
     val stmt = if (stmt2.toUpperCase.contains("OVERWRITE") &&
       (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
