@@ -122,6 +122,35 @@ object Engine {
   private val partCmpRe =
     """(?s)\s*([\w]+)\s*(<=|>=|!=|<>|<|>|=)\s*(?:'([^']*)'|"([^"]*)"|([\w.+-]+))\s*""".r
 
+  // CREATE TEMPORARY MACRO name(arg TYPE, ...) body — the reference's
+  // inline-expanded macros (FunctionSemanticAnalyzer + udf/generic/
+  // GenericUDFMacro.java). Spark 4's SQL scalar UDFs (CREATE TEMPORARY
+  // FUNCTION ... RETURN expr) have identical semantics — the body is
+  // inlined into the plan by Catalyst — so the statement text rewrites
+  // onto them. Group 2 starts at the open paren; the arg-list/body split
+  // is a paren walk (arg types may nest parens: DECIMAL(10,2)).
+  private val createMacroRe =
+    """(?is)\s*CREATE\s+TEMPORARY\s+MACRO\s+([\w]+)\s*(\(.*)""".r
+  private val dropMacroRe =
+    """(?is)\s*DROP\s+TEMPORARY\s+MACRO\s+(?:(IF\s+EXISTS)\s+)?([\w]+)\s*;?\s*""".r
+
+  // ALTER TABLE t [PARTITION(...)] SET FILEFORMAT fmt — DDLSemanticAnalyzer
+  // alterTableFileFormat. Hive flips metadata only (old files must already
+  // be readable as fmt); a datasource table carries ONE provider, so the
+  // CoW interpretation here is stronger and safer: rewrite the rows into
+  // the new format via CTAS and swap the table. Per-partition specs are
+  // rejected — mixed formats within one datasource table don't exist.
+  private val setFileFormatRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?SET\s+FILEFORMAT\s+(\w+)\s*;?\s*""".r
+
+  // INSERT OVERWRITE TABLE t PARTITION (static spec) IF NOT EXISTS SELECT …
+  // — Hive skips the insert when the target partition already exists
+  // (SemanticAnalyzer; only legal with a fully-static spec). Spark's
+  // parser rejects the clause, so it's intercepted: existence check
+  // against the catalog, then the plain statement or a no-op.
+  private val insertIfNotExistsRe =
+    """(?is)\s*(INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\s*(.+)""".r
+
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
   private val mergeRe =
@@ -416,6 +445,11 @@ object Engine {
   }
 
   private val storedAsRe = """(?is)\s*STORED\s+AS\s+(\w+)\s*""".r
+  // SKEWED BY (c1, c2) ON ((v1, v2), (v3, v4)) [STORED AS DIRECTORIES] —
+  // the ON list holds bare values or parenthesized tuples (one level)
+  private val skewedByRe =
+    ("""(?is)\s*SKEWED\s+BY\s*\([^)]*\)\s*ON\s*""" +
+      """\((?:[^()]|\([^()]*\))*\)(?:\s+STORED\s+AS\s+DIRECTORIES)?\s*""").r
   private val rowFormatRe =
     """(?is)\s*ROW\s+FORMAT\s+DELIMITED((?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)\s*""".r
   private val rowFormatOptRe =
@@ -440,12 +474,19 @@ object Engine {
   private[graft] def rewriteHiveCreate(stmt0: String): String = {
     val up = stmt0.toUpperCase
     if (!up.contains("CREATE") || !up.contains("TABLE") ||
-        !(up.contains("STORED AS") || up.contains("ROW FORMAT"))) return stmt0
+        !(up.contains("STORED AS") || up.contains("ROW FORMAT") ||
+          up.contains("SKEWED BY"))) return stmt0
     if (up.contains("USING")) return stmt0 // already datasource DDL
+    // SKEWED BY (cols) ON ((v),...) [STORED AS DIRECTORIES] — Hive's
+    // list-bucketing hint (DDLSemanticAnalyzer analyzeSkewedValues).
+    // Skew is a runtime concern here (AQE skew-join handles it), so the
+    // clause strips. Must go first: its optional STORED AS DIRECTORIES
+    // tail would otherwise be read as a STORED AS format.
+    val noSkew = skewedByRe.replaceAllIn(stmt0, " ")
     // collect + strip the format clauses
     var fmt = "TEXTFILE"
     var opts = scala.collection.mutable.LinkedHashMap[String, String]()
-    var s = storedAsRe.replaceAllIn(stmt0, m => { fmt = m.group(1).toUpperCase; " " })
+    var s = storedAsRe.replaceAllIn(noSkew, m => { fmt = m.group(1).toUpperCase; " " })
     s = rowFormatRe.replaceAllIn(s, m => {
       rowFormatOptRe.findAllMatchIn(m.group(1)).foreach { o =>
         o.group(1).toUpperCase.replaceAll("\\s+", " ") match {
@@ -470,7 +511,8 @@ object Engine {
       case other => return stmt0 // SEQUENCEFILE/RCFILE: no datasource mapping
     }
     val optsSql = if (opts.isEmpty) "" else
-      opts.map { case (k, v) => s"$k = '${v.replace("'", "\\'")}'" }
+      opts.map { case (k, v) =>
+        s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
         .mkString(" OPTIONS (", ", ", ")")
     val using = s" USING $provider$optsSql "
     // anchor: after the column-list ')' if the table has one, else right
@@ -534,7 +576,8 @@ object Engine {
         case _ => return stmt0
       }
       val optsSql = if (opts.isEmpty) "" else
-        opts.map { case (k, v) => s"$k = '${v.replace("'", "\\'")}'" }
+        opts.map { case (k, v) =>
+        s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
           .mkString(" OPTIONS (", ", ", ")")
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} USING $provider$optsSql${m.group(3)}")
@@ -543,7 +586,18 @@ object Engine {
   /** Run one statement, intercepting function DDL (result: empty frame,
     * like a DDL command). Everything else goes to Spark SQL unchanged.
     */
-  def ddl(spark: SparkSession, stmt0: String): org.apache.spark.sql.DataFrame = {
+  def ddl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
+    // a .q-style statement often carries leading `-- comment` lines (the
+    // splitter keeps them attached); Spark's parser skips them, but the
+    // statement-shape regexes here anchor at the text start — drop the
+    // comment-only prefix lines so both see the same statement
+    val stmt0 = {
+      val lines = stmt0x.linesIterator.toSeq
+      val idx = lines.indexWhere { l =>
+        val t = l.trim; t.nonEmpty && !t.startsWith("--")
+      }
+      if (idx <= 0) stmt0x else lines.drop(idx).mkString("\n")
+    }
     val stmt1a = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
       rewriteBucketSample(stmt0) else stmt0
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
@@ -553,6 +607,73 @@ object Engine {
       (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
       rewriteHiveInsertDir(stmt2) else stmt2
     stmt match {
+      case createMacroRe(name, rest) =>
+        // split "(arg list) body" at the matching close paren
+        var depth = 0; var i = 0
+        while (i < rest.length && (depth != 0 || i == 0)) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        require(depth == 0 && i <= rest.length,
+          s"unbalanced parens in CREATE TEMPORARY MACRO $name")
+        val args = rest.substring(1, i - 1).trim
+        val body = rest.substring(i).trim.stripSuffix(";").trim
+        require(body.nonEmpty, s"CREATE TEMPORARY MACRO $name has no body")
+        spark.sql(
+          s"CREATE OR REPLACE TEMPORARY FUNCTION $name($args) RETURN $body")
+        spark.emptyDataFrame
+      case dropMacroRe(ifEx, name) =>
+        spark.sql("DROP TEMPORARY FUNCTION " +
+          (if (ifEx != null) "IF EXISTS " else "") + name)
+        spark.emptyDataFrame
+      case setFileFormatRe(table, part, fmt) =>
+        require(part == null, s"per-partition SET FILEFORMAT is not " +
+          s"supported: a datasource table carries one format table-wide")
+        val provider = fmt.toUpperCase match {
+          case "TEXTFILE" => "csv"
+          case "PARQUET"  => "parquet"
+          case "ORC"      => "orc"
+          case "AVRO"     => "avro"
+          case "JSONFILE" => "json"
+          case o => throw new IllegalArgumentException(
+            s"SET FILEFORMAT $o has no datasource mapping")
+        }
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val opts = if (provider == "csv")
+          " OPTIONS (sep = '', nullValue = '\\\\N')" else ""
+        val partBy = if (meta.partitionColumnNames.nonEmpty)
+          meta.partitionColumnNames.mkString(" PARTITIONED BY (", ", ", ")")
+        else ""
+        val tmp = table + "_setff_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        // a stale managed dir from a crashed earlier run blocks the CTAS
+        // (LOCATION_ALREADY_EXISTS) — clear it best-effort
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
+        tmpPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tmpPath, true)
+        spark.sql(
+          s"CREATE TABLE $tmp USING $provider$opts$partBy AS SELECT * FROM $table")
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        spark.emptyDataFrame
+      case insertIfNotExistsRe(prefix, table, spec, rest) =>
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val specMap = spec.split(",").map { kv =>
+          require(kv.contains("="), // dynamic column (no value given)
+            s"IF NOT EXISTS needs a fully-static partition spec, got: $kv")
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+        }.toMap
+        val exists = spark.sessionState.catalog
+          .listPartitions(ident, Some(specMap)).nonEmpty
+        if (exists) spark.emptyDataFrame else spark.sql(prefix + " " + rest)
       case createFunRe(name, cls) if functionClasses.contains(cls) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, functionClasses(cls), "scala_udf")

@@ -193,7 +193,72 @@ object Round7Queries {
                FROM graft_tmp.q141_txt t JOIN graft_tmp.q141_par p
                ON t.n_nationkey = p.n_nationkey""")
     },
-      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation"""))
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation""")),
+
+    // ---- CREATE TEMPORARY MACRO (FunctionSemanticAnalyzer + udf/generic/
+    //      GenericUDFMacro.java): Hive expands the macro body inline at
+    //      compile time. Engine.ddl rewrites the statement onto Spark 4
+    //      SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN body),
+    //      which Catalyst inlines identically — the oracle is the body
+    //      written out by hand. ----
+    Q("q142_macro", (s, d) => {
+      Engine.sql(s, d,
+        "CREATE TEMPORARY MACRO q142_sig(x DOUBLE) 1.0 / (1.0 + exp(-x))")
+      Engine.sql(s, d,
+        "CREATE TEMPORARY MACRO q142_add(a INT, b INT) a + b")
+      Engine.sql(s, d,
+        """SELECT n_nationkey,
+                  round(q142_sig(n_regionkey) * 1000000) / 1000000 AS sig,
+                  q142_add(n_nationkey, n_regionkey) AS ab
+           FROM nation""")
+    },
+      Some("""SELECT n_nationkey,
+             round(1.0 / (1.0 + exp(-n_regionkey)) * 1000000) / 1000000 AS sig,
+             n_nationkey + n_regionkey AS ab FROM nation""")),
+
+    // ---- INSERT OVERWRITE ... PARTITION (static) IF NOT EXISTS
+    //      (SemanticAnalyzer: the insert is SKIPPED when the partition
+    //      already exists; only legal with a fully-static spec). Spark's
+    //      parser rejects the clause; Engine.ddl checks the catalog and
+    //      runs or no-ops. Second insert into p='a' must not overwrite. ----
+    Q("q143_insert_ine", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q143_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_tmp.db/q143_t")
+      wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
+      s.sql("""CREATE TABLE graft_tmp.q143_t (v STRING, p STRING)
+               USING parquet PARTITIONED BY (p)""")
+      Engine.ddl(s, """INSERT OVERWRITE TABLE graft_tmp.q143_t
+        PARTITION (p='a') IF NOT EXISTS SELECT 'first'""")
+      Engine.ddl(s, """INSERT OVERWRITE TABLE graft_tmp.q143_t
+        PARTITION (p='a') IF NOT EXISTS SELECT 'second'""")
+      Engine.ddl(s, """INSERT OVERWRITE TABLE graft_tmp.q143_t
+        PARTITION (p='b') IF NOT EXISTS SELECT 'fresh'""")
+      s.sql("SELECT p, v FROM graft_tmp.q143_t")
+    },
+      Some("SELECT 'a' AS p, 'first' AS v UNION ALL SELECT 'b', 'fresh'")),
+
+    // ---- ALTER TABLE SET FILEFORMAT (DDLSemanticAnalyzer
+    //      alterTableFileFormat): Hive flips serde metadata only; the CoW
+    //      interpretation rewrites the rows into the new format (CTAS +
+    //      swap), so the table stays readable. TEXTFILE leg exercises the
+    //      \001/\N LazySimpleSerDe layout with a NULL round-trip, then ORC. ----
+    Q("q144_set_fileformat", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q144_t")
+      for (suffix <- Seq("", "_setff_tmp")) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/graft_tmp.db/q144_t$suffix")
+        wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
+      }
+      s.sql("CREATE TABLE graft_tmp.q144_t (k INT, v STRING) USING parquet")
+      s.sql("INSERT INTO graft_tmp.q144_t VALUES (1, 'a'), (2, NULL)")
+      Engine.ddl(s, "ALTER TABLE graft_tmp.q144_t SET FILEFORMAT TEXTFILE")
+      Engine.ddl(s, "ALTER TABLE graft_tmp.q144_t SET FILEFORMAT ORC")
+      s.sql("SELECT k, v FROM graft_tmp.q144_t")
+    },
+      Some("SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, NULL"))
   )
 
   /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits
