@@ -761,6 +761,40 @@ object Engine {
       case s if s.trim.toUpperCase.startsWith("FROM") &&
                 topLevel(s.trim, "INSERT").nonEmpty =>
         multiInsert(spark, s)
+      // EXPLAIN DEPENDENCY SELECT ... (ExplainTask.getJSONDependencies):
+      // the input tables/views a query reads, as one JSON row. Views are
+      // expanded by the analyzer, so both the view and its base tables
+      // list — the reference's behavior. The innermost SubqueryAlias
+      // above each leaf carries the relation's name (outer aliases like
+      // `src s1` are skipped); View nodes carry catalog/temp view names.
+      // input_partitions stays empty: pruned-partition detail lives in
+      // EXPLAIN FORMATTED's PartitionFilters here.
+      case s if s.trim.toUpperCase.startsWith("EXPLAIN DEPENDENCY") =>
+        import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
+        val q = s.trim.substring("EXPLAIN DEPENDENCY".length).trim
+        val analyzed = spark.sql(q).queryExecution.analyzed
+        val names = scala.collection.mutable.SortedSet[String]()
+        def add(segs: Seq[String]): Unit = {
+          val keep = segs.filter(x => x.nonEmpty && x != "spark_catalog")
+          names += (if (keep.length >= 2) keep.takeRight(2).mkString("@")
+                    else keep.mkString)
+        }
+        analyzed.foreach {
+          case v: View => add(v.desc.identifier.database.toSeq :+
+            v.desc.identifier.table)
+          case sa: SubqueryAlias
+              if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) =>
+            add(sa.identifier.qualifier :+ sa.identifier.name)
+          case _ => ()
+        }
+        val json = names.toSeq
+          .map(n => s"""{"tablename":"$n"}""")
+          .mkString("""{"input_partitions":[],"input_tables":[""", ",", "]}")
+        spark.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(json)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dependency",
+              org.apache.spark.sql.types.StringType))))
       // EXPLAIN [EXTENDED|FORMATTED|...] SELECT — the reference's
       // ExplainTask surface. Spark answers natively; the raw text carries
       // per-session expression ids (#123) and absolute file paths, both
