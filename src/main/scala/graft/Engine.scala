@@ -57,6 +57,22 @@ object Engine {
       "cosine_sim", exprs => graft.functions.CosineSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
+    // Hive's std/stddev/variance are POPULATION statistics
+    // (FunctionRegistry.java:348-354: std/stddev/stddev_pop all ->
+    // GenericUDAFStd, variance/var_pop -> GenericUDAFVariance); Spark's
+    // same-named aliases are SAMPLE statistics — a silent value drift for
+    // any migrating script. Re-point the ambiguous names at the
+    // population implementations; the unambiguous *_samp/*_pop spellings
+    // keep their native meaning on both engines.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "std", exprs => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.StddevPop(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stddev", exprs => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.StddevPop(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "variance", exprs => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.VariancePop(exprs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =

@@ -258,7 +258,27 @@ object Round7Queries {
       Engine.ddl(s, "ALTER TABLE graft_tmp.q144_t SET FILEFORMAT ORC")
       s.sql("SELECT k, v FROM graft_tmp.q144_t")
     },
-      Some("SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, NULL"))
+      Some("SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, NULL")),
+
+    // ---- Hive statistical-alias semantics: std/stddev/variance are
+    //      POPULATION statistics in the reference (FunctionRegistry.java:
+    //      348-354: std/stddev/stddev_pop -> GenericUDAFStd, variance/
+    //      var_pop -> GenericUDAFVariance) but SAMPLE aliases in stock
+    //      Spark — a silent value drift for migrating scripts.
+    //      Engine.install re-points the ambiguous names; the oracle pins
+    //      them against DuckDB's explicit population spellings. ----
+    Q("q145_hive_stat_aliases", (s, d) =>
+      Engine.sql(s, d,
+        """SELECT l_returnflag,
+                  round(std(l_quantity) * 1000000) / 1000000 AS sd_p,
+                  round(stddev(l_quantity) * 1000000) / 1000000 AS sd_p2,
+                  round(variance(l_quantity) * 1000000) / 1000000 AS var_p
+           FROM lineitem GROUP BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+             round(stddev_pop(l_quantity) * 1000000) / 1000000 AS sd_p,
+             round(stddev_pop(l_quantity) * 1000000) / 1000000 AS sd_p2,
+             round(var_pop(l_quantity) * 1000000) / 1000000 AS var_p
+             FROM lineitem GROUP BY l_returnflag"""))
   )
 
   /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits
