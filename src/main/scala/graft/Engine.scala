@@ -73,6 +73,16 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "variance", exprs => new org.apache.spark.sql.catalyst.expressions
         .aggregate.VariancePop(exprs(0)), "scala_udf")
+    // Hive's hash() is the Java-style hashCode chain
+    // (ObjectInspectorUtils.hashCode: int IS its hash, string is
+    // String.hashCode, multi-arg folds h*31+next) — Spark's hash() is
+    // Murmur3. Scripts that bucket, sample or persist hash(x) values
+    // silently change behavior; Spark ships the exact Hive algorithm as
+    // the HiveHash expression, so re-point the name. Engine internals
+    // (Dedup banding) use xxhash64/murmur3 directly, not this name.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash", exprs => org.apache.spark.sql.catalyst.expressions
+        .HiveHash(exprs), "scala_udf")
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =

@@ -366,9 +366,12 @@ object Dedup {
     */
   private def bandize(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
+    // xxhash64 (native, never re-registered): the SQL-name `hash` resolves
+    // to HiveHash for script parity (Engine.install), but the band hash is
+    // an internal detail that must not shift with the registry
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
