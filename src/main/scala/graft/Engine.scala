@@ -177,6 +177,15 @@ object Engine {
   private val insertIfNotExistsRe =
     """(?is)\s*(INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\s*(.+)""".r
 
+  // SET hive.support.quoted.identifiers=none|column — `none` turns
+  // backquoted identifiers into SELECT-list column regexes (the
+  // reference's regex_col.q feature, parse/HiveLexer.g QuotedIdentifier);
+  // Spark has the identical feature behind
+  // spark.sql.parser.quotedRegexColumnNames, so the statement maps to a
+  // conf flip instead of passing through as an inert Hive conf string.
+  private val quotedIdRe =
+    """(?is)\s*SET\s+hive\.support\.quoted\.identifiers\s*=\s*(\w+)\s*;?\s*""".r
+
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
   private val mergeRe =
@@ -633,6 +642,10 @@ object Engine {
       (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
       rewriteHiveInsertDir(stmt2) else stmt2
     stmt match {
+      case quotedIdRe(v) =>
+        spark.conf.set("spark.sql.parser.quotedRegexColumnNames",
+          v.equalsIgnoreCase("none").toString)
+        spark.emptyDataFrame
       case createMacroRe(name, rest) =>
         // split "(arg list) body" at the matching close paren
         var depth = 0; var i = 0
