@@ -177,6 +177,18 @@ object Engine {
   private val insertIfNotExistsRe =
     """(?is)\s*(INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\s*(.+)""".r
 
+  // CREATE TABLE ... AS SELECT with unaliased expression columns — Hive
+  // names them positionally (_c1, _c2 ...; SemanticAnalyzer
+  // getColumnInternalName), Spark by expression text ("count(1)"), so a
+  // migrating script's later `SELECT _c1 FROM t` breaks. When any CTAS
+  // output name is not a plain identifier, the select re-lands through a
+  // positionally-renamed temp view. `AS WITH ...` CTAS forms pass through
+  // (their aliasing is explicit in practice).
+  private val ctasRe =
+    """(?is)\s*(CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\b.*?)\bAS\s+(SELECT\b.*)""".r
+  private val plainIdentRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  private val ctasSeq = new java.util.concurrent.atomic.AtomicInteger
+
   // SET hive.support.quoted.identifiers=none|column — `none` turns
   // backquoted identifiers into SELECT-list column regexes (the
   // reference's regex_col.q feature, parse/HiveLexer.g QuotedIdentifier);
@@ -846,6 +858,17 @@ object Engine {
             regexp_replace(col("plan"), "#\\d+", "#"),
             "(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>"),
             "plan_id=\\d+", "plan_id=").as("plan"))
+      case ctasRe(prefix, select)
+          if spark.sql(select).columns
+            .exists(n => plainIdentRe.findFirstIn(n).isEmpty) =>
+        val out = spark.sql(select)
+        val hiveNames = out.columns.zipWithIndex.map { case (n, i) =>
+          if (plainIdentRe.findFirstIn(n).isDefined) n else s"_c$i"
+        }
+        val tmp = s"graft_ctas_${ctasSeq.incrementAndGet()}"
+        out.toDF(hiveNames.toIndexedSeq: _*).createOrReplaceTempView(tmp)
+        try spark.sql(s"$prefix AS SELECT * FROM $tmp")
+        finally spark.catalog.dropTempView(tmp)
       case _ => spark.sql(stmt)
     }
   }
