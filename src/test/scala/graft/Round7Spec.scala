@@ -256,6 +256,27 @@ class Round7Spec extends SparkSpec {
     tools.Checkpoints.sweep()
   }
 
+  // ---- nested-schema pruning: a one-field struct projection must not
+  //      scan the whole struct (100 TB: wide metadata structs read at
+  //      field granularity, Spark's nestedSchemaPruning) ----
+  test("struct field select prunes the parquet ReadSchema to that field") {
+    val dir = graft.tools.Tmp.dir("graft_nested") + "/t"
+    Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey"),
+        struct(col("n_name").as("name"), col("n_regionkey").as("region"),
+          concat(col("n_name"), lit("-x")).as("comment")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select(col("n_nationkey"),
+      col("meta.region"))
+    assert(q.collect().length == 25)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    assert(readSchema.contains("region"), readSchema)
+    // the pruned scan must NOT read the struct's sibling fields
+    assert(!readSchema.contains("name"), readSchema)
+    assert(!readSchema.contains("comment"), readSchema)
+  }
+
   test("t15 chunking covers every token with the declared overlap") {
     import spark.implicits._
     val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
