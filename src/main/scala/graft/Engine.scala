@@ -186,8 +186,29 @@ object Engine {
   // (their aliasing is explicit in practice).
   private val ctasRe =
     """(?is)\s*(CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\b.*?)\bAS\s+(SELECT\b.*)""".r
-  private val plainIdentRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  // same positional naming for views; a view can't be re-landed through a
+  // temp view (persistent views may not reference temporaries), but
+  // Spark's explicit view column list renames in place. Only fires when
+  // the statement has NO column list already (the name is followed
+  // directly by AS SELECT).
+  private val createViewRe =
+    ("""(?is)\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?[`\w.]+)\s+AS\s+(SELECT\b.*)""").r
   private val ctasSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Which output columns of `select` carry Spark's auto-generated
+    * expression-text name (the __autoGeneratedAlias marker) — exactly the
+    * columns Hive would have named _cN. Explicit aliases — including
+    * quoted ones with spaces/dots — and bare column refs are untouched.
+    */
+  private def autoNamed(spark: SparkSession, select: String): Seq[Boolean] =
+    spark.sql(select).schema.fields.toSeq
+      .map(_.metadata.contains("__autoGeneratedAlias"))
+
+  private def hiveColNames(spark: SparkSession, select: String): Seq[String] =
+    spark.sql(select).schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      if (f.metadata.contains("__autoGeneratedAlias")) s"_c$i" else f.name
+    }
 
   // SET hive.support.quoted.identifiers=none|column — `none` turns
   // backquoted identifiers into SELECT-list column regexes (the
@@ -858,15 +879,16 @@ object Engine {
             regexp_replace(col("plan"), "#\\d+", "#"),
             "(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>"),
             "plan_id=\\d+", "plan_id=").as("plan"))
+      case createViewRe(prefix, select)
+          if autoNamed(spark, select).exists(identity) =>
+        val names = hiveColNames(spark, select)
+        spark.sql(s"$prefix (${names.map(n => s"`$n`").mkString(", ")}) " +
+          s"AS $select")
       case ctasRe(prefix, select)
-          if spark.sql(select).columns
-            .exists(n => plainIdentRe.findFirstIn(n).isEmpty) =>
-        val out = spark.sql(select)
-        val hiveNames = out.columns.zipWithIndex.map { case (n, i) =>
-          if (plainIdentRe.findFirstIn(n).isDefined) n else s"_c$i"
-        }
+          if autoNamed(spark, select).exists(identity) =>
         val tmp = s"graft_ctas_${ctasSeq.incrementAndGet()}"
-        out.toDF(hiveNames.toIndexedSeq: _*).createOrReplaceTempView(tmp)
+        spark.sql(select).toDF(hiveColNames(spark, select): _*)
+          .createOrReplaceTempView(tmp)
         try spark.sql(s"$prefix AS SELECT * FROM $tmp")
         finally spark.catalog.dropTempView(tmp)
       case _ => spark.sql(stmt)
