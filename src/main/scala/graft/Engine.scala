@@ -177,6 +177,25 @@ object Engine {
   private val insertIfNotExistsRe =
     """(?is)\s*(INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\s*(.+)""".r
 
+  // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
+  // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
+  // times, no data/metadata change. A deliberate no-op here.
+  private val touchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?TOUCH\s*;?\s*""".r
+  // SHOW LOCKS [t] — with hive.support.concurrency=false (the default)
+  // the reference's lock manager is absent and the listing is empty; the
+  // engine has no lock manager by design (Spark's writers coordinate via
+  // commit protocols), so the statement answers an empty listing.
+  private val showLocksRe =
+    """(?is)\s*SHOW\s+LOCKS\b.*""".r
+  // CREATE TEMPORARY TABLE — session-scoped real tables
+  // (SessionHiveMetaStoreClient); Spark's parser rejects the TEMPORARY
+  // keyword on tables, so it strips to a plain CREATE TABLE: the script
+  // runs, INSERT/SELECT work; session-end auto-drop is not provided
+  // (documented in COVERAGE.md).
+  private val tempTableRe =
+    """(?is)(\s*CREATE\s+)TEMPORARY\s+(TABLE\b.*)""".r
+
   // CREATE TABLE ... AS SELECT with unaliased expression columns — Hive
   // names them positionally (_c1, _c2 ...; SemanticAnalyzer
   // getColumnInternalName), Spark by expression text ("count(1)"), so a
@@ -666,14 +685,37 @@ object Engine {
       }
       if (idx <= 0) stmt0x else lines.drop(idx).mkString("\n")
     }
-    val stmt1a = if (stmt0.toUpperCase.contains("TABLESAMPLE"))
-      rewriteBucketSample(stmt0) else stmt0
+    // Hive temp tables: strip TEMPORARY (CREATE TEMPORARY VIEW/FUNCTION/
+    // MACRO are untouched — the regex requires TABLE) before the legacy
+    // format-clause rewrite sees the statement
+    val stmtT = stmt0 match {
+      case tempTableRe(pre, rest) => pre + rest
+      case s => s
+    }
+    val stmt1a = if (stmtT.toUpperCase.contains("TABLESAMPLE"))
+      rewriteBucketSample(stmtT) else stmtT
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
       else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)
     val stmt = if (stmt2.toUpperCase.contains("OVERWRITE") &&
       (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
       rewriteHiveInsertDir(stmt2) else stmt2
+    stmt0 match {
+      case touchRe(_, _) => return spark.emptyDataFrame
+      case showLocksRe() =>
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lockid",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("database",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("table",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lock_state",
+              org.apache.spark.sql.types.StringType))))
+      case _ => ()
+    }
     stmt match {
       case quotedIdRe(v) =>
         spark.conf.set("spark.sql.parser.quotedRegexColumnNames",
