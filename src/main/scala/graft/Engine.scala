@@ -374,8 +374,11 @@ object Engine {
         case insertBranchRe(mode, tbl, part, body) =>
           // a branch SELECT has no FROM of its own: inject the shared view
           // before the first top-level post-SELECT clause keyword
-          val cut = Seq("WHERE", "GROUP", "HAVING", "ORDER", "SORT",
-              "DISTRIBUTE", "CLUSTER", "LIMIT")
+          // LATERAL first: a per-branch LATERAL VIEW attaches to the FROM,
+          // so the injected view must land before it (multi_insert_
+          // lateral_view.q shape)
+          val cut = Seq("LATERAL", "WHERE", "GROUP", "HAVING", "ORDER",
+              "SORT", "DISTRIBUTE", "CLUSTER", "LIMIT")
             .flatMap(k => topLevel(body, k).headOption).minOption
           val withFrom = cut match {
             case Some(p) => body.substring(0, p) + s" $fromClause " + body.substring(p)
