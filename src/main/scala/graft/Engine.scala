@@ -177,6 +177,18 @@ object Engine {
   private val insertIfNotExistsRe =
     """(?is)\s*(INSERT\s+OVERWRITE\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\s*(.+)""".r
 
+  // ALTER TABLE t CHANGE [COLUMN] old new TYPE [COMMENT ...]
+  // [FIRST | AFTER col] — DDLSemanticAnalyzer analyzeAlterTableRenameCol:
+  // rename, retype and reposition in one statement. Spark's v1 datasource
+  // tables support none of the three, so the CoW interpretation rewrites
+  // the rows through a projection (CTAS + swap, preserving provider,
+  // options and partitioning). Partition columns cannot CHANGE (the
+  // reference rejects that too).
+  private val changeColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?""" +
+      """`?([\w]+)`?\s+`?([\w]+)`?\s+([\w]+(?:\s*\([0-9,\s]*\))?)""" +
+      """(?:\s+COMMENT\s+'[^']*')?(?:\s+(FIRST|AFTER\s+`?[\w]+`?))?\s*;?\s*""").r
+
   // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
   // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
   // times, no data/metadata change. A deliberate no-op here.
@@ -779,6 +791,67 @@ object Engine {
           s"CREATE TABLE $tmp USING $provider$opts$partBy AS SELECT * FROM $table")
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        // partition entries still name the pre-RENAME locations
+        if (meta.partitionColumnNames.nonEmpty)
+          spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      case changeColRe(table, oldC, newC, typ, pos) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val partCols = meta.partitionColumnNames
+        require(!partCols.exists(_.equalsIgnoreCase(oldC)),
+          s"CHANGE cannot alter partition column $oldC")
+        val dataCols = meta.schema.map(_.name)
+          .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+        require(dataCols.exists(_.equalsIgnoreCase(oldC)),
+          s"no column $oldC in $table")
+        val entries = dataCols.map { c =>
+          if (c.equalsIgnoreCase(oldC))
+            (newC, s"CAST(`$c` AS $typ) AS `$newC`")
+          else (c, s"`$c`")
+        }
+        val reordered = Option(pos).map(_.trim) match {
+          case None => entries
+          case Some(p) if p.equalsIgnoreCase("FIRST") =>
+            val (m, rest) = entries.partition(_._1.equalsIgnoreCase(newC))
+            m ++ rest
+          case Some(p) =>
+            val after = p.split("\\s+")(1).replace("`", "")
+            val (m, rest) = entries.partition(_._1.equalsIgnoreCase(newC))
+            val idx = rest.indexWhere(_._1.equalsIgnoreCase(after))
+            require(idx >= 0, s"AFTER column $after not found in $table")
+            rest.take(idx + 1) ++ m ++ rest.drop(idx + 1)
+        }
+        val selectSql = "SELECT " +
+          (reordered.map(_._2) ++ partCols.map(c => s"`$c`")).mkString(", ") +
+          s" FROM $table"
+        val provider = meta.provider.getOrElse("parquet")
+        val opts = meta.storage.properties.view
+          .filterKeys(k => !k.equalsIgnoreCase("path")).toMap match {
+          case m if m.isEmpty => ""
+          case m => m.map { case (k, v) =>
+            s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
+            .mkString(" OPTIONS (", ", ", ")")
+        }
+        val partBy = if (partCols.nonEmpty)
+          partCols.mkString(" PARTITIONED BY (", ", ", ")") else ""
+        val tmp = table + "_chg_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        val tmpPath2 = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
+        tmpPath2.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tmpPath2, true)
+        spark.sql(
+          s"CREATE TABLE $tmp USING $provider$opts$partBy AS $selectSql")
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        // RENAME moves the managed dir but partition entries still name
+        // the old locations — rediscover them from the moved layout
+        if (partCols.nonEmpty)
+          spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+        spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case insertIfNotExistsRe(prefix, table, spec, rest) =>
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
