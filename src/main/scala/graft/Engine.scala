@@ -189,6 +189,17 @@ object Engine {
       """`?([\w]+)`?\s+`?([\w]+)`?\s+([\w]+(?:\s*\([0-9,\s]*\))?)""" +
       """(?:\s+COMMENT\s+'[^']*')?(?:\s+(FIRST|AFTER\s+`?[\w]+`?))?\s*;?\s*""").r
 
+  // ALTER TABLE t REPLACE COLUMNS (a INT, b STRING ...) —
+  // DDLSemanticAnalyzer analyzeAlterTableModifyCols(REPLACE): the new
+  // list replaces the data columns POSITIONALLY (text tables re-read old
+  // rows under the new schema by position). CoW interpretation: project
+  // old columns onto the new list by position (cast), drop the excess,
+  // NULL-fill the growth; partition columns are untouched.
+  private val replaceColsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\((.+)\)\s*;?\s*""".r
+  private val colDefRe =
+    """(?is)^\s*`?([\w]+)`?\s+(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
+
   // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
   // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
   // times, no data/metadata change. A deliberate no-op here.
@@ -226,6 +237,41 @@ object Engine {
     ("""(?is)\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?[`\w.]+)\s+AS\s+(SELECT\b.*)""").r
   private val ctasSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** CTAS + swap: re-land `table`'s rows through `selectSql`, preserving
+    * provider, options and partitioning (the schema-rewrite path CHANGE /
+    * REPLACE COLUMNS share). Partition locations are rediscovered after
+    * the rename — RENAME moves the managed dir but partition entries
+    * still name the old locations.
+    */
+  private def swapTable(spark: SparkSession, table: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      selectSql: String): Unit = {
+    val partCols = meta.partitionColumnNames
+    val provider = meta.provider.getOrElse("parquet")
+    val opts = meta.storage.properties.view
+      .filterKeys(k => !k.equalsIgnoreCase("path")).toMap match {
+      case m if m.isEmpty => ""
+      case m => m.map { case (k, v) =>
+        s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
+        .mkString(" OPTIONS (", ", ", ")")
+    }
+    val partBy = if (partCols.nonEmpty)
+      partCols.mkString(" PARTITIONED BY (", ", ", ")") else ""
+    val tmp = table + "_swap_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // a stale managed dir from a crashed earlier run blocks the CTAS
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    spark.sql(s"CREATE TABLE $tmp USING $provider$opts$partBy AS $selectSql")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (partCols.nonEmpty)
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    spark.sql(s"REFRESH TABLE $table")
+  }
 
   /** Which output columns of `select` carry Spark's auto-generated
     * expression-text name (the __autoGeneratedAlias marker) — exactly the
@@ -796,6 +842,26 @@ object Engine {
           spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
+      case replaceColsRe(table, colList) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val partCols = meta.partitionColumnNames
+        val dataCols = meta.schema.map(_.name)
+          .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+        val newDefs = splitAssignments(colList).map {
+          case colDefRe(n, t) => (n, t.trim)
+          case d => throw new IllegalArgumentException(
+            s"REPLACE COLUMNS: cannot parse column definition: $d")
+        }
+        val projected = newDefs.zipWithIndex.map { case ((n, t), i) =>
+          if (i < dataCols.length) s"CAST(`${dataCols(i)}` AS $t) AS `$n`"
+          else s"CAST(NULL AS $t) AS `$n`"
+        }
+        val selectSql = "SELECT " +
+          (projected ++ partCols.map(c => s"`$c`")).mkString(", ") +
+          s" FROM $table"
+        swapTable(spark, table, meta, selectSql)
+        spark.emptyDataFrame
       case changeColRe(table, oldC, newC, typ, pos) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
@@ -826,32 +892,7 @@ object Engine {
         val selectSql = "SELECT " +
           (reordered.map(_._2) ++ partCols.map(c => s"`$c`")).mkString(", ") +
           s" FROM $table"
-        val provider = meta.provider.getOrElse("parquet")
-        val opts = meta.storage.properties.view
-          .filterKeys(k => !k.equalsIgnoreCase("path")).toMap match {
-          case m if m.isEmpty => ""
-          case m => m.map { case (k, v) =>
-            s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
-            .mkString(" OPTIONS (", ", ", ")")
-        }
-        val partBy = if (partCols.nonEmpty)
-          partCols.mkString(" PARTITIONED BY (", ", ", ")") else ""
-        val tmp = table + "_chg_tmp"
-        spark.sql(s"DROP TABLE IF EXISTS $tmp")
-        val tmpPath2 = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
-        tmpPath2.getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(tmpPath2, true)
-        spark.sql(
-          s"CREATE TABLE $tmp USING $provider$opts$partBy AS $selectSql")
-        spark.sql(s"DROP TABLE $table")
-        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-        // RENAME moves the managed dir but partition entries still name
-        // the old locations — rediscover them from the moved layout
-        if (partCols.nonEmpty)
-          spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-        spark.sql(s"REFRESH TABLE $table")
+        swapTable(spark, table, meta, selectSql)
         spark.emptyDataFrame
       case insertIfNotExistsRe(prefix, table, spec, rest) =>
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
