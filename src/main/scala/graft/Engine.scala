@@ -57,6 +57,15 @@ object Engine {
       "cosine_sim", exprs => graft.functions.CosineSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sort_array_by", exprs => graft.functions.SortArrayBy(exprs), "scala_udf")
+    // Hive 3's surrogate_key() (GenericUDFSurrogateKey: unique long per
+    // written row from writeId/taskId/rowId bits) maps onto Spark's
+    // partition-salted unique id — same contract (distributed uniqueness,
+    // NOT density or ordering); the optional bit-width args are moot here
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "surrogate_key", _ => org.apache.spark.sql.catalyst.expressions
+        .MonotonicallyIncreasingID(), "scala_udf")
     // Hive's std/stddev/variance are POPULATION statistics
     // (FunctionRegistry.java:348-354: std/stddev/stddev_pop all ->
     // GenericUDAFStd, variance/var_pop -> GenericUDAFVariance); Spark's
@@ -109,7 +118,10 @@ object Engine {
     "graft.functions.InFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))),
     "org.apache.hadoop.hive.ql.udf.UDFInFile" -> (exprs => graft.functions.InFile(exprs(0), exprs(1))),
     "graft.functions.Reflect2" -> (exprs => graft.functions.Reflect2(exprs)),
-    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2" -> (exprs => graft.functions.Reflect2(exprs)))
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2" -> (exprs => graft.functions.Reflect2(exprs)),
+    "graft.functions.SortArrayBy" -> (exprs => graft.functions.SortArrayBy(exprs)),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFSortArrayByField" -> (exprs => graft.functions.SortArrayBy(exprs)),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFSurrogateKey" -> (_ => org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID()))
 
   private val createFunRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
@@ -563,6 +575,83 @@ object Engine {
         s"(SELECT * FROM $tab WHERE $pred) AS $alias$tail")
     })
 
+  // Hive test PTFs `noop`/`noopwithmap`/`noopstreaming`/
+  // `noopwithmapstreaming` (reference ql/src/test/.../udf/ptf/Noop.java,
+  // NoopWithMap.java — identity table functions whose PARTITION BY/ORDER
+  // BY clause only forces a reshuffle+sort stage). `FROM noop(ON src
+  // PARTITION BY p ORDER BY o)` has no Spark parse, so rewrite it to the
+  // semantically identical `(SELECT * FROM src DISTRIBUTE BY p SORT BY o)`
+  // — same partitioned-and-sorted physical shape, same rows.
+  private val ptfNoopRe = """(?i)\bnoop(?:withmap)?(?:streaming)?\s*\(""".r
+
+  private[graft] def rewritePtfNoop(stmt0: String): String = {
+    var stmt = stmt0
+    var m = ptfNoopRe.findFirstMatchIn(stmt)
+    while (m.isDefined) {
+      val open = m.get.end - 1 // index of '('
+      var depth = 0; var i = open
+      while (i < stmt.length && (depth != 0 || i == open)) {
+        stmt.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      require(depth == 0, s"unbalanced parens in PTF call: ${m.get.matched}")
+      val body0 = stmt.substring(open + 1, i - 1).trim
+      require(body0.toUpperCase.startsWith("ON"),
+        s"PTF call without ON clause: $body0")
+      val body = body0.substring(2).trim
+      // source: `(subquery) [alias]` or `table [alias]`, then clauses
+      val (src, rest) =
+        if (body.startsWith("(")) {
+          var d = 0; var j = 0
+          while (j < body.length && (d != 0 || j == 0)) {
+            body.charAt(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ => ()
+            }
+            j += 1
+          }
+          (body.substring(0, j), body.substring(j))
+        } else {
+          val j = body.indexWhere(c => !(c.isLetterOrDigit || c == '_' || c == '.'))
+          if (j < 0) (body, "") else (body.substring(0, j), body.substring(j))
+        }
+      // optional alias word before PARTITION/ORDER/DISTRIBUTE/SORT
+      val aliasRe = """(?is)^\s*(\w+)\b(.*)""".r
+      val clauseWords = Set("PARTITION", "ORDER", "DISTRIBUTE", "SORT")
+      val (srcAlias, clauses0) = rest match {
+        case aliasRe(w, tail) if !clauseWords.contains(w.toUpperCase) =>
+          (" " + w, tail)
+        case other => ("", other)
+      }
+      val clauses = clauses0.trim
+        .replaceAll("(?i)\\bPARTITION\\s+BY\\b", "DISTRIBUTE BY")
+        .replaceAll("(?i)\\bORDER\\s+BY\\b", "SORT BY")
+      val defaultAlias = if (srcAlias.nonEmpty) srcAlias.trim
+        else if (!src.startsWith("(")) src.split('.').last
+        else "ptf"
+      // trailing alias after the PTF call (`from noop(...) abc`)?
+      val tailAliasRe = """(?is)^\s+(?:AS\s+)?(\w+)\b""".r
+      val afterCall = stmt.substring(i)
+      val keepTail = tailAliasRe.findFirstMatchIn(afterCall)
+        .map(_.group(1)).filter(a => !sqlKeywords.contains(a.toUpperCase))
+      val outerAlias = keepTail.getOrElse(defaultAlias)
+      val tailStart = keepTail match {
+        case Some(_) => i + tailAliasRe.findFirstMatchIn(afterCall).get.end
+        case None => i
+      }
+      val inner = s"(SELECT * FROM $src$srcAlias" +
+        (if (clauses.nonEmpty) s" $clauses" else "") + s") $outerAlias"
+      stmt = stmt.substring(0, m.get.start) + inner + stmt.substring(tailStart)
+      m = ptfNoopRe.findFirstMatchIn(stmt)
+    }
+    stmt
+  }
+
   /** Hive virtual columns (reference
     * ql/src/java/org/apache/hadoop/hive/ql/metadata/VirtualColumn.java)
     * mapped onto Spark equivalents as a statement-text rewrite:
@@ -753,8 +842,10 @@ object Engine {
       case tempTableRe(pre, rest) => pre + rest
       case s => s
     }
-    val stmt1a = if (stmtT.toUpperCase.contains("TABLESAMPLE"))
-      rewriteBucketSample(stmtT) else stmtT
+    val stmtS = if (ptfNoopRe.findFirstIn(stmtT).isDefined)
+      rewritePtfNoop(stmtT) else stmtT
+    val stmt1a = if (stmtS.toUpperCase.contains("TABLESAMPLE"))
+      rewriteBucketSample(stmtS) else stmtS
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
       else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)

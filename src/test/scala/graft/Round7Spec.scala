@@ -277,6 +277,27 @@ class Round7Spec extends SparkSpec {
     assert(!readSchema.contains("comment"), readSchema)
   }
 
+  test("rewritePtfNoop turns noop(on tab partition/order) into distribute/sort") {
+    val got = Engine.rewritePtfNoop(
+      "SELECT * FROM noop(on part partition by p_brand order by p_name)")
+    assert(got ==
+      "SELECT * FROM (SELECT * FROM part DISTRIBUTE BY p_brand SORT BY p_name) part")
+  }
+
+  test("rewritePtfNoop keeps subquery aliases and the trailing call alias") {
+    val got = Engine.rewritePtfNoop(
+      "FROM noop (on (select * from part p1) j distribute by j.p_brand sort by j.p_name) abc WHERE x")
+    assert(got ==
+      "FROM (SELECT * FROM (select * from part p1) j distribute by j.p_brand sort by j.p_name) abc WHERE x")
+  }
+
+  test("rewritePtfNoop leaves trailing SQL keywords outside the alias") {
+    val got = Engine.rewritePtfNoop(
+      "FROM noopwithmap(on part partition by p_brand) WHERE p_size < 10")
+    assert(got ==
+      "FROM (SELECT * FROM part DISTRIBUTE BY p_brand) part WHERE p_size < 10")
+  }
+
   test("t15 chunking covers every token with the declared overlap") {
     import spark.implicits._
     val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
