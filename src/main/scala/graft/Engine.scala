@@ -34,6 +34,12 @@ object Engine {
       // Hive 1.2 semantics: permissive implicit coercions (string<->numeric
       // comparisons via double), no ANSI cast/overflow errors
       .config("spark.sql.ansi.enabled", "false")
+      // Hive's dynamic-partition INSERT OVERWRITE replaces only the
+      // partitions the query writes (FileSinkOperator/MoveTask with
+      // hive.exec.dynamic.partition.mode=nonstrict); Spark's default
+      // "static" truncates every partition first — silent data loss for
+      // a migrating script. Match the reference.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.ui.enabled", "false")
