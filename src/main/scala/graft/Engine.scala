@@ -658,6 +658,107 @@ object Engine {
     stmt
   }
 
+  // `matchpath(ON src DISTRIBUTE BY p SORT BY s arg1('PAT'),
+  // arg2('SYM'), arg3(pred)[, ...], argN('result list'))` — the
+  // reference's MatchPath PTF invocation text (ptf_matchpath.q;
+  // udf/ptf/MatchPath.java reads the args POSITIONALLY: pattern, then
+  // alternating symbol-name/defining-predicate pairs, last = result
+  // expressions). The rewrite computes the PTF via
+  // operators.MatchPath.matchPathRows + selectExpr(result list),
+  // registers the result as a temp view, and splices the view name into
+  // the statement.
+  private val matchPathCallRe = """(?i)\bmatchpath\s*\(""".r
+  private val mpViews = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def closeParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inQ = false
+    while (i < s.length && (depth != 0 || i == open || inQ)) {
+      s.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0 && !inQ, s"unbalanced parens in: ${s.substring(open).take(80)}")
+    i
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private[graft] def rewriteMatchPath(spark: SparkSession, stmt0: String): String = {
+    import org.apache.spark.sql.functions.expr
+    var stmt = stmt0
+    var m = matchPathCallRe.findFirstMatchIn(stmt)
+    while (m.isDefined) {
+      val open = m.get.end - 1
+      val close = closeParen(stmt, open)
+      val body0 = stmt.substring(open + 1, close - 1).trim
+      require(body0.toUpperCase.startsWith("ON"),
+        s"matchpath without ON clause: ${body0.take(60)}")
+      val body = body0.substring(2).trim
+      val (src, rest) =
+        if (body.startsWith("(")) {
+          val j = closeParen(body, 0); (body.substring(0, j), body.substring(j))
+        } else {
+          val j = body.indexWhere(c => !(c.isLetterOrDigit || c == '_' || c == '.'))
+          if (j < 0) (body, "") else (body.substring(0, j), body.substring(j))
+        }
+      val clauseRe =
+        ("""(?is)^\s*(?:DISTRIBUTE|PARTITION)\s+BY\s+(.*?)""" +
+          """\s+(?:SORT|ORDER)\s+BY\s+(.*?)\s*(\w+\s*\(.*)$""").r
+      val (distTxt, sortTxt, argsTxt) = rest.trim match {
+        case clauseRe(d, s, a) => (d, s, a)
+        case other => throw new IllegalArgumentException(
+          s"matchpath needs DISTRIBUTE BY ... SORT BY ... args, got: ${other.take(80)}")
+      }
+      // positional arg segments: name( ... ) separated by optional commas
+      val args = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      val argOpenRe = """(?s)\s*,?\s*\w+\s*\(""".r
+      while (p < argsTxt.length) {
+        argOpenRe.findPrefixMatchOf(argsTxt.substring(p)) match {
+          case Some(am) =>
+            val aOpen = p + am.end - 1
+            val aClose = closeParen(argsTxt, aOpen)
+            args += argsTxt.substring(aOpen + 1, aClose - 1).trim
+            p = aClose
+          case None => p = argsTxt.length // trailing whitespace/newlines
+        }
+      }
+      require(args.size >= 4 && args.size % 2 == 0,
+        s"matchpath expects pattern, (symbol, predicate) pairs and a result list; got ${args.size} args")
+      val pattern = stripQuotes(args.head)
+      val resultList = stripQuotes(args.last)
+      val symbols = args.slice(1, args.size - 1).grouped(2).map { pair =>
+        (stripQuotes(pair(0)), expr(pair(1)))
+      }.toSeq
+      val srcDf = spark.sql(s"SELECT * FROM $src")
+      val partCols = splitAssignments(distTxt).map(c => expr(c.trim))
+      val sortCols = splitAssignments(sortTxt).map { c =>
+        val t = c.trim; val up = t.toUpperCase
+        if (up.endsWith(" DESC")) expr(t.dropRight(5)).desc
+        else if (up.endsWith(" ASC")) expr(t.dropRight(4)).asc
+        else expr(t)
+      }
+      val out = graft.operators.MatchPath
+        .matchPathRows(spark, srcDf, partCols, sortCols, pattern, symbols)
+        .selectExpr(splitAssignments(resultList).map(_.trim): _*)
+      val view = s"graft_matchpath_${mpViews.incrementAndGet()}"
+      out.createOrReplaceTempView(view)
+      stmt = stmt.substring(0, m.get.start) + view + stmt.substring(close)
+      m = matchPathCallRe.findFirstMatchIn(stmt)
+    }
+    stmt
+  }
+
   /** Hive virtual columns (reference
     * ql/src/java/org/apache/hadoop/hive/ql/metadata/VirtualColumn.java)
     * mapped onto Spark equivalents as a statement-text rewrite:
@@ -848,8 +949,10 @@ object Engine {
       case tempTableRe(pre, rest) => pre + rest
       case s => s
     }
-    val stmtS = if (ptfNoopRe.findFirstIn(stmtT).isDefined)
+    val stmtS0 = if (ptfNoopRe.findFirstIn(stmtT).isDefined)
       rewritePtfNoop(stmtT) else stmtT
+    val stmtS = if (matchPathCallRe.findFirstIn(stmtS0).isDefined)
+      rewriteMatchPath(spark, stmtS0) else stmtS0
     val stmt1a = if (stmtS.toUpperCase.contains("TABLESAMPLE"))
       rewriteBucketSample(stmtS) else stmtS
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)

@@ -58,4 +58,86 @@ object MatchPath {
       }
       .toDF("pk", "match_start", "match_end", "matched_symbols")
   }
+
+  /** The reference's FULL MatchPath output contract (MatchPath.java:
+    * one row per matched path, carrying the path-START row's columns plus
+    * `tpath`, the matched rows as array<struct>), for the SQL-text PTF
+    * surface. The caller applies the invocation's result-expression list
+    * (Hive's last argument) with `selectExpr` on top — `tpath[0].col`,
+    * `size(tpath)` etc. resolve naturally against the array column.
+    *
+    * Same scale shape as the simple form: one shuffle on the partition
+    * key, then a streaming per-group pass. The group's rows are buffered
+    * to build `tpath` — the reference PTF materializes partitions too
+    * (PTFPartition); keys are expected user/entity-sized, not global.
+    *
+    * @param symbols (name, predicate); a row gets the FIRST matching name
+    * @param pattern Hive path spec: dot-separated symbol names, each with
+    *                an optional +, * or ? quantifier, e.g. "LATE.LATE+"
+    */
+  def matchPathRows(
+      spark: SparkSession,
+      df: DataFrame,
+      partCols: Seq[Column],
+      sortCols: Seq[Column],
+      pattern: String,
+      symbols: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+
+    require(symbols.nonEmpty && symbols.size <= 26, "1..26 symbols supported")
+    val names = symbols.map(_._1.toUpperCase)
+    val charOf = names.zipWithIndex.map { case (n, i) => n -> ('a' + i).toChar }.toMap
+    // translate the dot-separated name pattern into a char regex
+    val regexStr = pattern.trim.split("\\.").map { tok0 =>
+      val tok = tok0.trim
+      val (name, quant) =
+        if (tok.endsWith("+") || tok.endsWith("*") || tok.endsWith("?"))
+          (tok.dropRight(1).trim, tok.last.toString)
+        else (tok, "")
+      val c = charOf.getOrElse(name.toUpperCase,
+        throw new IllegalArgumentException(
+          s"matchpath pattern symbol '$name' has no definition; known: ${names.mkString(", ")}"))
+      s"$c$quant"
+    }.mkString
+    val regex = java.util.regex.Pattern.compile(regexStr)
+
+    val inSchema: StructType = df.schema
+    val n = inSchema.size
+    val outSchema = inSchema.add("tpath", ArrayType(inSchema))
+    val symIdx = symbols.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, pred), i), acc) => when(pred, lit(i)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("__mp_sym", symIdx)
+      .withColumn("__mp_pk",
+        concat_ws("", partCols.map(_.cast("string")): _*))
+    val grouped = keyed.groupByKey(
+      (r: Row) => r.getAs[String]("__mp_pk"))(Encoders.STRING)
+    grouped.flatMapSortedGroups(sortCols: _*) { (_, rows) =>
+      val buf = rows.toArray
+      val syms = new StringBuilder(buf.length)
+      buf.foreach { r =>
+        val i = r.getInt(n) // __mp_sym sits right after the input columns
+        syms.append(if (i < 0) '_' else ('a' + i).toChar)
+      }
+      // the reference tries the pattern at EVERY row (MatchPath.execute
+      // walks each index), so matches may overlap — lookingAt per start,
+      // not non-overlapping find()
+      val m = regex.matcher(syms)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var i = 0
+      while (i < buf.length) {
+        m.region(i, buf.length)
+        if (m.lookingAt()) {
+          val path = (m.start() until m.end()).map { j =>
+            Row.fromSeq(buf(j).toSeq.take(n))
+          }
+          out += Row.fromSeq(buf(i).toSeq.take(n) :+ path)
+        }
+        i += 1
+      }
+      out.iterator
+    }(Encoders.row(outSchema))
+  }
 }

@@ -298,6 +298,34 @@ class Round7Spec extends SparkSpec {
       "FROM (SELECT * FROM part DISTRIBUTE BY p_brand) part WHERE p_size < 10")
   }
 
+  test("matchPathRows emits one row per match START with the full tpath") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1, 10), ("u1", 2, 90), ("u1", 3, 95), ("u1", 4, 80), ("u1", 5, 5),
+      ("u2", 1, 99), ("u2", 2, 10)).toDF("u", "seq", "v")
+    val got = operators.MatchPath.matchPathRows(spark, df,
+      Seq(col("u")), Seq(col("seq")), "HI.HI+",
+      Seq(("HI", col("v") > 50)))
+      .selectExpr("u", "seq", "size(tpath) as sz", "tpath[0].seq as p0")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // u1 rows 2,3,4 are HI: overlapping starts at 2 (len 3) and 3 (len 2);
+    // u2's single HI cannot match HI.HI+
+    assert(got.toSeq == Seq(("u1", 2, 3, 2), ("u1", 3, 2, 3)))
+  }
+
+  test("rewriteMatchPath splices a computed view over the PTF call text") {
+    import spark.implicits._
+    Seq((1, 1, 70), (1, 2, 80), (1, 3, 10)).toDF("k", "s", "v")
+      .createOrReplaceTempView("mp_src")
+    val out = Engine.sql(spark, sf,
+      """SELECT k, s, sz FROM matchpath(on mp_src distribute by k sort by s
+        | arg1('A.A'), arg2('A'), arg3(v > 50),
+        | arg4('k, s, size(tpath) as sz')) ORDER BY s""".stripMargin)
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .toSeq == Seq((1, 1, 2)))
+  }
+
   test("t15 chunking covers every token with the declared overlap") {
     import spark.implicits._
     val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
