@@ -581,6 +581,39 @@ object Engine {
         s"(SELECT * FROM $tab WHERE $pred) AS $alias$tail")
     })
 
+  // ON-less `tab TABLESAMPLE(BUCKET x OUT OF y)` — the reference resolves
+  // the sample columns from the table's CLUSTERED BY spec
+  // (FromClauseParser.g + TableSampleDesc: "if columns are omitted, the
+  // bucketing columns are used"). Spark PARSES this form but as a RANDOM
+  // row fraction x/y — a silent semantics change for a migrating script on
+  // a bucketed table. Resolve the bucket columns from the catalog and
+  // rewrite to the same deterministic pmod filter as the ON form; a
+  // non-bucketed table falls through to Spark's native fraction sample.
+  private val bucketSampleNoOnRe =
+    """(?is)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+
+  private[graft] def rewriteBucketSampleNoOn(spark: SparkSession, stmt: String): String =
+    bucketSampleNoOnRe.replaceAllIn(stmt, m => {
+      val (tab, x, y) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
+      val bucketCols: Seq[String] = try {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(tab)
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .bucketSpec.map(_.bucketColumnNames).getOrElse(Seq.empty)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      if (bucketCols.isEmpty) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        require(x >= 1 && x <= y, s"BUCKET $x OUT OF $y: x must be in [1, y]")
+        val aliasWord = Option(m.group(5))
+        val keepAlias = aliasWord.filter(a => !sqlKeywords.contains(a.toUpperCase))
+        val alias = keepAlias.getOrElse(tab.split('.').last)
+        val tail = if (keepAlias.isEmpty) Option(m.group(4)).getOrElse("") else ""
+        val h = bucketCols.map(c => s"CAST($c AS BIGINT)")
+          .reduceLeft((a, b) => s"($a * 31 + $b)")
+        java.util.regex.Matcher.quoteReplacement(
+          s"(SELECT * FROM $tab WHERE pmod($h, $y) = ${x - 1}) AS $alias$tail")
+      }
+    })
+
   // Hive test PTFs `noop`/`noopwithmap`/`noopstreaming`/
   // `noopwithmapstreaming` (reference ql/src/test/.../udf/ptf/Noop.java,
   // NoopWithMap.java — identity table functions whose PARTITION BY/ORDER
@@ -954,7 +987,7 @@ object Engine {
     val stmtS = if (matchPathCallRe.findFirstIn(stmtS0).isDefined)
       rewriteMatchPath(spark, stmtS0) else stmtS0
     val stmt1a = if (stmtS.toUpperCase.contains("TABLESAMPLE"))
-      rewriteBucketSample(stmtS) else stmtS
+      rewriteBucketSampleNoOn(spark, rewriteBucketSample(stmtS)) else stmtS
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
       else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)
@@ -1250,7 +1283,35 @@ object Engine {
           .createOrReplaceTempView(tmp)
         try spark.sql(s"$prefix AS SELECT * FROM $tmp")
         finally spark.catalog.dropTempView(tmp)
-      case _ => spark.sql(stmt)
+      case _ =>
+        try spark.sql(stmt)
+        catch {
+          // Hive allows INSERT OVERWRITE of a table that the query also
+          // reads (MoveTask stages the result before the move — union22.q
+          // rebuilds a partition from the table itself). Spark rejects the
+          // plan outright, so stage it: materialize the SELECT with a
+          // localCheckpoint (breaking lineage to the target's scan), turn
+          // a static PARTITION spec into trailing constant columns, and
+          // insertInto under dynamic-overwrite mode.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
+            stmt match {
+              case insertBranchRe(mode, target, partSpec, select)
+                  if mode.equalsIgnoreCase("OVERWRITE") =>
+                val staticCols = Option(partSpec).toSeq.flatMap(
+                  _.split(",").toSeq.filter(_.contains("=")).map { kv =>
+                    val Array(_, v) = kv.split("=", 2).map(_.trim); v
+                  })
+                val sel = if (staticCols.isEmpty) select
+                  else s"SELECT q.*, ${staticCols.mkString(", ")} FROM ($select) q"
+                val staged = spark.sql(sel).localCheckpoint(true)
+                try staged.write.mode("overwrite").insertInto(target)
+                finally staged.unpersist()
+                spark.sql(s"REFRESH TABLE $target")
+                spark.emptyDataFrame
+              case _ => throw e
+            }
+        }
     }
   }
 

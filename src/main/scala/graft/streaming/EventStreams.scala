@@ -219,6 +219,13 @@ object EventStreams {
 
   /** Arbitrary stateful processing (mapGroupsWithState): running per-user
     * event count + last event type, emitted each micro-batch.
+    *
+    * State is one small record per DISTINCT user and never expires —
+    * that is the operator's contract (a lifetime counter loses data if
+    * evicted), identical to a streaming `groupBy(user).count()`. If the
+    * key space is open-ended (e.g. anonymous session ids), wrap with
+    * ProcessingTimeTimeout idle eviction instead, like completedSessions
+    * does with EventTimeTimeout.
     */
   def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
     import spark.implicits._

@@ -326,6 +326,12 @@ class Round7Spec extends SparkSpec {
       .toSeq == Seq((1, 1, 2)))
   }
 
+  test("ON-less TABLESAMPLE BUCKET leaves non-bucketed tables to Spark") {
+    val s = "SELECT * FROM nation TABLESAMPLE (BUCKET 1 OUT OF 2) t"
+    // nation is a temp view with no bucket spec -> statement unchanged
+    assert(Engine.rewriteBucketSampleNoOn(spark, s) == s)
+  }
+
   test("t15 chunking covers every token with the declared overlap") {
     import spark.implicits._
     val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
