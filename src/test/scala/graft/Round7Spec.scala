@@ -332,6 +332,19 @@ class Round7Spec extends SparkSpec {
     assert(Engine.rewriteBucketSampleNoOn(spark, s) == s)
   }
 
+  test("ORC scan pushes filters like parquet (orc_predicate_pushdown parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_orc_ppd").toString
+    Tables.t(spark, sf, "orders").write.mode("overwrite").orc(dir)
+    val plan = spark.read.orc(dir)
+      .filter($"o_orderkey" < 100).select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(o_orderkey,100)"), plan.take(800))
+    assert(plan.contains("ReadSchema") && !plan.contains("o_orderdate"),
+      "projection not pruned to the selected columns")
+  }
+
   test("t15 chunking covers every token with the declared overlap") {
     import spark.implicits._
     val chunks = Registry.byName("t15_chunk_overlap").fn(spark, sf)
