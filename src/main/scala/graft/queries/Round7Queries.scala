@@ -278,7 +278,31 @@ object Round7Queries {
              round(stddev_pop(l_quantity) * 1000000) / 1000000 AS sd_p,
              round(stddev_pop(l_quantity) * 1000000) / 1000000 AS sd_p2,
              round(var_pop(l_quantity) * 1000000) / 1000000 AS var_p
-             FROM lineitem GROUP BY l_returnflag"""))
+             FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- sort_array_by (GenericUDFSortArrayByField.java): sorts an
+    //      array<struct> by named fields. The implementation BUILDS an
+    //      array_sort comparator tree (functions/SortArrayBy.scala), so
+    //      the sort runs inside codegen. Oracle: DuckDB structs compare
+    //      field-by-field in declaration order, so list_sort over
+    //      (sz, nm) structs IS sort-by-sz-then-nm; posexplode pins the
+    //      element order positionally. ----
+    Q("q146_sort_array_by", (s, d) => {
+      Tables.views(s, d, "part")
+      s.sql("""SELECT p_brand, pos, e.sz AS sz, e.nm AS nm FROM (
+                 SELECT p_brand,
+                        sort_array_by(collect_list(named_struct(
+                          'sz', p_size, 'nm', p_name)), 'sz', 'nm') AS arr
+                 FROM part GROUP BY p_brand) t
+               LATERAL VIEW posexplode(arr) x AS pos, e""")
+    },
+      Some("""SELECT p_brand, pos, s.sz AS sz, s.nm AS nm FROM (
+                SELECT p_brand,
+                  CAST(unnest(range(len(arr))) AS INT) AS pos,
+                  unnest(list_sort(arr)) AS s
+                FROM (SELECT p_brand,
+                        list({'sz': p_size, 'nm': p_name}) AS arr
+                      FROM part GROUP BY p_brand) t) q"""))
   )
 
   /** regexp_extract returns '' (not NULL) on no-match — RegexSerDe emits
