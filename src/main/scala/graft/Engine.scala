@@ -65,6 +65,21 @@ object Engine {
       "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sort_array_by", exprs => graft.functions.SortArrayBy(exprs), "scala_udf")
+    // Hive's greatest/least return NULL when ANY argument is NULL
+    // (GenericUDFGreatest/Least, HIVE-12082); Spark's skip nulls and
+    // return the extreme of the non-null values — a silent value drift
+    // for migrating scripts. Wrap with a null-strict guard (the NullType
+    // literal coerces to the value type during analysis).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Greatest, If, IsNull, Least, Literal, Or}
+      import org.apache.spark.sql.types.NullType
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "greatest", exprs => If(exprs.map(IsNull).reduceLeft(Or),
+          Literal.create(null, NullType), Greatest(exprs)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "least", exprs => If(exprs.map(IsNull).reduceLeft(Or),
+          Literal.create(null, NullType), Least(exprs)), "scala_udf")
+    }
     // Hive 3's surrogate_key() (GenericUDFSurrogateKey: unique long per
     // written row from writeId/taskId/rowId bits) maps onto Spark's
     // partition-salted unique id — same contract (distributed uniqueness,

@@ -326,6 +326,16 @@ class Round7Spec extends SparkSpec {
       .toSeq == Seq((1, 1, 2)))
   }
 
+  test("greatest/least return NULL on any NULL argument (HIVE-12082)") {
+    val r = Engine.install(spark)
+      .sql("""SELECT greatest(1, 2, NULL), least(1, NULL),
+                     greatest(1, 2), least(3, 4, 2),
+                     greatest('a', NULL, 'c')""").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1), "null-strict semantics")
+    assert(r.getInt(2) == 2 && r.getInt(3) == 2)
+    assert(r.isNullAt(4))
+  }
+
   test("ON-less TABLESAMPLE BUCKET leaves non-bucketed tables to Spark") {
     val s = "SELECT * FROM nation TABLESAMPLE (BUCKET 1 OUT OF 2) t"
     // nation is a temp view with no bucket spec -> statement unchanged
