@@ -40,6 +40,14 @@ object Engine {
       // "static" truncates every partition first — silent data loss for
       // a migrating script. Match the reference.
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Hive 1.2 TIMESTAMP is zoneless and the reference writes parquet
+      // timestamps without a timezone annotation
+      // (serde/.../PrimitiveObjectInspector.java:32-35). Spark 4's NTZ
+      // inference would read such columns as TIMESTAMP_NTZ, breaking
+      // unix_* functions and withWatermark event-time. With the session
+      // pinned UTC, plain TimestampType reproduces Hive's zoneless
+      // semantics exactly (SURVEY §7.4).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.ui.enabled", "false")
@@ -238,6 +246,23 @@ object Engine {
   // times, no data/metadata change. A deliberate no-op here.
   private val touchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?TOUCH\s*;?\s*""".r
+  // CREATE/DROP/ALTER INDEX — DDLSemanticAnalyzer.java:307
+  // (TOK_CREATEINDEX), ql/index/. The FEATURE is a deliberate skip
+  // (dropped by Hive 3; columnar stats + parquet min/max serve the same
+  // purpose on Spark — SURVEY §2.12), but the STATEMENTS survive in
+  // legacy scripts and must not kill a run: accept + warn no-op.
+  private val indexStmtRe =
+    ("""(?is)\s*(CREATE\s+INDEX\s+[\w`]+\s+ON\s+(?:TABLE\s+)?[\w.`]+.*""" +
+      """|DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?[\w`]+\s+ON\s+[\w.`]+""" +
+      """|ALTER\s+INDEX\s+[\w`]+\s+ON\s+[\w.`]+(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD""" +
+      """|SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+[\w.`]+.*)\s*;?\s*""").r
+  // ALTER TABLE t [PARTITION(...)] ARCHIVE/UNARCHIVE —
+  // DDLSemanticAnalyzer.java:250-252 (HAR-file packing of partition
+  // dirs, a NameNode-pressure workaround from the HDFS-federation era).
+  // Modern layouts (parquet on object stores) have no analog; accept +
+  // warn no-op so era scripts keep running.
+  private val archiveRe =
+    """(?is)\s*ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?(?:UN)?ARCHIVE\s*(?:PARTITION\s*\([^)]*\)\s*)?;?\s*""".r
   // SHOW LOCKS [t] — with hive.support.concurrency=false (the default)
   // the reference's lock manager is absent and the listing is empty; the
   // engine has no lock manager by design (Spark's writers coordinate via
@@ -1009,8 +1034,40 @@ object Engine {
     val stmt = if (stmt2.toUpperCase.contains("OVERWRITE") &&
       (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
       rewriteHiveInsertDir(stmt2) else stmt2
+    // authorization DDL (GRANT/REVOKE/ROLE/SHOW GRANT...) — Spark has no
+    // parser for these at all; answered from the session registry
+    // (operators/Auth.scala, reference DDLSemanticAnalyzer.java:438,456-459)
+    graft.operators.Auth.run(spark, stmt0) match {
+      case Some(df) => return df
+      case None => ()
+    }
     stmt0 match {
       case touchRe(_, _) => return spark.emptyDataFrame
+      case indexStmtRe(s) =>
+        if (!s.trim.toUpperCase.startsWith("SHOW")) {
+          System.err.println(
+            s"[graft] index DDL accepted as no-op (indexes dropped by Hive 3; " +
+              s"parquet min/max + column stats serve reads): ${s.trim.takeWhile(_ != '\n')}")
+          return spark.emptyDataFrame
+        }
+        // SHOW INDEX answers the empty listing (no indexes ever exist)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("idx_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tab_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("col_names",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("idx_tab_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("idx_type",
+              org.apache.spark.sql.types.StringType))))
+      case archiveRe() =>
+        System.err.println(s"[graft] ARCHIVE/UNARCHIVE accepted as no-op " +
+          s"(HAR packing has no object-store analog): ${stmt0.trim.takeWhile(_ != '\n')}")
+        return spark.emptyDataFrame
       case showLocksRe() =>
         return spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),

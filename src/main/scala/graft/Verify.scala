@@ -7,23 +7,27 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the product session factory, NOT a bespoke builder: the harness must
+    // run under the exact configs the engine ships (UTC, ANSI off, NTZ
+    // inference off, dynamic partition overwrite) — r7 lost two sweep
+    // entries to a bespoke session missing one of them
+    val spark = Engine.session(s"local[$cpus]", "graft-verify", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional 3rd arg: comma-separated query-name filter (local iteration
     // only — the driver always calls with exactly two args)
     val only = args.drop(2).headOption.map(_.split(",").toSet)
-    SparkEntry.queries
+    // Sweep-shrink guard (r7 lesson): a query that throws at analysis or
+    // execution must surface as a recorded error, never as silent absence
+    // from the correctness sweep. Every name gets exactly one outcome.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       tools.Checkpoints.sweep()
@@ -43,6 +47,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json: name -> first 500 chars of the failure. Always written
+    // (empty {} on a clean run) so its absence means "verify didn't finish",
+    // not "no errors". Reconcile: every selected name has a parquet dir
+    // XOR an errors entry; a mismatch is a verify bug worth failing loudly.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val unaccounted = selected.keySet.filter(n =>
+      !errors.contains(n) && !Files.exists(Paths.get(s"$outDir/$n")))
+    if (unaccounted.nonEmpty) {
+      System.err.println(s"[verify] SWEEP-SHRINK: no outcome for ${unaccounted.mkString(",")}")
+      spark.stop(); sys.exit(2)
+    }
+    System.err.println(
+      s"[verify] ${selected.size} queries: ${selected.size - errors.size} written, ${errors.size} errors")
     spark.stop()
   }
 }

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, BooleanType, StringType, StructField, StructType}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** SQL-standard authorization surface: roles, role grants, and object
+  * privilege grants.
+  *
+  * Reference behavior: ql/.../parse/DDLSemanticAnalyzer.java:438,456-459
+  * (analyzeCreateRole / analyzeGrantRevokeRole / analyzeGrant /
+  * analyzeRevoke / analyzeShowGrant) executed by
+  * ql/.../exec/DDLTask.java:697-713 against the metastore's ROLES /
+  * ROLE_MAP / TBL_PRIVS tables. Spark has no authorization parser at all,
+  * so the statements are intercepted as text (Engine.ddl) and answered
+  * from this session-scoped registry.
+  *
+  * Design notes:
+  *  - State is per-SparkSession (weak-keyed: sessions are collectable),
+  *    mirroring a metastore-per-warehouse: one registry regardless of how
+  *    many threads run statements. All mutation is synchronized on the
+  *    state — DDL rates are human-scale, contention is irrelevant.
+  *  - `public` and `admin` are reserved implicit roles (Hive
+  *    SQLStdHiveAccessController): every user holds `public`; neither can
+  *    be created or dropped.
+  *  - This is an ACCOUNTING surface, not an enforcement point: like the
+  *    reference with hive.security.authorization.enabled=false (the 1.2
+  *    default), GRANT/REVOKE/SHOW maintain and answer the registry while
+  *    query execution never consults it. Enforcement on Spark belongs to
+  *    the deployment layer, not the engine library.
+  */
+object Auth {
+
+  final case class RoleGrant(role: String, principal: String,
+      principalType: String, adminOption: Boolean, grantTime: Long,
+      grantor: String)
+
+  final case class PrivGrant(database: String, table: String,
+      principal: String, principalType: String, privilege: String,
+      grantOption: Boolean, grantTime: Long, grantor: String)
+
+  final class State {
+    val roles = mutable.LinkedHashSet[String]("public", "admin")
+    val roleGrants = mutable.ArrayBuffer[RoleGrant]()
+    val privGrants = mutable.ArrayBuffer[PrivGrant]()
+    /** SET ROLE selection; None = ALL granted roles active (the default). */
+    var currentRoles: Option[Set[String]] = None
+  }
+
+  private val states =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, State]())
+
+  def state(spark: SparkSession): State = states.synchronized {
+    states.asScala.getOrElseUpdate(spark, new State)
+  }
+
+  private def user(): String = System.getProperty("user.name", "anonymous")
+  private def now(): Long = System.currentTimeMillis() / 1000
+
+  // ---- statement grammar (Hive 1.2 authorization DDL) -------------------
+  private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+`?([\w]+)`?\s*;?\s*""".r
+  private val dropRoleRe   = """(?is)\s*DROP\s+ROLE\s+`?([\w]+)`?\s*;?\s*""".r
+  private val showRolesRe  = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
+  private val showCurrentRe = """(?is)\s*SHOW\s+CURRENT\s+ROLES\s*;?\s*""".r
+  private val setRoleRe    = """(?is)\s*SET\s+ROLE\s+`?([\w]+)`?\s*;?\s*""".r
+  private val grantRoleRe =
+    """(?is)\s*GRANT\s+(?:ROLE\s+)?([\w`,\s]+?)\s+TO\s+(.+?)(\s+WITH\s+ADMIN\s+OPTION)?\s*;?\s*""".r
+  private val revokeRoleRe =
+    """(?is)\s*REVOKE\s+(?:ADMIN\s+OPTION\s+FOR\s+)?(?:ROLE\s+)?([\w`,\s]+?)\s+FROM\s+(.+?)\s*;?\s*""".r
+  private val grantPrivRe =
+    """(?is)\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+TO\s+(.+?)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*""".r
+  private val revokePrivRe =
+    """(?is)\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?([\w,\s]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+FROM\s+(.+?)\s*;?\s*""".r
+  private val showGrantRe =
+    """(?is)\s*SHOW\s+GRANT\s*(?:(USER|GROUP|ROLE)\s+`?([\w]+)`?)?\s*(?:ON\s+(?:(ALL)|(?:TABLE\s+)?`?([\w.]+)`?))?\s*;?\s*""".r
+  private val showRoleGrantRe =
+    """(?is)\s*SHOW\s+ROLE\s+GRANT\s+(USER|GROUP|ROLE)\s+`?([\w]+)`?\s*;?\s*""".r
+  private val showPrincipalsRe =
+    """(?is)\s*SHOW\s+PRINCIPALS\s+`?([\w]+)`?\s*;?\s*""".r
+
+  /** Fast pre-filter so Engine.ddl doesn't regex every statement. */
+  def handles(stmt: String): Boolean = {
+    val u = stmt.trim.stripPrefix(";").trim.toUpperCase
+    u.startsWith("CREATE ROLE") || u.startsWith("DROP ROLE") ||
+    u.startsWith("GRANT") || u.startsWith("REVOKE") ||
+    u.startsWith("SHOW ROLES") || u.startsWith("SHOW CURRENT ROLES") ||
+    u.startsWith("SHOW ROLE GRANT") || u.startsWith("SHOW GRANT") ||
+    u.startsWith("SHOW PRINCIPALS") ||
+    setRoleRe.pattern.matcher(stmt).matches()
+  }
+
+  /** principal_list: `USER hue, GROUP eng, ROLE analyst` — bare names get
+    * Hive's default principal type USER. */
+  private def principals(text: String): Seq[(String, String)] =
+    text.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val m = """(?is)(USER|GROUP|ROLE)\s+`?([\w]+)`?""".r
+      p match {
+        case m(t, n) => (t.toUpperCase, n)
+        case n => ("USER", n.replaceAll("`", "").trim)
+      }
+    }
+
+  private def names(text: String): Seq[String] =
+    text.split(",").toSeq.map(_.replaceAll("`", "").trim).filter(_.nonEmpty)
+
+  private def splitObj(spark: SparkSession, kind: String, obj: String): (String, String) = {
+    val parts = obj.split("\\.")
+    if (kind != null && kind.equalsIgnoreCase("DATABASE")) (obj, "")
+    else if (parts.length == 2) (parts(0), parts(1))
+    else (spark.catalog.currentDatabase, obj)
+  }
+
+  private def out(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val roleSchema = StructType(Seq(StructField("role", StringType)))
+  // SHOW GRANT column set: DDLTask.java writeGrantInfo (Hive 1.2 text
+  // output normalized to columns)
+  private val grantSchema = StructType(Seq(
+    StructField("database", StringType), StructField("table", StringType),
+    StructField("principal_name", StringType),
+    StructField("principal_type", StringType),
+    StructField("privilege", StringType),
+    StructField("grant_option", BooleanType),
+    StructField("grant_time", LongType),
+    StructField("grantor", StringType)))
+  private val roleGrantSchema = StructType(Seq(
+    StructField("role", StringType),
+    StructField("grant_option", BooleanType),
+    StructField("grant_time", LongType),
+    StructField("grantor", StringType)))
+  private val principalSchema = StructType(Seq(
+    StructField("principal_name", StringType),
+    StructField("principal_type", StringType),
+    StructField("grant_option", BooleanType),
+    StructField("grant_time", LongType),
+    StructField("grantor", StringType)))
+
+  /** Try to execute `stmt` as authorization DDL. None = not an auth
+    * statement (caller falls through to Spark SQL). */
+  def run(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    if (!handles(stmt)) return None
+    val st = state(spark)
+    Some(stmt match {
+      case createRoleRe(r) => st.synchronized {
+        val role = r.toLowerCase
+        require(role != "public" && role != "admin",
+          s"$role is a reserved role name")
+        require(st.roles.add(role), s"role $role already exists")
+        spark.emptyDataFrame
+      }
+      case dropRoleRe(r) => st.synchronized {
+        val role = r.toLowerCase
+        require(role != "public" && role != "admin",
+          s"reserved role $role cannot be dropped")
+        require(st.roles.remove(role), s"role $role does not exist")
+        st.roleGrants.filterInPlace(_.role != role)
+        st.privGrants.filterInPlace(g =>
+          !(g.principalType == "ROLE" && g.principal == role))
+        st.currentRoles = st.currentRoles.map(_ - role)
+        spark.emptyDataFrame
+      }
+      case showRolesRe() => st.synchronized {
+        out(spark, roleSchema, st.roles.toSeq.sorted.map(Row(_)))
+      }
+      case showCurrentRe() => st.synchronized {
+        val u = user()
+        val granted = st.roleGrants
+          .filter(g => g.principalType == "USER" && g.principal == u)
+          .map(_.role).toSet + "public"
+        val active = st.currentRoles.fold(granted)(_.intersect(granted + "admin"))
+        out(spark, roleSchema, active.toSeq.sorted.map(Row(_)))
+      }
+      case setRoleRe(r) => st.synchronized {
+        r.toUpperCase match {
+          case "ALL"  => st.currentRoles = None
+          case "NONE" => st.currentRoles = Some(Set("public"))
+          case _ =>
+            val role = r.toLowerCase
+            require(st.roles.contains(role), s"role $role does not exist")
+            st.currentRoles = Some(Set(role, "public"))
+        }
+        spark.emptyDataFrame
+      }
+      // priv grant carries ON — match it before the role-grant shape
+      case grantPrivRe(privs, kind, obj, to, withGrant) => st.synchronized {
+        val (db, tbl) = splitObj(spark, kind, obj)
+        for {
+          priv <- names(privs).map(_.toUpperCase)
+          (pt, pn) <- principals(to)
+        } {
+          if (pt == "ROLE") require(st.roles.contains(pn.toLowerCase),
+            s"role $pn does not exist")
+          val g = PrivGrant(db, tbl, pn, pt, priv, withGrant != null,
+            now(), user())
+          // re-grant refreshes, never duplicates (metastore PK semantics)
+          st.privGrants.filterInPlace(x => !(x.database == g.database &&
+            x.table == g.table && x.principal == g.principal &&
+            x.principalType == g.principalType && x.privilege == g.privilege))
+          st.privGrants += g
+        }
+        spark.emptyDataFrame
+      }
+      case revokePrivRe(privs, kind, obj, from) => st.synchronized {
+        val (db, tbl) = splitObj(spark, kind, obj)
+        val ps = names(privs).map(_.toUpperCase).toSet
+        val all = ps.contains("ALL")
+        for ((pt, pn) <- principals(from))
+          st.privGrants.filterInPlace(x => !(x.database == db &&
+            x.table == tbl && x.principal == pn && x.principalType == pt &&
+            (all || ps.contains(x.privilege))))
+        spark.emptyDataFrame
+      }
+      case showRoleGrantRe(pt, pn) => st.synchronized {
+        val rows = st.roleGrants
+          .filter(g => g.principalType == pt.toUpperCase && g.principal == pn)
+          .map(g => Row(g.role, g.adminOption, g.grantTime, g.grantor)).toSeq
+        val withPublic = if (pt.equalsIgnoreCase("USER"))
+          Row("public", false, 0L, "") +: rows else rows
+        out(spark, roleGrantSchema, withPublic)
+      }
+      case showPrincipalsRe(r) => st.synchronized {
+        val role = r.toLowerCase
+        require(st.roles.contains(role), s"role $role does not exist")
+        out(spark, principalSchema, st.roleGrants.filter(_.role == role)
+          .map(g => Row(g.principal, g.principalType, g.adminOption,
+            g.grantTime, g.grantor)).toSeq)
+      }
+      case showGrantRe(pt, pn, all, obj) => st.synchronized {
+        val byPrincipal: PrivGrant => Boolean =
+          if (pt == null) _ => true
+          else g => g.principalType == pt.toUpperCase && g.principal == pn
+        val byObj: PrivGrant => Boolean =
+          if (obj == null || all != null) _ => true
+          else { val (db, tbl) = splitObj(spark, null, obj)
+            g => g.database == db && g.table == tbl }
+        out(spark, grantSchema,
+          st.privGrants.filter(g => byPrincipal(g) && byObj(g))
+            .sortBy(g => (g.database, g.table, g.principal, g.privilege))
+            .map(g => Row(g.database, g.table, g.principal, g.principalType,
+              g.privilege, g.grantOption, g.grantTime, g.grantor)).toSeq)
+      }
+      case grantRoleRe(rs, to, withAdmin) => st.synchronized {
+        for {
+          r <- names(rs).map(_.toLowerCase)
+          (pt, pn) <- principals(to)
+        } {
+          require(st.roles.contains(r), s"role $r does not exist")
+          st.roleGrants.filterInPlace(x => !(x.role == r &&
+            x.principal == pn && x.principalType == pt))
+          st.roleGrants += RoleGrant(r, pn, pt, withAdmin != null, now(), user())
+        }
+        spark.emptyDataFrame
+      }
+      case revokeRoleRe(rs, from) => st.synchronized {
+        val roles = names(rs).map(_.toLowerCase).toSet
+        for ((pt, pn) <- principals(from))
+          st.roleGrants.filterInPlace(x => !(roles.contains(x.role) &&
+            x.principal == pn && x.principalType == pt))
+        spark.emptyDataFrame
+      }
+      case other => throw new IllegalArgumentException(
+        s"unrecognized authorization statement: ${other.trim.take(120)}")
+    })
+  }
+}

@@ -165,11 +165,11 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import graft.tools.Checkpoints
-    val edges = Checkpoints.local(
+    val edges = Checkpoints.cut(
       pairs.select(col("da").as("u"), col("db").as("v"))
         .union(pairs.select(col("db").as("u"), col("da").as("v")))
         .distinct())
-    var lbl = Checkpoints.local(edges.select(col("u").as("node")).distinct()
+    var lbl = Checkpoints.cut(edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     var converged = false
     var it = 0
@@ -181,7 +181,7 @@ object Dedup {
       val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("u"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val shortcut = Checkpoints.local(stepped.as("a")
+      val shortcut = Checkpoints.cut(stepped.as("a")
         .join(stepped.as("b"), col("a.label") === col("b.node"), "left")
         .select(col("a.node").as("node"), col("a.prev").as("prev"),
           coalesce(col("b.label"), col("a.label")).as("label")))

@@ -39,7 +39,7 @@ object GlobalRank {
     // materialization is the same cost class as the sort itself; a real
     // cluster would persist/checkpoint the sorted layout it is about to
     // number anyway.
-    val parted = graft.tools.Checkpoints.local(
+    val parted = graft.tools.Checkpoints.cut(
       df.repartitionByRange(n, order: _*)
         .withColumn("__pid", spark_partition_id()))
     // one row per partition; cumulative offsets computed driver-side. The

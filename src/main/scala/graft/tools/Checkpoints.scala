@@ -34,6 +34,34 @@ object Checkpoints {
     cp
   }
 
+  /** Lineage cut for iterative operators: a DURABLE `checkpoint()` under
+    * `spark.graft.checkpointDir` when that conf is set, else a tracked
+    * [[local]] checkpoint.
+    *
+    * localCheckpoint stores blocks in executor memory/disk — fine on
+    * local[n], but on a 1000-executor cluster a lost executor loses blocks
+    * whose lineage was CUT, failing the job unrecoverably mid-iteration.
+    * Production runs of the iterative operators (Dedup.clusters label
+    * propagation, GlobalRank's materialized range layout) should set
+    * spark.graft.checkpointDir to a durable path (HDFS/object store);
+    * reliable checkpoints survive executor loss and pin no block-manager
+    * storage, so [[release]]/[[sweep]] are safe no-ops on them. Checkpoint
+    * FILES outlive the run unless spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true — point the dir at job-scoped scratch space.
+    */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        // setCheckpointDir appends a per-context UUID subdir — match on
+        // prefix or every cut() would mint a fresh subdir
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => local(df)
+    }
+  }
+
   /** Unpersist one checkpointed DataFrame's storage (safe on non-checkpoints
     * and double-release: unpersist is idempotent). Non-blocking — block
     * removal proceeds while the caller's next job runs.

@@ -35,6 +35,18 @@ class EngineSpec extends SparkSpec {
     assert(ms < 2000, s"second call took ${ms}ms — registration not memoized?")
   }
 
+  test("events.ts reads as TimestampType, never TIMESTAMP_NTZ") {
+    // The fixture stores ts as unannotated timestamp[us]; Spark 4's
+    // inferTimestampNTZ would flip it to TIMESTAMP_NTZ, which breaks
+    // unix_micros() at analysis time and withWatermark event-time
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Engine.session pins the
+    // inference off; this gate fails loudly on any fixture/Spark shift
+    // instead of silently shrinking the correctness sweep (r7 lesson).
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      assert(Tables.t(spark, d, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"dir=$d")
+  }
+
   test("streaming ingest output has normalized micros timestamps") {
     import graft.streaming.EventStreams
     val src = Files.createTempDirectory("ing_src")
