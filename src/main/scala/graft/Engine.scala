@@ -888,6 +888,58 @@ object Engine {
     * Hive's format clauses sit after PARTITIONED/CLUSTERED — so the
     * rewrite re-anchors the provider clause to the schema.
     */
+  /** Hive windowing-spec dialect: `over(distribute by X sort by Y)` and
+    * `window w as (cluster by X)` (windowing.q throughout; PTFTranslator
+    * maps DISTRIBUTE/SORT/CLUSTER inside a window spec onto
+    * PARTITION/ORDER). Spark's parser accepts only the ANSI spelling, so
+    * the tokens are rewritten INSIDE window-spec parens only — query-tail
+    * DISTRIBUTE/SORT/CLUSTER BY (a different operator: shuffle+local
+    * sort) pass through untouched. A paren region qualifies when it
+    * directly follows the OVER keyword, or when it opens with a
+    * partition-ish token (a named `WINDOW w AS (...)` spec — no other
+    * SQL paren opens with DISTRIBUTE/SORT/CLUSTER/PARTITION BY).
+    */
+  private[graft] def rewriteWindowDialect(sql: String): String = {
+    val specStart =
+      """(?is)\s*(distribute|cluster|sort|partition|order)\s+by\b.*""".r
+    def fix(inner: String): String = inner
+      .replaceAll("(?i)\\bdistribute\\s+by\\b", "partition by")
+      .replaceAll("(?i)\\bcluster\\s+by\\b", "partition by")
+      .replaceAll("(?i)\\bsort\\s+by\\b", "order by")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '(') {
+        // the word before the paren, for the OVER( test
+        var k = i - 1
+        while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+        val we = k + 1
+        while (k >= 0 && (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k -= 1
+        val prevWord = sql.substring(k + 1, we).toLowerCase
+        // matching close paren, quote-aware
+        var depth = 0; var j = i; var inStr: Char = 0
+        while (j < sql.length && (depth != 0 || j == i)) {
+          val ch = sql.charAt(j)
+          if (inStr != 0) { if (ch == inStr) inStr = 0 }
+          else ch match {
+            case '\'' | '"' => inStr = ch
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        val inner = sql.substring(i + 1, j - 1)
+        if (prevWord == "over" || specStart.pattern.matcher(inner).matches()) {
+          sb.append('(').append(fix(inner)).append(')')
+          i = j
+        } else { sb.append(c); i += 1 } // keep scanning inside
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private[graft] def rewriteHiveCreate(stmt0: String): String = {
     val up = stmt0.toUpperCase
     if (!up.contains("CREATE") || !up.contains("TABLE") ||
@@ -1026,8 +1078,15 @@ object Engine {
       rewritePtfNoop(stmtT) else stmtT
     val stmtS = if (matchPathCallRe.findFirstIn(stmtS0).isDefined)
       rewriteMatchPath(spark, stmtS0) else stmtS0
-    val stmt1a = if (stmtS.toUpperCase.contains("TABLESAMPLE"))
-      rewriteBucketSampleNoOn(spark, rewriteBucketSample(stmtS)) else stmtS
+    val stmtSw = {
+      val l = stmtS.toLowerCase
+      if (l.contains("over") && (l.contains("distribute by") ||
+        l.contains("sort by") || l.contains("cluster by")))
+        rewriteWindowDialect(stmtS)
+      else stmtS
+    }
+    val stmt1a = if (stmtSw.toUpperCase.contains("TABLESAMPLE"))
+      rewriteBucketSampleNoOn(spark, rewriteBucketSample(stmtSw)) else stmtSw
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
       else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)

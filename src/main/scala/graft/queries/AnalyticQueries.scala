@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.GlobalRank
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{round => _, _}
@@ -83,12 +84,17 @@ object AnalyticQueries {
 
     // ---- ntile / percent_rank / cume_dist ----
     Q("q23_window_ntile", (s, d) => {
-      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
-      t(s, d, "supplier")
-        .select(col("s_suppkey"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+      // the SCALE path, not the literal empty-PARTITION BY window (which
+      // Spark plans as one partition — a funnel at 100× supplier): global
+      // row numbers from the range-partitioned layout, distribution
+      // functions by exact integer arithmetic (operators/GlobalRank.scala).
+      // The literal single-partition SQL form stays golden-only (g377).
+      GlobalRank.distribution(
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal")),
+        Seq(col("s_acctbal").desc, col("s_suppkey").asc),
+        Seq(col("s_acctbal"), col("s_suppkey")), Seq(), buckets = 4)
+        .select(col("s_suppkey"), col("nt").as("quartile"),
+          round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
     },
       Some("""SELECT s_suppkey,
              ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile,

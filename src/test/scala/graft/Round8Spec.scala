@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-8 gates: authorization DDL registry, durable checkpoints for
+  * iterative operators, index/archive statement acceptance, and the q23
+  * scale-path flip.
+  */
+class Round8Spec extends SparkSpec {
+
+  // ---- authorization DDL (operators/Auth.scala) -------------------------
+
+  test("role lifecycle: create, grant, show, revoke, drop") {
+    val d = Engine.ddl(spark, _: String)
+    d("CREATE ROLE r8_reader")
+    d("CREATE ROLE r8_writer")
+    assert(d("SHOW ROLES").collect().map(_.getString(0)).toSet
+      .intersect(Set("r8_reader", "r8_writer")) == Set("r8_reader", "r8_writer"))
+    // reserved + duplicate rejections
+    intercept[IllegalArgumentException](d("CREATE ROLE admin"))
+    intercept[IllegalArgumentException](d("CREATE ROLE r8_reader"))
+    intercept[IllegalArgumentException](d("DROP ROLE public"))
+
+    d("GRANT ROLE r8_reader TO USER u1, USER u2")
+    d("GRANT r8_writer TO USER u1 WITH ADMIN OPTION")
+    val u1 = d("SHOW ROLE GRANT USER u1").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // implicit public + both granted roles; admin option carried
+    assert(u1.keySet == Set("public", "r8_reader", "r8_writer"))
+    assert(u1("r8_writer") && !u1("r8_reader"))
+    assert(d("SHOW PRINCIPALS r8_reader").collect()
+      .map(_.getString(0)).toSet == Set("u1", "u2"))
+
+    d("REVOKE ROLE r8_reader FROM USER u2")
+    assert(d("SHOW PRINCIPALS r8_reader").collect()
+      .map(_.getString(0)).toSet == Set("u1"))
+    // DROP ROLE cascades its grants
+    d("DROP ROLE r8_writer")
+    assert(!d("SHOW ROLE GRANT USER u1").collect()
+      .map(_.getString(0)).contains("r8_writer"))
+    d("DROP ROLE r8_reader")
+  }
+
+  test("privilege grants: grant, re-grant refresh, show filters, revoke") {
+    val d = Engine.ddl(spark, _: String)
+    d("CREATE ROLE r8_priv")
+    d("GRANT SELECT, INSERT ON TABLE orders TO ROLE r8_priv")
+    d("GRANT SELECT ON TABLE lineitem TO USER u3 WITH GRANT OPTION")
+    d("GRANT ALL ON TABLE lineitem TO USER u4")
+
+    val onOrders = d("SHOW GRANT ROLE r8_priv ON TABLE orders").collect()
+    assert(onOrders.map(_.getString(4)).toSet == Set("SELECT", "INSERT"))
+    assert(onOrders.forall(r => r.getString(0) == spark.catalog.currentDatabase
+      && r.getString(1) == "orders" && r.getString(3) == "ROLE"))
+    // principal filter + object filter compose
+    assert(d("SHOW GRANT USER u3 ON TABLE lineitem").collect()
+      .map(r => (r.getString(4), r.getBoolean(5))).toSeq == Seq(("SELECT", true)))
+    // re-grant must refresh, not duplicate
+    d("GRANT SELECT ON TABLE lineitem TO USER u3")
+    assert(d("SHOW GRANT USER u3 ON TABLE lineitem").count() == 1)
+
+    d("REVOKE INSERT ON TABLE orders FROM ROLE r8_priv")
+    assert(d("SHOW GRANT ROLE r8_priv ON TABLE orders").collect()
+      .map(_.getString(4)).toSeq == Seq("SELECT"))
+    // REVOKE ALL clears every privilege on the object
+    d("REVOKE ALL ON TABLE lineitem FROM USER u4")
+    assert(d("SHOW GRANT USER u4 ON TABLE lineitem").count() == 0)
+    d("DROP ROLE r8_priv")
+  }
+
+  test("SET ROLE narrows SHOW CURRENT ROLES; grants survive table queries") {
+    val d = Engine.ddl(spark, _: String)
+    d("CREATE ROLE r8_cur")
+    d(s"GRANT ROLE r8_cur TO USER ${System.getProperty("user.name")}")
+    assert(d("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSet ==
+      Set("public", "r8_cur"))
+    d("SET ROLE NONE")
+    assert(d("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSet ==
+      Set("public"))
+    d("SET ROLE ALL")
+    assert(d("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSet ==
+      Set("public", "r8_cur"))
+    d("DROP ROLE r8_cur")
+  }
+
+  // ---- index / archive statement acceptance -----------------------------
+
+  test("index and archive statements no-op; SHOW INDEX answers empty") {
+    val d = Engine.ddl(spark, _: String)
+    assert(d("CREATE INDEX ix ON TABLE orders (o_orderkey) AS 'COMPACT' WITH DEFERRED REBUILD")
+      .collect().isEmpty)
+    assert(d("ALTER INDEX ix ON orders REBUILD").collect().isEmpty)
+    val shown = d("SHOW INDEXES ON orders")
+    assert(shown.columns.contains("idx_name") && shown.count() == 0)
+    assert(d("DROP INDEX IF EXISTS ix ON orders").collect().isEmpty)
+    assert(d("ALTER TABLE orders ARCHIVE PARTITION (ds='2026-01-01')")
+      .collect().isEmpty)
+    assert(d("ALTER TABLE orders UNARCHIVE PARTITION (ds='2026-01-01')")
+      .collect().isEmpty)
+  }
+
+  // ---- durable checkpoints ----------------------------------------------
+
+  test("Dedup.clusters runs on a durable checkpoint dir when configured") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      import spark.implicits._
+      // two chains + an isolated pair: (1-2-3-4), (10-11), (20-21-22)
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L)).toDF("da", "db")
+      val got = operators.Dedup.clusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+      // reliable checkpoint files actually landed under the configured dir
+      val files = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      var n = 0
+      while (files.hasNext) { files.next(); n += 1 }
+      assert(n > 1, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      tools.Checkpoints.sweep()
+    }
+  }
+
+  // ---- q23 scale flip ----------------------------------------------------
+
+  test("q23 gate plans without a single-partition window") {
+    val df = Registry.byName("q23_window_ntile").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    tools.Checkpoints.sweep()
+  }
+}
