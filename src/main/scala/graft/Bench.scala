@@ -70,7 +70,8 @@ object Bench {
     // cut off. ~25 headline queries keep the line under ~1 KB.
     val headline = Vector(
       "q01_agg", "q03_join_inner", "q10_join_multiway", "q18_topk",
-      "q19_window_rank", "q45_events_tumbling", "q56_multi_insert",
+      "q19_window_rank", "q45_events_tumbling", "q47_events_session",
+      "q56_multi_insert",
       "q58_bucketed_join", "q64_ngrams_udaf", "q65_matchpath",
       "q68_formats", "q71_orderby_global", "q75_salted_join",
       "a01_update_cow", "d01_dedup_exact", "d02_dedup_minhash",

@@ -269,6 +269,21 @@ object Engine {
   // commit protocols), so the statement answers an empty listing.
   private val showLocksRe =
     """(?is)\s*SHOW\s+LOCKS\b.*""".r
+  // LOCK/UNLOCK TABLE|DATABASE — DDLSemanticAnalyzer analyzeLockTable/
+  // analyzeUnlockTable: with no lock manager (hive.support.concurrency=
+  // false, our design point — Spark writers coordinate via commit
+  // protocols) Hive acquires nothing; accept as no-op.
+  private val lockStmtRe =
+    """(?is)\s*(?:UN)?LOCK\s+(?:TABLE|DATABASE|SCHEMA)\s+[\w.`]+.*""".r
+  // SHOW TRANSACTIONS / SHOW COMPACTIONS / ABORT TRANSACTIONS —
+  // DDLSemanticAnalyzer analyzeShowTxns/analyzeShowCompactions/
+  // analyzeAbortTxns. No transaction manager exists under copy-on-write
+  // (every statement is its own atomic file swap), so the listings answer
+  // empty and ABORT is a no-op.
+  private val showTxnsRe = """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
+  private val showCompactionsRe = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
+  private val abortTxnsRe =
+    """(?is)\s*ABORT\s+TRANSACTIONS\s+[\d\s,]+;?\s*""".r
   // CREATE TEMPORARY TABLE — session-scoped real tables
   // (SessionHiveMetaStoreClient); Spark's parser rejects the TEMPORARY
   // keyword on tables, so it strips to a plain CREATE TABLE: the script
@@ -356,8 +371,6 @@ object Engine {
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
-  private val mergeRe =
-    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s.+?)\s*;?\s*""".r
   private val whenUpdateRe =
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
   private val whenDeleteRe =
@@ -422,6 +435,139 @@ object Engine {
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString
+
+  /** Datasource provider of `table`, for the copy-on-write engine: DML on
+    * a STORED AS ORC/AVRO table must rewrite files in the table's own
+    * format, not parquet. */
+  private def tableFormat(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .provider.map(_.toLowerCase).filterNot(_ == "hive").getOrElse("parquet")
+
+  /** MERGE INTO target [AS t] USING source [AS s] ON keys WHEN ... SQL
+    * text, routed to the copy-on-write upsert (`operators.Acid.mergeInto`).
+    *
+    * Reference: UpdateDeleteSemanticAnalyzer's MERGE rewrite (the
+    * three-branch UPDATE/DELETE/INSERT plan over one source scan). Spark's
+    * parser accepts MERGE but no v1 file table supports row-level ops, so
+    * the statement is parsed here with the paren-aware `topLevel` slicer
+    * (a subquery source may itself contain JOIN ... ON) and handed to the
+    * CoW engine. Supported — the common Hive upsert shape:
+    *   - ON: conjunction of same-named key equalities (t.k = s.k);
+    *   - WHEN MATCHED [AND pred] THEN UPDATE SET c = <expr over source>;
+    *   - WHEN MATCHED [AND pred] THEN DELETE (pred may mix target columns
+    *     and source columns);
+    *   - WHEN NOT MATCHED THEN INSERT (*|VALUES (<exprs over source>)).
+    * A column named by both UPDATE SET and INSERT VALUES must receive the
+    * same expression (one projected source feeds both branches).
+    */
+  private def sqlMerge(spark: SparkSession, stmt: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val text = stmt.trim.stripSuffix(";")
+    val usingPos = topLevel(text, "USING").headOption.getOrElse(
+      sys.error("MERGE without USING"))
+    val onPos = topLevel(text, "ON").find(_ > usingPos).getOrElse(
+      sys.error("MERGE without ON"))
+    val whenPos = topLevel(text, "WHEN").filter(_ > onPos)
+    require(whenPos.nonEmpty, "MERGE without WHEN clauses")
+
+    // MERGE INTO <table> [AS] [alias]
+    val headToks = text.substring("MERGE".length, usingPos).trim
+      .replaceAll("(?i)^INTO\\s+", "").split("\\s+").toSeq
+      .filterNot(_.equalsIgnoreCase("AS"))
+    val table = headToks.head
+    val tAlias = headToks.lift(1).getOrElse(table.split('.').last)
+
+    // USING <table|(subquery)> [AS] [alias]
+    val usingText = text.substring(usingPos + "USING".length, onPos).trim
+    val (srcDf, sAlias) =
+      if (usingText.startsWith("(")) {
+        val close = {
+          var depth = 0; var i = 0; var end = -1
+          while (i < usingText.length && end < 0) {
+            usingText.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          require(end > 0, s"unbalanced parens in MERGE USING: $usingText"); end
+        }
+        val alias = usingText.substring(close + 1).trim
+          .replaceAll("(?i)^AS\\s+", "")
+        require(alias.nonEmpty, "MERGE USING (subquery) needs an alias")
+        (spark.sql(usingText.substring(1, close)), alias)
+      } else {
+        val toks = usingText.split("\\s+").toSeq.filterNot(_.equalsIgnoreCase("AS"))
+        (spark.table(toks.head), toks.lift(1).getOrElse(toks.head.split('.').last))
+      }
+
+    // strip/reroute alias qualifiers in an expression: target alias drops
+    // (evaluated over target columns), source alias maps to __src_ in the
+    // delete predicate or drops in source-side expressions
+    def unqualify(e: String, srcPrefix: String): String = e
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(tAlias) + "\\.", "")
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sAlias) + "\\.", srcPrefix)
+
+    // ON: conjunctive same-named equalities → the CoW join keys
+    val onText = text.substring(onPos + "ON".length, whenPos.head).trim
+    val keys = onText.split("(?i)\\bAND\\b").toSeq.map { term =>
+      val sides = term.split("=").map(_.trim)
+      require(sides.length == 2, s"unsupported MERGE ON term: $term")
+      val names = sides.map(x => x.substring(x.lastIndexOf('.') + 1))
+      require(names(0).equalsIgnoreCase(names(1)),
+        s"MERGE ON must equate same-named key columns, got: $term")
+      names(0)
+    }
+
+    // WHEN clauses
+    val targetCols = spark.table(table).columns.toSeq
+    var setExprs = Map.empty[String, String]      // target col -> source-side expr
+    var insertExprs = Map.empty[String, String]
+    var insertNotMatched = false
+    var deleteMatched = Option.empty[String]
+    val bounds = whenPos :+ text.length
+    bounds.sliding(2).map(w => text.substring(w(0), w(1)).trim).foreach {
+      case whenUpdateRe(assigns) =>
+        setExprs = splitAssignments(assigns).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          val c = k.trim.substring(k.trim.lastIndexOf('.') + 1)
+          c -> unqualify(v.trim, "")
+        }.toMap
+      case whenDeleteRe(pred) =>
+        deleteMatched = Some(Option(pred).map(unqualify(_, "__src_")).getOrElse("true"))
+      case whenInsertRe(spec) =>
+        insertNotMatched = true
+        if (!spec.trim.startsWith("*")) {
+          val inner = spec.trim.replaceAll("(?is)^VALUES\\s*\\(", "").stripSuffix(")")
+          val vals = splitAssignments(inner).map(v => unqualify(v.trim, ""))
+          require(vals.length == targetCols.length,
+            s"MERGE INSERT VALUES arity ${vals.length} != ${targetCols.length} target columns")
+          insertExprs = targetCols.zip(vals).toMap
+        }
+      case other => sys.error(s"unsupported MERGE WHEN clause: $other")
+    }
+    for (c <- setExprs.keys if insertExprs.contains(c))
+      require(setExprs(c) == insertExprs(c),
+        s"MERGE column $c: UPDATE SET and INSERT VALUES must agree (one projected source)")
+
+    // one projected source feeds keys, update values and inserts; extra
+    // source-only columns referenced by the delete predicate ride along
+    val merged = setExprs ++ insertExprs
+    val deletePred = deleteMatched.map(expr)
+    val deleteSrcCols = deleteMatched.toSeq.flatMap { p =>
+      "__src_(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    }.distinct
+    val projected = srcDf.select(
+      (targetCols.map(c => expr(merged.getOrElse(c, c)).as(c)) ++
+        deleteSrcCols.filterNot(targetCols.contains).map(col)): _*)
+    operators.Acid.mergeInto(spark, tableLocation(spark, table), projected,
+      keys = keys, setFromSource = setExprs.keys.toSeq,
+      insertNotMatched = insertNotMatched, deleteMatched = deletePred,
+      format = tableFormat(spark, table), deleteSourceCols = deleteSrcCols)
+    spark.sql(s"REFRESH TABLE $table"): Unit
+  }
 
   /** Start offsets of top-level (not inside quotes or parens) word
     * occurrences, case-insensitive. */
@@ -1139,6 +1285,35 @@ object Engine {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("lock_state",
               org.apache.spark.sql.types.StringType))))
+      case lockStmtRe() | abortTxnsRe() =>
+        // no lock/txn manager by design: acquire/release/abort is vacuous
+        return spark.emptyDataFrame
+      case showTxnsRe() =>
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("txnid",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("state",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("user",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("host",
+              org.apache.spark.sql.types.StringType))))
+      case showCompactionsRe() =>
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dbname",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tabname",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("partname",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("state",
+              org.apache.spark.sql.types.StringType))))
       case _ => ()
     }
     stmt match {
@@ -1289,13 +1464,17 @@ object Engine {
       // row-level DML SQL text → the copy-on-write engine
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's
       // files; Spark's own parser rejects UPDATE/DELETE on parquet tables)
+      case s if s.trim.toUpperCase.startsWith("MERGE") =>
+        sqlMerge(spark, s)
+        spark.emptyDataFrame
       case updateRe(table, setClause, cond) =>
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
           k.trim -> org.apache.spark.sql.functions.expr(v.trim)
         }.toMap
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.expr(cond), set)
+          org.apache.spark.sql.functions.expr(cond), set,
+          tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
@@ -1306,17 +1485,18 @@ object Engine {
           k.trim -> org.apache.spark.sql.functions.expr(v.trim)
         }.toMap
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.lit(true), set)
+          org.apache.spark.sql.functions.lit(true), set,
+          tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.expr(cond))
+          org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteAllRe(table) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.lit(true))
+          org.apache.spark.sql.functions.lit(true), tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
@@ -1337,7 +1517,8 @@ object Engine {
               s"$table is partitioned: CONCATENATE needs a PARTITION spec")
             tableLocation(spark, table)
         }
-        operators.Acid.compact(spark, dir, numFiles = 1)
+        operators.Acid.compact(spark, dir, numFiles = 1,
+          format = tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case exportRe(table, dir) =>

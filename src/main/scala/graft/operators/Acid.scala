@@ -4,7 +4,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Copy-on-write UPDATE/DELETE over a parquet table directory.
+/** Copy-on-write UPDATE/DELETE over a columnar table directory
+  * (parquet by default; `format` selects orc/avro/... for tables declared
+  * with another STORED AS clause).
   *
   * Reference semantics: Hive rewrites UPDATE/DELETE as an insert over the
   * affected rows (ql/src/java/org/apache/hadoop/hive/ql/parse/
@@ -28,12 +30,13 @@ object Acid {
 
   /** UPDATE tbl SET (k -> expr)* WHERE cond, copy-on-write. */
   def updateWhere(spark: SparkSession, path: String, cond: Column,
-                  set: Map[String, Column]): Unit =
-    rewrite(spark, path, cond, identityKept = true, set)
+                  set: Map[String, Column], format: String = "parquet"): Unit =
+    rewrite(spark, path, cond, identityKept = true, set, format)
 
   /** DELETE FROM tbl WHERE cond, copy-on-write. */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): Unit =
-    rewrite(spark, path, cond, identityKept = false, Map.empty)
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+                  format: String = "parquet"): Unit =
+    rewrite(spark, path, cond, identityKept = false, Map.empty, format)
 
   /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
     *
@@ -55,8 +58,10 @@ object Acid {
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
                 keys: Seq[String], setFromSource: Seq[String],
                 insertNotMatched: Boolean = true,
-                deleteMatched: Option[Column] = None): Unit = {
-    val df = spark.read.parquet(path)
+                deleteMatched: Option[Column] = None,
+                format: String = "parquet",
+                deleteSourceCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.format(format).load(path)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
     val srcKeyed = source.select(cols.map(col): _*)
@@ -75,16 +80,18 @@ object Acid {
       val inserts = srcKeyed.join(existingKeys,
         keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
       // append lands new part- files; existing files untouched
-      inserts.write.mode("append").parquet(path)
+      inserts.write.mode("append").format(format).save(path)
     }
 
     if (affected.nonEmpty) {
       val survivors = withFile.filter(col(FILE).isin(affected.toSeq: _*))
       // left join against the source: matched rows take source values for
       // the set columns, unmatched rows in the same file pass through
-      val src = srcKeyed.select(
-        keys.map(k => col(k).as(s"__src_$k")) ++
-          setFromSource.map(c => col(c).as(s"__src_$c")) :+
+      // built from the full `source` (not the target-schema projection) so
+      // a delete predicate can reference source-only flag columns
+      val src = source.select(
+        (keys ++ setFromSource ++ deleteSourceCols).distinct
+          .map(c => col(c).as(s"__src_$c")) :+
           lit(true).as("__src_matched"): _*)
       val cond = keys.map(k => survivors(k) <=> src(s"__src_$k")).reduce(_ && _)
       val joined = survivors.join(src, cond, "left")
@@ -101,7 +108,7 @@ object Acid {
              when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
            else survivors(c)).as(c)
         }: _*)
-      swapIn(spark, path, affected, merged)
+      swapIn(spark, path, affected, merged, format)
     }
   }
 
@@ -111,16 +118,18 @@ object Acid {
     * exists to merge ACID deltas; under copy-on-write the only compaction
     * concern left is file-count hygiene after many small merges/appends.
     */
-  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
-    val df = spark.read.parquet(path)
+  def compact(spark: SparkSession, path: String, numFiles: Int,
+              format: String = "parquet"): Unit = {
+    val df = spark.read.format(format).load(path)
     val all = df.withColumn(FILE, col("_metadata.file_path"))
       .select(FILE).distinct().collect().map(_.getString(0))
-    swapIn(spark, path, all, df.repartition(numFiles))
+    swapIn(spark, path, all, df.repartition(numFiles), format)
   }
 
   private def rewrite(spark: SparkSession, path: String, cond: Column,
-                      identityKept: Boolean, set: Map[String, Column]): Unit = {
-    val df = spark.read.parquet(path)
+                      identityKept: Boolean, set: Map[String, Column],
+                      format: String): Unit = {
+    val df = spark.read.format(format).load(path)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
 
@@ -140,7 +149,7 @@ object Acid {
         // DELETE: keep rows where cond is false or null (SQL semantics)
         survivors.filter(!coalesce(cond, lit(false))).select(cols.map(col): _*)
 
-    swapIn(spark, path, affected, rewritten)
+    swapIn(spark, path, affected, rewritten, format)
   }
 
   /** Write `newData` beside the table, move its files in, drop the stale
@@ -153,9 +162,10 @@ object Acid {
     * over this file-swap primitive to close those windows.
     */
   private def swapIn(spark: SparkSession, path: String,
-                     staleFiles: Seq[String], newData: DataFrame): Unit = {
+                     staleFiles: Seq[String], newData: DataFrame,
+                     format: String = "parquet"): Unit = {
     val tmp = path.stripSuffix("/") + "_cow_" + java.util.UUID.randomUUID().toString
-    newData.write.mode("overwrite").parquet(tmp)
+    newData.write.mode("overwrite").format(format).save(tmp)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(tmp), conf)

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{Engine, Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-8 sweep: MERGE INTO as SQL text (the last DML statement a
+  * migrating Hive script contains that had no oracled gate), plus
+  * join-dialect semantics the new golden families pin — ON-clause
+  * non-join predicates, WHERE-driven outer-join conversion, and the
+  * union-remove insert shape — each with a DuckDB oracle.
+  */
+object Round8Queries {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** DROP + remove any stale managed dir a previous process left (a fresh
+    * session's DROP is a catalog no-op and the orphan location blocks
+    * CREATE with LOCATION_ALREADY_EXISTS). */
+  private def resetTable(s: SparkSession, name: String): Unit = {
+    Engine.ddl(s, s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+    wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true): Unit
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- MERGE INTO ... WHEN MATCHED AND s.op='D' THEN DELETE /
+    //      WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT, as
+    //      statement text (UpdateDeleteSemanticAnalyzer's three-branch
+    //      rewrite). The engine routes it to the copy-on-write upsert;
+    //      the oracle reconstructs the post-state relationally. ----
+    Q("q147_merge_sql", (s, d) => {
+      Tables.views(s, d, "orders")
+      resetTable(s, "q147_t")
+      Engine.ddl(s, "CREATE TABLE q147_t (k BIGINT, price DOUBLE, status STRING)")
+      Engine.ddl(s,
+        """INSERT INTO q147_t
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey <= 300""")
+      t(s, d, "orders").where(col("o_orderkey") <= 300)
+        .select(
+          (col("o_orderkey") + 150).as("k"),
+          (col("o_totalprice") * 2).as("price"),
+          lit("X").as("status"),
+          when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"))
+        .createOrReplaceTempView("q147_s")
+      Engine.ddl(s,
+        """MERGE INTO q147_t t USING q147_s s ON t.k = s.k
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET price = s.price
+           WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.price, s.status)""")
+      s.table("q147_t").select("k", "price", "status")
+    },
+      Some("""WITH tgt AS (
+                SELECT o_orderkey AS k, o_totalprice AS price,
+                       o_orderstatus AS status
+                FROM orders WHERE o_orderkey <= 300),
+              src AS (
+                SELECT o_orderkey + 150 AS k, o_totalprice * 2 AS price,
+                       'X' AS status,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+                FROM orders WHERE o_orderkey <= 300)
+              SELECT t.k AS k, t.price AS price, t.status AS status
+              FROM tgt t WHERE t.k NOT IN (SELECT k FROM src)
+              UNION ALL
+              SELECT t.k, s.price, t.status
+              FROM tgt t JOIN src s ON t.k = s.k WHERE s.op <> 'D'
+              UNION ALL
+              SELECT s.k, s.price, s.status
+              FROM src s WHERE s.k NOT IN (SELECT k FROM tgt)""")),
+
+    // ---- ON-clause non-join predicates across outer joins
+    //      (join_filters.q family): for LEFT OUTER they gate matching
+    //      only — every left row survives. ----
+    Q("q148_join_on_filters", (s, d) =>
+      t(s, d, "supplier").as("s")
+        .join(t(s, d, "customer").as("c"),
+          col("s.s_nationkey") === col("c.c_nationkey") &&
+            col("c.c_acctbal") > 9000 && col("s.s_suppkey") < 20,
+          "left_outer")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("c_custkey"), col("c_acctbal")),
+      Some("""SELECT s_suppkey, s_nationkey, c_custkey, c_acctbal
+              FROM supplier s LEFT OUTER JOIN customer c
+                ON s.s_nationkey = c.c_nationkey
+               AND c.c_acctbal > 9000 AND s.s_suppkey < 20""")),
+
+    // ---- WHERE on the null-padded side converts the outer join to inner
+    //      (ppd_outer_join family) — predicate placement semantics. ----
+    Q("q150_ppd_outer_join", (s, d) =>
+      t(s, d, "nation").as("n")
+        .join(t(s, d, "supplier").as("sp"),
+          col("n.n_nationkey") === col("sp.s_nationkey"), "left_outer")
+        .where(col("sp.s_acctbal") > 3000)
+        .select(col("n_name"), col("s_suppkey"), col("s_acctbal")),
+      Some("""SELECT n_name, s_suppkey, s_acctbal
+              FROM nation n LEFT OUTER JOIN supplier s
+                ON n.n_nationkey = s.s_nationkey
+              WHERE s.s_acctbal > 3000""")),
+
+    // ---- union-remove shape (union_remove_1.q): INSERT OVERWRITE of a
+    //      UNION ALL of two aggregates over one input, read back. ----
+    Q("q149_union_remove", (s, d) => {
+      Tables.views(s, d, "lineitem")
+      resetTable(s, "q149_t")
+      Engine.ddl(s, "CREATE TABLE q149_t (rf STRING, n BIGINT)")
+      Engine.ddl(s,
+        """INSERT OVERWRITE TABLE q149_t
+           SELECT * FROM (
+             SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag
+             UNION ALL
+             SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag
+           ) u""")
+      s.table("q149_t")
+    },
+      Some("""SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag"""))
+  )
+}
