@@ -284,6 +284,19 @@ object Engine {
   private val showCompactionsRe = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
   private val abortTxnsRe =
     """(?is)\s*ABORT\s+TRANSACTIONS\s+[\d\s,]+;?\s*""".r
+  // dfs -cmd args — Hive CLI's Hadoop shell passthrough
+  // (cli/src/java/org/apache/hadoop/hive/cli/CliDriver.java
+  // processCmd routes "dfs" to FsShell). Scripts use it for staging dirs
+  // around LOAD DATA / external tables, so it executes for real against
+  // the session's Hadoop FileSystem: mkdir/rm/rmr/cp/mv/touchz mutate,
+  // ls answers sorted paths, cat answers file lines.
+  private val dfsRe = """(?is)\s*dfs\s+(.+?);?\s*""".r
+  // ALTER TABLE ... SET SERDE / SET SERDEPROPERTIES — meaningful only for
+  // Hive-serde tables; on native datasource tables (our default) Spark
+  // rejects it, but the statement carries no semantics a parquet-native
+  // table needs (the provider already fixes the layout): accept + warn.
+  private val setSerdeRe =
+    """(?is)\s*ALTER\s+TABLE\s+[\w.`]+\s*(?:PARTITION\s*\([^)]*\)\s*)?SET\s+SERDE(?:PROPERTIES)?\b.*""".r
   // CREATE TEMPORARY TABLE — session-scoped real tables
   // (SessionHiveMetaStoreClient); Spark's parser rejects the TEMPORARY
   // keyword on tables, so it strips to a plain CREATE TABLE: the script
@@ -443,6 +456,63 @@ object Engine {
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
       .provider.map(_.toLowerCase).filterNot(_ == "hive").getOrElse("parquet")
+
+  /** `dfs -cmd args` passthrough (CliDriver's FsShell route), on the
+    * session's Hadoop FileSystem. Mutations (mkdir/rm/rmr/cp/mv/touchz)
+    * answer no rows; `-ls` answers sorted child paths and `-cat` file
+    * lines, one row each. */
+  private def runDfs(spark: SparkSession,
+                     cmdline: String): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val toks = cmdline.trim.split("\\s+").toSeq
+      .map(t => t.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+    require(toks.nonEmpty && toks.head.startsWith("-"),
+      s"dfs: expected -command, got: $cmdline")
+    val cmd = toks.head.stripPrefix("-")
+    val flags = toks.tail.takeWhile(_.startsWith("-")).map(_.stripPrefix("-"))
+    val paths = toks.tail.dropWhile(_.startsWith("-"))
+    def fs(p: org.apache.hadoop.fs.Path) = p.getFileSystem(conf)
+    def rows(vals: Seq[String]) = spark.createDataFrame(
+      vals.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("result",
+          org.apache.spark.sql.types.StringType))))
+    cmd match {
+      case "mkdir" =>
+        paths.foreach { s0 => val p = new org.apache.hadoop.fs.Path(s0)
+          fs(p).mkdirs(p) }
+        spark.emptyDataFrame
+      case "rm" | "rmr" =>
+        val recursive = cmd == "rmr" || flags.exists(f => f == "r" || f == "R")
+        paths.foreach { s0 => val p = new org.apache.hadoop.fs.Path(s0)
+          fs(p).delete(p, recursive) }
+        spark.emptyDataFrame
+      case "cp" | "mv" =>
+        require(paths.length == 2, s"dfs -$cmd needs src dst")
+        val (src, dst) = (new org.apache.hadoop.fs.Path(paths(0)),
+          new org.apache.hadoop.fs.Path(paths(1)))
+        if (cmd == "mv") fs(src).rename(src, dst)
+        else org.apache.hadoop.fs.FileUtil.copy(
+          fs(src), src, fs(dst), dst, false, conf)
+        spark.emptyDataFrame
+      case "touchz" =>
+        paths.foreach { s0 => val p = new org.apache.hadoop.fs.Path(s0)
+          fs(p).create(p, true).close() }
+        spark.emptyDataFrame
+      case "ls" =>
+        rows(paths.flatMap { s0 => val p = new org.apache.hadoop.fs.Path(s0)
+          fs(p).listStatus(p).map(_.getPath.toUri.getPath).toSeq }.sorted)
+      case "cat" =>
+        rows(paths.flatMap { s0 => val p = new org.apache.hadoop.fs.Path(s0)
+          val in = fs(p).open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close() })
+      case other =>
+        System.err.println(s"[graft] dfs -$other accepted as no-op")
+        spark.emptyDataFrame
+    }
+  }
 
   /** MERGE INTO target [AS t] USING source [AS s] ON keys WHEN ... SQL
     * text, routed to the copy-on-write upsert (`operators.Acid.mergeInto`).
@@ -1288,6 +1358,15 @@ object Engine {
       case lockStmtRe() | abortTxnsRe() =>
         // no lock/txn manager by design: acquire/release/abort is vacuous
         return spark.emptyDataFrame
+      case dfsRe(cmdline) =>
+        return runDfs(spark, cmdline)
+      case setSerdeRe() =>
+        return try spark.sql(stmt0) catch {
+          case _: Exception =>
+            System.err.println(s"[graft] SET SERDE accepted as no-op on a " +
+              s"native datasource table: ${stmt0.trim.takeWhile(_ != '\n')}")
+            spark.emptyDataFrame
+        }
       case showTxnsRe() =>
         return spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),

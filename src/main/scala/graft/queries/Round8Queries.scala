@@ -116,6 +116,44 @@ object Round8Queries {
     },
       Some("""SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag
               UNION ALL
-              SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag"""))
+              SELECT l_returnflag AS rf, count(1) AS n FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- STREAMTABLE hint (join_reorder.q): a Hive reorder directive —
+    //      Catalyst owns join order, so the hint must be row-neutral;
+    //      oracle runs the same query unhinted. ----
+    Q("q151_streamtable_hint", (s, d) => {
+      Tables.views(s, d, "nation", "supplier")
+      Engine.sql(s, d,
+        """SELECT /*+ STREAMTABLE(n) */ n.n_name AS nname, count(1) AS n_sup
+           FROM nation n JOIN supplier sp ON n.n_nationkey = sp.s_nationkey
+           GROUP BY n.n_name""")
+    },
+      Some("""SELECT n.n_name AS nname, count(1) AS n_sup
+              FROM nation n JOIN supplier s ON n.n_nationkey = s.s_nationkey
+              GROUP BY n.n_name""")),
+
+    // ---- MAPJOIN hint on an outer join (join25.q family): the broadcast
+    //      must not change outer-join padding. ----
+    Q("q152_mapjoin_hint_outer", (s, d) => {
+      Tables.views(s, d, "nation", "supplier")
+      Engine.sql(s, d,
+        """SELECT /*+ MAPJOIN(n) */ sp.s_suppkey AS sk, n.n_name AS nname
+           FROM supplier sp LEFT OUTER JOIN nation n
+             ON sp.s_nationkey = n.n_nationkey AND n.n_nationkey < 10""")
+    },
+      Some("""SELECT s.s_suppkey AS sk, n.n_name AS nname
+              FROM supplier s LEFT OUTER JOIN nation n
+                ON s.s_nationkey = n.n_nationkey AND n.n_nationkey < 10""")),
+
+    // ---- arithmetic join key (join_reorder.q: c.key+1 = a.key): the
+    //      expression key must still hash-partition both sides. ----
+    Q("q153_join_arith_key", (s, d) =>
+      t(s, d, "nation").as("a")
+        .join(t(s, d, "nation").as("c"),
+          col("c.n_nationkey") + 1 === col("a.n_nationkey"))
+        .select(col("a.n_nationkey").as("ak"), col("c.n_nationkey").as("ck"),
+          col("a.n_name").as("an")),
+      Some("""SELECT a.n_nationkey AS ak, c.n_nationkey AS ck, a.n_name AS an
+              FROM nation a JOIN nation c ON c.n_nationkey + 1 = a.n_nationkey"""))
   )
 }

@@ -125,6 +125,62 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ---- MERGE SQL text on a non-parquet table -----------------------------
+
+  test("MERGE statement text rewrites an ORC table in ORC") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r8_morc")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/r8_morc")
+    wh.getFileSystem(spark.sessionState.newHadoopConf()).delete(wh, true)
+    d("CREATE TABLE r8_morc (k INT, v STRING) STORED AS ORC")
+    d("INSERT INTO r8_morc VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.createDataFrame(Seq((2, "B2"), (4, "D4")))
+      .toDF("k", "v").createOrReplaceTempView("r8_msrc")
+    d("""MERGE INTO r8_morc t USING r8_msrc s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)""")
+    assert(spark.table("r8_morc").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "D4"))
+    // every data file in the table dir is still ORC, none parquet
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(wh).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") || n.startsWith("cow-"))
+    assert(names.nonEmpty && names.forall(_.endsWith(".orc")), names.mkString(","))
+    d("DROP TABLE r8_morc")
+  }
+
+  test("MERGE rejects unsupported shapes with a clear message") {
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r8_mbad")
+    Engine.ddl(spark, "CREATE TABLE r8_mbad (k INT, v STRING)")
+    spark.createDataFrame(Seq((1, "x"))).toDF("kk", "v")
+      .createOrReplaceTempView("r8_mbadsrc")
+    val e = intercept[Exception](Engine.ddl(spark,
+      """MERGE INTO r8_mbad t USING r8_mbadsrc s ON t.k = s.kk
+         WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    assert(e.getMessage.contains("same-named key columns"), e.getMessage)
+    Engine.ddl(spark, "DROP TABLE r8_mbad")
+  }
+
+  // ---- dfs passthrough ---------------------------------------------------
+
+  test("dfs mkdir/touchz/ls/cat/mv/rm mutate and answer the session FS") {
+    val d = Engine.ddl(spark, _: String)
+    val base = Files.createTempDirectory("graft_dfs").toString
+    d(s"dfs -mkdir $base/sub")
+    d(s"dfs -touchz $base/sub/a.txt $base/sub/b.txt")
+    assert(d(s"dfs -ls $base/sub").collect().map(_.getString(0)).toSeq ==
+      Seq(s"$base/sub/a.txt", s"$base/sub/b.txt"))
+    Files.writeString(java.nio.file.Paths.get(s"$base/sub/c.txt"), "l1\nl2\n")
+    assert(d(s"dfs -cat $base/sub/c.txt").collect().map(_.getString(0)).toSeq ==
+      Seq("l1", "l2"))
+    d(s"dfs -mv $base/sub $base/moved")
+    assert(d(s"dfs -ls $base/moved").count() == 3)
+    d(s"dfs -rm -r $base/moved")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/moved")))
+  }
+
   // ---- q23 scale flip ----------------------------------------------------
 
   test("q23 gate plans without a single-partition window") {
