@@ -304,6 +304,9 @@ object Engine {
   // (documented in COVERAGE.md).
   private val tempTableRe =
     """(?is)(\s*CREATE\s+)TEMPORARY\s+(TABLE\b.*)""".r
+  private val viewPartRe =
+    ("""(?is)(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """[\w.`]+\s*(?:\([^)]*\))?\s*)PARTITIONED\s+ON\s*\([^)]*\)\s*(AS\s+.*)""").r
 
   // CREATE TABLE ... AS SELECT with unaliased expression columns — Hive
   // names them positionally (_c1, _c2 ...; SemanticAnalyzer
@@ -501,13 +504,32 @@ object Engine {
           fs(p).create(p, true).close() }
         spark.emptyDataFrame
       case "ls" =>
+        // FsShell parity: arguments glob; a directory argument lists its
+        // children, a file argument lists itself
         rows(paths.flatMap { s0 => val p = new org.apache.hadoop.fs.Path(s0)
-          fs(p).listStatus(p).map(_.getPath.toUri.getPath).toSeq }.sorted)
+          Option(fs(p).globStatus(p)).getOrElse(Array.empty).flatMap { st =>
+            if (st.isDirectory) fs(p).listStatus(st.getPath).toSeq else Seq(st)
+          }.map(_.getPath.toUri.getPath).toSeq
+        }.sorted)
       case "cat" =>
+        // globs and directories expand to their data files (sorted for a
+        // stable line order), hidden committer files skipped
         rows(paths.flatMap { s0 => val p = new org.apache.hadoop.fs.Path(s0)
-          val in = fs(p).open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close() })
+          val files = Option(fs(p).globStatus(p)).getOrElse(Array.empty)
+            .flatMap { st =>
+              if (st.isDirectory) fs(p).listStatus(st.getPath).toSeq
+              else Seq(st)
+            }
+            .filter(st => st.isFile &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.toString)
+          files.flatMap { st =>
+            val in = fs(p).open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          }.toSeq
+        })
       case other =>
         System.err.println(s"[graft] dfs -$other accepted as no-op")
         spark.emptyDataFrame
@@ -1286,8 +1308,15 @@ object Engine {
     // Hive temp tables: strip TEMPORARY (CREATE TEMPORARY VIEW/FUNCTION/
     // MACRO are untouched — the regex requires TABLE) before the legacy
     // format-clause rewrite sees the statement
-    val stmtT = stmt0 match {
+    val stmtT0 = stmt0 match {
       case tempTableRe(pre, rest) => pre + rest
+      case s => s
+    }
+    // partitioned views (create_view_partitioned.q): PARTITIONED ON is
+    // Hive metadata-only (no read-path effect; DDLSemanticAnalyzer
+    // validateCreateView) — strip the clause, keep the view
+    val stmtT = stmtT0 match {
+      case viewPartRe(pre, rest) => pre + " " + rest
       case s => s
     }
     val stmtS0 = if (ptfNoopRe.findFirstIn(stmtT).isDefined)
