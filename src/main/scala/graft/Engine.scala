@@ -172,6 +172,36 @@ object Engine {
   // compactor over the table's (or partition's) directory
   private val concatenateRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?CONCATENATE\s*;?\s*""".r
+  // ALTER TABLE t [PARTITION(...)] COMPACT 'major'|'minor' —
+  // DDLSemanticAnalyzer analyzeAlterTableCompact queues the request for
+  // the metastore compactor (ql/txn/compactor/Worker.java). Under CoW
+  // there are no deltas to merge, so both major and minor reduce to the
+  // same file-count compaction CONCATENATE runs — executed inline (no
+  // queue; SHOW COMPACTIONS stays empty by design).
+  private val compactRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?COMPACT\s+'(\w+)'\s*;?\s*""".r
+  // ALTER TABLE t [PARTITION(...)] ENABLE|DISABLE NO_DROP [CASCADE]/
+  // OFFLINE — DDLSemanticAnalyzer analyzeAlterTableProtectMode
+  // (protectmode.q). NO_DROP is ENFORCED session-side: a protected table/
+  // partition refuses DROP. OFFLINE (query-blocking) has no Spark-side
+  // interception point for reads and is accepted as a warn no-op.
+  private val protectRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)(\s+CASCADE)?\s*;?\s*""".r
+  private val dropTableStmtRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*""".r
+  private val dropPartExactRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\).*""".r
+  // session-scoped protect-mode registry: tables and (table, partition
+  // spec) pairs under NO_DROP
+  private val noDropTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val noDropParts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def normSpec(spec: String): String =
+    spec.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      s"${k.toLowerCase}=${v.stripPrefix("'").stripSuffix("'")}"
+    }.sorted.mkString(",")
   // EXPORT TABLE t TO 'dir' / IMPORT TABLE t FROM 'dir' [LOCATION 'loc']
   // (ExportSemanticAnalyzer / ImportSemanticAnalyzer) — Spark's parser has
   // no such statements; routed to the ExportImport operator
@@ -442,7 +472,16 @@ object Engine {
         sys.error(s"no partition of $table matches ($g); use DROP IF EXISTS to ignore")
       matches
     }
-    toDrop.map(_.spec).distinct.foreach { spec =>
+    val specs = toDrop.map(_.spec).distinct
+    // validate protection over the WHOLE set before dropping anything —
+    // a protected partition must not abort the statement half-applied
+    specs.foreach { spec =>
+      val norm = spec.map { case (k, v) => s"${k.toLowerCase}=$v" }
+        .toSeq.sorted.mkString(",")
+      require(!noDropParts.contains(table.toLowerCase + "/" + norm),
+        s"Partition ($norm) of $table is protected from being dropped (NO_DROP)")
+    }
+    specs.foreach { spec =>
       val specSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($specSql)")
     }
@@ -1213,7 +1252,7 @@ object Engine {
         "csv"
       case "PARQUET"  => "parquet"
       case "ORC"      => "orc"
-      case "AVRO"     => "avro"
+      case "AVRO"     => "`graft-avro`"
       case "JSONFILE" => "json"
       case other => return stmt0 // SEQUENCEFILE/RCFILE: no datasource mapping
     }
@@ -1278,7 +1317,7 @@ object Engine {
           "csv"
         case "PARQUET" => "parquet"
         case "ORC" => "orc"
-        case "AVRO" => "avro"
+        case "AVRO" => "`graft-avro`"
         case "JSONFILE" => "json"
         case _ => return stmt0
       }
@@ -1459,7 +1498,7 @@ object Engine {
           case "TEXTFILE" => "csv"
           case "PARQUET"  => "parquet"
           case "ORC"      => "orc"
-          case "AVRO"     => "avro"
+          case "AVRO"     => "`graft-avro`"
           case "JSONFILE" => "json"
           case o => throw new IllegalArgumentException(
             s"SET FILEFORMAT $o has no datasource mapping")
@@ -1605,6 +1644,44 @@ object Engine {
       case deleteAllRe(table) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), tableFormat(spark, table))
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      case protectRe(table, part, enable, mode, _) =>
+        val key = table.toLowerCase
+        if (mode.equalsIgnoreCase("OFFLINE")) {
+          System.err.println(s"[graft] $enable OFFLINE accepted as no-op " +
+            s"(no read-path interception; storage ACLs own access control)")
+        } else if (part == null) {
+          if (enable.equalsIgnoreCase("ENABLE")) noDropTables.add(key)
+          else noDropTables.remove(key)
+        } else {
+          val pk = key + "/" + normSpec(part)
+          if (enable.equalsIgnoreCase("ENABLE")) noDropParts.add(pk)
+          else noDropParts.remove(pk)
+        }
+        spark.emptyDataFrame
+      case dropTableStmtRe(table)
+          if noDropTables.contains(table.toLowerCase) =>
+        sys.error(s"Table $table is protected from being dropped (NO_DROP); " +
+          s"ALTER TABLE $table DISABLE NO_DROP first")
+      case dropPartExactRe(table, spec)
+          if noDropParts.contains(table.toLowerCase + "/" + normSpec(spec)) =>
+        sys.error(s"Partition ($spec) of $table is protected from being " +
+          s"dropped (NO_DROP); DISABLE NO_DROP first")
+      case compactRe(table, part, kind) =>
+        require(kind.equalsIgnoreCase("major") || kind.equalsIgnoreCase("minor"),
+          s"unknown compaction type '$kind'")
+        val dir = Option(part) match {
+          case Some(spec) =>
+            tableLocation(spark, table).stripSuffix("/") + "/" +
+              spec.split(",").map { kv =>
+                val Array(k, v) = kv.split("=", 2).map(_.trim)
+                s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+              }.mkString("/")
+          case None => tableLocation(spark, table)
+        }
+        operators.Acid.compact(spark, dir, numFiles = 1,
+          format = tableFormat(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>

@@ -62,8 +62,12 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
-    val p = properties.get("path")
-    require(p != null, "graft-avro requires a path")
+    // a catalog CREATE TABLE (no data access yet) probes getTable without
+    // a path — the managed location only exists in the catalog entry;
+    // read/write-time invocations always carry path (or location), so the
+    // pathless Table is a capability/schema carrier only
+    val p = Option(properties.get("path"))
+      .orElse(Option(properties.get("location"))).getOrElse("")
     AvroTable(p, schema)
   }
 }

@@ -181,6 +181,49 @@ class Round8Spec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/moved")))
   }
 
+  // ---- protect mode + ALTER TABLE COMPACT --------------------------------
+
+  test("NO_DROP protects tables and partitions until disabled; COMPACT compacts") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r8_prot")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/r8_prot")
+    wh.getFileSystem(spark.sessionState.newHadoopConf()).delete(wh, true)
+    d("CREATE TABLE r8_prot (k INT) PARTITIONED BY (p STRING)")
+    d("INSERT INTO r8_prot PARTITION (p='a') VALUES (1), (2)")
+    d("INSERT INTO r8_prot PARTITION (p='a') VALUES (3)")
+    d("INSERT INTO r8_prot PARTITION (p='b') VALUES (9)")
+
+    d("ALTER TABLE r8_prot ENABLE NO_DROP")
+    assert(intercept[RuntimeException](d("DROP TABLE r8_prot"))
+      .getMessage.contains("NO_DROP"))
+    d("ALTER TABLE r8_prot PARTITION (p='a') ENABLE NO_DROP")
+    assert(intercept[RuntimeException](
+      d("ALTER TABLE r8_prot DROP PARTITION (p='a')"))
+      .getMessage.contains("protected"))
+    // the filter-driven drop path is guarded too
+    assert(intercept[Exception](
+      d("ALTER TABLE r8_prot DROP PARTITION (p>'0')"))
+      .getMessage.contains("NO_DROP"))
+    // unprotected partition still droppable; protected one survives
+    d("ALTER TABLE r8_prot DROP PARTITION (p='b')")
+    assert(spark.table("r8_prot").count() == 3)
+
+    // compaction: 2 inserts -> >=2 files in p=a; COMPACT 'major' -> 1
+    val pa = new org.apache.hadoop.fs.Path(wh, "p=a")
+    val fs = pa.getFileSystem(spark.sessionState.newHadoopConf())
+    def nFiles = fs.listStatus(pa).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(nFiles >= 2)
+    d("ALTER TABLE r8_prot PARTITION (p='a') COMPACT 'major'")
+    assert(nFiles == 1)
+    assert(spark.table("r8_prot").count() == 3)
+
+    d("ALTER TABLE r8_prot PARTITION (p='a') DISABLE NO_DROP")
+    d("ALTER TABLE r8_prot DISABLE NO_DROP")
+    d("DROP TABLE r8_prot")
+  }
+
   // ---- q23 scale flip ----------------------------------------------------
 
   test("q23 gate plans without a single-partition window") {
