@@ -1148,6 +1148,11 @@ object Engine {
     """(?is)\s*ROW\s+FORMAT\s+DELIMITED((?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)\s*""".r
   private val rowFormatOptRe =
     """(?is)(FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|NULL\s+DEFINED\s+AS)\s+'([^']*)'""".r
+  // ROW FORMAT SERDE 'class' [WITH SERDEPROPERTIES ('k'='v', ...)] — the
+  // named-serde form; known classes map onto datasource providers
+  private val rowFormatSerdeRe =
+    """(?is)\s*ROW\s+FORMAT\s+SERDE\s+'([^']+)'(\s+WITH\s+SERDEPROPERTIES\s*\(([^)]*)\))?\s*""".r
+  private val serdePropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   /** Rewrite legacy Hive `CREATE [EXTERNAL] TABLE ... [ROW FORMAT
     * DELIMITED ...] STORED AS <fmt>` DDL text into Spark datasource DDL
@@ -1244,12 +1249,40 @@ object Engine {
       }
       " "
     })
+    // named serde classes (serde/ registry): the mappable ones reroute
+    // the provider; anything else (RegexSerDe etc.) keeps the statement
+    // untouched so the caller's recipe path can handle it
+    var serdeClass: Option[String] = None
+    val serdeProps = scala.collection.mutable.LinkedHashMap[String, String]()
+    s = rowFormatSerdeRe.replaceAllIn(s, m => {
+      serdeClass = Some(m.group(1))
+      Option(m.group(3)).foreach { ps =>
+        serdePropRe.findAllMatchIn(ps).foreach(p =>
+          serdeProps += p.group(1) -> p.group(2))
+      }
+      " "
+    })
+    serdeClass.map(_.split('.').last) match {
+      case None => ()
+      case Some("LazySimpleSerDe") =>
+        serdeProps.get("field.delim").foreach(v => opts += "sep" -> v)
+        serdeProps.get("serialization.null.format")
+          .foreach(v => opts += "nullValue" -> v)
+      case Some("OpenCSVSerde") =>
+        opts += "sep" -> serdeProps.getOrElse("separatorChar", ",")
+        opts += "quote" -> serdeProps.getOrElse("quoteChar", "\"")
+        opts += "escape" -> serdeProps.getOrElse("escapeChar", "\\")
+        fmt = "OPENCSV"
+      case Some("JsonSerDe") => fmt = "JSONFILE"
+      case Some(_) => return stmt0 // RegexSerDe & friends: no provider
+    }
     s = s.replaceAll("(?i)\\bEXTERNAL\\s+", "")
     val provider = fmt match {
       case "TEXTFILE" =>
         if (!opts.contains("sep")) opts += "sep" -> ""
         if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
         "csv"
+      case "OPENCSV"  => "csv"
       case "PARQUET"  => "parquet"
       case "ORC"      => "orc"
       case "AVRO"     => "`graft-avro`"
