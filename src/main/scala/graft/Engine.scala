@@ -1181,6 +1181,133 @@ object Engine {
     * partition-ish token (a named `WINDOW w AS (...)` spec — no other
     * SQL paren opens with DISTRIBUTE/SORT/CLUSTER/PARTITION BY).
     */
+  /** Hive's script-transform default IO contract is TAB-delimited on both
+    * stdin and stdout (exec/TextRecordReader/Writer via LazySimpleSerDe
+    * with field.delim '\t'); Spark's no-serde transform defaults to
+    * \\u0001, which silently breaks field-positional scripts (`cut -f1`,
+    * `uniq -c | sed ...`). When a TRANSFORM(...) / MAP / REDUCE clause
+    * carries no explicit ROW FORMAT, inject `ROW FORMAT DELIMITED FIELDS
+    * TERMINATED BY '\t'` on the missing side(s) to restore the Hive
+    * default. Quote-aware; the higher-order `transform(arr, x -> ...)`
+    * and the `map(...)` constructor are skipped (no USING follows them).
+    */
+  private[graft] def rewriteTransformDelims(sql: String): String = {
+    val clause = " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // next non-ws index at/after i
+    def skipWs(s: String, i0: Int): Int = {
+      var i = i0; while (i < s.length && s.charAt(i).isWhitespace) i += 1; i
+    }
+    // upper-case word starting at i (empty if none)
+    def wordAt(s: String, i: Int): String = {
+      var j = i; while (j < s.length && isWordChar(s.charAt(j))) j += 1
+      s.substring(i, j).toUpperCase
+    }
+    // walk a balanced paren region starting at '(' (quote-aware); returns
+    // index just past the close
+    def walkParens(s: String, open: Int): Int = {
+      var depth = 0; var i = open; var q: Char = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else c match {
+          case '\'' | '"' => q = c
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      s.length
+    }
+    // walk a quoted string starting at the quote char
+    def walkString(s: String, open: Int): Int = {
+      val q = s.charAt(open); var i = open + 1
+      while (i < s.length && s.charAt(i) != q) i += 1
+      math.min(i + 1, s.length)
+    }
+    val sb = new StringBuilder(sql)
+    var i = 0
+    var quote: Char = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
+      else if (isWordChar(c) && (i == 0 || (!isWordChar(sb.charAt(i - 1)) &&
+               sb.charAt(i - 1) != '.'))) {
+        val w = wordAt(sb.toString, i)
+        val kwEnd = i + w.length
+        if (w == "TRANSFORM" || w == "MAP" || w == "REDUCE") {
+          val s = sb.toString
+          // argument region: TRANSFORM has parens; MAP/REDUCE a bare list
+          // (a '(' directly after MAP is the map() constructor — skip)
+          val afterKw = skipWs(s, kwEnd)
+          val argsEnd =
+            if (afterKw < s.length && s.charAt(afterKw) == '(')
+              if (w == "TRANSFORM") walkParens(s, afterKw) else -1
+            else if (w == "TRANSFORM") -1
+            else afterKw // MAP/REDUCE: insertion points anchor on USING
+          if (argsEnd >= 0) {
+            // find top-level USING ahead (script form); bail at ';'
+            var j = argsEnd; var usingAt = -1; var q2: Char = 0
+            while (j < s.length && usingAt < 0) {
+              val ch = s.charAt(j)
+              if (q2 != 0) { if (ch == q2) q2 = 0; j += 1 }
+              else if (ch == '\'' || ch == '"') { q2 = ch; j += 1 }
+              else if (ch == '(') j = walkParens(s, j)
+              else if (isWordChar(ch) && !isWordChar(s.charAt(j - 1))) {
+                val w2 = wordAt(s, j)
+                if (w2 == "USING") usingAt = j
+                // a new query block before USING → not a script transform
+                else if (w2 == "SELECT" || w2 == "FROM" || w2 == "WHERE") j = s.length
+                else j += w2.length.max(1)
+              } else j += 1
+            }
+            if (usingAt >= 0) {
+              val between = s.substring(argsEnd, usingAt)
+              val hasInFormat = between.matches("(?is).*\\bROW\\s+FORMAT\\b.*")
+              // command string after USING
+              val cmdStart = skipWs(s, usingAt + "USING".length)
+              if (cmdStart < s.length &&
+                  (s.charAt(cmdStart) == '\'' || s.charAt(cmdStart) == '"')) {
+                val cmdEnd = walkString(s, cmdStart)
+                // optional AS list
+                var asEnd = cmdEnd
+                val afterCmd = skipWs(s, cmdEnd)
+                if (wordAt(s, afterCmd) == "AS") {
+                  val afterAs = skipWs(s, afterCmd + 2)
+                  if (afterAs < s.length && s.charAt(afterAs) == '(')
+                    asEnd = walkParens(s, afterAs)
+                  else {
+                    // bare ident list: ident (, ident)*
+                    var k = afterAs
+                    var done = false
+                    while (!done) {
+                      var e = k
+                      while (e < s.length && isWordChar(s.charAt(e))) e += 1
+                      val nxt = skipWs(s, e)
+                      if (nxt < s.length && s.charAt(nxt) == ',') k = skipWs(s, nxt + 1)
+                      else { asEnd = e; done = true }
+                    }
+                  }
+                }
+                val tail = wordAt(s, skipWs(s, asEnd))
+                val hasOutFormat = tail == "ROW" || tail == "RECORDREADER"
+                // apply edits back-to-front so offsets stay valid
+                if (!hasOutFormat) sb.insert(asEnd, clause)
+                if (!hasInFormat) sb.insert(usingAt, clause)
+                i = asEnd +
+                  (if (!hasOutFormat) clause.length else 0) +
+                  (if (!hasInFormat) clause.length else 0)
+              } else i = kwEnd
+            } else i = kwEnd
+          } else i = kwEnd
+        } else i = kwEnd
+      } else i += 1
+    }
+    sb.toString
+  }
+
   private[graft] def rewriteWindowDialect(sql: String): String = {
     val specStart =
       """(?is)\s*(distribute|cluster|sort|partition|order)\s+by\b.*""".r
@@ -1402,8 +1529,10 @@ object Engine {
         rewriteWindowDialect(stmtS)
       else stmtS
     }
-    val stmt1a = if (stmtSw.toUpperCase.contains("TABLESAMPLE"))
-      rewriteBucketSampleNoOn(spark, rewriteBucketSample(stmtSw)) else stmtSw
+    val stmtTf = if (stmtSw.toUpperCase.contains("USING"))
+      rewriteTransformDelims(stmtSw) else stmtSw
+    val stmt1a = if (stmtTf.toUpperCase.contains("TABLESAMPLE"))
+      rewriteBucketSampleNoOn(spark, rewriteBucketSample(stmtTf)) else stmtTf
     val stmt1 = if (stmt1a.contains("__")) rewriteVirtualColumns(stmt1a)
       else stmt1a
     val stmt2 = rewriteHiveCreate(stmt1)

@@ -224,6 +224,44 @@ class Round8Spec extends SparkSpec {
     d("DROP TABLE r8_prot")
   }
 
+  // ---- transform tab-default rewrite -------------------------------------
+
+  test("rewriteTransformDelims restores Hive's TAB script contract") {
+    val tab = "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'"
+    def n(s: String) = Engine.rewriteTransformDelims(s)
+      .split(java.util.regex.Pattern.quote(tab), -1).length - 1
+
+    assert(n("SELECT TRANSFORM(a, b) USING 'cut -f1' AS (x, y) FROM t") == 2)
+    assert(n("FROM t MAP a, b USING 'cat' AS x, y") == 2)
+    assert(n("FROM t REDUCE a USING 'uniq -c' AS (x STRING, y INT)") == 2)
+    // existing input clause: only the output side injects
+    assert(n("SELECT TRANSFORM(a) ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' " +
+      "USING 'cat' AS (x) FROM t") == 1)
+    // both sides explicit: untouched
+    val explicit = "SELECT TRANSFORM(a) ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' " +
+      "USING 'cat' AS (x) ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' FROM t"
+    assert(Engine.rewriteTransformDelims(explicit) == explicit)
+    // higher-order transform and the map() constructor are not script forms
+    val hof = "SELECT transform(arr, x -> x + 1) AS y FROM t"
+    assert(Engine.rewriteTransformDelims(hof) == hof)
+    val ctor = "SELECT map('k', v) AS m FROM t WHERE v > 0"
+    assert(Engine.rewriteTransformDelims(ctor) == ctor)
+    // TRANSFORM inside a string literal is untouched
+    val lit = "SELECT 'TRANSFORM(a) USING cat' AS s FROM t"
+    assert(Engine.rewriteTransformDelims(lit) == lit)
+  }
+
+  test("field-positional scripts see TAB fields (cut -f1 Hive parity)") {
+    Tables.views(spark, sf, "nation")
+    val rows = Engine.ddl(spark,
+      """SELECT TRANSFORM(n_nationkey, n_name) USING 'cut -f1' AS (k, v)
+         FROM nation WHERE n_nationkey < 3""").collect()
+    assert(rows.length == 3)
+    // cut kept field 1 only: k is the key, v is NULL-padded
+    assert(rows.forall(r => r.getString(0) != null && r.getString(0).length <= 2
+      && r.isNullAt(1)), rows.mkString(","))
+  }
+
   // ---- q23 scale flip ----------------------------------------------------
 
   test("q23 gate plans without a single-partition window") {
