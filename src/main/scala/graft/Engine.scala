@@ -1414,7 +1414,8 @@ object Engine {
       case "ORC"      => "orc"
       case "AVRO"     => "`graft-avro`"
       case "JSONFILE" => "json"
-      case other => return stmt0 // SEQUENCEFILE/RCFILE: no datasource mapping
+      case "SEQUENCEFILE" => "`graft-seq`"
+      case other => return stmt0 // RCFILE: no datasource mapping (obsolete)
     }
     val optsSql = if (opts.isEmpty) "" else
       opts.map { case (k, v) =>
@@ -1479,6 +1480,7 @@ object Engine {
         case "ORC" => "orc"
         case "AVRO" => "`graft-avro`"
         case "JSONFILE" => "json"
+        case "SEQUENCEFILE" => "`graft-seq`"
         case _ => return stmt0
       }
       val optsSql = if (opts.isEmpty) "" else
@@ -1662,6 +1664,7 @@ object Engine {
           case "ORC"      => "orc"
           case "AVRO"     => "`graft-avro`"
           case "JSONFILE" => "json"
+          case "SEQUENCEFILE" => "`graft-seq`"
           case o => throw new IllegalArgumentException(
             s"SET FILEFORMAT $o has no datasource mapping")
         }

@@ -172,8 +172,11 @@ class Round7Spec extends SparkSpec {
     assert(oct.contains("sep = ''"), oct)
     val plain = "CREATE TABLE t4 (a STRING) USING parquet"
     assert(Engine.rewriteHiveCreate(plain) == plain)
+    // round 8: SEQUENCEFILE maps to the DSv2 source; RCFILE stays untouched
     val seq = "CREATE TABLE t5 (a STRING) STORED AS SEQUENCEFILE"
-    assert(Engine.rewriteHiveCreate(seq) == seq) // no mapping: untouched
+    assert(Engine.rewriteHiveCreate(seq).contains("USING `graft-seq`"))
+    val rc = "CREATE TABLE t6 (a STRING) STORED AS RCFILE"
+    assert(Engine.rewriteHiveCreate(rc) == rc) // no mapping: untouched
   }
 
   test("rewriteHiveInsertDir maps directory writes onto USING providers") {

@@ -262,6 +262,34 @@ class Round8Spec extends SparkSpec {
       && r.isNullAt(1)), rows.mkString(","))
   }
 
+  // ---- sequencefile DSv2 -------------------------------------------------
+
+  test("graft-seq: pruned scan, INSERT OVERWRITE truncate, permissive cells") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r8_seq")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/r8_seq")
+    wh.getFileSystem(spark.sessionState.newHadoopConf()).delete(wh, true)
+    d("CREATE TABLE r8_seq (k INT, v STRING, amt DOUBLE) STORED AS SEQUENCEFILE")
+    d("INSERT INTO r8_seq VALUES (1,'a',1.5), (2,'b',2.5)")
+    d("INSERT INTO r8_seq VALUES (3,'c',3.5)")
+    assert(spark.table("r8_seq").count() == 3)
+    // overwrite truncates, not appends
+    d("INSERT OVERWRITE TABLE r8_seq VALUES (9,'z',9.5)")
+    assert(spark.table("r8_seq").collect().map(_.getInt(0)).toSeq == Seq(9))
+    // column pruning reaches the DSv2 scan (description carries ReadSchema)
+    val pruned = spark.table("r8_seq").select("k")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-seq ReadSchema: k"), desc)
+    // files on disk are real SequenceFiles
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = fs.listStatus(wh).filter(_.getPath.getName.startsWith("part-")).head
+    val in = fs.open(f.getPath)
+    val magic = new Array[Byte](3); in.readFully(magic); in.close()
+    assert(new String(magic, "UTF-8") == "SEQ", "not a SequenceFile header")
+    d("DROP TABLE r8_seq")
+  }
+
   // ---- q23 scale flip ----------------------------------------------------
 
   test("q23 gate plans without a single-partition window") {
