@@ -1441,6 +1441,10 @@ object Engine {
         i += 1
       }
       s.substring(0, i) + using + s.substring(i)
+    } else if (trimmed.toUpperCase.startsWith("LIKE")) {
+      // CREATE TABLE a LIKE b [format]: Spark's grammar takes the provider
+      // AFTER the LIKE clause — append at the end of the statement
+      s.stripTrailing.stripSuffix(";") + using
     } else {
       s.substring(0, tblIdx) + using + rest
     }
