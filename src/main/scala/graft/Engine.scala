@@ -191,12 +191,22 @@ object Engine {
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*""".r
   private val dropPartExactRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\).*""".r
+  private val dropDatabaseCascadeRe =
+    """(?is)\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?(\w+)\s+CASCADE\s*;?\s*""".r
   // session-scoped protect-mode registry: tables and (table, partition
   // spec) pairs under NO_DROP
   private val noDropTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val noDropParts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** NO_DROP keys are FULLY QUALIFIED (db.table, lowercased) so
+    * protecting `db.t` blocks `DROP TABLE t` under current database db
+    * and vice versa. */
+  private def qualName(spark: SparkSession, table: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = id.database.getOrElse(spark.catalog.currentDatabase)
+    s"$db.${id.table}".toLowerCase
+  }
   private def normSpec(spec: String): String =
     spec.split(",").map { kv =>
       val Array(k, v) = kv.split("=", 2).map(_.trim)
@@ -478,7 +488,7 @@ object Engine {
     specs.foreach { spec =>
       val norm = spec.map { case (k, v) => s"${k.toLowerCase}=$v" }
         .toSeq.sorted.mkString(",")
-      require(!noDropParts.contains(table.toLowerCase + "/" + norm),
+      require(!noDropParts.contains(qualName(spark, table) + "/" + norm),
         s"Partition ($norm) of $table is protected from being dropped (NO_DROP)")
     }
     specs.foreach { spec =>
@@ -490,6 +500,22 @@ object Engine {
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString
+
+  /** Explicit read schema for the copy-on-write engine on tables whose
+    * format does not self-describe: a graft-seq directory read without a
+    * schema infers c0..cN strings, so DML must carry the catalog's data
+    * schema (partition columns excluded — they live in directory names,
+    * not lines). Self-describing formats return null (inference is exact
+    * and partition discovery must stay on). */
+  private def tableDmlSchema(spark: SparkSession, table: String)
+      : org.apache.spark.sql.types.StructType =
+    if (tableFormat(spark, table) != "graft-seq") null
+    else {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      org.apache.spark.sql.types.StructType(
+        m.schema.filterNot(f => m.partitionColumnNames.contains(f.name)))
+    }
 
   /** Datasource provider of `table`, for the copy-on-write engine: DML on
     * a STORED AS ORC/AVRO table must rewrite files in the table's own
@@ -652,27 +678,38 @@ object Engine {
       names(0)
     }
 
-    // WHEN clauses
+    // WHEN clauses. A SET expression that references the TARGET alias
+    // (the accumulate-upsert shape `SET cnt = t.cnt + s.cnt`) cannot be
+    // evaluated over the source projection — it routes to the post-join
+    // path instead (target columns by bare name, source as __src_*).
     val targetCols = spark.table(table).columns.toSeq
+    val tRefRe = ("(?i)\\b" + java.util.regex.Pattern.quote(tAlias) + "\\.").r
     var setExprs = Map.empty[String, String]      // target col -> source-side expr
+    var setPostJoin = Map.empty[String, String]   // target col -> post-join expr
     var insertExprs = Map.empty[String, String]
     var insertNotMatched = false
     var deleteMatched = Option.empty[String]
     val bounds = whenPos :+ text.length
     bounds.sliding(2).map(w => text.substring(w(0), w(1)).trim).foreach {
       case whenUpdateRe(assigns) =>
-        setExprs = splitAssignments(assigns).map { a =>
+        splitAssignments(assigns).foreach { a =>
           val Array(k, v) = a.split("=", 2)
           val c = k.trim.substring(k.trim.lastIndexOf('.') + 1)
-          c -> unqualify(v.trim, "")
-        }.toMap
+          if (tRefRe.findFirstIn(v.trim).isDefined)
+            setPostJoin += c -> unqualify(v.trim, "__src_")
+          else setExprs += c -> unqualify(v.trim, "")
+        }
       case whenDeleteRe(pred) =>
         deleteMatched = Some(Option(pred).map(unqualify(_, "__src_")).getOrElse("true"))
       case whenInsertRe(spec) =>
         insertNotMatched = true
         if (!spec.trim.startsWith("*")) {
           val inner = spec.trim.replaceAll("(?is)^VALUES\\s*\\(", "").stripSuffix(")")
-          val vals = splitAssignments(inner).map(v => unqualify(v.trim, ""))
+          val rawVals = splitAssignments(inner).map(_.trim)
+          // an insert row has no target side to reference
+          rawVals.find(v => tRefRe.findFirstIn(v).isDefined).foreach(v =>
+            sys.error(s"MERGE INSERT VALUES cannot reference the target alias: $v"))
+          val vals = rawVals.map(v => unqualify(v, ""))
           require(vals.length == targetCols.length,
             s"MERGE INSERT VALUES arity ${vals.length} != ${targetCols.length} target columns")
           insertExprs = targetCols.zip(vals).toMap
@@ -684,19 +721,21 @@ object Engine {
         s"MERGE column $c: UPDATE SET and INSERT VALUES must agree (one projected source)")
 
     // one projected source feeds keys, update values and inserts; extra
-    // source-only columns referenced by the delete predicate ride along
+    // source-only columns referenced by the delete predicate or a
+    // post-join SET expression ride along
     val merged = setExprs ++ insertExprs
     val deletePred = deleteMatched.map(expr)
-    val deleteSrcCols = deleteMatched.toSeq.flatMap { p =>
+    val srcRefCols = (deleteMatched.toSeq ++ setPostJoin.values).flatMap { p =>
       "__src_(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     }.distinct
     val projected = srcDf.select(
       (targetCols.map(c => expr(merged.getOrElse(c, c)).as(c)) ++
-        deleteSrcCols.filterNot(targetCols.contains).map(col)): _*)
+        srcRefCols.filterNot(targetCols.contains).map(col)): _*)
     operators.Acid.mergeInto(spark, tableLocation(spark, table), projected,
       keys = keys, setFromSource = setExprs.keys.toSeq,
       insertNotMatched = insertNotMatched, deleteMatched = deletePred,
-      format = tableFormat(spark, table), deleteSourceCols = deleteSrcCols)
+      format = tableFormat(spark, table), deleteSourceCols = srcRefCols,
+      schema = tableDmlSchema(spark, table), setPostJoin = setPostJoin)
     spark.sql(s"REFRESH TABLE $table"): Unit
   }
 
@@ -1790,7 +1829,7 @@ object Engine {
         }.toMap
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), set,
-          tableFormat(spark, table))
+          tableFormat(spark, table), tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
@@ -1802,21 +1841,23 @@ object Engine {
         }.toMap
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), set,
-          tableFormat(spark, table))
+          tableFormat(spark, table), tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table))
+          org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table),
+          tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteAllRe(table) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
-          org.apache.spark.sql.functions.lit(true), tableFormat(spark, table))
+          org.apache.spark.sql.functions.lit(true), tableFormat(spark, table),
+          tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case protectRe(table, part, enable, mode, _) =>
-        val key = table.toLowerCase
+        val key = qualName(spark, table)
         if (mode.equalsIgnoreCase("OFFLINE")) {
           System.err.println(s"[graft] $enable OFFLINE accepted as no-op " +
             s"(no read-path interception; storage ACLs own access control)")
@@ -1830,13 +1871,19 @@ object Engine {
         }
         spark.emptyDataFrame
       case dropTableStmtRe(table)
-          if noDropTables.contains(table.toLowerCase) =>
+          if noDropTables.contains(qualName(spark, table)) =>
         sys.error(s"Table $table is protected from being dropped (NO_DROP); " +
           s"ALTER TABLE $table DISABLE NO_DROP first")
       case dropPartExactRe(table, spec)
-          if noDropParts.contains(table.toLowerCase + "/" + normSpec(spec)) =>
+          if noDropParts.contains(qualName(spark, table) + "/" + normSpec(spec)) =>
         sys.error(s"Partition ($spec) of $table is protected from being " +
           s"dropped (NO_DROP); DISABLE NO_DROP first")
+      // CASCADE would drop protected tables inside the database wholesale
+      case dropDatabaseCascadeRe(db)
+          if noDropTables.stream().anyMatch(_.startsWith(db.toLowerCase + ".")) ||
+             noDropParts.stream().anyMatch(_.startsWith(db.toLowerCase + ".")) =>
+        sys.error(s"Database $db contains NO_DROP-protected tables/" +
+          s"partitions; DISABLE NO_DROP on them before DROP DATABASE CASCADE")
       case compactRe(table, part, kind) =>
         require(kind.equalsIgnoreCase("major") || kind.equalsIgnoreCase("minor"),
           s"unknown compaction type '$kind'")
@@ -1847,10 +1894,21 @@ object Engine {
                 val Array(k, v) = kv.split("=", 2).map(_.trim)
                 s"$k=${v.stripPrefix("'").stripSuffix("'")}"
               }.mkString("/")
-          case None => tableLocation(spark, table)
+          case None =>
+            // Whole-table COMPACT on a partitioned table would flatten the
+            // partition layout (partition columns become data columns and
+            // the subdirectory files are deleted) — the reference rejects
+            // this outright (ErrorMsg.java:405 NO_COMPACTION_PARTITION)
+            val partitioned = spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(table))
+              .partitionColumnNames.nonEmpty
+            require(!partitioned,
+              s"You must specify a partition to compact for partitioned tables ($table)")
+            tableLocation(spark, table)
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
-          format = tableFormat(spark, table))
+          format = tableFormat(spark, table),
+          schema = tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
@@ -1872,7 +1930,8 @@ object Engine {
             tableLocation(spark, table)
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
-          format = tableFormat(spark, table))
+          format = tableFormat(spark, table),
+          schema = tableDmlSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case exportRe(table, dir) =>

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write UPDATE/DELETE over a columnar table directory
@@ -28,15 +29,18 @@ object Acid {
 
   private val FILE = "_graft_file"
 
-  /** UPDATE tbl SET (k -> expr)* WHERE cond, copy-on-write. */
+  /** UPDATE tbl SET (k -> expr)* WHERE cond, copy-on-write. `schema` is
+    * required for formats that don't self-describe (graft-seq text lines
+    * infer c0..cN without it); self-describing formats may pass null. */
   def updateWhere(spark: SparkSession, path: String, cond: Column,
-                  set: Map[String, Column], format: String = "parquet"): Unit =
-    rewrite(spark, path, cond, identityKept = true, set, format)
+                  set: Map[String, Column], format: String = "parquet",
+                  schema: StructType = null): Unit =
+    rewrite(spark, path, cond, identityKept = true, set, format, schema)
 
   /** DELETE FROM tbl WHERE cond, copy-on-write. */
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
-                  format: String = "parquet"): Unit =
-    rewrite(spark, path, cond, identityKept = false, Map.empty, format)
+                  format: String = "parquet", schema: StructType = null): Unit =
+    rewrite(spark, path, cond, identityKept = false, Map.empty, format, schema)
 
   /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
     *
@@ -60,8 +64,10 @@ object Acid {
                 insertNotMatched: Boolean = true,
                 deleteMatched: Option[Column] = None,
                 format: String = "parquet",
-                deleteSourceCols: Seq[String] = Nil): Unit = {
-    val df = spark.read.format(format).load(path)
+                deleteSourceCols: Seq[String] = Nil,
+                schema: StructType = null,
+                setPostJoin: Map[String, String] = Map.empty): Unit = {
+    val df = load(spark, path, format, schema)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
     val srcKeyed = source.select(cols.map(col): _*)
@@ -102,9 +108,16 @@ object Acid {
           !(coalesce(src("__src_matched"), lit(false)) && coalesce(d, lit(false))))
         case None => joined
       }
+      // setPostJoin: SQL exprs over the JOINED frame (target columns by
+      // bare name, source columns as __src_*) for the accumulate-upsert
+      // shape `SET cnt = t.cnt + s.cnt` that a source-only projection
+      // cannot express
       val merged = kept
         .select(cols.map { c =>
-          (if (setFromSource.contains(c))
+          (if (setPostJoin.contains(c))
+             when(coalesce(src("__src_matched"), lit(false)),
+               expr(setPostJoin(c))).otherwise(survivors(c))
+           else if (setFromSource.contains(c))
              when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
            else survivors(c)).as(c)
         }: _*)
@@ -119,17 +132,23 @@ object Acid {
     * concern left is file-count hygiene after many small merges/appends.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int,
-              format: String = "parquet"): Unit = {
-    val df = spark.read.format(format).load(path)
+              format: String = "parquet", schema: StructType = null): Unit = {
+    val df = load(spark, path, format, schema)
     val all = df.withColumn(FILE, col("_metadata.file_path"))
       .select(FILE).distinct().collect().map(_.getString(0))
     swapIn(spark, path, all, df.repartition(numFiles), format)
   }
 
+  private def load(spark: SparkSession, path: String, format: String,
+                   schema: StructType): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).format(format).load(path)
+  }
+
   private def rewrite(spark: SparkSession, path: String, cond: Column,
                       identityKept: Boolean, set: Map[String, Column],
-                      format: String): Unit = {
-    val df = spark.read.format(format).load(path)
+                      format: String, schema: StructType = null): Unit = {
+    val df = load(spark, path, format, schema)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
 

@@ -12,7 +12,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -157,9 +157,12 @@ object AvroV2Util {
 }
 
 case class AvroTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = tableSchema
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(FileMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
@@ -197,7 +200,12 @@ case class AvroFilePartition(file: String) extends InputPartition
 case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
-    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val full = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    // _metadata is answered from the partition's file path, never decoded —
+    // strip it from the Avro reader schema before schema resolution
+    val required = StructType(
+      full.fields.filterNot(_.name == FileMetadataColumn.NAME))
+    val metaRow = FileMetadataColumn.rowFor(file)
     // Pushdown is real: the pruned reader schema goes into Avro's schema
     // resolution, so dropped columns are skipped during decode.
     val readerSchema = Avro.toAvroSchema(required)
@@ -206,15 +214,17 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new Path(file), new Configuration()),
       new GenericDatumReader[GenericRecord](null, readerSchema))
-    val types = required.fields.map(_.dataType)
+    val fields = full.fields
     new PartitionReader[InternalRow] {
       override def next(): Boolean = reader.hasNext
       override def get(): InternalRow = {
         val rec = reader.next()
-        val vals = new Array[Any](types.length)
+        val vals = new Array[Any](fields.length)
         var i = 0
-        while (i < types.length) {
-          vals(i) = AvroV2Util.toInternal(rec.get(required.fields(i).name), types(i))
+        while (i < fields.length) {
+          vals(i) =
+            if (fields(i).name == FileMetadataColumn.NAME) metaRow
+            else AvroV2Util.toInternal(rec.get(fields(i).name), fields(i).dataType)
           i += 1
         }
         new GenericInternalRow(vals)

@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{BytesWritable, SequenceFile, Text}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -34,6 +34,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Column pruning drops the parse work for unused fields (the line still
   * splits once; only required fields convert).
   */
+/** `_metadata.file_path` for the graft DSv2 sources, mirroring the shape
+  * FileFormat sources expose, so the copy-on-write DML engine
+  * ([[graft.operators.Acid]]) can locate affected files on graft-seq /
+  * graft-avro tables exactly as it does on parquet/orc ones. */
+object FileMetadataColumn extends MetadataColumn {
+  val NAME = "_metadata"
+  val schema: StructType =
+    StructType(Seq(StructField("file_path", StringType, nullable = false)))
+  override def name(): String = NAME
+  override def dataType(): DataType = schema
+  override def isNullable: Boolean = false
+  /** Pre-built nested row for a reader pinned to one file. */
+  def rowFor(file: String): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(file)))
+}
+
 class SequenceFileDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-seq"
 
@@ -54,6 +70,22 @@ class SequenceFileDataSource extends TableProvider with DataSourceRegister {
 object SeqV2Util {
   val SEP = ""
   val NULL = "\\N"
+
+  /** Render micros-of-a-wall-clock LocalDateTime in the reference's
+    * LazySimpleSerDe text shape (java.sql.Timestamp.toString: seconds
+    * always present, fraction trimmed but at least ".0") without routing
+    * through the JVM default zone. */
+  def tsString(ldt: java.time.LocalDateTime): String = {
+    val base = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val nanos = ldt.getNano
+    if (nanos == 0) base + ".0"
+    else {
+      var s = f"$nanos%09d"
+      while (s.length > 1 && s.endsWith("0")) s = s.dropRight(1)
+      s"$base.$s"
+    }
+  }
 
   def listFiles(dir: String): Seq[String] = {
     val root = new Path(dir)
@@ -78,8 +110,13 @@ object SeqV2Util {
     StructType((0 until n).map(i => StructField(s"c$i", StringType)))
   }
 
-  /** One text field → Catalyst internal value (LazySimpleSerDe read). */
-  def parse(raw: String, dt: DataType): Any = {
+  /** One text field → Catalyst internal value (LazySimpleSerDe read).
+    * `zone` is the SESSION timezone (captured driver-side): TimestampType
+    * text is wall-clock in the session zone; TIMESTAMP_NTZ is
+    * zone-independent and never consults it. */
+  def parse(raw: String, dt: DataType,
+            zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     if (raw == NULL) return null
     try dt match {
       case StringType => UTF8String.fromString(raw)
@@ -95,9 +132,12 @@ object SeqV2Util {
           d.precision, d.scale)
       case DateType =>
         java.sql.Date.valueOf(raw.trim).toLocalDate.toEpochDay.toInt
-      case TimestampType | TimestampNTZType =>
-        val ts = java.sql.Timestamp.valueOf(raw.trim)
-        ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+      case TimestampType =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(raw.trim), zone)
+          .getOrElse(null).asInstanceOf[Any]
+      case TimestampNTZType =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(
+          UTF8String.fromString(raw.trim)).getOrElse(null).asInstanceOf[Any]
       case BinaryType => raw.getBytes("UTF-8")
       case other => sys.error(s"graft-seq: unsupported read type $other")
     } catch {
@@ -107,7 +147,9 @@ object SeqV2Util {
   }
 
   /** Catalyst internal value → text field (LazySimpleSerDe write). */
-  def render(row: InternalRow, i: Int, dt: DataType): String = {
+  def render(row: InternalRow, i: Int, dt: DataType,
+             zone: java.time.ZoneId = java.time.ZoneOffset.UTC): String = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     if (row.isNullAt(i)) return NULL
     dt match {
       case StringType => row.getUTF8String(i).toString
@@ -121,11 +163,11 @@ object SeqV2Util {
       case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toString
       case DateType =>
         java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case TimestampType | TimestampNTZType =>
-        val micros = row.getLong(i)
-        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-        ts.toString
+      case TimestampType =>
+        tsString(java.time.LocalDateTime.ofInstant(
+          DateTimeUtils.microsToInstant(row.getLong(i)), zone))
+      case TimestampNTZType =>
+        tsString(DateTimeUtils.microsToLocalDateTime(row.getLong(i)))
       case BinaryType => new String(row.getBinary(i), "UTF-8")
       case other => sys.error(s"graft-seq: unsupported write type $other")
     }
@@ -134,9 +176,12 @@ object SeqV2Util {
 
 case class SeqTable(path: String, tableSchema: StructType,
     partitioned: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft-seq:$path"
   override def schema(): StructType = tableSchema
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(FileMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -164,21 +209,26 @@ case class SeqScan(path: String, full: StructType, required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     SeqV2Util.listFiles(path).map(f => SeqFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    SeqReaderFactory(full.json, required.json)
+    SeqReaderFactory(full.json, required.json,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 }
 
 case class SeqFilePartition(file: String) extends InputPartition
 
-case class SeqReaderFactory(fullJson: String, requiredJson: String)
-    extends PartitionReaderFactory {
+case class SeqReaderFactory(fullJson: String, requiredJson: String,
+    sessionTz: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SeqFilePartition].file
     val full = DataType.fromJson(fullJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    // field position in the line for each required column
+    val zone = java.time.ZoneId.of(sessionTz)
+    // field position in the line for each required column; -1 marks the
+    // _metadata struct (answered from the partition's file path, no parse)
     val posOf = full.fieldNames.zipWithIndex.toMap
-    val fieldPos = required.fields.map(f => posOf(f.name))
+    val fieldPos = required.fields.map(f =>
+      if (f.name == FileMetadataColumn.NAME) -1 else posOf(f.name))
     val types = required.fields.map(_.dataType)
+    val metaRow = FileMetadataColumn.rowFor(file)
     val reader = new SequenceFile.Reader(new Configuration(),
       SequenceFile.Reader.file(new Path(file)))
     val key = new BytesWritable()
@@ -192,7 +242,9 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String)
         var i = 0
         while (i < types.length) {
           vals(i) =
-            if (fieldPos(i) < parts.length) SeqV2Util.parse(parts(fieldPos(i)), types(i))
+            if (fieldPos(i) == -1) metaRow
+            else if (fieldPos(i) < parts.length)
+              SeqV2Util.parse(parts(fieldPos(i)), types(i), zone)
             else null // short line: LazySimpleSerDe pads missing fields NULL
           i += 1
         }
@@ -224,27 +276,30 @@ class SeqWriteBuilder(path: String, schema: StructType, partitioned: Boolean)
     doTruncate = true; this
   }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = SeqBatchWrite(path, schema.json, doTruncate)
+    override def toBatch: BatchWrite = SeqBatchWrite(path, schema.json, doTruncate,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
 }
 
-case class SeqBatchWrite(path: String, schemaJson: String, doTruncate: Boolean)
-    extends BatchWrite {
+case class SeqBatchWrite(path: String, schemaJson: String, doTruncate: Boolean,
+    sessionTz: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     if (doTruncate && fs.exists(p)) fs.delete(p, true): Unit
     fs.mkdirs(p): Unit
-    SeqWriterFactory(path, schemaJson)
+    SeqWriterFactory(path, schemaJson, sessionTz)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class SeqWriterFactory(path: String, schemaJson: String) extends DataWriterFactory {
+case class SeqWriterFactory(path: String, schemaJson: String,
+    sessionTz: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val types = sparkSchema.fields.map(_.dataType)
+    val zone = java.time.ZoneId.of(sessionTz)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val file = new Path(path, f"part-$partitionId%05d-$taskId-$uid.seq")
     val conf = new Configuration()
@@ -260,7 +315,7 @@ case class SeqWriterFactory(path: String, schemaJson: String) extends DataWriter
         var i = 0
         while (i < types.length) {
           if (i > 0) sb.append(SeqV2Util.SEP): Unit
-          sb.append(SeqV2Util.render(row, i, types(i))): Unit
+          sb.append(SeqV2Util.render(row, i, types(i), zone)): Unit
           i += 1
         }
         writer.append(emptyKey, new Text(sb.toString)): Unit

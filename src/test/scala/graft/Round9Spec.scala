@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-9 gates: the r8 advisor fixes — partitioned-COMPACT guard,
+  * row-level DML on the graft DSv2 sources via a real `_metadata` column,
+  * session-timezone-correct sequencefile timestamps — plus this round's
+  * statement-surface additions.
+  */
+class Round9Spec extends SparkSpec {
+
+  // ---- COMPACT guard (advisor high: silent data loss) --------------------
+
+  test("whole-table COMPACT on a partitioned table is rejected, data intact") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_cpart")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/r9_cpart")
+    wh.getFileSystem(spark.sessionState.newHadoopConf()).delete(wh, true)
+    d("CREATE TABLE r9_cpart (k INT) PARTITIONED BY (p STRING)")
+    d("INSERT INTO r9_cpart PARTITION (p='a') VALUES (1), (2)")
+    d("INSERT INTO r9_cpart PARTITION (p='b') VALUES (9)")
+    // reference: ErrorMsg.java:405 NO_COMPACTION_PARTITION — a flat rewrite
+    // would delete the partition subdirectories' files
+    val e = intercept[Exception](d("ALTER TABLE r9_cpart COMPACT 'major'"))
+    assert(e.getMessage.contains("partition to compact"), e.getMessage)
+    assert(spark.table("r9_cpart").count() == 3)
+    // per-partition compaction still works; unpartitioned whole-table too
+    d("ALTER TABLE r9_cpart PARTITION (p='a') COMPACT 'major'")
+    assert(spark.table("r9_cpart").count() == 3)
+    d("DROP TABLE r9_cpart")
+
+    d("DROP TABLE IF EXISTS r9_cflat")
+    d("CREATE TABLE r9_cflat (k INT)")
+    d("INSERT INTO r9_cflat VALUES (1), (2)")
+    d("ALTER TABLE r9_cflat COMPACT 'major'")
+    assert(spark.table("r9_cflat").count() == 2)
+    d("DROP TABLE r9_cflat")
+  }
+
+  // ---- DSv2 _metadata + CoW DML on graft-seq / graft-avro ----------------
+
+  test("graft-seq exposes _metadata.file_path and supports CoW UPDATE/DELETE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("r9_seqdml").toString + "/t"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").repartition(3)
+      .write.format("graft-seq").mode("overwrite").save(dir)
+    // sequencefile text doesn't self-describe: programmatic DML carries
+    // the schema explicitly (the SQL route passes the catalog's)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, s STRING")
+    val df = spark.read.schema(schema).format("graft-seq").load(dir)
+    assert(df.select(col("_metadata.file_path")).distinct().count() == 3)
+
+    operators.Acid.updateWhere(spark, dir, col("id") === 2,
+      Map("s" -> lit("B")), format = "graft-seq", schema = schema)
+    val after = spark.read.schema(schema).format("graft-seq").load(dir)
+      .as[(Int, String)].collect().sorted
+    assert(after.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+
+    operators.Acid.deleteWhere(spark, dir, col("id") === 1,
+      format = "graft-seq", schema = schema)
+    assert(spark.read.schema(schema).format("graft-seq").load(dir)
+      .as[(Int, String)].collect().sorted.toSeq == Seq((2, "B"), (3, "c")))
+  }
+
+  test("graft-avro exposes _metadata.file_path and supports CoW MERGE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("r9_avrodml").toString + "/t"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").repartition(3)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir)
+      .select(col("_metadata.file_path")).distinct().count() == 3)
+
+    val src = Seq((2, "B2"), (4, "d")).toDF("id", "s")
+    operators.Acid.mergeInto(spark, dir, src, keys = Seq("id"),
+      setFromSource = Seq("s"), format = "graft-avro")
+    assert(spark.read.format("graft-avro").load(dir)
+      .as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d")))
+  }
+
+  test("UPDATE statement works end-to-end on a STORED AS SEQUENCEFILE table") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_sequpd")
+    d("CREATE TABLE r9_sequpd (k INT, v STRING) STORED AS SEQUENCEFILE")
+    d("INSERT INTO r9_sequpd VALUES (1, 'x'), (2, 'y')")
+    d("UPDATE r9_sequpd SET v = 'z' WHERE k = 2")
+    assert(spark.table("r9_sequpd").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "x"), (2, "z")))
+    d("DROP TABLE r9_sequpd")
+  }
+
+  // ---- MERGE: target-alias refs in SET (accumulate upsert) ---------------
+
+  test("MERGE SET mixing target and source columns evaluates post-join") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_acc")
+    d("CREATE TABLE r9_acc (k INT, cnt INT)")
+    d("INSERT INTO r9_acc VALUES (1, 10), (2, 20)")
+    spark.createDataFrame(Seq((1, 5), (3, 7))).toDF("k", "cnt")
+      .createOrReplaceTempView("r9_accsrc")
+    d("""MERGE INTO r9_acc t USING r9_accsrc s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt
+         WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.cnt)""")
+    assert(spark.table("r9_acc").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 15), (2, 20), (3, 7)))
+    // delete predicate may mix sides too; unmatched target rows survive
+    d("""MERGE INTO r9_acc t USING r9_accsrc s ON t.k = s.k
+         WHEN MATCHED AND t.cnt > s.cnt THEN DELETE""")
+    assert(spark.table("r9_acc").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((2, 20), (3, 7)))
+    d("DROP TABLE r9_acc")
+  }
+
+  test("MERGE INSERT VALUES referencing the target alias is rejected") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_mbadins")
+    d("CREATE TABLE r9_mbadins (k INT, v INT)")
+    spark.createDataFrame(Seq((1, 2))).toDF("k", "v")
+      .createOrReplaceTempView("r9_mbadinssrc")
+    val e = intercept[Exception](d(
+      """MERGE INTO r9_mbadins t USING r9_mbadinssrc s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT VALUES (s.k, t.v + 1)"""))
+    assert(e.getMessage.contains("cannot reference the target alias"),
+      e.getMessage)
+    d("DROP TABLE r9_mbadins")
+  }
+
+  // ---- NO_DROP: qualified-name keys + DROP DATABASE CASCADE guard --------
+
+  test("NO_DROP protection is identity-based, not spelling-based") {
+    val d = Engine.ddl(spark, _: String)
+    d("CREATE DATABASE IF NOT EXISTS r9db")
+    d("DROP TABLE IF EXISTS r9db.prot")
+    d("CREATE TABLE r9db.prot (k INT)")
+    // protect under the QUALIFIED spelling; unqualified drop in that db
+    // must still be blocked (and so must DROP DATABASE CASCADE)
+    d("ALTER TABLE r9db.prot ENABLE NO_DROP")
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql("USE r9db")
+      assert(intercept[RuntimeException](d("DROP TABLE prot"))
+        .getMessage.contains("NO_DROP"))
+      assert(intercept[RuntimeException](d("DROP DATABASE r9db CASCADE"))
+        .getMessage.contains("NO_DROP"))
+      // unqualified DISABLE under the current db clears the same key
+      d("ALTER TABLE prot DISABLE NO_DROP")
+      d("DROP TABLE prot")
+    } finally spark.sql(s"USE $prevDb")
+    d("DROP DATABASE r9db CASCADE")
+  }
+
+  // ---- sequencefile timestamps: session zone, not JVM zone ---------------
+
+  test("graft-seq timestamps render in the session zone; NTZ is zone-free") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val dir = Files.createTempDirectory("r9_seqtz").toString + "/t"
+      // 2024-03-01 12:00:00 UTC = 2024-03-01 21:00:00 Asia/Tokyo
+      spark.sql("SELECT TIMESTAMP'2024-03-01 21:00:00' AS ts, " +
+          "TIMESTAMP_NTZ'2024-05-06 07:08:09.25' AS nts")
+        .write.format("graft-seq").mode("overwrite").save(dir)
+
+      // the on-disk text is the SESSION wall clock (Hive renders the
+      // reader's zone), regardless of what the JVM default zone is
+      val file = graft.sources.v2.SeqV2Util.listFiles(dir).head
+      val r = new org.apache.hadoop.io.SequenceFile.Reader(
+        new org.apache.hadoop.conf.Configuration(),
+        org.apache.hadoop.io.SequenceFile.Reader.file(
+          new org.apache.hadoop.fs.Path(file)))
+      val (k, v) = (new org.apache.hadoop.io.BytesWritable,
+        new org.apache.hadoop.io.Text)
+      assert(r.next(k, v))
+      r.close()
+      val cells = v.toString.split("", -1)
+      assert(cells(0) == "2024-03-01 21:00:00.0", cells(0))
+      assert(cells(1) == "2024-05-06 07:08:09.25", cells(1))
+
+      // read-back under the same session zone preserves the instant
+      val schema = "ts TIMESTAMP, nts TIMESTAMP_NTZ"
+      val back = spark.read.schema(schema).format("graft-seq").load(dir)
+        .selectExpr("CAST(ts AS STRING)", "CAST(nts AS STRING)").head()
+      assert(back.getString(0) == "2024-03-01 21:00:00")
+      assert(back.getString(1) == "2024-05-06 07:08:09.25")
+
+      // a DIFFERENT session zone reinterprets TIMESTAMP text as its own
+      // wall clock (Hive text semantics) but never moves TIMESTAMP_NTZ
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = spark.read.schema(schema).format("graft-seq").load(dir)
+        .selectExpr("unix_timestamp(ts)", "CAST(nts AS STRING)").head()
+      // text "21:00:00" read as UTC wall clock = 9h later than Tokyo
+      assert(utc.getLong(0) ==
+        java.time.Instant.parse("2024-03-01T21:00:00Z").getEpochSecond)
+      assert(utc.getString(1) == "2024-05-06 07:08:09.25")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+}
