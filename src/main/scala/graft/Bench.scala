@@ -46,10 +46,29 @@ object Bench {
     // deflates one, so the min is the stable engine-cost estimate (the
     // r6 "regressions" were 40% VM noise; see PERF.md).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // focused adjudication runs (PERF.md protocol): comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // any data-sized query planning a GLOBAL window (empty partitionSpec →
+    // single-partition WindowExec) is a scale bug; the only sanctioned
+    // site is t12's 20-row post-limit ranking. Attribution rides in the
+    // bench artifact so a new offender fails loudly at judge time.
+    val globalWindowQueries = scala.collection.mutable.SortedSet.empty[String]
+    val results = picked.map { case (name, fn) =>
       val dt = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        try {
+          val df = fn(spark, sfDir)
+          materialize(df)
+          import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+          val global = df.queryExecution.optimizedPlan.collectFirst {
+            case w: Window if w.partitionSpec.isEmpty => w
+            case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+          }
+          if (global.nonEmpty) globalWindowQueries += name: Unit
+        } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         // release any localCheckpoint the query materialized — leaked blocks
         // would shrink execution memory for every query after it (the r4
@@ -83,7 +102,8 @@ object Bench {
       "d10_span_dedup", "d11_dedup_incremental", "s07_ann_lsh")
     val headSet = headline.toSet
     val stealDelta = { val s1 = stealSec(); if (s1 < 0 || steal0 < 0) -1.0 else s1 - steal0 }
-    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)}"""
+    val gw = globalWindowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results)},"sf":"$sfDir"}"""
     try {

@@ -130,6 +130,26 @@ class Round9Spec extends SparkSpec {
     d("DROP TABLE r9_mbadins")
   }
 
+  // ---- global-window attribution guard -----------------------------------
+
+  test("only t12's 20-row post-limit ranking plans a global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    def globalWindow(name: String): Boolean =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        .collectFirst {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+    // the one sanctioned site: ranking the 20 survivors of a top-k cut
+    assert(globalWindow("t12_vocab_build"))
+    // the window/rank/tfidf family must never move data-sized input to a
+    // single partition (the q23 r8 flip and the GlobalRank paths pin this)
+    for (q <- Seq("q18_topk", "q19_window_rank", "q20_window_running",
+        "q23_window_ntile", "q124_global_rank", "t11_weighted_sample",
+        "t13_tfidf_keywords"))
+      assert(!globalWindow(q), s"$q plans a single-partition window")
+  }
+
   // ---- NO_DROP: qualified-name keys + DROP DATABASE CASCADE guard --------
 
   test("NO_DROP protection is identity-based, not spelling-based") {
