@@ -294,7 +294,7 @@ object Engine {
   private val indexStmtRe =
     ("""(?is)\s*(CREATE\s+INDEX\s+[\w`]+\s+ON\s+(?:TABLE\s+)?[\w.`]+.*""" +
       """|DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?[\w`]+\s+ON\s+[\w.`]+""" +
-      """|ALTER\s+INDEX\s+[\w`]+\s+ON\s+[\w.`]+(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD""" +
+      """|ALTER\s+INDEX\s+[\w`]+\s+ON\s+[\w.`]+(?:\s+PARTITION\s*\([^)]*\))?\s+(?:REBUILD|SET\s+IDXPROPERTIES\s*\(.*\))""" +
       """|SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+[\w.`]+.*)\s*;?\s*""").r
   // ALTER TABLE t [PARTITION(...)] ARCHIVE/UNARCHIVE —
   // DDLSemanticAnalyzer.java:250-252 (HAR-file packing of partition
@@ -322,6 +322,20 @@ object Engine {
   // empty and ABORT is a no-op.
   private val showTxnsRe = """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
   private val showCompactionsRe = """(?is)\s*SHOW\s+COMPACTIONS\s*;?\s*""".r
+  // SHOW CONF 'name' — DDLSemanticAnalyzer.java:2347 analyzeShowConf /
+  // DDLTask.java:520 showConf: one (default, type, desc) row for a
+  // registered configuration, error for an unknown name. Spark-first the
+  // registry is SQLConf's defined entries.
+  private val showConfRe =
+    """(?is)\s*SHOW\s+CONF\s+'([^']+)'\s*;?\s*""".r
+  // SHOW TABLE EXTENDED [IN|FROM db] LIKE 'pattern' [PARTITION(...)] —
+  // TOK_SHOW_TABLESTATUS (DDLSemanticAnalyzer.java:2175) → DDLTask
+  // showTableStatus + TextMetaDataFormatter.showTableStatus: key:value
+  // lines per matched table plus filesystem stats. Intercepted before
+  // Spark's parser so the answer carries Hive's text shape, not Spark's
+  // (namespace, tableName, information) rows.
+  private val showTableExtRe =
+    """(?is)\s*SHOW\s+TABLE\s+EXTENDED\s+(?:(?:IN|FROM)\s+([\w]+)\s+)?LIKE\s+'?([^'\s;]+)'?\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*""".r
   private val abortTxnsRe =
     """(?is)\s*ABORT\s+TRANSACTIONS\s+[\d\s,]+;?\s*""".r
   // dfs -cmd args — Hive CLI's Hadoop shell passthrough
@@ -524,6 +538,137 @@ object Engine {
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
       .provider.map(_.toLowerCase).filterNot(_ == "hive").getOrElse("parquet")
+
+  /** SHOW CONF 'name' (DDLTask.java:520 showConf): one
+    * (default, type, desc) row; unknown names error with the reference's
+    * "invalid configuration name" text. The registry is SQLConf's
+    * defined entries — Spark's analog of HiveConf.ConfVars. */
+  private def showConf(spark: SparkSession,
+                       name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val entry = spark.sessionState.conf.getAllDefinedConfs
+      .find(_._1.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"invalid configuration name $name"))
+    val value = Option(entry._2).getOrElse("")
+    val typ =
+      if (value.equalsIgnoreCase("true") || value.equalsIgnoreCase("false"))
+        "BOOLEAN"
+      else if (value.matches("[+-]?\\d{1,9}")) "INT"
+      else if (value.matches("[+-]?\\d+")) "LONG"
+      else if (scala.util.Try(value.toDouble).isSuccess) "FLOAT"
+      else "STRING"
+    // the reference collapses doc newlines into single spaces
+    val desc = Option(entry._3).getOrElse("").replaceAll(" *\n *", " ")
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(value, typ, desc)),
+      StructType(Seq(StructField("default", StringType),
+        StructField("type", StringType), StructField("desc", StringType))))
+  }
+
+  /** SHOW TABLE EXTENDED [IN db] LIKE 'pattern' [PARTITION(spec)] —
+    * TOK_SHOW_TABLESTATUS. Answers TextMetaDataFormatter.showTableStatus's
+    * key:value lines (tableName/owner/location/formats/columns in thrift
+    * DDL/partitioned/partitionColumns + recursive filesystem stats), one
+    * line per row in the reference's single `tab_name` fetch column. */
+  private def showTableExtended(spark: SparkSession, db: Option[String],
+      pattern: String,
+      part: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val catalog = spark.sessionState.catalog
+    val dbName = db.getOrElse(spark.catalog.currentDatabase)
+    val conf = spark.sessionState.newHadoopConf()
+    // MetaStoreUtils.typeToThriftType, token-wise over the DDL string
+    def thrift(t: String): String =
+      "[a-zA-Z0-9]+".r.replaceAllIn(t, m => m.matched match {
+        case "int" => "i32"
+        case "bigint" => "i64"
+        case "smallint" => "i16"
+        case "tinyint" => "byte"
+        case "boolean" => "bool"
+        case "array" => "list"
+        case other => other
+      })
+    def ddlOf(name: String,
+              fields: Seq[org.apache.spark.sql.types.StructField]): String =
+      "struct " + name + " { " +
+        fields.map(f => thrift(f.dataType.catalogString) + " " + f.name)
+          .mkString(", ") + "}"
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    catalog.listTables(dbName, pattern).sortBy(_.table).foreach { id =>
+      val m = catalog.getTableMetadata(id)
+      val partitioned = m.partitionColumnNames.nonEmpty
+      val tblLoc = m.storage.locationUri.map(_.toString)
+      val statLoc = part match {
+        case Some(spec) => tblLoc.map(_.stripSuffix("/") + "/" +
+          spec.split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2).map(_.trim)
+            s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+          }.mkString("/"))
+        case None => tblLoc
+      }
+      val (inFmt, outFmt) =
+        m.provider.map(_.toLowerCase.replace("`", "")).getOrElse("parquet") match {
+          case "orc" =>
+            ("org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+              "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")
+          case "avro" | "graft-avro" =>
+            ("org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+              "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat")
+          case "csv" | "text" | "json" =>
+            ("org.apache.hadoop.mapred.TextInputFormat",
+              "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")
+          case "graft-seq" =>
+            ("org.apache.hadoop.mapred.SequenceFileInputFormat",
+              "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat")
+          case _ =>
+            ("org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+              "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+        }
+      val dataCols = m.schema.filterNot(f =>
+        m.partitionColumnNames.contains(f.name))
+      val partCols = m.schema.filter(f =>
+        m.partitionColumnNames.contains(f.name))
+      lines += s"tableName:${id.table}"
+      lines += s"owner:${System.getProperty("user.name")}"
+      lines += s"location:${statLoc.orNull}"
+      lines += s"inputformat:$inFmt"
+      lines += s"outputformat:$outFmt"
+      lines += s"columns:${ddlOf("columns", dataCols)}"
+      lines += s"partitioned:$partitioned"
+      lines += ("partitionColumns:" +
+        (if (partitioned) ddlOf("partition_columns", partCols) else ""))
+      statLoc.foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          var n = 0; var tot = 0L; var mx = 0L; var mn = Long.MaxValue
+          var acc = 0L; var upd = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val nm = st.getPath.getName
+            if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+              n += 1; tot += st.getLen
+              mx = math.max(mx, st.getLen); mn = math.min(mn, st.getLen)
+              acc = math.max(acc, st.getAccessTime)
+              upd = math.max(upd, st.getModificationTime)
+            }
+          }
+          lines += s"totalNumberFiles:$n"
+          lines += s"totalFileSize:$tot"
+          lines += s"maxFileSize:$mx"
+          lines += s"minFileSize:${if (n > 0) mn else 0}"
+          lines += s"lastAccessTime:$acc"
+          lines += s"lastUpdateTime:$upd"
+        }
+      }
+      lines += "" // terminator line between tables
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      lines.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("tab_name", StringType))))
+  }
 
   /** `dfs -cmd args` passthrough (CliDriver's FsShell route), on the
     * session's Hadoop FileSystem. Mutations (mkdir/rm/rmr/cp/mv/touchz)
@@ -1593,6 +1738,9 @@ object Engine {
     }
     stmt0 match {
       case touchRe(_, _) => return spark.emptyDataFrame
+      case showConfRe(name) => return showConf(spark, name)
+      case showTableExtRe(db, pattern, part) =>
+        return showTableExtended(spark, Option(db), pattern, Option(part))
       case indexStmtRe(s) =>
         if (!s.trim.toUpperCase.startsWith("SHOW")) {
           System.err.println(

@@ -130,6 +130,65 @@ class Round9Spec extends SparkSpec {
     d("DROP TABLE r9_mbadins")
   }
 
+  // ---- SHOW CONF / SHOW TABLE EXTENDED / ALTER INDEX SET -----------------
+
+  test("SHOW CONF answers (default, type, desc); unknown names error") {
+    val d = Engine.ddl(spark, _: String)
+    val r = d("SHOW CONF 'spark.sql.shuffle.partitions'").collect()
+    assert(r.length == 1)
+    assert(r(0).schema.fieldNames.toSeq == Seq("default", "type", "desc"))
+    assert(r(0).getString(1) == "INT")
+    assert(r(0).getString(2).toLowerCase.contains("partitions"))
+    val b = d("SHOW CONF 'spark.sql.adaptive.enabled'").head()
+    assert(b.getString(1) == "BOOLEAN")
+    assert(intercept[RuntimeException](d("SHOW CONF 'no.such.conf'"))
+      .getMessage.contains("invalid configuration name"))
+  }
+
+  test("SHOW TABLE EXTENDED answers Hive's key:value status lines") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_ste")
+    d("CREATE TABLE r9_ste (id INT, name STRING, amt BIGINT) " +
+      "PARTITIONED BY (p STRING) STORED AS ORC")
+    d("INSERT INTO r9_ste PARTITION (p='a') VALUES (1, 'x', 10)")
+    d("INSERT INTO r9_ste PARTITION (p='b') VALUES (2, 'y', 20)")
+    val lines = d("SHOW TABLE EXTENDED LIKE 'r9_ste'").collect()
+      .map(_.getString(0)).toSeq
+    def valOf(k: String) = lines.find(_.startsWith(k + ":"))
+      .map(_.stripPrefix(k + ":")).getOrElse(fail(s"missing $k line"))
+    assert(valOf("tableName") == "r9_ste")
+    assert(valOf("partitioned") == "true")
+    // thrift DDL shape (MetaStoreUtils.getDDLFromFieldSchema)
+    assert(valOf("columns") == "struct columns { i32 id, string name, i64 amt}")
+    assert(valOf("partitionColumns") == "struct partition_columns { string p}")
+    assert(valOf("inputformat").contains("OrcInputFormat"))
+    assert(valOf("totalNumberFiles").toInt == 2)
+    assert(valOf("totalFileSize").toLong > 0)
+    assert(valOf("minFileSize").toLong > 0)
+
+    // PARTITION spec narrows the filesystem stats to that partition
+    val pl = d("SHOW TABLE EXTENDED LIKE 'r9_ste' PARTITION (p='a')")
+      .collect().map(_.getString(0)).toSeq
+    val pFiles = pl.find(_.startsWith("totalNumberFiles:")).get
+    assert(pFiles == "totalNumberFiles:1", pFiles)
+    assert(pl.exists(l => l.startsWith("location:") && l.endsWith("p=a")))
+
+    // LIKE pattern matches multiple tables, one block each
+    d("DROP TABLE IF EXISTS r9_ste2")
+    d("CREATE TABLE r9_ste2 (k INT)")
+    val multi = d("SHOW TABLE EXTENDED LIKE 'r9_ste*'").collect()
+      .map(_.getString(0)).count(_.startsWith("tableName:"))
+    assert(multi == 2)
+    d("DROP TABLE r9_ste")
+    d("DROP TABLE r9_ste2")
+  }
+
+  test("ALTER INDEX ... SET IDXPROPERTIES is accepted as a no-op") {
+    val df = Engine.ddl(spark,
+      "ALTER INDEX idx_x ON orders SET IDXPROPERTIES ('prop'='v')")
+    assert(df.count() == 0)
+  }
+
   // ---- global-window attribution guard -----------------------------------
 
   test("only t12's 20-row post-limit ranking plans a global window") {
