@@ -36,10 +36,10 @@ import org.apache.spark.sql.types._
   *     Avro sync markers is a possible refinement for single huge files —
   *     the writer above never produces those.
   *
-  * Type coverage: the primitive lattice + date/timestamp-micros logical
-  * types + arrays — the types the fixture tables (and Hive's Avro tables in
-  * the reference test corpus) actually use. Nested records/maps would slot
-  * into the same two convert functions.
+  * Type coverage: the primitive lattice + date/timestamp-micros/decimal
+  * logical types + arrays — the types the fixture tables (and Hive's Avro
+  * tables in the reference test corpus) actually use. Nested records/maps
+  * would slot into the same two convert functions.
   */
 object Avro {
 
@@ -71,6 +71,11 @@ object Avro {
       LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     // element union keeps containsNull=true arrays writable
     case ArrayType(elem, _) => Schema.createArray(nullable(toAvroType(elem)))
+    // Hive's AvroSerDe maps DECIMAL onto bytes + the decimal logical type
+    // (two's-complement unscaled big-endian), avro_decimal_native.q
+    case dec: DecimalType =>
+      LogicalTypes.decimal(dec.precision, dec.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case other => throw new IllegalArgumentException(s"avro sink: unsupported type $other")
   }
 
@@ -85,7 +90,11 @@ object Avro {
     case u if u.getType == Schema.Type.FLOAT   => FloatType
     case u if u.getType == Schema.Type.STRING  => StringType
     case u if u.getType == Schema.Type.BOOLEAN => BooleanType
-    case u if u.getType == Schema.Type.BYTES   => BinaryType
+    case u if u.getType == Schema.Type.BYTES   =>
+      u.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
     case u if u.getType == Schema.Type.ARRAY   => ArrayType(toSparkType(u.getElementType))
     case other => throw new IllegalArgumentException(s"avro source: unsupported type $other")
   }
@@ -105,6 +114,10 @@ object Avro {
       Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
     case d: java.sql.Date         => Int.box(d.toLocalDate.toEpochDay.toInt)
     case b: Array[Byte]           => ByteBuffer.wrap(b)
+    // row decimals carry the column's declared scale (Spark normalizes on
+    // read/cast), so the unscaled bytes line up with the schema's logical
+    // decimal(precision, scale)
+    case bd: java.math.BigDecimal => ByteBuffer.wrap(bd.unscaledValue.toByteArray)
     case xs: scala.collection.Seq[_] =>
       new java.util.ArrayList[AnyRef](xs.map(toAvroValue).asJava)
     case other                    => other.asInstanceOf[AnyRef]
@@ -125,6 +138,9 @@ object Avro {
       java.sql.Date.valueOf(LocalDate.ofEpochDay(i.longValue))
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (b: ByteBuffer, dec: DecimalType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      new java.math.BigDecimal(new java.math.BigInteger(arr), dec.scale)
     case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
       xs.asScala.map(toSparkValue(_, elem)).toSeq
     case (other, _) => other

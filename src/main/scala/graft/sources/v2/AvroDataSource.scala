@@ -103,6 +103,11 @@ object AvroV2Util {
     case (i: java.lang.Integer, DateType) => i.intValue         // epoch days
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (b: java.nio.ByteBuffer, dec: DecimalType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(arr), dec.scale),
+        dec.precision, dec.scale)
     case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
       new GenericArrayData(xs.asScala.map(toInternal(_, elem)).toArray)
     case (other, _) => other
@@ -121,6 +126,9 @@ object AvroV2Util {
       case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
       case DateType => Int.box(row.getInt(i))
       case TimestampType | TimestampNTZType => Long.box(row.getLong(i))
+      case dec: DecimalType =>
+        java.nio.ByteBuffer.wrap(row.getDecimal(i, dec.precision, dec.scale)
+          .toJavaBigDecimal.setScale(dec.scale).unscaledValue.toByteArray)
       case ArrayType(elem, _) =>
         val arr = row.getArray(i)
         val out = new java.util.ArrayList[AnyRef](arr.numElements())
@@ -165,7 +173,8 @@ case class AvroTable(path: String, tableSchema: StructType)
     Array(FileMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema)
@@ -235,9 +244,22 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
 }
 
 class AvroWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  // avro tables are flat (no partition transforms), so INSERT OVERWRITE —
+  // whether planned as static overwrite or, under the session default
+  // partitionOverwriteMode=dynamic, as OverwritePartitionsDynamic — is
+  // truncate-and-write
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    doTruncate = true; this
+  }
   override def build(): Write = {
     // fail fast on unsupported types HERE, before BatchWrite truncates the
     // destination — a mid-write schema error must not destroy existing data

@@ -12,7 +12,15 @@ import graft.Tables.t
   * path); recall@10 is measured over 20 query vectors on the fixture
   * embeddings (500 × 64d) at each index's documented probe settings.
   */
-class RecallSpec extends SparkSpec {
+class RecallSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // the cache is suite-local: the JVM-shared session's cache manager
+  // substitutes InMemoryRelation into ANY later query over the same prep
+  // projection, which would break PlanSpec's parquet-pushdown pins
+  override def afterAll(): Unit = {
+    emb.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   private val K = 10
   private val NQ = 20
