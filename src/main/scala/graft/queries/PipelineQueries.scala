@@ -70,16 +70,19 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
              FROM documents GROUP BY md5(text)""")),
 
-    // ---- MinHash+LSH near-dup candidates (rows-only check; the LSH
+    // ---- MinHash+LSH near-dup candidates (full oracle: XxhOracle
+    //      reimplements Spark's xxhash64 in DuckDB SQL, so the band
+    //      candidates + estimated jaccard check exactly; the LSH
     //      band-join is the 100TB-scale path) ----
     Q("d02_dedup_minhash", (s, d) =>
       Dedup.minhashPairs(t(s, d, "documents").filter(col("doc_id") < 300)),
-      None),
+      Some(XxhOracle.d02)),
 
-    // ---- SimHash near-dup pairs (rows-only check) ----
+    // ---- SimHash near-dup pairs (full oracle via the same xxhash64
+    //      reimplementation) ----
     Q("d03_dedup_simhash", (s, d) =>
       Dedup.simhashPairs(t(s, d, "documents").filter(col("doc_id") < 300), maxHamming = 16),
-      None),
+      Some(XxhOracle.d03)),
 
     // ---- exact token-set Jaccard over a bounded candidate set ----
     Q("d04_dedup_jaccard", (s, d) =>
