@@ -42,15 +42,38 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Engine.session(s"local[$cpus]", "graft-soak", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR switches the iterative operators'
+    // Checkpoints.cut from executor-memory localCheckpoint to DURABLE
+    // checkpoint files — the production mode for 1000-executor runs,
+    // soaked here under real iteration volume (d09's label propagation)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { d =>
+      spark.conf.set("spark.graft.checkpointDir", d)
+      println(s"durable checkpoints -> $d")
+    }
+    // SPARK_GRAFT_NO_BROADCAST pins every join to shuffle strategies so the
+    // 1× and 10× measurements compare the same plan shape — AQE flips a
+    // sub-threshold side to broadcast at 1× (no shuffle bytes for that
+    // side), which inflates the REPORTED shuffle ratio of small fixtures
+    // without any superlinear design cost (the d11 adjudication knob)
+    if (sys.env.contains("SPARK_GRAFT_NO_BROADCAST")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      println("broadcast joins disabled (plan-shape-controlled measurement)")
+    }
 
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null) {
           shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          // records are the scale-relevant axis: bytes mix in lz4's
+          // entropy-dependent ratio (small-fixture ids compress better)
+          // and the broadcast-vs-shuffle plan flip at sub-threshold sizes
+          shuffleRecs.addAndGet(m.shuffleReadMetrics.recordsRead)
         }
       }
     })
@@ -78,6 +101,11 @@ object Soak {
           corpus = d.filter(col("doc_id") % 2 === 0),
           batch = d.filter(col("doc_id") % 2 === 1)).count()
       }),
+      // the ITERATIVE chain (confirmedPairs -> clusters label propagation):
+      // every round runs through Checkpoints.cut, so this op is the real
+      // soak for the durable-checkpoint mode
+      Op("d09_cluster_resolve", s =>
+        graft.operators.Dedup.resolveByCluster(docs(s)).count()),
       Op("s04_neardup_ivf", s => {
         // Embedding shards get a cyclic DIMENSION rotation (shard 0 =
         // identity): within-shard cosine structure is exactly the 1×
@@ -100,22 +128,23 @@ object Soak {
 
     val opFilter = args.drop(1).headOption
     val selected = ops.filter(o => opFilter.forall(o.name.contains))
-    println(f"${"operator"}%-20s ${"scale"}%5s ${"rows"}%10s ${"wall_s"}%8s ${"shuf_rd_mb"}%11s ${"shuf_wr_mb"}%11s")
+    println(f"${"operator"}%-20s ${"scale"}%5s ${"rows"}%10s ${"wall_s"}%8s ${"shuf_rd_mb"}%11s ${"shuf_wr_mb"}%11s ${"shuf_recs_m"}%12s")
     val rows = for (op <- selected; scale <- Seq(1, 10)) yield {
       Checkpoints.sweep()
-      shuffleRead.set(0); shuffleWrite.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); shuffleRecs.set(0)
       val t0 = System.nanoTime()
       val n = op.run(scale)
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a moment to drain
       Thread.sleep(2000)
-      val (rd, wr) = (shuffleRead.get / 1e6, shuffleWrite.get / 1e6)
-      println(f"${op.name}%-20s $scale%5d $n%10d $wall%8.2f $rd%11.1f $wr%11.1f")
-      (op.name, scale, n, wall, rd, wr)
+      val (rd, wr, rc) = (shuffleRead.get / 1e6, shuffleWrite.get / 1e6,
+        shuffleRecs.get / 1e6)
+      println(f"${op.name}%-20s $scale%5d $n%10d $wall%8.2f $rd%11.1f $wr%11.1f $rc%12.2f")
+      (op.name, scale, n, wall, rd, wr, rc)
     }
     println("\nratios (10x / 1x):")
     rows.grouped(2).foreach { case Seq(a, b) =>
-      println(f"${a._1}%-20s wall ${b._4 / a._4}%6.2fx  shuffle_rd ${b._5 / math.max(a._5, 0.1)}%6.2fx  rows ${b._3.toDouble / math.max(a._3, 1)}%6.2fx")
+      println(f"${a._1}%-20s wall ${b._4 / a._4}%6.2fx  shuffle_rd ${b._5 / math.max(a._5, 0.1)}%6.2fx  shuffle_recs ${b._7 / math.max(a._7, 0.001)}%6.2fx  rows ${b._3.toDouble / math.max(a._3, 1)}%6.2fx")
     }
     spark.stop()
   }
