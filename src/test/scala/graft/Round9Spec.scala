@@ -278,4 +278,77 @@ class Round9Spec extends SparkSpec {
       assert(utc.getString(1) == "2024-05-06 07:08:09.25")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  // ---- round-9 dialect fixes (golden-gated end-to-end; unit-pinned here) --
+
+  test("qualified virtual columns rewrite into the table's FROM entry") {
+    val in = "SELECT t3.BLOCK__OFFSET__INSIDE__FILE, t3.key FROM src t1 " +
+      "JOIN src t3 ON t1.key = t3.key"
+    val out = Engine.rewriteVirtualColumns(in)
+    // the vcol becomes a projected column of a subquery replacing `src t3`
+    assert(out.contains("(SELECT *, input_file_block_start() AS graft_vc_off FROM src) t3"), out)
+    assert(out.contains("t3.graft_vc_off"), out)
+    assert(!out.contains("t3.input_file_block_start"), out)
+    // bare (unqualified) refs keep the direct function mapping
+    assert(Engine.rewriteVirtualColumns("SELECT INPUT__FILE__NAME FROM src")
+      .contains("input_file_name()"))
+  }
+
+  test("SORTED BY directions normalize to Spark's ASC-only bucket DDL") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_desc")
+    Engine.ddl(spark, "CREATE TABLE r9_desc (key STRING, value STRING) USING parquet " +
+      "CLUSTERED BY (key) SORTED BY (key DESC, value ASC) INTO 2 BUCKETS")
+    Engine.ddl(spark,
+      "INSERT INTO r9_desc SELECT CAST(n_nationkey AS STRING), n_name FROM nation")
+    assert(spark.table("r9_desc").count() == 25)
+    Engine.ddl(spark, "DROP TABLE r9_desc")
+  }
+
+  test("implicit narrowing insert casts retry statement-scoped, session stays ANSI") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_narrow")
+    Engine.ddl(spark, "CREATE TABLE r9_narrow (key INT) USING parquet")
+    // STRING -> INT is CANNOT_SAFELY_CAST under ANSI; the Hive retry lands it
+    Engine.ddl(spark,
+      "INSERT INTO r9_narrow SELECT CAST(n_nationkey AS STRING) FROM nation WHERE n_nationkey < 3")
+    assert(spark.table("r9_narrow").count() == 3)
+    assert(spark.conf.get("spark.sql.storeAssignmentPolicy") != "LEGACY",
+      "the LEGACY policy must not leak past the statement")
+    Engine.ddl(spark, "DROP TABLE r9_narrow")
+  }
+
+  test("FROM-first insert with a joined source keeps both aliases resolvable") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_mij")
+    Engine.ddl(spark, "CREATE TABLE r9_mij (key INT, value STRING) USING parquet")
+    Engine.ddl(spark,
+      "FROM nation src1 INNER JOIN nation src2 ON (src1.n_nationkey = src2.n_nationkey) " +
+        "INSERT OVERWRITE TABLE r9_mij SELECT src1.n_nationkey, src2.n_name " +
+        "WHERE src1.n_nationkey < 4")
+    assert(spark.table("r9_mij").count() == 4)
+    Engine.ddl(spark, "DROP TABLE r9_mij")
+  }
+
+  test("avro decimals round-trip at declared scale through both paths") {
+    val dir = Files.createTempDirectory("r9_avdec").toString
+    // row-level writer path
+    val df = spark.sql(
+      "SELECT CAST(v AS DECIMAL(8,3)) AS d FROM VALUES (1.5), (-2.125), (999.999) t(v)")
+    graft.sources.Avro.write(df, dir)
+    val back = graft.sources.Avro.read(spark, dir)
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.DecimalType(8, 3))
+    assert(back.selectExpr("CAST(d AS STRING)").collect().map(_.getString(0)).sorted
+      .sameElements(Array("-2.125", "1.500", "999.999")))
+    // DSv2 path: INSERT OVERWRITE an unpartitioned avro table (the
+    // dynamic-overwrite capability) narrowing 8,3 -> 7,2 with rounding
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_avdec")
+    Engine.ddl(spark, "CREATE TABLE r9_avdec (d DECIMAL(7,2)) STORED AS AVRO")
+    df.createOrReplaceTempView("r9_avdec_src")
+    Engine.ddl(spark, "INSERT OVERWRITE TABLE r9_avdec SELECT d FROM r9_avdec_src")
+    val v2 = spark.table("r9_avdec").selectExpr("CAST(d AS STRING)")
+      .collect().map(_.getString(0)).sorted
+    assert(v2.sameElements(Array("-2.13", "1.50", "1000.00")), v2.mkString(","))
+    Engine.ddl(spark, "DROP TABLE r9_avdec")
+  }
 }
