@@ -57,24 +57,31 @@ object Bench {
     // bench artifact so a new offender fails loudly at judge time.
     val globalWindowQueries = scala.collection.mutable.SortedSet.empty[String]
     val results = picked.map { case (name, fn) =>
-      val dt = (1 to runs).map { _ =>
+      val dt = (1 to runs).zipWithIndex.map { case (_, i) =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           materialize(df)
-          import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
-          val global = df.queryExecution.optimizedPlan.collectFirst {
-            case w: Window if w.partitionSpec.isEmpty => w
-            case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+          val d = (System.nanoTime() - t0) / 1e9
+          // plan attribution OUTSIDE the timed window, and only once per
+          // query — the optimizedPlan walk must not pollute the timings
+          if (i == 0) {
+            import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+            val global = df.queryExecution.optimizedPlan.collectFirst {
+              case w: Window if w.partitionSpec.isEmpty => w
+              case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+            }
+            if (global.nonEmpty) globalWindowQueries += name: Unit
           }
-          if (global.nonEmpty) globalWindowQueries += name: Unit
-        } catch { case _: Throwable => -1L }
-        val d = (System.nanoTime() - t0) / 1e9
-        // release any localCheckpoint the query materialized — leaked blocks
-        // would shrink execution memory for every query after it (the r4
-        // fleet-wide regression)
-        tools.Checkpoints.sweep()
-        d
+          // release any localCheckpoint the query materialized — leaked
+          // blocks would shrink execution memory for every query after it
+          // (the r4 fleet-wide regression)
+          tools.Checkpoints.sweep()
+          d
+        } catch { case _: Throwable =>
+          tools.Checkpoints.sweep()
+          (System.nanoTime() - t0) / 1e9
+        }
       }.min
       name -> dt
     }

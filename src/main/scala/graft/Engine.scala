@@ -202,11 +202,21 @@ object Engine {
   /** NO_DROP keys are FULLY QUALIFIED (db.table, lowercased) so
     * protecting `db.t` blocks `DROP TABLE t` under current database db
     * and vice versa. */
-  private def qualName(spark: SparkSession, table: String): String = {
-    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val db = id.database.getOrElse(spark.catalog.currentDatabase)
-    s"$db.${id.table}".toLowerCase
-  }
+  private def qualName(spark: SparkSession, table: String): String =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val db = id.database.getOrElse(spark.catalog.currentDatabase)
+      s"$db.${id.table}".toLowerCase
+    } catch {
+      // 3-part names (spark_catalog.db.t) don't parse as TableIdentifier;
+      // normalize textually so the guard neither throws on a legal DROP
+      // nor misses a protected table spelled with its catalog prefix
+      case _: Exception =>
+        val parts = table.toLowerCase.split('.')
+          .filterNot(_ == "spark_catalog").filter(_.nonEmpty)
+        if (parts.length >= 2) parts.takeRight(2).mkString(".")
+        else (spark.catalog.currentDatabase.toLowerCase +: parts).mkString(".")
+    }
   private def normSpec(spec: String): String =
     spec.split(",").map { kv =>
       val Array(k, v) = kv.split("=", 2).map(_.trim)
@@ -539,6 +549,21 @@ object Engine {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
       .provider.map(_.toLowerCase).filterNot(_ == "hive").getOrElse("parquet")
 
+  /** Partition columns of `table`, for the copy-on-write engine's
+    * partition-aware rewrite. Row-level DML on a PARTITIONED graft-seq/
+    * graft-avro table is rejected outright: those sources read a flat
+    * directory (no partition-value discovery), so a rewrite would flatten
+    * the layout — the same data-loss class the COMPACT guard rejects. */
+  private def tableDmlPartCols(spark: SparkSession, table: String): Seq[String] = {
+    val partCols = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .partitionColumnNames
+    if (partCols.nonEmpty && tableFormat(spark, table).startsWith("graft-"))
+      sys.error(s"row-level DML on a partitioned ${tableFormat(spark, table)} " +
+        s"table is not supported: use a partitioned parquet/orc table")
+    partCols
+  }
+
   /** SHOW CONF 'name' (DDLTask.java:520 showConf): one
     * (default, type, desc) row; unknown names error with the reference's
     * "invalid configuration name" text. The registry is SQLConf's
@@ -594,7 +619,12 @@ object Engine {
         fields.map(f => thrift(f.dataType.catalogString) + " " + f.name)
           .mkString(", ") + "}"
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    catalog.listTables(dbName, pattern).sortBy(_.table).foreach { id =>
+    // listTables mixes in TEMP VIEWS (database-less identifiers), for
+    // which getTableMetadata throws — the reference's SHOW TABLE EXTENDED
+    // lists metastore tables only, so skip them rather than crash when
+    // the LIKE pattern matches a registered fixture view
+    catalog.listTables(dbName, pattern).sortBy(_.table)
+      .filter(_.database.isDefined).foreach { id =>
       val m = catalog.getTableMetadata(id)
       val partitioned = m.partitionColumnNames.nonEmpty
       val tblLoc = m.storage.locationUri.map(_.toString)
@@ -841,11 +871,11 @@ object Engine {
           val Array(k, v) = a.split("=", 2)
           val c = k.trim.substring(k.trim.lastIndexOf('.') + 1)
           if (tRefRe.findFirstIn(v.trim).isDefined)
-            setPostJoin += c -> unqualify(v.trim, "__src_")
+            setPostJoin += c -> unqualify(v.trim, "__src_pj_")
           else setExprs += c -> unqualify(v.trim, "")
         }
       case whenDeleteRe(pred) =>
-        deleteMatched = Some(Option(pred).map(unqualify(_, "__src_")).getOrElse("true"))
+        deleteMatched = Some(Option(pred).map(unqualify(_, "__src_pj_")).getOrElse("true"))
       case whenInsertRe(spec) =>
         insertNotMatched = true
         if (!spec.trim.startsWith("*")) {
@@ -866,21 +896,34 @@ object Engine {
         s"MERGE column $c: UPDATE SET and INSERT VALUES must agree (one projected source)")
 
     // one projected source feeds keys, update values and inserts; extra
-    // source-only columns referenced by the delete predicate or a
-    // post-join SET expression ride along
+    // source columns referenced by the delete predicate or a post-join SET
+    // expression ride along under a `pj_` name of their own — NEVER the
+    // bare target-column name, which `merged` may have remapped to the
+    // INSERT/UPDATE expression (SET cnt = t.cnt + s.cnt alongside INSERT
+    // VALUES (..., 0) must read s.cnt, not the insert's 0)
     val merged = setExprs ++ insertExprs
     val deletePred = deleteMatched.map(expr)
     val srcRefCols = (deleteMatched.toSeq ++ setPostJoin.values).flatMap { p =>
-      "__src_(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      "__src_pj_(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     }.distinct
+    require(!targetCols.exists(_.startsWith("pj_")),
+      "MERGE: target columns named pj_* collide with the post-join source projection")
     val projected = srcDf.select(
       (targetCols.map(c => expr(merged.getOrElse(c, c)).as(c)) ++
-        srcRefCols.filterNot(targetCols.contains).map(col)): _*)
+        srcRefCols.map(c => col(c).as(s"pj_$c"))): _*)
+    val partCols = tableDmlPartCols(spark, table)
     operators.Acid.mergeInto(spark, tableLocation(spark, table), projected,
       keys = keys, setFromSource = setExprs.keys.toSeq,
       insertNotMatched = insertNotMatched, deleteMatched = deletePred,
-      format = tableFormat(spark, table), deleteSourceCols = srcRefCols,
-      schema = tableDmlSchema(spark, table), setPostJoin = setPostJoin)
+      format = tableFormat(spark, table),
+      deleteSourceCols = srcRefCols.map("pj_" + _),
+      schema = tableDmlSchema(spark, table), setPostJoin = setPostJoin,
+      partitionCols = partCols)
+    // the insert branch may have created partition DIRECTORIES the catalog
+    // has never seen (Hive's dynamic-partition MoveTask registers them);
+    // MSCK registers the delta so the new rows are visible
+    if (partCols.nonEmpty && insertNotMatched)
+      spark.sql(s"MSCK REPAIR TABLE $table"): Unit
     spark.sql(s"REFRESH TABLE $table"): Unit
   }
 
@@ -941,43 +984,77 @@ object Engine {
     * source is computed once regardless of destination count — at 100 TB
     * the re-scan this avoids is the whole point of the statement.
     */
+  private case class MiBranch(mode: String, tbl: String, partSql: String,
+                              body: String) {
+    /** Inject a FROM clause into the branch SELECT, before the first
+      * top-level post-SELECT clause keyword. LATERAL first: a per-branch
+      * LATERAL VIEW attaches to the FROM, so the injected clause must land
+      * before it (multi_insert_lateral_view.q shape). */
+    def selectSql(fromClause: String): String = {
+      val cut = Seq("LATERAL", "WHERE", "GROUP", "HAVING", "ORDER",
+          "SORT", "DISTRIBUTE", "CLUSTER", "LIMIT")
+        .flatMap(k => Engine.topLevel(body, k).headOption).minOption
+      cut match {
+        case Some(p) => body.substring(0, p) + s" $fromClause " + body.substring(p)
+        case None    => s"$body $fromClause"
+      }
+    }
+    def insertPrefix: String = s"INSERT $mode TABLE $tbl$partSql"
+  }
+
   private def multiInsert(spark: SparkSession, stmt: String): org.apache.spark.sql.DataFrame = {
     val t = stmt.trim.stripSuffix(";").trim
     val inserts = topLevel(t, "INSERT")
     val src = t.substring("FROM".length, inserts.head).trim
+    val branches = inserts.zipAll(inserts.drop(1), 0, t.length).map {
+      case (a, b) => t.substring(a, b)
+    }.map {
+      case insertBranchRe(mode, tbl, part, body) =>
+        MiBranch(mode, tbl,
+          Option(part).map(p => s" PARTITION ($p)").getOrElse(""), body)
+      case seg => sys.error(s"unsupported multi-insert branch: $seg")
+    }
     // A joined source (`FROM a JOIN b ON ...` / comma list) can't be
     // collapsed into a SELECT * view: qualifiers would be lost and
-    // same-named columns collide. With a single destination there is
-    // nothing to share anyway (innerjoin.q's FROM-first INSERT), and with
-    // several the branches re-plan the join — Catalyst still scans-once
-    // per branch and AQE reuses exchanges, so correctness wins over the
-    // single-scan persist.
+    // same-named columns collide.
     val joined = topLevel(src, "JOIN").nonEmpty ||
       splitAssignments(src).lengthCompare(1) > 0
-    if (inserts.lengthCompare(1) == 0 || joined) {
-      val fromClause = s"FROM $src"
-      val segs = inserts.zipAll(inserts.drop(1), 0, t.length).map {
-        case (a, b) => t.substring(a, b)
+    if (branches.lengthCompare(1) == 0) {
+      // single destination (innerjoin.q's FROM-first INSERT): a plain
+      // statement rewrite, any source shape
+      insertWithHiveCasts(spark,
+        s"${branches.head.insertPrefix} ${branches.head.selectSql(s"FROM $src")}")
+      return spark.emptyDataFrame
+    }
+    if (joined) {
+      // several destinations over a joined source: genBodyPlan's
+      // single-snapshot contract means every branch must read the
+      // PRE-STATEMENT state — a branch that overwrites one of the joined
+      // tables must not feed later branches its own output. Materialize
+      // every branch result (eager checkpoint) BEFORE the first write.
+      val views = branches.zipWithIndex.map { case (b, i) =>
+        val snap = graft.tools.Checkpoints.local(
+          spark.sql(b.selectSql(s"FROM $src")))
+        val v = "graft_mi_snap_" + i + "_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        snap.createOrReplaceTempView(v)
+        (b, v, snap)
       }
-      segs.foreach {
-        case insertBranchRe(mode, tbl, part, body) =>
-          val cut = Seq("LATERAL", "WHERE", "GROUP", "HAVING", "ORDER",
-              "SORT", "DISTRIBUTE", "CLUSTER", "LIMIT")
-            .flatMap(k => topLevel(body, k).headOption).minOption
-          val withFrom = cut match {
-            case Some(p) => body.substring(0, p) + s" $fromClause " + body.substring(p)
-            case None    => s"$body $fromClause"
-          }
-          val partSql = Option(part).map(p => s" PARTITION ($p)").getOrElse("")
-          insertWithHiveCasts(spark, s"INSERT $mode TABLE $tbl$partSql $withFrom")
-        case seg => sys.error(s"unsupported multi-insert branch: $seg")
+      try views.foreach { case (b, v, _) =>
+        insertWithHiveCasts(spark, s"${b.insertPrefix} SELECT * FROM $v")
+      } finally views.foreach { case (_, v, snap) =>
+        spark.catalog.dropTempView(v)
+        graft.tools.Checkpoints.release(snap)
       }
       return spark.emptyDataFrame
     }
-    // The cached scan gets its own view name (so it never shadows — and on
-    // cleanup never drops — a user view of the same name), re-aliased in
-    // each branch back to the source's alias/table name so qualified column
-    // references in the branch SELECTs keep resolving.
+    // Simple shared source: compute it ONCE, persist, and feed every
+    // branch from the cached view (the reference's genBodyPlan shape — at
+    // 100 TB the re-scan this avoids is the whole point). The cached scan
+    // gets its own view name (so it never shadows — and on cleanup never
+    // drops — a user view of the same name), re-aliased in each branch
+    // back to the source's alias/table name so qualified column references
+    // in the branch SELECTs keep resolving.
     val aliasRe = """(?is).*?(?:\)|[\w.]+)\s+(?:AS\s+)?(\w+)""".r
     val simpleRe = """(?is)([\w.]+)""".r
     val alias = src match {
@@ -993,28 +1070,8 @@ object Engine {
     val cached = spark.sql(s"SELECT * FROM $src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cached.createOrReplaceTempView(view)
-    try {
-      val segs = inserts.zipAll(inserts.drop(1), 0, t.length).map {
-        case (a, b) => t.substring(a, b)
-      }
-      segs.foreach {
-        case insertBranchRe(mode, tbl, part, body) =>
-          // a branch SELECT has no FROM of its own: inject the shared view
-          // before the first top-level post-SELECT clause keyword
-          // LATERAL first: a per-branch LATERAL VIEW attaches to the FROM,
-          // so the injected view must land before it (multi_insert_
-          // lateral_view.q shape)
-          val cut = Seq("LATERAL", "WHERE", "GROUP", "HAVING", "ORDER",
-              "SORT", "DISTRIBUTE", "CLUSTER", "LIMIT")
-            .flatMap(k => topLevel(body, k).headOption).minOption
-          val withFrom = cut match {
-            case Some(p) => body.substring(0, p) + s" $fromClause " + body.substring(p)
-            case None    => s"$body $fromClause"
-          }
-          val partSql = Option(part).map(p => s" PARTITION ($p)").getOrElse("")
-          insertWithHiveCasts(spark, s"INSERT $mode TABLE $tbl$partSql $withFrom")
-        case seg => sys.error(s"unsupported multi-insert branch: $seg")
-      }
+    try branches.foreach { b =>
+      insertWithHiveCasts(spark, s"${b.insertPrefix} ${b.selectSql(fromClause)}")
     } finally {
       spark.catalog.dropTempView(view)
       cached.unpersist()
@@ -2075,37 +2132,46 @@ object Engine {
         sqlMerge(spark, s)
         spark.emptyDataFrame
       case updateRe(table, setClause, cond) =>
+        val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
           k.trim -> org.apache.spark.sql.functions.expr(v.trim)
         }.toMap
+        // Hive parity (UpdateDeleteSemanticAnalyzer): a SET on a partition
+        // column is rejected — moved rows would land in partition dirs the
+        // catalog has never registered, making them silently invisible
+        set.keys.find(k => partCols.exists(_.equalsIgnoreCase(k))).foreach(k =>
+          sys.error(s"UPDATE cannot set partition column $k"))
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), set,
-          tableFormat(spark, table), tableDmlSchema(spark, table))
+          tableFormat(spark, table), tableDmlSchema(spark, table), partCols)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
       // after the WHERE forms, whose regexes are strictly more specific
       case updateAllRe(table, setClause) =>
+        val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
           k.trim -> org.apache.spark.sql.functions.expr(v.trim)
         }.toMap
+        set.keys.find(k => partCols.exists(_.equalsIgnoreCase(k))).foreach(k =>
+          sys.error(s"UPDATE cannot set partition column $k"))
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), set,
-          tableFormat(spark, table), tableDmlSchema(spark, table))
+          tableFormat(spark, table), tableDmlSchema(spark, table), partCols)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table),
-          tableDmlSchema(spark, table))
+          tableDmlSchema(spark, table), tableDmlPartCols(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteAllRe(table) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), tableFormat(spark, table),
-          tableDmlSchema(spark, table))
+          tableDmlSchema(spark, table), tableDmlPartCols(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case protectRe(table, part, enable, mode, _) =>

@@ -31,16 +31,23 @@ object Acid {
 
   /** UPDATE tbl SET (k -> expr)* WHERE cond, copy-on-write. `schema` is
     * required for formats that don't self-describe (graft-seq text lines
-    * infer c0..cN without it); self-describing formats may pass null. */
+    * infer c0..cN without it); self-describing formats may pass null.
+    * `partitionCols` (for partitioned tables) makes the rewrite
+    * partition-aware: rewritten files land back inside their partition
+    * directories instead of flattening into the table root. */
   def updateWhere(spark: SparkSession, path: String, cond: Column,
                   set: Map[String, Column], format: String = "parquet",
-                  schema: StructType = null): Unit =
-    rewrite(spark, path, cond, identityKept = true, set, format, schema)
+                  schema: StructType = null,
+                  partitionCols: Seq[String] = Nil): Unit =
+    rewrite(spark, path, cond, identityKept = true, set, format, schema,
+      partitionCols)
 
   /** DELETE FROM tbl WHERE cond, copy-on-write. */
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
-                  format: String = "parquet", schema: StructType = null): Unit =
-    rewrite(spark, path, cond, identityKept = false, Map.empty, format, schema)
+                  format: String = "parquet", schema: StructType = null,
+                  partitionCols: Seq[String] = Nil): Unit =
+    rewrite(spark, path, cond, identityKept = false, Map.empty, format, schema,
+      partitionCols)
 
   /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
     *
@@ -66,7 +73,8 @@ object Acid {
                 format: String = "parquet",
                 deleteSourceCols: Seq[String] = Nil,
                 schema: StructType = null,
-                setPostJoin: Map[String, String] = Map.empty): Unit = {
+                setPostJoin: Map[String, String] = Map.empty,
+                partitionCols: Seq[String] = Nil): Unit = {
     val df = load(spark, path, format, schema)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -85,8 +93,13 @@ object Acid {
       val existingKeys = df.select(keys.map(col): _*)
       val inserts = srcKeyed.join(existingKeys,
         keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
-      // append lands new part- files; existing files untouched
-      inserts.write.mode("append").format(format).save(path)
+      // append lands new part- files; existing files untouched. On a
+      // partitioned table the append is partition-aware so inserted rows
+      // land under their partition directories (a flat root file would
+      // lose the partition values on read)
+      val w = inserts.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .format(format).save(path)
     }
 
     if (affected.nonEmpty) {
@@ -121,7 +134,7 @@ object Acid {
              when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
            else survivors(c)).as(c)
         }: _*)
-      swapIn(spark, path, affected, merged, format)
+      swapIn(spark, path, affected, merged, format, partitionCols)
     }
   }
 
@@ -147,7 +160,8 @@ object Acid {
 
   private def rewrite(spark: SparkSession, path: String, cond: Column,
                       identityKept: Boolean, set: Map[String, Column],
-                      format: String, schema: StructType = null): Unit = {
+                      format: String, schema: StructType = null,
+                      partitionCols: Seq[String] = Nil): Unit = {
     val df = load(spark, path, format, schema)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -168,11 +182,16 @@ object Acid {
         // DELETE: keep rows where cond is false or null (SQL semantics)
         survivors.filter(!coalesce(cond, lit(false))).select(cols.map(col): _*)
 
-    swapIn(spark, path, affected, rewritten, format)
+    swapIn(spark, path, affected, rewritten, format, partitionCols)
   }
 
   /** Write `newData` beside the table, move its files in, drop the stale
-    * ones. Real guarantees (there is no commit log, so this is weaker than
+    * ones. With `partitionCols`, the side write is partitioned and each
+    * file moves into its own partition SUBDIRECTORY of the table (the
+    * layout the read path derives partition values from) — never the
+    * root, which would silently drop the partition values.
+    *
+    * Real guarantees (there is no commit log, so this is weaker than
     * a lakehouse atomic commit): single-writer only; a crash between the
     * renames and the deletes leaves duplicate rows permanently; a
     * concurrent reader whose file listing predates the swap can hit
@@ -182,20 +201,31 @@ object Acid {
     */
   private def swapIn(spark: SparkSession, path: String,
                      staleFiles: Seq[String], newData: DataFrame,
-                     format: String = "parquet"): Unit = {
+                     format: String = "parquet",
+                     partitionCols: Seq[String] = Nil): Unit = {
     val tmp = path.stripSuffix("/") + "_cow_" + java.util.UUID.randomUUID().toString
-    newData.write.mode("overwrite").format(format).save(tmp)
+    val writer = newData.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).format(format).save(tmp)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(tmp), conf)
     try {
       val tableDir = new Path(path)
-      val newFiles = fs.listStatus(new Path(tmp))
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      newFiles.foreach { st =>
-        fs.rename(st.getPath,
-          new Path(tableDir, "cow-" + java.util.UUID.randomUUID().toString +
-            "-" + st.getPath.getName))
+      val tmpDir = new Path(tmp)
+      // recurse: partitioned writes nest part- files under ds=X/hr=Y/...
+      val it = fs.listFiles(tmpDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith("part-")) {
+          val rel = st.getPath.getParent.toUri.getPath
+            .stripPrefix(tmpDir.toUri.getPath).stripPrefix("/")
+          val destDir = if (rel.isEmpty) tableDir else new Path(tableDir, rel)
+          fs.mkdirs(destDir)
+          fs.rename(st.getPath,
+            new Path(destDir, "cow-" + java.util.UUID.randomUUID().toString +
+              "-" + st.getPath.getName))
+        }
       }
       staleFiles.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     } finally fs.delete(new Path(tmp), true): Unit

@@ -94,6 +94,32 @@ object AvroV2Util {
       .map(_.getPath.toString).sorted
   }
 
+  /** Scale of an Avro field's decimal logical type (through a [null, T]
+    * union), or `dflt` when the field carries no decimal logical type. */
+  def decimalScaleOf(s: org.apache.avro.Schema, dflt: Int): Int = {
+    val u = if (s.getType == org.apache.avro.Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL)
+        .getOrElse(s)
+    else s
+    u.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal => d.getScale
+      case _ => dflt
+    }
+  }
+
+  /** Decimal bytes → Catalyst Decimal, honoring the WRITER's scale. */
+  def toInternalDecimal(v: Any, dec: DecimalType, writerScale: Int): Any =
+    v match {
+      case null => null
+      case b: java.nio.ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        val bd = new java.math.BigDecimal(
+            new java.math.BigInteger(arr), writerScale)
+          .setScale(dec.scale, java.math.RoundingMode.HALF_UP)
+        org.apache.spark.sql.types.Decimal(bd, dec.precision, dec.scale)
+      case other => other
+    }
+
   /** Avro external value → Catalyst internal value for one field. */
   def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
@@ -224,6 +250,20 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
       new FsInput(new Path(file), new Configuration()),
       new GenericDatumReader[GenericRecord](null, readerSchema))
     val fields = full.fields
+    // Avro schema resolution ignores LOGICAL types: a decimal field's
+    // bytes resolve even when the FILE was written at a different scale
+    // than the catalog declares (schema evolution / external files).
+    // Interpret unscaled bytes at the WRITER's scale, then rescale — the
+    // reference's AvroDeserializer does the same via the writer schema.
+    val writerScale: Array[Int] = fields.map { f =>
+      f.dataType match {
+        case dec: DecimalType =>
+          Option(reader.getSchema.getField(f.name))
+            .map(fl => AvroV2Util.decimalScaleOf(fl.schema(), dec.scale))
+            .getOrElse(dec.scale)
+        case _ => -1
+      }
+    }
     new PartitionReader[InternalRow] {
       override def next(): Boolean = reader.hasNext
       override def get(): InternalRow = {
@@ -233,6 +273,9 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
         while (i < fields.length) {
           vals(i) =
             if (fields(i).name == FileMetadataColumn.NAME) metaRow
+            else if (writerScale(i) >= 0)
+              AvroV2Util.toInternalDecimal(rec.get(fields(i).name),
+                fields(i).dataType.asInstanceOf[DecimalType], writerScale(i))
             else AvroV2Util.toInternal(rec.get(fields(i).name), fields(i).dataType)
           i += 1
         }

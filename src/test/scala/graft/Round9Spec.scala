@@ -351,4 +351,118 @@ class Round9Spec extends SparkSpec {
     assert(v2.sameElements(Array("-2.13", "1.50", "1000.00")), v2.mkString(","))
     Engine.ddl(spark, "DROP TABLE r9_avdec")
   }
+
+  // ---- review follow-ups: partitioned CoW DML, merge collision, snapshot --
+
+  test("UPDATE/DELETE on a partitioned parquet table keep the layout") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_pdml")
+    Engine.ddl(spark, "CREATE TABLE r9_pdml (k INT, v STRING) " +
+      "PARTITIONED BY (p STRING)")
+    Engine.ddl(spark, "INSERT INTO r9_pdml PARTITION (p='a') " +
+      "SELECT CAST(n_nationkey AS INT), concat('v', n_nationkey) FROM nation WHERE n_nationkey < 5")
+    Engine.ddl(spark, "INSERT INTO r9_pdml PARTITION (p='b') " +
+      "SELECT CAST(n_nationkey AS INT), concat('v', n_nationkey) FROM nation WHERE n_nationkey < 3")
+    Engine.ddl(spark, "UPDATE r9_pdml SET v = 'X' WHERE k = 1 AND p = 'a'")
+    Engine.ddl(spark, "DELETE FROM r9_pdml WHERE k = 2 AND p = 'b'")
+    val got = spark.table("r9_pdml").selectExpr("p", "k", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    // partition VALUES survive the rewrite (a flattened root write loses
+    // them), only the targeted rows changed, the other partition intact
+    assert(got.count(_._1 == "a") == 5)
+    assert(got.count(_._1 == "b") == 2)
+    assert(got.contains(("a", 1, "X")))
+    assert(!got.exists(t => t._1 == "b" && t._2 == 2))
+    assert(got.contains(("b", 1, "v1")))
+    // SET on a partition column is rejected (Hive parity)
+    intercept[RuntimeException](
+      Engine.ddl(spark, "UPDATE r9_pdml SET p = 'c' WHERE k = 0"))
+    Engine.ddl(spark, "DROP TABLE r9_pdml")
+  }
+
+  test("MERGE on a partitioned table updates in place and registers inserted partitions") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_pmrg")
+    Engine.ddl(spark, "CREATE TABLE r9_pmrg (k INT, v STRING) " +
+      "PARTITIONED BY (p STRING)")
+    Engine.ddl(spark, "INSERT INTO r9_pmrg PARTITION (p='a') VALUES (1, 'old'), (2, 'keep')")
+    spark.sql("SELECT * FROM VALUES (1, 'new', 'a'), (9, 'ins', 'z') AS s(k, v, p)")
+      .createOrReplaceTempView("r9_pmrg_src")
+    Engine.ddl(spark,
+      "MERGE INTO r9_pmrg t USING r9_pmrg_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.p)")
+    val got = spark.table("r9_pmrg").selectExpr("p", "k", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(got.sameElements(Array(("a", 1, "new"), ("a", 2, "keep"), ("z", 9, "ins"))),
+      got.mkString(","))
+    // the inserted partition is CATALOG-visible (MSCK ran): a partition
+    // filter on it answers from the registry, not just raw files
+    assert(spark.sql("SELECT count(*) FROM r9_pmrg WHERE p = 'z'").head().getLong(0) == 1)
+    Engine.ddl(spark, "DROP TABLE r9_pmrg")
+  }
+
+  test("partitioned graft-seq DML is rejected, not flattened") {
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_pseq")
+    Engine.ddl(spark, "CREATE TABLE r9_pseq (k INT, v STRING) " +
+      "PARTITIONED BY (p STRING) STORED AS SEQUENCEFILE")
+    val e = intercept[RuntimeException](
+      Engine.ddl(spark, "UPDATE r9_pseq SET v = 'y' WHERE k = 1"))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    Engine.ddl(spark, "DROP TABLE r9_pseq")
+  }
+
+  test("MERGE post-join SET reads the raw source column when names collide") {
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_acc")
+    Engine.ddl(spark, "CREATE TABLE r9_acc (k INT, cnt INT) USING parquet")
+    Engine.ddl(spark, "INSERT INTO r9_acc VALUES (1, 10), (2, 20)")
+    spark.sql("SELECT * FROM VALUES (1, 5), (3, 7) AS s(k, cnt)")
+      .createOrReplaceTempView("r9_acc_src")
+    // the INSERT branch maps cnt -> 0; the UPDATE must still read s.cnt,
+    // not the insert's 0 (the accumulate-upsert + counter-reset shape)
+    Engine.ddl(spark,
+      "MERGE INTO r9_acc t USING r9_acc_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt " +
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, 0)")
+    val got = spark.table("r9_acc").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(got.sameElements(Array((1, 15), (2, 20), (3, 0))), got.mkString(","))
+    Engine.ddl(spark, "DROP TABLE r9_acc")
+  }
+
+  test("joined multi-insert reads the pre-statement snapshot of all sources") {
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_snap_a")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_snap_b")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS r9_snap_c")
+    Engine.ddl(spark, "CREATE TABLE r9_snap_a (k INT, v STRING) USING parquet")
+    Engine.ddl(spark, "CREATE TABLE r9_snap_b (k INT, w STRING) USING parquet")
+    Engine.ddl(spark, "CREATE TABLE r9_snap_c (k INT, v STRING, w STRING) USING parquet")
+    Engine.ddl(spark, "INSERT INTO r9_snap_a VALUES (1, 'a1'), (2, 'a2')")
+    Engine.ddl(spark, "INSERT INTO r9_snap_b VALUES (1, 'b1'), (2, 'b2')")
+    // branch 1 OVERWRITES source table a; branch 2 must still read a's
+    // ORIGINAL rows through the join (genBodyPlan single-snapshot)
+    Engine.ddl(spark,
+      "FROM r9_snap_a a JOIN r9_snap_b b ON a.k = b.k " +
+        "INSERT OVERWRITE TABLE r9_snap_a SELECT a.k + 10, a.v " +
+        "INSERT INTO TABLE r9_snap_c SELECT a.k, a.v, b.w")
+    val c = spark.table("r9_snap_c").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted
+    assert(c.sameElements(Array((1, "a1", "b1"), (2, "a2", "b2"))), c.mkString(","))
+    val a = spark.table("r9_snap_a").collect().map(_.getInt(0)).sorted
+    assert(a.sameElements(Array(11, 12)), a.mkString(","))
+    Engine.ddl(spark, "DROP TABLE r9_snap_a")
+    Engine.ddl(spark, "DROP TABLE r9_snap_b")
+    Engine.ddl(spark, "DROP TABLE r9_snap_c")
+  }
+
+  test("avro reads honor the file's decimal scale under schema evolution") {
+    val dir = Files.createTempDirectory("r9_avev").toString
+    // files written at scale 3; the table schema declares scale 2 —
+    // values must RESCALE, not shift by a power of ten
+    graft.sources.Avro.write(
+      spark.sql("SELECT CAST(v AS DECIMAL(8,3)) AS d FROM VALUES (12.345), (7.5) t(v)"), dir)
+    val got = spark.read.format("graft-avro").schema("d DECIMAL(8,2)").load(dir)
+      .selectExpr("CAST(d AS STRING)").collect().map(_.getString(0)).sorted
+    assert(got.sameElements(Array("12.35", "7.50")), got.mkString(","))
+  }
 }
