@@ -154,6 +154,49 @@ object Round8Queries {
         .select(col("a.n_nationkey").as("ak"), col("c.n_nationkey").as("ck"),
           col("a.n_name").as("an")),
       Some("""SELECT a.n_nationkey AS ak, c.n_nationkey AS ck, a.n_name AS an
-              FROM nation a JOIN nation c ON c.n_nationkey + 1 = a.n_nationkey"""))
+              FROM nation a JOIN nation c ON c.n_nationkey + 1 = a.n_nationkey""")),
+
+    // ---- round 9: copy-on-write DML on a PARTITIONED table — rewritten
+    //      files must land back inside their partition directories
+    //      (update_where_partitioned.q / delete_where_partitioned.q) and
+    //      a MERGE insert into a NEW partition must become visible.
+    //      Oracle = the equivalent row-level mutations in plain SQL. ----
+    Q("a14_partitioned_dml", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml")
+      val base = graft.tools.Tmp.dir("graft_pdml")
+      s.sql(s"""CREATE TABLE graft_tmp.pdml (n_nationkey INT, n_name STRING)
+               USING parquet PARTITIONED BY (rk INT) LOCATION '$base'""")
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("rk"))
+        .write.insertInto("graft_tmp.pdml")
+      Engine.ddl(s,
+        "UPDATE graft_tmp.pdml SET n_name = concat('U_', n_name) WHERE rk = 1")
+      Engine.ddl(s, "DELETE FROM graft_tmp.pdml WHERE rk = 2 AND n_nationkey % 2 = 0")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_src")
+      // explicit fresh LOCATION: the in-memory catalog forgets the table
+      // between JVMs but the warehouse directory survives, and a managed
+      // CTAS refuses to reuse it (LOCATION_ALREADY_EXISTS)
+      s.sql(s"""CREATE TABLE graft_tmp.pdml_src USING parquet
+              LOCATION '${graft.tools.Tmp.dir("graft_pdml_src")}/t' AS
+              SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+              UNION ALL SELECT 990, 'M99', 99""")
+      Engine.ddl(s,
+        """MERGE INTO graft_tmp.pdml t USING graft_tmp.pdml_src s
+           ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+           WHEN NOT MATCHED THEN INSERT VALUES (s.n_nationkey, s.n_name, s.rk)""")
+      s.table("graft_tmp.pdml").select("n_nationkey", "n_name", "rk")
+    },
+      Some("""WITH upd AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey = 0 THEN 'M0'
+                            WHEN n_regionkey = 1 THEN 'U_' || n_name
+                            ELSE n_name END AS n_name,
+                       n_regionkey AS rk
+                FROM nation
+                WHERE NOT (n_regionkey = 2 AND n_nationkey % 2 = 0))
+              SELECT n_nationkey, n_name, rk FROM upd
+              UNION ALL SELECT 990, 'M99', 99"""))
   )
 }
