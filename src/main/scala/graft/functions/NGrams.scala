@@ -61,7 +61,10 @@ object NGrams {
     val n = context.length
     require(context.exists(_.isEmpty), "context needs at least one wildcard (None)")
     val fixed = context.zipWithIndex.collect { case (Some(w), i) =>
-      s"$tokensCol[i + $i] = '${w.replace("'", "''")}'"
+      // Spark's lexer escapes with BACKSLASH; a doubled quote ('') parses
+      // as two ADJACENT string literals that concatenate ("don''t" would
+      // silently match "dont")
+      s"$tokensCol[i + $i] = '${w.replace("\\", "\\\\").replace("'", "\\'")}'"
     }
     // i <= size-n guards short arrays (sequence upper bound is clamped >=0)
     val cond = (s"i <= size($tokensCol) - $n" +: fixed).mkString(" AND ")

@@ -23,6 +23,23 @@ case class ParseUrlTuple(children: Seq[Expression])
   private lazy val parts: Seq[String] =
     children.tail.map(e => String.valueOf(e.eval(InternalRow.empty)))
 
+  // Hive raises UDFArgumentException for a non-constant or NULL part name
+  // (GenericUDTFParseUrlTuple.initialize); mirror that as a clean
+  // type-check failure instead of an eval crash during analysis
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("parse_url_tuple(url, part, ...) needs >= 2 args")
+    else if (children.tail.exists(e => !e.foldable || e.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        "parse_url_tuple: part names must be string constants")
+    else if (children.tail.exists(_.eval(InternalRow.empty) == null))
+      TypeCheckResult.TypeCheckFailure(
+        "parse_url_tuple: part names must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def elementSchema: StructType =
     StructType(parts.indices.map(i => StructField(s"c$i", StringType)))
 

@@ -73,7 +73,13 @@ case class Reflect2(children: Seq[Expression])
       TypeCheckResult.TypeCheckFailure("reflect2(obj, 'method', args...) needs >= 2 args")
     else if (children(1).dataType != StringType || !children(1).foldable)
       TypeCheckResult.TypeCheckFailure("reflect2: method name must be a string constant")
-    else try { method; TypeCheckResult.TypeCheckSuccess }
+    else try {
+      // probe dataType too: a resolvable method with an unsupported RETURN
+      // type must fail the type check cleanly, not throw from dataType
+      // during later analysis
+      method; dataType
+      TypeCheckResult.TypeCheckSuccess
+    }
     catch { case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage) }
 
   override def dataType: DataType = method.getReturnType match {

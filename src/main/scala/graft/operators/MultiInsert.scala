@@ -14,10 +14,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object MultiInsert {
   def fanOut(src: DataFrame,
-             dests: Seq[(String, DataFrame => DataFrame)]): Unit = {
+             dests: Seq[(String, DataFrame => DataFrame)],
+             append: Boolean = false): Unit = {
     val cached = src.persist(StorageLevel.MEMORY_AND_DISK_SER)
     try dests.foreach { case (path, f) =>
-      f(cached).write.mode("overwrite").parquet(path)
+      f(cached).write.mode(if (append) "append" else "overwrite").parquet(path)
     }
     finally cached.unpersist()
   }

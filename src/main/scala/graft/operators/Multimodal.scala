@@ -23,10 +23,13 @@ object Multimodal {
   case class FeatureRow(doc_id: Long, n_bytes: Long, dim: Int, checksum: Long,
                         feature: Array[Float])
 
-  /** Attach a binary payload + metadata struct to each document. */
+  /** Attach a binary payload + metadata struct to each document.
+    * n_bytes counts the payload's UTF-8 OCTETS (octet_length), not the
+    * string's characters — the two differ for any non-ASCII text, and
+    * frame-sample/resize arithmetic downstream runs on bytes. */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
-      struct(length(col("text")).cast("long").as("n_bytes"),
+      struct(octet_length(col("text")).cast("long").as("n_bytes"),
         lit("text/plain").as("mime"),
         col("source").as("origin")).as("meta"))
 
@@ -130,26 +133,35 @@ object Multimodal {
     */
   private[graft] def parseImage(b: Array[Byte]): Option[(String, Int, Int)] = {
     if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
-      var off = 8
+      // chunk length through LONG arithmetic: a corrupt 4-byte length
+      // (e.g. 0xFFFFFFF4) read as Int goes negative and would stall or
+      // reverse the walk forever (the same bug class parseWav guards)
+      var off = 8L
       while (off + 8 <= b.length) {
-        val len = be32(b, off).toInt
-        val typ = new String(b, off + 4, 4, "US-ASCII")
+        val len = be32(b, off.toInt)
+        val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
         if (typ == "IHDR" && len >= 8 && off + 16 <= b.length)
-          return Some(("image/png", be32(b, off + 8).toInt, be32(b, off + 12).toInt))
+          return Some(("image/png",
+            be32(b, off.toInt + 8).toInt, be32(b, off.toInt + 12).toInt))
         off += 8 + len + 4
       }
       None
     } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
       var off = 2
       while (off + 4 <= b.length && (b(off) & 0xFF) == 0xFF) {
-        val mk = b(off + 1) & 0xFF
-        if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
-          if (off + 9 <= b.length)
-            return Some(("image/jpeg", be16(b, off + 7), be16(b, off + 5)))
-          else return None
-        } else if (mk == 0xDA || mk == 0xD9) return None // into scan/EOI: no SOF
-        else if (mk >= 0xD0 && mk <= 0xD7) off += 2      // standalone RSTn
-        else off += 2 + be16(b, off + 2)                 // payload segment
+        // the spec allows any number of 0xFF FILL bytes before a marker
+        // id; consume them or a padded JPEG misreads padding as a length
+        if ((b(off + 1) & 0xFF) == 0xFF) { off += 1 }
+        else {
+          val mk = b(off + 1) & 0xFF
+          if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
+            if (off + 9 <= b.length)
+              return Some(("image/jpeg", be16(b, off + 7), be16(b, off + 5)))
+            else return None
+          } else if (mk == 0xDA || mk == 0xD9) return None // into scan/EOI: no SOF
+          else if (mk >= 0xD0 && mk <= 0xD7) off += 2      // standalone RSTn
+          else off += 2 + be16(b, off + 2)                 // payload segment
+        }
       }
       None
     } else None

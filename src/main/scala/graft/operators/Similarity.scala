@@ -48,8 +48,15 @@ object Similarity {
       .crossJoin(emb)
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", cosine("q_emb", "emb"))
+    finishTopK(joined, k)
+  }
+
+  /** Final per-query ranking every ANN variant shares: exact-cosine order
+    * with vec_id tiebreak, top-k cut, the (q_id, neighbor_id, sim, rn)
+    * output shape. */
+  private def finishTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    joined.withColumn("rn", row_number().over(w))
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
@@ -82,11 +89,7 @@ object Similarity {
     val cand = broadcast(probes).join(assigned, "cluster_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", cosine("q_emb", "emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+    finishTopK(cand, k)
   }
 
   /** Lloyd's k-means over the embedding column, fully distributed — the
@@ -110,8 +113,11 @@ object Similarity {
     installed(emb)
     val spark = emb.sparkSession
     import spark.implicits._
+    // centroids carried in DOUBLE from the start so every iteration's
+    // collect sees one element type
     var cent: DataFrame = emb.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      .select(col("vec_id").as("c_id"),
+        col("emb").cast("array<double>").as("c_emb"))
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
       val assigned = emb.crossJoin(broadcast(cent))
@@ -126,8 +132,15 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
           .as("c_emb"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      cent = means.toSeq.toDF("c_id", "c_emb")
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      // a cluster that attracted no vectors this round keeps its PREVIOUS
+      // centroid instead of silently vanishing — the caller asked for k
+      // centroids, and a shrunken index would degrade probe recall with
+      // no signal anywhere
+      val prev = cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cent = prev.toSeq
+        .map { case (id, e) => (id, means.getOrElse(id, e)) }
+        .toDF("c_id", "c_emb")
     }
     // expose with the (vec_id, emb) shape ivfTopK/neardupIVF expect
     cent.select(col("c_id").as("vec_id"), col("c_emb").as("emb"))
@@ -164,13 +177,7 @@ object Similarity {
     val wc = Window.partitionBy("q_id").orderBy(col("ord").desc, col("vec_id").asc)
     val cand = scored.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= k * candFactor)
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    cand
-      .withColumn("sim", cosine("q_emb", "emb"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+    finishTopK(cand.withColumn("sim", cosine("q_emb", "emb")), k)
   }
 
   /** Random-hyperplane LSH ANN — the bucketed alternative to IVF for
@@ -224,11 +231,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("sim", cosine("q_emb", "emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
+    finishTopK(cand, k)
   }
 
   /** Scale path for embedding near-dup: candidate pairs are vectors that

@@ -84,12 +84,15 @@ object EventStreams {
   def fanOutStream(events: DataFrame, highDir: String, lowDir: String,
                    checkpointDir: String): StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // first batch overwrites (clean bootstrap), later batches APPEND —
+        // a per-batch overwrite would silently keep only the LAST
+        // micro-batch whenever the source splits a run into several
+        // (file-source per-trigger caps do exactly that under AvailableNow)
         graft.operators.MultiInsert.fanOut(batch.toDF(), Seq(
           highDir -> ((df: DataFrame) => df.filter(col("value") > 10)),
-          lowDir -> ((df: DataFrame) => df.filter(col("value") <= 10))))
-        // note: parquet-dir fan-out overwrites per batch; production sinks
-        // would append or use transactional tables
+          lowDir -> ((df: DataFrame) => df.filter(col("value") <= 10))),
+          append = batchId > 0)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -108,8 +111,13 @@ object EventStreams {
                    checkpointDir: String): StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // deterministic tiebreak after ordCol: equal-timestamp updates for
+        // one key must pick the SAME row on a replayed batch or the
+        // at-least-once replay would not converge to the same table
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
+          .partitionBy(keys.map(col): _*)
+          .orderBy((col(ordCol).desc +:
+            setFromSource.map(c => col(c).desc)): _*)
         val latest = batch.toDF().withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         // Bootstrap check must go through the Hadoop FileSystem (like
