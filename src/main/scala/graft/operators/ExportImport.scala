@@ -66,16 +66,22 @@ object ExportImport {
     val parts = metaField(meta, "partitions", required = false)
       .split(",").filter(_.nonEmpty).toSeq
     // byte copy of the data files (CopyTask semantics — no rewrite):
-    // partition dirs copy recursively, preserving the layout
+    // partition dirs copy recursively, preserving the layout. The
+    // DESTINATION resolves its own FileSystem — source and target may live
+    // on different stores (the operator's cross-warehouse purpose).
+    // Committer droppings (_SUCCESS, .crc FILES) are skipped, but partition
+    // DIRECTORIES pass through whatever their name (a partition column
+    // could legally start with an underscore).
     val target = new Path(location)
-    f.mkdirs(target)
+    val df2 = target.getFileSystem(spark.sessionState.newHadoopConf())
+    df2.mkdirs(target)
     f.listStatus(new Path(dir, "data"))
       .filter { st =>
         val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        st.isDirectory || (!n.startsWith("_") && !n.startsWith("."))
       }
       .foreach { st =>
-        FileUtil.copy(f, st.getPath, f, new Path(target, st.getPath.getName),
+        FileUtil.copy(f, st.getPath, df2, new Path(target, st.getPath.getName),
           false, spark.sparkContext.hadoopConfiguration)
       }
     val partClause =
@@ -99,8 +105,26 @@ object ExportImport {
                         required: Boolean = true): String = {
     val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
     m.findFirstMatchIn(json) match {
-      case Some(g) => g.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+      case Some(g) =>
+        // sequential single-pass unescape: chained replace()s corrupt
+        // adjacent escapes (\\n — an escaped backslash then 'n' — would
+        // first collapse to \n and then decode as a newline) and never
+        // decoded the \\uXXXX forms ujsonStr emits for control chars
+        val raw = g.group(1)
+        val sb = new StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          if (raw.charAt(i) == '\\' && i + 1 < raw.length) {
+            raw.charAt(i + 1) match {
+              case 'u' if i + 6 <= raw.length =>
+                sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case 'n' => sb.append('\n'); i += 2
+              case c   => sb.append(c); i += 2 // covers \" and \\ (and passthrough)
+            }
+          } else { sb.append(raw.charAt(i)); i += 1 }
+        }
+        sb.toString
       case None if required => sys.error(s"_metadata missing $key")
       case None => ""
     }

@@ -106,7 +106,10 @@ object GlobalRank {
                ELSE ${r}L + (rn - ${r * (q + 1)}L - 1L) div ${q}L + 1L END"""
     rk
       .withColumn("nt", expr(ntileExpr))
-      .withColumn("pr", (col("rk") - 1).cast("double") / lit(n - 1).cast("double"))
+      // single-row input: SQL percent_rank() is 0.0, not 0/0 = NaN
+      .withColumn("pr",
+        if (n <= 1) lit(0.0)
+        else (col("rk") - 1).cast("double") / lit(n - 1).cast("double"))
       .withColumn("cd",
         max(col("rn")).over(Window.partitionBy(keys: _*)).cast("double") /
           lit(n).cast("double"))

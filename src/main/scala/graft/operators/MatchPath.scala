@@ -110,8 +110,14 @@ object MatchPath {
     }
     val keyed = df
       .withColumn("__mp_sym", symIdx)
+      // injective group key: concat_ws silently DROPS null components, so
+      // ("a", null) and (null, "a") would land in one group (and an
+      // embedded separator char in a value could splice tuples); JSON
+      // keeps field names, escaping, and null distinctions
       .withColumn("__mp_pk",
-        concat_ws("", partCols.map(_.cast("string")): _*))
+        to_json(struct(partCols.zipWithIndex.map {
+          case (c, i) => c.cast("string").as(s"p$i")
+        }: _*)))
     val grouped = keyed.groupByKey(
       (r: Row) => r.getAs[String]("__mp_pk"))(Encoders.STRING)
     grouped.flatMapSortedGroups(sortCols: _*) { (_, rows) =>

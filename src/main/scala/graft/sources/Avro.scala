@@ -159,17 +159,26 @@ object Avro {
     if (fs.exists(out)) fs.delete(out, true): Unit
     fs.mkdirs(out): Unit
 
+    // the SESSION's Hadoop conf must travel to executors: a bare
+    // `new Configuration()` drops spark.hadoop.* settings (object-store
+    // credentials, etc.) that only exist in the session, not in site files
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val pid = TaskContext.getPartitionId()
         val schema = new Schema.Parser().parse(schemaJson)
-        // executor-side Configuration: loads the cluster's site configs from
-        // the executor classpath, so this works beyond local mode
-        val pfs = new Path(dir).getFileSystem(new Configuration())
+        val pfs = new Path(dir).getFileSystem(serConf.value)
+        // write-then-rename: duplicate attempts of one partition (retry
+        // racing a zombie, speculation) each produce a COMPLETE temp file
+        // and the atomic rename publishes one of them whole — a direct
+        // create on the final name could interleave two attempts' blocks
+        val uid = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new Path(dir, f".part-$pid%05d-$uid.avro.tmp")
         val file = new Path(dir, f"part-$pid%05d.avro")
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        writer.create(schema, pfs.create(file, true)): Unit
+        writer.create(schema, pfs.create(tmp, true)): Unit
         try rows.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
@@ -179,6 +188,8 @@ object Avro {
           }
           writer.append(rec)
         } finally writer.close()
+        if (pfs.exists(file)) pfs.delete(file, false): Unit
+        pfs.rename(tmp, file): Unit
       }
     }
 
@@ -212,12 +223,20 @@ object Avro {
       StructField(f.name, toSparkType(f.schema()), nullable = true)
     }.toArray)
     val fieldTypes = sparkSchema.fields.map(_.dataType)
+    // Hive's AvroSerDe historically writes timestamp-MILLIS; our writer
+    // emits micros. Both map to TimestampType, so the reader must scale
+    // by the FILE's logical type or external Hive files land near epoch.
+    val isMillis: Array[Boolean] = avroSchema.getFields.asScala.map { f =>
+      val u = unwrap(f.schema())
+      u.getLogicalType != null && u.getLogicalType.getName.endsWith("-millis")
+    }.toArray
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
 
     val rdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { file =>
         val reader = new DataFileReader[GenericRecord](
-          new FsInput(new Path(file), new Configuration()),
+          new FsInput(new Path(file), serConf.value),
           new GenericDatumReader[GenericRecord]())
         // stream records; close when the iterator drains AND on task
         // completion (limit/take stop consuming early and would otherwise
@@ -234,7 +253,13 @@ object Avro {
           }
           def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq(fieldTypes.indices.map(i => toSparkValue(rec.get(i), fieldTypes(i))))
+            Row.fromSeq(fieldTypes.indices.map { i =>
+              val v = rec.get(i) match {
+                case l: java.lang.Long if isMillis(i) => Long.box(l * 1000L)
+                case other => other
+              }
+              toSparkValue(v, fieldTypes(i))
+            })
           }
         }
       }

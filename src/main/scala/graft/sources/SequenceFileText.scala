@@ -35,13 +35,19 @@ object SequenceFileText {
       .sequenceFile(dir, classOf[BytesWritable], classOf[Text])
       .map(_._2.toString)
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, split, when}
     val ds: Dataset[String] = spark.createDataset(lines)
-    // LazySimpleSerDe has no quote/escape concept — disable both or a
-    // leading '"' in a field value would be parsed as a csv quote and
-    // swallow \x01 separators (silent field merging)
-    spark.read.schema(schema)
-      .option("sep", SEP).option("nullValue", "\\N")
-      .option("quote", "\u0000").option("escape", "\u0000")
-      .csv(ds)
+    // explicit split-and-cast, NOT the CSV reader: LazySimpleSerDe
+    // distinguishes an EMPTY field ('') from the \N null marker, while
+    // the csv parser returns null for unquoted empty fields no matter
+    // what — a written "" must round-trip as "", only \N as NULL.
+    // split limit -1 keeps trailing empty fields; a missing trailing
+    // field (short line) still reads as null via out-of-bounds access.
+    val arr = ds.select(
+      split(col("value"), java.util.regex.Pattern.quote(SEP), -1).as("f"))
+    arr.select(schema.fields.zipWithIndex.map { case (fld, i) =>
+      when(col("f")(i) === "\\N", lit(null))
+        .otherwise(col("f")(i)).cast(fld.dataType).as(fld.name)
+    }: _*)
   }
 }

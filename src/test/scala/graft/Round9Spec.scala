@@ -465,4 +465,65 @@ class Round9Spec extends SparkSpec {
       .selectExpr("CAST(d AS STRING)").collect().map(_.getString(0)).sorted
     assert(got.sameElements(Array("12.35", "7.50")), got.mkString(","))
   }
+
+  // ---- third review batch: grouping keys, serde round-trips, edges ------
+
+  test("matchpath partitions with null components never merge") {
+    import spark.implicits._
+    // two logical partitions: ("a", null) and (null, "a") — a separator
+    // join that drops nulls would fuse them into one sorted run and match
+    // the pattern ACROSS the partition boundary
+    val df = Seq(
+      (Some("a"), Option.empty[String], 1, 10),
+      (Some("a"), Option.empty[String], 2, 5),
+      (Option.empty[String], Some("a"), 3, 10),
+      (Option.empty[String], Some("a"), 4, 5)
+    ).toDF("p1", "p2", "seq", "v")
+    val out = operators.MatchPath.matchPathRows(spark, df,
+      partCols = Seq(col("p1"), col("p2")), sortCols = Seq(col("seq")),
+      pattern = "A.B",
+      symbols = Seq("A" -> (col("v") === 10), "B" -> (col("v") === 5)))
+    // each partition holds exactly one A followed by one B: 1 match per
+    // partition; a merged group would also match at the boundary rows
+    assert(out.count() == 2, out.collect().mkString(","))
+  }
+
+  test("sequencefile text round-trips empty string distinctly from NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("r9_seqempty").toString + "/t"
+    val df = Seq((1, Some("")), (2, None), (3, Some("x")))
+      .toDF("id", "s")
+    sources.SequenceFileText.write(df, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, s STRING")
+    val back = sources.SequenceFileText.read(spark, dir, schema)
+      .collect().map(r => (r.getInt(0), Option(r.get(1)).map(_.toString))).sorted
+    assert(back.toSeq == Seq((1, Some("")), (2, None), (3, Some("x"))), back.mkString(","))
+  }
+
+  test("global-rank distribution on a single row yields percent_rank 0.0") {
+    import spark.implicits._
+    val one = Seq((1L, 42.0)).toDF("id", "x")
+    val out = operators.GlobalRank.distribution(one,
+      keyOrder = Seq(col("x")), keys = Seq(col("x")),
+      tieBreak = Seq(col("id")), buckets = 4).select("pr").head()
+    assert(out.getDouble(0) == 0.0, out.getDouble(0))
+  }
+
+  test("avro read scales timestamp-millis files (Hive AvroSerDe parity)") {
+    // hand-write a container whose ts field is long + timestamp-millis
+    val dir = Files.createTempDirectory("r9_avms").toString
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+         {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""")
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    val f = new java.io.File(dir, "part-00000.avro")
+    w.create(schema, f): Unit
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put(0, 1700000000000L) // 2023-11-14T22:13:20Z in MILLIS
+    w.append(rec); w.close()
+    val got = sources.Avro.read(spark, dir)
+      .selectExpr("unix_timestamp(ts)").head().getLong(0)
+    assert(got == 1700000000L, s"$got — millis file misread as micros")
+  }
 }
