@@ -186,11 +186,11 @@ object Engine {
   // partition refuses DROP. OFFLINE (query-blocking) has no Spark-side
   // interception point for reads and is accepted as a warn no-op.
   private val protectRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)(\s+CASCADE)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)(\s+CASCADE)?\s*;?\s*""".r
   private val dropTableStmtRe =
-    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*""".r
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*(?:PURGE\s*)?;?\s*""".r
   private val dropPartExactRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\).*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\).*""".r
   private val dropDatabaseCascadeRe =
     """(?is)\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?(\w+)\s+CASCADE\s*;?\s*""".r
   // session-scoped protect-mode registry: tables and (table, partition
@@ -198,6 +198,10 @@ object Engine {
   private val noDropTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val noDropParts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // table keys protected with NO_DROP CASCADE: every partition of the
+  // table refuses DROP, not just the table object itself (protectmode.q)
+  private val noDropCascade =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** NO_DROP keys are FULLY QUALIFIED (db.table, lowercased) so
     * protecting `db.t` blocks `DROP TABLE t` under current database db
@@ -212,7 +216,7 @@ object Engine {
       // normalize textually so the guard neither throws on a legal DROP
       // nor misses a protected table spelled with its catalog prefix
       case _: Exception =>
-        val parts = table.toLowerCase.split('.')
+        val parts = table.toLowerCase.replace("`", "").split('.')
           .filterNot(_ == "spark_catalog").filter(_.nonEmpty)
         if (parts.length >= 2) parts.takeRight(2).mkString(".")
         else (spark.catalog.currentDatabase.toLowerCase +: parts).mkString(".")
@@ -452,7 +456,7 @@ object Engine {
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
   private val whenUpdateRe =
-    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+    """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
   private val whenDeleteRe =
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
   private val whenInsertRe =
@@ -512,7 +516,8 @@ object Engine {
     specs.foreach { spec =>
       val norm = spec.map { case (k, v) => s"${k.toLowerCase}=$v" }
         .toSeq.sorted.mkString(",")
-      require(!noDropParts.contains(qualName(spark, table) + "/" + norm),
+      require(!noDropParts.contains(qualName(spark, table) + "/" + norm) &&
+          !noDropCascade.contains(qualName(spark, table)),
         s"Partition ($norm) of $table is protected from being dropped (NO_DROP)")
     }
     specs.foreach { spec =>
@@ -866,13 +871,24 @@ object Engine {
     var deleteMatched = Option.empty[String]
     val bounds = whenPos :+ text.length
     bounds.sliding(2).map(w => text.substring(w(0), w(1)).trim).foreach {
-      case whenUpdateRe(assigns) =>
+      case whenUpdateRe(updPred, assigns) =>
+        // a conditional UPDATE (WHEN MATCHED AND pred) can only evaluate
+        // post-join — the predicate may mix sides and an unmet predicate
+        // must KEEP the target's value, which the source projection can't
+        // express — so fold the predicate into a post-join CASE
+        val pred = Option(updPred).map(unqualify(_, "__src_pj_"))
         splitAssignments(assigns).foreach { a =>
           val Array(k, v) = a.split("=", 2)
           val c = k.trim.substring(k.trim.lastIndexOf('.') + 1)
-          if (tRefRe.findFirstIn(v.trim).isDefined)
-            setPostJoin += c -> unqualify(v.trim, "__src_pj_")
-          else setExprs += c -> unqualify(v.trim, "")
+          (pred, tRefRe.findFirstIn(v.trim).isDefined) match {
+            case (Some(p), _) =>
+              setPostJoin += c ->
+                s"CASE WHEN ($p) THEN (${unqualify(v.trim, "__src_pj_")}) ELSE $c END"
+            case (None, true) =>
+              setPostJoin += c -> unqualify(v.trim, "__src_pj_")
+            case (None, false) =>
+              setExprs += c -> unqualify(v.trim, "")
+          }
         }
       case whenDeleteRe(pred) =>
         deleteMatched = Some(Option(pred).map(unqualify(_, "__src_pj_")).getOrElse("true"))
@@ -936,7 +952,12 @@ object Engine {
     var quote = ' '
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
+      if (quote != ' ') {
+        // skip the escaped char or \' would read as the closing quote and
+        // invert the quote state for the rest of the statement
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else { if (c == quote) quote = ' '; i += 1 }
+      }
       else c match {
         case '\'' | '"' => quote = c; i += 1
         case '(' => depth += 1; i += 1
@@ -962,17 +983,50 @@ object Engine {
     * their normal path, and unrelated statements keep strict checking.
     */
   private def insertWithHiveCasts(spark: SparkSession,
-      stmt: String): org.apache.spark.sql.DataFrame =
-    try spark.sql(stmt)
+      stmt: String): org.apache.spark.sql.DataFrame = {
+    def run(): org.apache.spark.sql.DataFrame =
+      try spark.sql(stmt)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
+          val key = "spark.sql.storeAssignmentPolicy"
+          val prev = spark.conf.get(key)
+          spark.conf.set(key, "LEGACY")
+          try spark.sql(stmt)
+          finally spark.conf.set(key, prev)
+      }
+    try run()
     catch {
+      // Hive allows INSERT OVERWRITE of a table that the query also reads
+      // (MoveTask stages the result before the move — union22.q rebuilds a
+      // partition from the table itself). Spark rejects the plan outright,
+      // so stage it: materialize the SELECT with a TRACKED checkpoint
+      // (breaking lineage to the target's scan; a bare localCheckpoint +
+      // Dataset.unpersist would leak its storage blocks — the round-4
+      // class), turn a static PARTITION spec into trailing constant
+      // columns, and insertInto under dynamic-overwrite mode. Living here
+      // gives EVERY insert route the fallback — FROM-first branches
+      // included, not just the plain statement shape.
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
-        val key = "spark.sql.storeAssignmentPolicy"
-        val prev = spark.conf.get(key)
-        spark.conf.set(key, "LEGACY")
-        try spark.sql(stmt)
-        finally spark.conf.set(key, prev)
+          if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
+        stmt match {
+          case insertBranchRe(mode, target, partSpec, select)
+              if mode.equalsIgnoreCase("OVERWRITE") =>
+            val staticCols = Option(partSpec).toSeq.flatMap(
+              _.split(",").toSeq.filter(_.contains("=")).map { kv =>
+                val Array(_, v) = kv.split("=", 2).map(_.trim); v
+              })
+            val sel = if (staticCols.isEmpty) select
+              else s"SELECT q.*, ${staticCols.mkString(", ")} FROM ($select) q"
+            val staged = graft.tools.Checkpoints.local(spark.sql(sel))
+            try staged.write.mode("overwrite").insertInto(target)
+            finally graft.tools.Checkpoints.release(staged)
+            spark.sql(s"REFRESH TABLE $target")
+            spark.emptyDataFrame
+          case _ => throw e
+        }
     }
+  }
 
   /** Multi-insert SQL text — `FROM src INSERT OVERWRITE TABLE t1 SELECT ...
     * INSERT INTO t2 SELECT ...` (reference parse/SemanticAnalyzer.java:8711
@@ -1089,7 +1143,10 @@ object Engine {
     var quote = ' '
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' ' }
+      if (quote != ' ') {
+        if (c == '\\' && i + 1 < s.length) i += 1 // skip the escaped char
+        else if (c == quote) quote = ' '
+      }
       else c match {
         case '\'' | '"' => quote = c
         case '(' => depth += 1
@@ -1180,10 +1237,13 @@ object Engine {
         if (onExpr.equalsIgnoreCase("rand()"))
           s"rand() * $y < 1" // random bucket: fraction 1/y, like the reference
         else {
-          val h = splitAssignments(onExpr)
-            .map(c => s"CAST($c AS BIGINT)")
-            .reduceLeft((a, b) => s"($a * 31 + $b)")
-          s"pmod($h, $y) = ${x - 1}"
+          // Hive buckets by (32-bit ObjectInspectorUtils.hashCode &
+          // Int.MaxValue) % y; the registered `hash` IS that exact chain
+          // (HiveHash, Engine.install), so use it instead of an unbounded
+          // BIGINT 31*a+b — which diverges on negative hashes (& masks
+          // the sign bit, pmod does not) and on 32-bit overflow
+          val h = s"hash(${splitAssignments(onExpr).mkString(", ")})"
+          s"(($h & 2147483647) % $y) = ${x - 1}"
         }
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT * FROM $tab WHERE $pred) AS $alias$tail")
@@ -1215,10 +1275,9 @@ object Engine {
         val keepAlias = aliasWord.filter(a => !sqlKeywords.contains(a.toUpperCase))
         val alias = keepAlias.getOrElse(tab.split('.').last)
         val tail = if (keepAlias.isEmpty) Option(m.group(4)).getOrElse("") else ""
-        val h = bucketCols.map(c => s"CAST($c AS BIGINT)")
-          .reduceLeft((a, b) => s"($a * 31 + $b)")
+        val h = s"hash(${bucketCols.mkString(", ")})"
         java.util.regex.Matcher.quoteReplacement(
-          s"(SELECT * FROM $tab WHERE pmod($h, $y) = ${x - 1}) AS $alias$tail")
+          s"(SELECT * FROM $tab WHERE (($h & 2147483647) % $y) = ${x - 1}) AS $alias$tail")
       }
     })
 
@@ -1807,7 +1866,9 @@ object Engine {
       }
       val provider = fmt match {
         case "TEXTFILE" =>
-          if (!opts.contains("sep")) opts += "sep" -> ""
+          // Hive default field delimiter is \001 — a dropped literal here
+          // made the default an EMPTY sep, which Spark CSV rejects
+          if (!opts.contains("sep")) opts += "sep" -> ""
           if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
           "csv"
         case "PARQUET" => "parquet"
@@ -2174,14 +2235,19 @@ object Engine {
           tableDmlSchema(spark, table), tableDmlPartCols(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
-      case protectRe(table, part, enable, mode, _) =>
+      case protectRe(table, part, enable, mode, cascade) =>
         val key = qualName(spark, table)
         if (mode.equalsIgnoreCase("OFFLINE")) {
           System.err.println(s"[graft] $enable OFFLINE accepted as no-op " +
             s"(no read-path interception; storage ACLs own access control)")
         } else if (part == null) {
-          if (enable.equalsIgnoreCase("ENABLE")) noDropTables.add(key)
-          else noDropTables.remove(key)
+          if (enable.equalsIgnoreCase("ENABLE")) {
+            noDropTables.add(key)
+            if (cascade != null) noDropCascade.add(key): Unit
+          } else {
+            noDropTables.remove(key)
+            noDropCascade.remove(key)
+          }
         } else {
           val pk = key + "/" + normSpec(part)
           if (enable.equalsIgnoreCase("ENABLE")) noDropParts.add(pk)
@@ -2193,7 +2259,8 @@ object Engine {
         sys.error(s"Table $table is protected from being dropped (NO_DROP); " +
           s"ALTER TABLE $table DISABLE NO_DROP first")
       case dropPartExactRe(table, spec)
-          if noDropParts.contains(qualName(spark, table) + "/" + normSpec(spec)) =>
+          if noDropParts.contains(qualName(spark, table) + "/" + normSpec(spec)) ||
+             noDropCascade.contains(qualName(spark, table)) =>
         sys.error(s"Partition ($spec) of $table is protected from being " +
           s"dropped (NO_DROP); DISABLE NO_DROP first")
       // CASCADE would drop protected tables inside the database wholesale
@@ -2327,34 +2394,10 @@ object Engine {
         try spark.sql(s"$prefix AS SELECT * FROM $tmp")
         finally spark.catalog.dropTempView(tmp)
       case _ =>
-        try insertWithHiveCasts(spark, stmt)
-        catch {
-          // Hive allows INSERT OVERWRITE of a table that the query also
-          // reads (MoveTask stages the result before the move — union22.q
-          // rebuilds a partition from the table itself). Spark rejects the
-          // plan outright, so stage it: materialize the SELECT with a
-          // localCheckpoint (breaking lineage to the target's scan), turn
-          // a static PARTITION spec into trailing constant columns, and
-          // insertInto under dynamic-overwrite mode.
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
-            stmt match {
-              case insertBranchRe(mode, target, partSpec, select)
-                  if mode.equalsIgnoreCase("OVERWRITE") =>
-                val staticCols = Option(partSpec).toSeq.flatMap(
-                  _.split(",").toSeq.filter(_.contains("=")).map { kv =>
-                    val Array(_, v) = kv.split("=", 2).map(_.trim); v
-                  })
-                val sel = if (staticCols.isEmpty) select
-                  else s"SELECT q.*, ${staticCols.mkString(", ")} FROM ($select) q"
-                val staged = spark.sql(sel).localCheckpoint(true)
-                try staged.write.mode("overwrite").insertInto(target)
-                finally staged.unpersist()
-                spark.sql(s"REFRESH TABLE $target")
-                spark.emptyDataFrame
-              case _ => throw e
-            }
-        }
+        // the self-read INSERT OVERWRITE staging and the Hive implicit-cast
+        // retry both live inside insertWithHiveCasts so every insert route
+        // (plain and FROM-first branches) shares them
+        insertWithHiveCasts(spark, stmt)
     }
   }
 

@@ -10,18 +10,21 @@ class Round7Spec extends SparkSpec {
 
   // ---- TABLESAMPLE(BUCKET x OUT OF y ON cols) text rewrite ----
 
-  test("rewriteBucketSample rewrites the ON-cols form into a pmod filter") {
+  test("rewriteBucketSample rewrites the ON-cols form into a Hive-hash filter") {
     val got = Engine.rewriteBucketSample(
       "SELECT * FROM src TABLESAMPLE(BUCKET 1 OUT OF 2 ON key) WHERE v > 0")
+    // (hash & Int.MaxValue) % y — ObjectInspectorUtils.getBucketNumber;
+    // the registered `hash` is the exact 32-bit Hive chain, and the mask
+    // (not pmod) handles negative hashes the way Hive does
     assert(got ==
-      "SELECT * FROM (SELECT * FROM src WHERE pmod(CAST(key AS BIGINT), 2) = 0) AS src WHERE v > 0",
+      "SELECT * FROM (SELECT * FROM src WHERE ((hash(key) & 2147483647) % 2) = 0) AS src WHERE v > 0",
       got)
   }
 
   test("rewriteBucketSample keeps an explicit alias and combines columns Hive-style") {
     val got = Engine.rewriteBucketSample(
       "SELECT s.k FROM src TABLESAMPLE(BUCKET 3 OUT OF 5 ON k, v) AS s")
-    assert(got.contains("pmod((CAST(k AS BIGINT) * 31 + CAST(v AS BIGINT)), 5) = 2"), got)
+    assert(got.contains("((hash(k, v) & 2147483647) % 5) = 2"), got)
     assert(got.contains(") AS s"), got)
   }
 

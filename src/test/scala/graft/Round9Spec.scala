@@ -526,4 +526,77 @@ class Round9Spec extends SparkSpec {
       .selectExpr("unix_timestamp(ts)").head().getLong(0)
     assert(got == 1700000000L, s"$got — millis file misread as micros")
   }
+
+  // ---- fourth review batch: merge predicates, protect mode, escaping ----
+
+  test("MERGE WHEN MATCHED AND pred THEN UPDATE applies conditionally") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_cupd")
+    d("CREATE TABLE r9_cupd (k INT, v STRING, flag INT)")
+    d("INSERT INTO r9_cupd VALUES (1, 'a', 0), (2, 'b', 0)")
+    spark.sql("SELECT * FROM VALUES (1, 'A', 1), (2, 'B', 0) AS s(k, v, flag)")
+      .createOrReplaceTempView("r9_cupd_src")
+    d("""MERGE INTO r9_cupd t USING r9_cupd_src s ON t.k = s.k
+         WHEN MATCHED AND s.flag = 1 THEN UPDATE SET v = s.v""")
+    val got = spark.table("r9_cupd").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted
+    // only the flag=1 source row updates; the other keeps the target value
+    assert(got.sameElements(Array((1, "A"), (2, "b"))), got.mkString(","))
+    d("DROP TABLE r9_cupd")
+  }
+
+  test("escaped quote inside an UPDATE SET literal does not swallow the comma") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_esc")
+    d("CREATE TABLE r9_esc (k INT, a STRING, b INT)")
+    d("INSERT INTO r9_esc VALUES (1, 'old', 0)")
+    d("UPDATE r9_esc SET a = 'x\\'y', b = 2 WHERE k = 1")
+    val r = spark.table("r9_esc").head()
+    assert(r.getString(1) == "x'y" && r.getInt(2) == 2, r.toString)
+    d("DROP TABLE r9_esc")
+  }
+
+  test("NO_DROP CASCADE protects partitions; backticked DROP is still guarded") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_casc")
+    d("CREATE TABLE r9_casc (k INT) PARTITIONED BY (p STRING)")
+    d("INSERT INTO r9_casc PARTITION (p='a') VALUES (1)")
+    d("ALTER TABLE r9_casc ENABLE NO_DROP CASCADE")
+    // cascade reaches the partitions, not just the table object
+    intercept[Exception](d("ALTER TABLE r9_casc DROP PARTITION (p='a')"))
+    // a backtick-quoted name must not slip past the table guard
+    intercept[Exception](d("DROP TABLE `r9_casc`"))
+    d("ALTER TABLE r9_casc DISABLE NO_DROP")
+    d("ALTER TABLE r9_casc DROP PARTITION (p='a')")
+    d("DROP TABLE r9_casc")
+  }
+
+  test("FROM-first INSERT OVERWRITE of a table the query reads stages correctly") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r9_self")
+    d("CREATE TABLE r9_self (k INT)")
+    d("INSERT INTO r9_self VALUES (1), (2), (3)")
+    // the union22.q shape through the FROM-first route
+    d("FROM r9_self INSERT OVERWRITE TABLE r9_self SELECT k + 10")
+    val got = spark.table("r9_self").collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(Array(11, 12, 13)), got.mkString(","))
+    d("DROP TABLE r9_self")
+  }
+
+  test("INSERT OVERWRITE DIRECTORY STORED AS TEXTFILE uses the \\001 delimiter") {
+    val dir = Files.createTempDirectory("r9_iod").toString + "/out"
+    Engine.ddl(spark,
+      s"INSERT OVERWRITE DIRECTORY '$dir' STORED AS TEXTFILE " +
+        "SELECT 1 AS a, 'x' AS b")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val line = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }.head
+    assert(line == "1x", line.replace('', '|'))
+  }
 }
