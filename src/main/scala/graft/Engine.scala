@@ -989,11 +989,23 @@ object Engine {
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
-          val key = "spark.sql.storeAssignmentPolicy"
-          val prev = spark.conf.get(key)
-          spark.conf.set(key, "LEGACY")
-          try spark.sql(stmt)
-          finally spark.conf.set(key, prev)
+          // retry on a CLONED session so the permissive policy is truly
+          // statement-scoped: flipping the shared session conf would let a
+          // concurrently-executing statement momentarily run with
+          // silently-nulling casts. The clone shares the external catalog
+          // (the INSERT lands in the same tables) and snapshots temp views.
+          val cloned = org.apache.spark.sql.GraftSessionClone.cloneSession(spark)
+          cloned.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+          val res = cloned.sql(stmt)
+          // the clone invalidated ITS relation cache; refresh the target in
+          // the caller's session too so it doesn't serve a stale file list
+          stmt match {
+            case insertBranchRe(_, target, _, _) =>
+              try { spark.sql(s"REFRESH TABLE $target"): Unit }
+              catch { case _: Exception => () }
+            case _ => ()
+          }
+          res
       }
     try run()
     catch {
@@ -1140,12 +1152,12 @@ object Engine {
     var depth = 0
     var start = 0
     var i = 0
-    var quote = ' '
+    var quote = '\u0000'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') {
+      if (quote != '\u0000') {
         if (c == '\\' && i + 1 < s.length) i += 1 // skip the escaped char
-        else if (c == quote) quote = ' '
+        else if (c == quote) quote = '\u0000'
       }
       else c match {
         case '\'' | '"' => quote = c
@@ -1795,7 +1807,7 @@ object Engine {
     s = s.replaceAll("(?i)\\bEXTERNAL\\s+", "")
     val provider = fmt match {
       case "TEXTFILE" =>
-        if (!opts.contains("sep")) opts += "sep" -> ""
+        if (!opts.contains("sep")) opts += "sep" -> "\u0001"
         if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
         "csv"
       case "OPENCSV"  => "csv"
@@ -1868,7 +1880,7 @@ object Engine {
         case "TEXTFILE" =>
           // Hive default field delimiter is \001 — a dropped literal here
           // made the default an EMPTY sep, which Spark CSV rejects
-          if (!opts.contains("sep")) opts += "sep" -> ""
+          if (!opts.contains("sep")) opts += "sep" -> "\u0001"
           if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
           "csv"
         case "PARQUET" => "parquet"
@@ -2084,7 +2096,7 @@ object Engine {
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
         val opts = if (provider == "csv")
-          " OPTIONS (sep = '', nullValue = '\\\\N')" else ""
+          " OPTIONS (sep = '\u0001', nullValue = '\\\\N')" else ""
         val partBy = if (meta.partitionColumnNames.nonEmpty)
           meta.partitionColumnNames.mkString(" PARTITIONED BY (", ", ", ")")
         else ""

@@ -69,16 +69,23 @@ object ExportImport {
     // partition dirs copy recursively, preserving the layout. The
     // DESTINATION resolves its own FileSystem — source and target may live
     // on different stores (the operator's cross-warehouse purpose).
-    // Committer droppings (_SUCCESS, .crc FILES) are skipped, but partition
-    // DIRECTORIES pass through whatever their name (a partition column
-    // could legally start with an underscore).
+    // Committer droppings (_SUCCESS, .crc FILES) are skipped. Partition
+    // DIRECTORIES pass through even with a leading underscore (a partition
+    // column can legally start with one) — but known committer staging
+    // directories a failed export job could leave behind (_temporary,
+    // .spark-staging-*, .hive-staging*) are excluded by exact name so they
+    // are never byte-copied into the imported table.
+    val committerDirs: String => Boolean = n =>
+      n == "_temporary" || n.startsWith(".spark-staging") ||
+        n.startsWith(".hive-staging") || n == "_SUCCESS"
     val target = new Path(location)
     val df2 = target.getFileSystem(spark.sessionState.newHadoopConf())
     df2.mkdirs(target)
     f.listStatus(new Path(dir, "data"))
       .filter { st =>
         val n = st.getPath.getName
-        st.isDirectory || (!n.startsWith("_") && !n.startsWith("."))
+        if (st.isDirectory) !committerDirs(n)
+        else !n.startsWith("_") && !n.startsWith(".")
       }
       .foreach { st =>
         FileUtil.copy(f, st.getPath, df2, new Path(target, st.getPath.getName),

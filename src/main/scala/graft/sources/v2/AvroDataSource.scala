@@ -298,6 +298,12 @@ class AvroWriteBuilder(path: String, schema: StructType)
   // truncate-and-write
   override def overwrite(
       filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    // only a whole-table overwrite is expressible on a flat table; if the
+    // planner ever pushes a real row filter, failing loudly beats silently
+    // deleting the non-matching rows
+    val real = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    require(real.isEmpty,
+      s"graft-avro supports only full-table overwrite, got filters: ${real.mkString(", ")}")
     doTruncate = true; this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {

@@ -267,6 +267,11 @@ class SeqWriteBuilder(path: String, schema: StructType, partitioned: Boolean)
     require(!partitioned,
       "graft-seq: partitioned INSERT OVERWRITE is not supported; use an" +
         " unpartitioned sequencefile table or a partitioned parquet table")
+    // a pushed row filter would demand partial overwrite this flat writer
+    // can't honor — failing loudly beats silently truncating everything
+    val real = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    require(real.isEmpty,
+      s"graft-seq supports only full-table overwrite, got filters: ${real.mkString(", ")}")
     doTruncate = true; this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {

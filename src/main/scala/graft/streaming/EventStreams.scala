@@ -80,23 +80,33 @@ object EventStreams {
   /** Streaming multi-sink fan-out via foreachBatch: each micro-batch is
     * routed through the batch MultiInsert operator (one cached pass, N
     * sinks) — the streaming face of Hive's multi-insert.
+    *
+    * Idempotent under at-least-once replay: foreachBatch may re-deliver a
+    * batch whose sink write completed but whose checkpoint commit did not.
+    * Each batch therefore lands in its own `batch_id=<id>` subdirectory
+    * with OVERWRITE — a replay rewrites the same subdirectory instead of
+    * appending a duplicate copy. Readers see the union transparently via
+    * parquet partition discovery (`spark.read.parquet(dir)` — the extra
+    * `batch_id` partition column identifies provenance).
     */
   def fanOutStream(events: DataFrame, highDir: String, lowDir: String,
                    checkpointDir: String): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // first batch overwrites (clean bootstrap), later batches APPEND —
-        // a per-batch overwrite would silently keep only the LAST
-        // micro-batch whenever the source splits a run into several
-        // (file-source per-trigger caps do exactly that under AvailableNow)
-        graft.operators.MultiInsert.fanOut(batch.toDF(), Seq(
-          highDir -> ((df: DataFrame) => df.filter(col("value") > 10)),
-          lowDir -> ((df: DataFrame) => df.filter(col("value") <= 10))),
-          append = batchId > 0)
+        fanOutBatch(batch.toDF(), highDir, lowDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One fan-out micro-batch write — exposed so replay idempotency is
+    * testable (calling twice with the same batchId must be a no-op).
+    */
+  private[graft] def fanOutBatch(batch: DataFrame, highDir: String,
+                                 lowDir: String, batchId: Long): Unit =
+    graft.operators.MultiInsert.fanOut(batch, Seq(
+      s"$highDir/batch_id=$batchId" -> ((df: DataFrame) => df.filter(col("value") > 10)),
+      s"$lowDir/batch_id=$batchId" -> ((df: DataFrame) => df.filter(col("value") <= 10))))
 
   /** Streaming upsert sink: every micro-batch MERGEs into a copy-on-write
     * parquet table — the CDC-into-lakehouse pattern. Each batch is first

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-10 gates: the r9 advisor fixes (fan-out replay idempotency lives
+  * in StreamingSpec; import committer-artifact exclusion, DSv2 filtered
+  * overwrite guard, statement-scoped permissive-cast retry here) plus the
+  * round's Hive-semantics closures.
+  */
+class Round10Spec extends SparkSpec {
+
+  // ---- IMPORT excludes committer staging directories ---------------------
+
+  test("IMPORT skips _temporary/.spark-staging droppings in the export") {
+    import spark.implicits._
+    val exp = Files.createTempDirectory("r10_exp").toString
+    val loc = Files.createTempDirectory("r10_imp").toString + "/t"
+    operators.ExportImport.exportTable(
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), exp, partitionBy = Seq("v"))
+    // simulate a failed committer leaving staging junk under data/
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    for (junk <- Seq("_temporary/0/task_1", ".spark-staging-abc/p",
+        ".hive-staging_hive_1/x")) {
+      val d = new org.apache.hadoop.fs.Path(s"$exp/data/$junk")
+      fs.mkdirs(d)
+      val f = fs.create(new org.apache.hadoop.fs.Path(d, "part-junk.parquet"))
+      f.write(Array[Byte](1, 2, 3)); f.close()
+    }
+    spark.sql("DROP TABLE IF EXISTS r10_imp")
+    val got = operators.ExportImport.importTable(spark, exp, "r10_imp", loc)
+    assert(got.count() == 2)
+    // the junk directories must not have been byte-copied into the table
+    val copied = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .map(_.getPath.getName).toSet
+    assert(!copied.exists(n => n == "_temporary" || n.startsWith(".spark-staging")
+      || n.startsWith(".hive-staging")), copied.mkString(", "))
+    // underscore-prefixed PARTITION dirs still pass through (v=_x is legal)
+    assert(copied.exists(_.startsWith("v=")))
+    spark.sql("DROP TABLE r10_imp")
+  }
+
+  // ---- DSv2 overwrite refuses a pushed row filter ------------------------
+
+  test("graft-avro/graft-seq overwrite(filters) rejects real filters") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT")
+    val avroB = new sources.v2.AvroWriteBuilder("/tmp/never", schema)
+    // AlwaysTrue (whole-table) is the planner's no-op filter: accepted
+    avroB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue))
+    val e1 = intercept[IllegalArgumentException](
+      avroB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("id", 1))))
+    assert(e1.getMessage.contains("full-table overwrite"))
+
+    val seqB = new sources.v2.SeqWriteBuilder("/tmp/never", schema,
+      partitioned = false)
+    seqB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue))
+    val e2 = intercept[IllegalArgumentException](
+      seqB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("id", 1))))
+    assert(e2.getMessage.contains("full-table overwrite"))
+  }
+
+  // ---- permissive-cast retry is statement-scoped (cloned session) --------
+
+  test("narrowing-insert retry does not flip the shared session policy") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_narrow")
+    d("CREATE TABLE r10_narrow (k INT)")
+    assert(spark.conf.get("spark.sql.storeAssignmentPolicy") != "LEGACY")
+    // string literal into INT column → CANNOT_SAFELY_CAST → cloned-session
+    // retry under LEGACY; the calling session's conf must never change
+    d("INSERT INTO r10_narrow SELECT '4' || '2'")
+    assert(spark.conf.get("spark.sql.storeAssignmentPolicy") != "LEGACY")
+    assert(spark.table("r10_narrow").collect().map(_.getInt(0)).toSeq == Seq(42))
+    d("DROP TABLE r10_narrow")
+  }
+}

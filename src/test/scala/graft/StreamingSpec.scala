@@ -108,6 +108,23 @@ class StreamingSpec extends SparkSpec {
     assert(nLo == src.filter(col("value") <= 10).count())
   }
 
+  test("fan-out batch write is idempotent under at-least-once replay") {
+    val hi = java.nio.file.Files.createTempDirectory("fan_hi2").toString
+    val lo = java.nio.file.Files.createTempDirectory("fan_lo2").toString
+    val batch = Tables.t(spark, sf, "events").limit(50)
+    EventStreams.fanOutBatch(batch, hi, lo, 7L)
+    val nHi = spark.read.parquet(hi).count()
+    val nLo = spark.read.parquet(lo).count()
+    // foreachBatch may re-deliver batch 7 if the sink write finished but
+    // the checkpoint commit did not — the second delivery must be a no-op
+    EventStreams.fanOutBatch(batch, hi, lo, 7L)
+    assert(spark.read.parquet(hi).count() == nHi)
+    assert(spark.read.parquet(lo).count() == nLo)
+    // a genuinely new batch still lands (per-batch subdir, not truncate-all)
+    EventStreams.fanOutBatch(batch, hi, lo, 8L)
+    assert(spark.read.parquet(hi).count() == 2 * nHi)
+  }
+
   test("flatMapGroupsWithState emits exactly the completed sessions") {
     val stream = EventStreams.completedSessions(spark,
       EventStreams.readEvents(spark, eventsDir))
