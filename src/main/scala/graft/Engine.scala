@@ -21,6 +21,10 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // Hive comparison/cast semantics Spark resolves differently
+      // (compare-via-double, non-empty-string-is-true) — see
+      // plans/HiveSemantics.scala
+      .withExtensions(new graft.plans.GraftExtensions)
       // local[n]: match cores, not the 200 default; clusters re-tune or
       // rely on AQE coalescing
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Hive comparison/cast semantics Spark resolves differently — the last
+  * two places a migrating script could silently get a different answer
+  * (round-9 verdict items 1–2), closed as analyzer resolution rules.
+  *
+  * Installed via [[GraftExtensions]] (`Engine.session` builds with it).
+  */
+object HiveSemantics {
+
+  /** String↔numeric comparison compares via DOUBLE, exactly the
+    * reference's rule: ql/.../exec/FunctionRegistry.java:702
+    * getCommonClassForComparison — "When we are comparing string and
+    * double, we will always convert both of them to double and then
+    * compare" (string is in the numeric group as double, :584-585). So
+    * `'1e2' = 100` is TRUE; Spark instead casts the string to the numeric
+    * side's type and yields NULL for scientific-notation strings.
+    *
+    * Scale note: a bare double-cast on the column side would defeat
+    * parquet filter pushdown for the very common `int_col = '42'` shape,
+    * so when the string side is foldable and its double value is exactly
+    * representable in a byte/short/int other side, the comparison is
+    * refined back into the column's native integer domain — provably
+    * equivalent to the double compare (every int is exact in double) and
+    * pushdown-friendly. Long columns are NOT refined: beyond 2^53 the
+    * Hive double compare itself rounds (`cast(2^53+1 AS DOUBLE) =
+    * cast(2^53 AS DOUBLE)` is TRUE) and an integer compare would diverge.
+    */
+  object CompareViaDouble extends Rule[LogicalPlan] {
+    private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+    /** Strip a single coercion-inserted string↔numeric cast (never a
+      * user-written CAST — Hive casts string→int the same strict way
+      * Spark does, only bare comparisons go via double).
+      */
+    private def orig(e: Expression): Expression = e match {
+      case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+          ((c.child.dataType == StringType && isNum(c.dataType)) ||
+            (isNum(c.child.dataType) && c.dataType == StringType)) => c.child
+      case _ => e
+    }
+
+    private def toDouble(e: Expression): Expression =
+      if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+
+    /** Exact-int refinement: string literal whose double value is an
+      * in-range integer vs a byte/short/int operand → compare natively
+      * (pushdown survives). Returns None when the double path is required
+      * for Hive-exact semantics.
+      */
+    private def refineLiteral(strSide: Expression,
+        numType: DataType): Option[Literal] = {
+      if (!strSide.foldable) return None
+      val d = Cast(strSide, DoubleType).eval(null)
+      d match {
+        case v: java.lang.Double
+            if !v.isNaN && !v.isInfinite && v.doubleValue == math.rint(v.doubleValue) =>
+          val dv = v.doubleValue
+          numType match {
+            case ByteType if dv >= Byte.MinValue && dv <= Byte.MaxValue =>
+              Some(Literal(dv.toByte, ByteType))
+            case ShortType if dv >= Short.MinValue && dv <= Short.MaxValue =>
+              Some(Literal(dv.toShort, ShortType))
+            case IntegerType if dv >= Int.MinValue && dv <= Int.MaxValue =>
+              Some(Literal(dv.toInt, IntegerType))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveExpressions {
+      // both-sides-double is the rule's own fixed point (and the one case
+      // where Spark's coercion already matches Hive) — never touch it, or
+      // the analyzer's fixed-point batch would oscillate on timezone tags
+      case b: BinaryComparison if b.left.resolved && b.right.resolved &&
+          !(b.left.dataType == DoubleType && b.right.dataType == DoubleType) =>
+        val (lo, ro) = (orig(b.left), orig(b.right))
+        (lo.dataType, ro.dataType) match {
+          case (StringType, rt) if isNum(rt) =>
+            refineLiteral(lo, rt) match {
+              case Some(lit) => b.withNewChildren(Seq(lit, ro))
+              case None => b.withNewChildren(Seq(toDouble(lo), toDouble(ro)))
+            }
+          case (lt, StringType) if isNum(lt) =>
+            refineLiteral(ro, lt) match {
+              case Some(lit) => b.withNewChildren(Seq(lo, lit))
+              case None => b.withNewChildren(Seq(toDouble(lo), toDouble(ro)))
+            }
+          case _ => b
+        }
+    }
+  }
+
+  /** CAST(string AS BOOLEAN) is Hive's "any non-empty string is true":
+    * serde/.../primitive/PrimitiveObjectInspectorUtils.java:502 getBoolean
+    * — `result = s.length() != 0`, so 'false' → TRUE and '' → FALSE (NULL
+    * stays NULL via length's null propagation). Spark parses
+    * true/false/numerics and yields NULL otherwise — a silent drift for
+    * `WHERE flag_col` over legacy text tables. Applies to explicit casts
+    * too: that IS the reference's cast.
+    */
+  object StringBooleanCast extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveExpressions {
+      case c: Cast if c.child.resolved && c.child.dataType == StringType &&
+          c.dataType == BooleanType =>
+        GreaterThan(Length(c.child), Literal(0))
+    }
+  }
+}

@@ -63,6 +63,10 @@ case class StatsAnswerRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => StatsAnswerRule(session))
+    // Hive comparison/cast semantics (see HiveSemantics.scala)
+    e.injectResolutionRule(_ => HiveSemantics.CompareViaDouble)
+    e.injectResolutionRule(_ => HiveSemantics.StringBooleanCast)
+  }
 }

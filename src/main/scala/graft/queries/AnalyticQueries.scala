@@ -330,11 +330,20 @@ object AnalyticQueries {
       Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
              FROM lineitem WHERE l_orderkey % 7 = 3 GROUP BY l_returnflag""")),
 
-    // ---- seeded random sample (df.sample; no SQL oracle — rows-only) ----
+    // ---- seeded reproducible sample (content-hash Bernoulli) ----
+    // Position-based .sample(seed) silently changes its kept set whenever
+    // split planning changes (file growth, executor count) — useless as a
+    // REPRODUCIBLE 100 TB sample. The scale-correct seeded sample gates on
+    // a content hash of the row key (the same principle as the reference's
+    // TABLESAMPLE(BUCKET ON col), ql/.../parse/SplitSample.java percent
+    // sampling being the non-reproducible alternative), so the kept set is
+    // a pure function of the data — and exactly oracle-able through the
+    // XxhOracle xxhash64 port (seed 42; 10% keep via pmod 10).
     Q("q43_sample_random", (s, d) =>
-      t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+      t(s, d, "lineitem")
+        .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) === 0)
         .agg(count(lit(1)).as("n"), round(avg("l_quantity"), 2).as("avg_qty")),
-      None),
+      Some(XxhOracle.q43)),
 
     // ---- top-k bigrams (Hive ngrams UDAF re-expressed with array built-ins) ----
     Q("q44_ngrams", (s, d) =>

@@ -147,6 +147,33 @@ SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
   }
 
+  /** q43: content-hash Bernoulli sample — keep rows where
+    * `pmod(xxhash64(l_orderkey, l_linenumber), 10) = 0`. Spark's multi-arg
+    * xxhash64 folds left from seed 42: h = hashLong(l_orderkey, 42) then
+    * hashInt(l_linenumber, h) (l_orderkey is int64, l_linenumber int32 in
+    * the parquet). Staged one round per CTE — the same no-CSE discipline
+    * as d02/d03; pmod is over the SIGNED value, like Spark's.
+    */
+  val q43: String = macros + """
+WITH h0 AS (SELECT l_quantity, l_linenumber,
+    gx_wstep(gx_a64(42, 2870177450012600269), gx_unsigned(l_orderkey)) AS h
+  FROM lineitem),
+h1 AS (SELECT l_quantity, l_linenumber, gx_m64(xor(h, h >> 33), 14029467366897019727) AS h FROM h0),
+h2 AS (SELECT l_quantity, l_linenumber, gx_m64(xor(h, h >> 29), 1609587929392839161) AS h FROM h1),
+h3 AS (SELECT l_quantity, l_linenumber, xor(h, h >> 32) AS h FROM h2),
+i0 AS (SELECT l_quantity, gx_step4(gx_a64(h, 2870177450012600265),
+    CAST(l_linenumber AS UBIGINT) & 4294967295) AS h FROM h3),
+i1 AS (SELECT l_quantity, gx_m64(xor(h, h >> 33), 14029467366897019727) AS h FROM i0),
+i2 AS (SELECT l_quantity, gx_m64(xor(h, h >> 29), 1609587929392839161) AS h FROM i1),
+i3 AS (SELECT l_quantity, xor(h, h >> 32) AS h FROM i2),
+fin AS (SELECT l_quantity,
+    CASE WHEN ((gx_signed(h) % 10) + 10) % 10 = 0 THEN 1 ELSE 0 END AS keep
+  FROM i3)
+SELECT CAST(sum(keep) AS BIGINT) AS n,
+       round(sum(l_quantity * keep) / sum(keep), 2) AS avg_qty
+FROM fin
+"""
+
   /** d03: 64-bit SimHash from the same shingle hashes, 16-bit band
     * blocking, hamming <= 16 — Dedup.simhashPairs(maxHamming = 16).
     * 2^b stays exact through power(): every power of two is an exact

@@ -1,8 +1,9 @@
 -- implicit_cast1.q / type-coercion battery (ANSI off, Hive-permissive).
--- Known divergence pinned here: Hive compares string-vs-int via DOUBLE
--- ('1e2' = 100 is TRUE); Spark casts the string to the integer side, so
--- scientific-notation strings compare NULL (sci_eq_i below). Arithmetic
--- ('5'+3) does coerce through double on both engines.
+-- String-vs-numeric comparison goes via DOUBLE, matching the reference's
+-- FunctionRegistry.java:702 getCommonClassForComparison ('1e2' = 100 is
+-- TRUE — sci_eq_i below; closed by plans/HiveSemantics.CompareViaDouble
+-- in round 10). Junk strings still NULL out through the double cast.
+-- Arithmetic ('5'+3) coerces through double on both engines.
 SELECT
   '10' = 10 AS s_eq_i,
   '1e2' = 100 AS sci_eq_i,

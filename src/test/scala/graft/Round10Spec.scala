@@ -60,6 +60,68 @@ class Round10Spec extends SparkSpec {
     assert(e2.getMessage.contains("full-table overwrite"))
   }
 
+  // ---- Hive compare-via-double (FunctionRegistry.java:702) ---------------
+
+  test("string vs numeric comparison goes via double, Hive-style") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql").collect()(0).get(0)
+    // the round-8/9 pinned divergence, now Hive semantics: '1e2' = 100
+    assert(one("'1e2' = 100") == true)
+    assert(one("'1e2' = 100L") == true)
+    assert(one("'1e2' = CAST(100 AS SMALLINT)") == true)
+    assert(one("'100.0' = 100") == true)
+    assert(one("'1e2' <> 100") == false)
+    assert(one("'1e2' > 99") == true)
+    assert(one("'9.9e1' < 100") == true)
+    assert(one("100 = '1e2'") == true)
+    assert(one("100 >= '1e2'") == true)
+    assert(one("'2.5e-1' = 0.25D") == true)
+    // garbage strings: double-cast NULLs out, comparison is NULL
+    assert(one("'abc' = 100") == null)
+    assert(one("'abc' > 100") == null)
+    // plain numeric strings behave as before
+    assert(one("'100' = 100") == true)
+    assert(one("'99' < 100") == true)
+    // user-written CAST keeps strict cast-then-compare semantics (Hive
+    // casts string→int the same way; only BARE comparisons go via double)
+    assert(one("CAST('1e2' AS INT) = 100") == null)
+    // string vs string still compares as string
+    assert(one("'1e2' = '100'") == false)
+  }
+
+  test("compare-via-double holds on columns, joins and filters") {
+    import spark.implicits._
+    Seq(("1e2", 100), ("abc", 5), ("07", 7), ("2.0", 2))
+      .toDF("s", "n").createOrReplaceTempView("r10_cmp")
+    // filter: s = n via double → 1e2/07/2.0 match, abc is NULL
+    assert(spark.sql("SELECT count(*) FROM r10_cmp WHERE s = n")
+      .collect()(0).getLong(0) == 3)
+    // literal-refined shape keeps the integer domain (pushdown-safe):
+    // plan must compare n natively, not cast the column to double
+    val plan = spark.sql("SELECT * FROM r10_cmp WHERE n = '42'")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cast(n"), plan)
+    // refinement is value-exact: '42.5' vs int can't refine, goes double
+    assert(spark.sql("SELECT count(*) FROM r10_cmp WHERE n > '6.5'")
+      .collect()(0).getLong(0) == 2) // 100 and 7
+  }
+
+  // ---- Hive CAST(string AS BOOLEAN): non-empty is true -------------------
+
+  test("string->boolean cast is length<>0, Hive-style") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql").collect()(0).get(0)
+    // PrimitiveObjectInspectorUtils.java:502: any non-empty string is true
+    assert(one("CAST('false' AS BOOLEAN)") == true)
+    assert(one("CAST('0' AS BOOLEAN)") == true)
+    assert(one("CAST('' AS BOOLEAN)") == false)
+    assert(one("CAST(NULL AS STRING) IS NULL AND CAST(CAST(NULL AS STRING) AS BOOLEAN) IS NULL") == true)
+    assert(one("CAST('anything' AS BOOLEAN)") == true)
+    // the implicit-filter shape over a legacy text flag column
+    import spark.implicits._
+    Seq("y", "", "false", "0").toDF("flag").createOrReplaceTempView("r10_flags")
+    assert(spark.sql("SELECT count(*) FROM r10_flags WHERE CAST(flag AS BOOLEAN)")
+      .collect()(0).getLong(0) == 3)
+  }
+
   // ---- permissive-cast retry is statement-scoped (cloned session) --------
 
   test("narrowing-insert retry does not flip the shared session policy") {
