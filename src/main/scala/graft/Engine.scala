@@ -535,20 +535,21 @@ object Engine {
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString
 
   /** Explicit read schema for the copy-on-write engine on tables whose
-    * format does not self-describe: a graft-seq directory read without a
-    * schema infers c0..cN strings, so DML must carry the catalog's data
-    * schema (partition columns excluded — they live in directory names,
-    * not lines). Self-describing formats return null (inference is exact
-    * and partition discovery must stay on). */
+    * format or layout does not self-describe: graft-seq lines infer
+    * c0..cN strings without the catalog schema, and a PARTITIONED
+    * graft-avro table can't infer its partition-column types from the
+    * container files. Both get the catalog's FULL schema (the sources
+    * answer partition columns from directory names via the `partitions`
+    * option). Self-describing unpartitioned formats return null. */
   private def tableDmlSchema(spark: SparkSession, table: String)
-      : org.apache.spark.sql.types.StructType =
-    if (tableFormat(spark, table) != "graft-seq") null
-    else {
-      val m = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      org.apache.spark.sql.types.StructType(
-        m.schema.filterNot(f => m.partitionColumnNames.contains(f.name)))
-    }
+      : org.apache.spark.sql.types.StructType = {
+    val fmt = tableFormat(spark, table)
+    val m = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    if (fmt == "graft-seq" ||
+        (fmt == "graft-avro" && m.partitionColumnNames.nonEmpty)) m.schema
+    else null
+  }
 
   /** Datasource provider of `table`, for the copy-on-write engine: DML on
     * a STORED AS ORC/AVRO table must rewrite files in the table's own
@@ -559,19 +560,14 @@ object Engine {
       .provider.map(_.toLowerCase).filterNot(_ == "hive").getOrElse("parquet")
 
   /** Partition columns of `table`, for the copy-on-write engine's
-    * partition-aware rewrite. Row-level DML on a PARTITIONED graft-seq/
-    * graft-avro table is rejected outright: those sources read a flat
-    * directory (no partition-value discovery), so a rewrite would flatten
-    * the layout — the same data-loss class the COMPACT guard rejects. */
-  private def tableDmlPartCols(spark: SparkSession, table: String): Seq[String] = {
-    val partCols = spark.sessionState.catalog.getTableMetadata(
+    * partition-aware rewrite. Partitioned graft-seq/graft-avro tables are
+    * first-class since round 10: the DSv2 sources walk the Hive `p=v`
+    * layout on read (via the `partitions` option Acid passes) and route
+    * rows back into partition directories on write. */
+  private def tableDmlPartCols(spark: SparkSession, table: String): Seq[String] =
+    spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
       .partitionColumnNames
-    if (partCols.nonEmpty && tableFormat(spark, table).startsWith("graft-"))
-      sys.error(s"row-level DML on a partitioned ${tableFormat(spark, table)} " +
-        s"table is not supported: use a partitioned parquet/orc table")
-    partCols
-  }
 
   /** SHOW CONF 'name' (DDLTask.java:520 showConf): one
     * (default, type, desc) row; unknown names error with the reference's
@@ -941,8 +937,11 @@ object Engine {
       partitionCols = partCols)
     // the insert branch may have created partition DIRECTORIES the catalog
     // has never seen (Hive's dynamic-partition MoveTask registers them);
-    // MSCK registers the delta so the new rows are visible
-    if (partCols.nonEmpty && insertNotMatched)
+    // MSCK registers the delta so the new rows are visible. graft DSv2
+    // tables skip it: their scans walk the directory layout directly
+    // (never the catalog partition list), and v2 tables reject MSCK
+    if (partCols.nonEmpty && insertNotMatched &&
+        !tableFormat(spark, table).startsWith("graft-"))
       spark.sql(s"MSCK REPAIR TABLE $table"): Unit
     spark.sql(s"REFRESH TABLE $table"): Unit
   }

@@ -26,7 +26,8 @@ object Registry {
       queries.Round5Queries.all ++
       queries.Round6Queries.all ++
       queries.Round7Queries.all ++
-      queries.Round8Queries.all
+      queries.Round8Queries.all ++
+      queries.Round10Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

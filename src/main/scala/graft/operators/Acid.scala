@@ -42,6 +42,14 @@ object Acid {
     rewrite(spark, path, cond, identityKept = true, set, format, schema,
       partitionCols)
 
+  /** graft-seq/graft-avro read flat directories: a partitioned table is
+    * loaded with the `partitions` option so the source walks the Hive
+    * `p=v` layout and appends the directory-derived values. */
+  private def partOpt(r: org.apache.spark.sql.DataFrameReader, format: String,
+      partitionCols: Seq[String]): org.apache.spark.sql.DataFrameReader =
+    if (partitionCols.nonEmpty && format.startsWith("graft-"))
+      r.option("partitions", partitionCols.mkString(",")) else r
+
   /** DELETE FROM tbl WHERE cond, copy-on-write. */
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
                   format: String = "parquet", schema: StructType = null,
@@ -75,7 +83,7 @@ object Acid {
                 schema: StructType = null,
                 setPostJoin: Map[String, String] = Map.empty,
                 partitionCols: Seq[String] = Nil): Unit = {
-    val df = load(spark, path, format, schema)
+    val df = load(spark, path, format, schema, partitionCols)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
     val srcKeyed = source.select(cols.map(col): _*)
@@ -98,8 +106,13 @@ object Acid {
       // land under their partition directories (a flat root file would
       // lose the partition values on read)
       val w = inserts.write.mode("append")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .format(format).save(path)
+      val wp =
+        if (partitionCols.isEmpty) w
+        else if (format.startsWith("graft-"))
+          // the graft writers route rows into partition dirs themselves
+          w.option("partitions", partitionCols.mkString(","))
+        else w.partitionBy(partitionCols: _*)
+      wp.format(format).save(path)
     }
 
     if (affected.nonEmpty) {
@@ -153,16 +166,18 @@ object Acid {
   }
 
   private def load(spark: SparkSession, path: String, format: String,
-                   schema: StructType): DataFrame = {
+                   schema: StructType,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
     val r = spark.read
-    (if (schema != null) r.schema(schema) else r).format(format).load(path)
+    partOpt(if (schema != null) r.schema(schema) else r, format, partitionCols)
+      .format(format).load(path)
   }
 
   private def rewrite(spark: SparkSession, path: String, cond: Column,
                       identityKept: Boolean, set: Map[String, Column],
                       format: String, schema: StructType = null,
                       partitionCols: Seq[String] = Nil): Unit = {
-    val df = load(spark, path, format, schema)
+    val df = load(spark, path, format, schema, partitionCols)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
 
@@ -205,8 +220,11 @@ object Acid {
                      partitionCols: Seq[String] = Nil): Unit = {
     val tmp = path.stripSuffix("/") + "_cow_" + java.util.UUID.randomUUID().toString
     val writer = newData.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).format(format).save(tmp)
+    (if (partitionCols.isEmpty) writer
+     else if (format.startsWith("graft-"))
+       // graft writers lay out partition dirs from the row values
+       writer.option("partitions", partitionCols.mkString(","))
+     else writer.partitionBy(partitionCols: _*)).format(format).save(tmp)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(tmp), conf)

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.functions._
+
+/** Round-10 verify gates: partitioned copy-on-write DML on the graft DSv2
+  * formats (the last CoW-matrix asymmetry, r9 verdict #6) and the hybrid
+  * static+dynamic partition insert edge (load_dyn_part family).
+  */
+object Round10Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- a15: a14-shaped partitioned DML, but on a graft-seq table —
+    //      UPDATE/DELETE rewrite inside partition dirs, MERGE insert
+    //      lands in a NEW partition directory, reads walk the Hive p=v
+    //      layout (SequenceFileDataSource + PartLayout). ----
+    Q("a15_partitioned_dml_seq", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_seq")
+      val base = graft.tools.Tmp.dir("graft_pdml_seq")
+      s.sql(s"""CREATE TABLE graft_tmp.pdml_seq (n_nationkey INT, n_name STRING)
+               USING `graft-seq` PARTITIONED BY (rk INT) LOCATION '$base'""")
+      graft.Tables.t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("rk"))
+        .write.insertInto("graft_tmp.pdml_seq")
+      Engine.ddl(s,
+        "UPDATE graft_tmp.pdml_seq SET n_name = concat('U_', n_name) WHERE rk = 1")
+      Engine.ddl(s,
+        "DELETE FROM graft_tmp.pdml_seq WHERE rk = 2 AND n_nationkey % 2 = 0")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_seq_src")
+      s.sql(s"""CREATE TABLE graft_tmp.pdml_seq_src USING parquet
+              LOCATION '${graft.tools.Tmp.dir("graft_pdml_seq_src")}/t' AS
+              SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+              UNION ALL SELECT 990, 'M99', 99""")
+      Engine.ddl(s,
+        """MERGE INTO graft_tmp.pdml_seq t USING graft_tmp.pdml_seq_src s
+           ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+           WHEN NOT MATCHED THEN INSERT VALUES (s.n_nationkey, s.n_name, s.rk)""")
+      s.table("graft_tmp.pdml_seq").select("n_nationkey", "n_name", "rk")
+    },
+      Some("""WITH upd AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey = 0 THEN 'M0'
+                            WHEN n_regionkey = 1 THEN 'U_' || n_name
+                            ELSE n_name END AS n_name,
+                       n_regionkey AS rk
+                FROM nation
+                WHERE NOT (n_regionkey = 2 AND n_nationkey % 2 = 0))
+              SELECT n_nationkey, n_name, rk FROM upd
+              UNION ALL SELECT 990, 'M99', 99""")),
+
+    // ---- a16: hybrid static+dynamic partition INSERT OVERWRITE
+    //      (load_dyn_part1.q/load_dyn_part8.q family: one partition column
+    //      bound statically, the rest routed per row) + an overwrite of a
+    //      single fully-bound partition that must leave siblings intact. ----
+    Q("a16_hybrid_dyn_part", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.hyb")
+      val base = graft.tools.Tmp.dir("graft_hyb")
+      s.sql(s"""CREATE TABLE graft_tmp.hyb (k INT, v STRING)
+               USING parquet PARTITIONED BY (ds STRING, hr INT)
+               LOCATION '$base'""")
+      graft.Tables.t(s, d, "nation").createOrReplaceTempView("a16_nation")
+      // hybrid: ds static, hr dynamic — every region lands in its own hr
+      Engine.ddl(s,
+        """INSERT OVERWRITE TABLE graft_tmp.hyb PARTITION (ds='d1', hr)
+           SELECT n_nationkey, n_name, n_regionkey FROM a16_nation""")
+      // fully static append into a fresh (ds, hr)
+      Engine.ddl(s,
+        """INSERT INTO graft_tmp.hyb PARTITION (ds='d2', hr=9)
+           SELECT n_nationkey, n_name FROM a16_nation WHERE n_nationkey < 3""")
+      // fully static overwrite of ONE partition: (d1, 1) is replaced,
+      // every sibling hr under d1 and all of d2 stay intact
+      Engine.ddl(s,
+        """INSERT OVERWRITE TABLE graft_tmp.hyb PARTITION (ds='d1', hr=1)
+           SELECT n_nationkey + 100, concat('R_', n_name) FROM a16_nation
+           WHERE n_regionkey = 1""")
+      s.table("graft_tmp.hyb").select("k", "v", "ds", "hr")
+    },
+      Some("""SELECT n_nationkey AS k, n_name AS v, 'd1' AS ds,
+                     n_regionkey AS hr
+              FROM nation WHERE n_regionkey <> 1
+              UNION ALL
+              SELECT n_nationkey + 100, 'R_' || n_name, 'd1', 1
+              FROM nation WHERE n_regionkey = 1
+              UNION ALL
+              SELECT n_nationkey, n_name, 'd2', 9
+              FROM nation WHERE n_nationkey < 3"""))
+  )
+}

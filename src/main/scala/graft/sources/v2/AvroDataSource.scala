@@ -68,7 +68,13 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     // pathless Table is a capability/schema carrier only
     val p = Option(properties.get("path"))
       .orElse(Option(properties.get("location"))).getOrElse("")
-    AvroTable(p, schema)
+    // partition columns from the catalog's transforms (SQL tables) or the
+    // `partitions` option (programmatic reads/writes, e.g. CoW DML)
+    val partCols =
+      if (partitioning.nonEmpty) PartLayout.partColNames(partitioning)
+      else Option(properties.get("partitions")).toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    AvroTable(p, schema, partCols)
   }
 }
 
@@ -190,11 +196,14 @@ object AvroV2Util {
   }
 }
 
-case class AvroTable(path: String, tableSchema: StructType)
+case class AvroTable(path: String, tableSchema: StructType,
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    PartLayout.identityTransforms(partCols)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
@@ -203,43 +212,81 @@ case class AvroTable(path: String, tableSchema: StructType)
       TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(path, tableSchema, partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(path, info.schema())
+    new AvroWriteBuilder(path, info.schema(), partCols)
 }
 
-class AvroScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class AvroScanBuilder(path: String, full: StructType, partCols: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var prune: Seq[org.apache.spark.sql.sources.Filter] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = AvroScan(path, required)
+  // partition pruning only (see SeqScanBuilder): all filters stay
+  // post-scan, the listing just skips non-matching directories
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    prune = filters.toSeq.filter {
+      case org.apache.spark.sql.sources.EqualTo(a, _) => partCols.contains(a)
+      case org.apache.spark.sql.sources.In(a, _) => partCols.contains(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def build(): Scan = AvroScan(path, required, partCols, prune)
 }
 
-case class AvroScan(path: String, required: StructType) extends Scan with Batch {
+case class AvroScan(path: String, required: StructType,
+    partCols: Seq[String], prune: Seq[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro ReadSchema: ${required.fieldNames.mkString(",")}"
+    s"graft-avro ReadSchema: ${required.fieldNames.mkString(",")}" +
+      (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    AvroV2Util.listFiles(path).map(f => AvroFilePartition(f): InputPartition).toArray
+    if (partCols.isEmpty)
+      AvroV2Util.listFiles(path)
+        .map(f => AvroFilePartition(f, Map.empty[String, String]): InputPartition)
+        .toArray
+    else {
+      val root = new Path(path)
+      PartLayout.listPartitionedFiles(root,
+        root.getFileSystem(new Configuration()), partCols, _.endsWith(".avro"),
+        spec => PartPrune.accepts(prune, spec))
+        .map { case (f, spec) => AvroFilePartition(f, spec): InputPartition }
+        .toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.json)
+    AvroReaderFactory(required.json, partCols)
 }
 
-case class AvroFilePartition(file: String) extends InputPartition
+case class AvroFilePartition(file: String,
+    partSpec: Map[String, String]) extends InputPartition
 
-case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+case class AvroReaderFactory(requiredJson: String,
+    partCols: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[AvroFilePartition].file
+    val p = partition.asInstanceOf[AvroFilePartition]
+    val file = p.file
     val full = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    // _metadata is answered from the partition's file path, never decoded —
-    // strip it from the Avro reader schema before schema resolution
+    // _metadata is answered from the partition's file path and partition
+    // columns from the directory spec — neither is ever decoded; strip
+    // both from the Avro reader schema before schema resolution
     val required = StructType(
-      full.fields.filterNot(_.name == FileMetadataColumn.NAME))
+      full.fields.filterNot(f => f.name == FileMetadataColumn.NAME ||
+        partCols.contains(f.name)))
+    val partVal: Map[String, Any] = full.fields
+      .filter(f => partCols.contains(f.name))
+      .map(f => f.name -> p.partSpec.get(f.name)
+        .map(v => PartLayout.castValue(v, f.dataType)).orNull).toMap
     val metaRow = FileMetadataColumn.rowFor(file)
     // Pushdown is real: the pruned reader schema goes into Avro's schema
     // resolution, so dropped columns are skipped during decode.
@@ -273,6 +320,7 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
         while (i < fields.length) {
           vals(i) =
             if (fields(i).name == FileMetadataColumn.NAME) metaRow
+            else if (partVal.contains(fields(i).name)) partVal(fields(i).name)
             else if (writerScale(i) >= 0)
               AvroV2Util.toInternalDecimal(rec.get(fields(i).name),
                 fields(i).dataType.asInstanceOf[DecimalType], writerScale(i))
@@ -286,83 +334,134 @@ case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactor
   }
 }
 
-class AvroWriteBuilder(path: String, schema: StructType)
+class AvroWriteBuilder(path: String, schema: StructType,
+    partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
-  // avro tables are flat (no partition transforms), so INSERT OVERWRITE —
-  // whether planned as static overwrite or, under the session default
-  // partitionOverwriteMode=dynamic, as OverwritePartitionsDynamic — is
-  // truncate-and-write
+  // same mode lattice as SeqWriteBuilder: NONE append / ALL truncate /
+  // DYNAMIC replace-written-partitions / STATIC replace-named-partitions
+  private var mode = "NONE"
+  private var staticSpec: Map[String, String] = Map.empty
+  override def truncate(): WriteBuilder = { mode = "ALL"; this }
   override def overwrite(
       filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
-    // only a whole-table overwrite is expressible on a flat table; if the
-    // planner ever pushes a real row filter, failing loudly beats silently
-    // deleting the non-matching rows
     val real = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
-    require(real.isEmpty,
-      s"graft-avro supports only full-table overwrite, got filters: ${real.mkString(", ")}")
-    doTruncate = true; this
+    if (real.isEmpty) { mode = "ALL"; return this }
+    // a pushed ROW filter would demand partial overwrite this writer
+    // can't honor — fail loudly, never truncate; partition-column
+    // equalities become a static partition overwrite
+    val specs = real.map {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if partCols.contains(a) =>
+        a -> String.valueOf(v)
+      case f => sys.error(
+        s"graft-avro supports only full-table or partition-equality overwrite, got: $f")
+    }
+    mode = "STATIC"; staticSpec = specs.toMap; this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    doTruncate = true; this
+    mode = if (partCols.isEmpty) "ALL" else "DYNAMIC"; this
   }
   override def build(): Write = {
     // fail fast on unsupported types HERE, before BatchWrite truncates the
-    // destination — a mid-write schema error must not destroy existing data
-    Avro.toAvroSchema(schema): Unit
+    // destination — a mid-write schema error must not destroy existing
+    // data (partition columns never land in the files, so validate the
+    // data projection only)
+    Avro.toAvroSchema(StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))): Unit
     new Write {
-      override def toBatch: BatchWrite = AvroBatchWrite(path, schema.json, doTruncate)
+      override def toBatch: BatchWrite =
+        AvroBatchWrite(path, schema.json, partCols, mode, staticSpec)
     }
   }
 }
 
-case class AvroBatchWrite(path: String, schemaJson: String, doTruncate: Boolean)
+case class AvroBatchWrite(path: String, schemaJson: String,
+    partCols: Seq[String], mode: String, staticSpec: Map[String, String])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (doTruncate && fs.exists(p)) fs.delete(p, true): Unit
+    mode match {
+      case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
+      case "STATIC" =>
+        val rel = partCols.takeWhile(staticSpec.contains).map(c =>
+          PartLayout.escape(c) + "=" + PartLayout.escape(staticSpec(c)))
+        if (rel.nonEmpty) {
+          val d = new Path(p, rel.mkString("/"))
+          if (fs.exists(d)) fs.delete(d, true): Unit
+        }
+      case _ => ()
+    }
     fs.mkdirs(p): Unit
-    AvroWriterFactory(path, schemaJson)
+    AvroWriterFactory(path, schemaJson, partCols)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (mode == "DYNAMIC") {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
+      PartLayout.commitDynamicOverwrite(p, fs,
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+    }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class AvroWriterFactory(path: String, schemaJson: String) extends DataWriterFactory {
+case class AvroWriterFactory(path: String, schemaJson: String,
+    partCols: Seq[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val avroSchema = Avro.toAvroSchema(sparkSchema)
+    // container records carry only the data columns; partition values
+    // become the directory path (Hive layout)
+    val dataFields = sparkSchema.fields.zipWithIndex
+      .filterNot { case (f, _) => partCols.contains(f.name) }
+    val avroSchema = Avro.toAvroSchema(StructType(dataFields.map(_._1)))
+    val partOrds = partCols.map(c =>
+      sparkSchema.fieldIndex(c) -> sparkSchema(sparkSchema.fieldIndex(c)).dataType)
     // uuid guards against (partitionId, taskId) reuse across separate
     // append jobs — fs.create(overwrite) would silently clobber otherwise
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val file = new Path(path, f"part-$partitionId%05d-$taskId-$uid.avro")
-    val fs = file.getFileSystem(new Configuration())
-    val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](avroSchema))
-    writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-    writer.create(avroSchema, fs.create(file, true)): Unit
-    val types = sparkSchema.fields.map(_.dataType)
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
     new DataWriter[InternalRow] {
+      // one open container per touched partition (dynamic-insert shape)
+      private val writers = scala.collection.mutable.LinkedHashMap[String,
+        (org.apache.avro.file.DataFileWriter[GenericRecord], Path)]()
+      private var seq = 0
+      private def writerFor(rel: String) =
+        writers.getOrElseUpdate(rel, {
+          val dir = if (rel.isEmpty) new Path(path) else new Path(path, rel)
+          fs.mkdirs(dir): Unit
+          seq += 1
+          val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.avro")
+          val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.create(avroSchema, fs.create(file, true)): Unit
+          (w, file)
+        })._1
       override def write(row: InternalRow): Unit = {
+        val rel =
+          if (partCols.isEmpty) ""
+          else PartLayout.partPath(row, partCols, partOrds)
         val rec = new GenericData.Record(avroSchema)
-        var i = 0
-        while (i < types.length) {
-          rec.put(i, AvroV2Util.fromInternal(row, i, types(i)))
-          i += 1
+        var j = 0
+        while (j < dataFields.length) {
+          val (f, i) = dataFields(j)
+          rec.put(j, AvroV2Util.fromInternal(row, i, f.dataType))
+          j += 1
         }
-        writer.append(rec): Unit
+        writerFor(rel).append(rec): Unit
       }
       override def commit(): WriterCommitMessage = {
-        writer.close()
-        new WriterCommitMessage {}
+        writers.values.foreach(_._1.close())
+        PartWriteMessage(writers.values.map(_._2.toString).toSeq,
+          writers.keys.toSeq)
       }
       override def abort(): Unit = {
-        writer.close()
-        fs.delete(file, false): Unit
+        writers.values.foreach { case (w, f) =>
+          w.close(); fs.delete(f, false): Unit
+        }
       }
       override def close(): Unit = ()
     }

@@ -1,0 +1,158 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive partition-directory layout (`p1=v1/p2=v2/part-*`) for the graft
+  * DSv2 sources, shared by graft-seq and graft-avro.
+  *
+  * Reference shape: partition values live in directory names, never in
+  * the data files (ql/.../metadata/Partition.java + common/FileUtils.java
+  * escapePathName; NULL renders as the `__HIVE_DEFAULT_PARTITION__`
+  * sentinel). Readers append the directory-derived values to every row of
+  * the files beneath; writers route each row into its partition directory
+  * and strip the partition columns from the stored record.
+  *
+  * Scale notes: listing is one recursive enumeration per query (the same
+  * cost class as Spark's InMemoryFileIndex); partition-filter pushdown
+  * prunes directories before any file opens; per-task writers keep one
+  * open container per touched partition (the dynamic-partition insert
+  * discipline — callers should pre-sort or pre-partition by the partition
+  * columns for wide fan-outs, exactly as Hive's dynamic-partition insert
+  * demands).
+  */
+object PartLayout {
+
+  val NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Identity-transform column names from a catalog partitioning spec;
+    * rejects bucket/days/etc transforms these text sources don't model. */
+  def partColNames(partitioning: Array[Transform]): Seq[String] =
+    partitioning.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft sources support only identity partitioning, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+
+  def identityTransforms(cols: Seq[String]): Array[Transform] =
+    cols.map(c => Expressions.identity(c)).toArray
+
+  /** Minimal Hive escapePathName: %-encode the characters that break
+    * directory-name round-trips. */
+  def escape(v: String): String = v.flatMap { c =>
+    if (c < ' ' || "\"#%'*/:=?\\{}[]^".contains(c)) f"%%${c.toInt}%02X"
+    else c.toString
+  }
+
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Recursive data-file listing: returns (file path, partition values by
+    * column) for every non-hidden file whose relative path's `k=v`
+    * directory components match `partCols` in order. `keep` filters file
+    * names (e.g. `_.endsWith(".avro")`). `prune` (partition-col filters
+    * already validated by the caller) skips whole directories before any
+    * file is listed. */
+  def listPartitionedFiles(root: Path, fs: FileSystem, partCols: Seq[String],
+      keep: String => Boolean,
+      prune: Map[String, String] => Boolean = _ => true)
+      : Seq[(String, Map[String, String])] = {
+    def walk(dir: Path, depth: Int,
+        spec: Map[String, String]): Seq[(String, Map[String, String])] = {
+      val entries = Option(fs.listStatus(dir)).toSeq.flatten
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+      if (depth == partCols.length)
+        entries.filter(st => st.isFile && keep(st.getPath.getName))
+          .map(st => st.getPath.toString -> spec)
+      else entries.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        val eq = n.indexOf('=')
+        if (eq <= 0 || unescape(n.take(eq)) != partCols(depth)) Nil
+        else {
+          val value = unescape(n.drop(eq + 1))
+          val next = spec + (partCols(depth) -> value)
+          if (prune(next)) walk(st.getPath, depth + 1, next) else Nil
+        }
+      }
+    }
+    if (!fs.exists(root)) Nil else walk(root, 0, Map.empty).sortBy(_._1)
+  }
+
+  /** Directory-string partition value → Catalyst internal value of the
+    * declared partition column type (NULL sentinel included). */
+  def castValue(v: String, dt: DataType): Any =
+    if (v == NULL_DIR) null
+    else try dt match {
+      case StringType => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.equalsIgnoreCase("true")
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(v), d.precision, d.scale)
+      case DateType => java.sql.Date.valueOf(v).toLocalDate.toEpochDay.toInt
+      case other => sys.error(s"graft: unsupported partition column type $other")
+    } catch { case _: NumberFormatException | _: IllegalArgumentException => null }
+
+  /** Catalyst internal partition value → its directory string. */
+  def renderValue(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) NULL_DIR
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toString
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case other => sys.error(s"graft: unsupported partition column type $other")
+    }
+
+  /** Relative partition directory (`p1=v1/p2=v2`) for a row. `ords` pairs
+    * each partition column's ordinal in the row with its type. */
+  def partPath(row: InternalRow, partCols: Seq[String],
+      ords: Seq[(Int, DataType)]): String =
+    partCols.zip(ords).map { case (c, (i, dt)) =>
+      escape(c) + "=" + escape(renderValue(row, i, dt))
+    }.mkString("/")
+
+  /** Dynamic-partition-overwrite commit: in every partition directory
+    * this job wrote into, delete the files the job did NOT write (the
+    * pre-existing generation). Untouched partitions stay intact — Hive's
+    * hive.exec.dynamic.partition.mode=nonstrict INSERT OVERWRITE
+    * semantics (FileSinkOperator + MoveTask per-partition replace). */
+  def commitDynamicOverwrite(root: Path, fs: FileSystem,
+      touchedDirs: Set[String], written: Set[String]): Unit =
+    touchedDirs.foreach { rel =>
+      val dir = if (rel.isEmpty) root else new Path(root, rel)
+      Option(fs.listStatus(dir)).toSeq.flatten
+        .filter(st => st.isFile && !written.contains(st.getPath.toString) &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+}
+
+/** Commit message carrying the files + partition dirs a task wrote — the
+  * ingredient for dynamic-partition overwrite commits. */
+case class PartWriteMessage(files: Seq[String], partDirs: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage

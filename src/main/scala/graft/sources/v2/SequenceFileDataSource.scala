@@ -63,7 +63,14 @@ class SequenceFileDataSource extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val p = Option(properties.get("path"))
       .orElse(Option(properties.get("location"))).getOrElse("")
-    SeqTable(p, schema, partitioning.nonEmpty)
+    // partition columns come from the catalog's transforms (SQL tables) or
+    // the `partitions` option (programmatic path reads/writes, e.g. the
+    // copy-on-write DML engine reading a partitioned table directory)
+    val partCols =
+      if (partitioning.nonEmpty) PartLayout.partColNames(partitioning)
+      else Option(properties.get("partitions")).toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    SeqTable(p, schema, partCols)
   }
 }
 
@@ -175,11 +182,13 @@ object SeqV2Util {
 }
 
 case class SeqTable(path: String, tableSchema: StructType,
-    partitioned: Boolean = false)
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
   override def name(): String = s"graft-seq:$path"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    PartLayout.identityTransforms(partCols)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
@@ -187,47 +196,102 @@ case class SeqTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(path, tableSchema)
+    new SeqScanBuilder(path, tableSchema, partCols)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SeqWriteBuilder(path, info.schema(), partitioned)
+    new SeqWriteBuilder(path, info.schema(), partCols)
 }
 
-class SeqScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class SeqScanBuilder(path: String, full: StructType, partCols: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var prune: Seq[Filter] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SeqScan(path, full, required)
+  /** Partition pruning: remember equality/IN filters on partition columns
+    * to skip whole directories at listing time. Everything is returned as
+    * post-scan (pushedFilters stays empty) so Spark re-evaluates each
+    * filter — pruning is purely a listing optimization, never a
+    * correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    prune = filters.toSeq.filter {
+      case org.apache.spark.sql.sources.EqualTo(a, _) => partCols.contains(a)
+      case org.apache.spark.sql.sources.In(a, _) => partCols.contains(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def build(): Scan = SeqScan(path, full, required, partCols, prune)
 }
 
-case class SeqScan(path: String, full: StructType, required: StructType)
+object PartPrune {
+  /** Directory-spec predicate from the remembered partition filters: a
+    * spec (so far) passes unless some filter names one of its columns
+    * with a value set that excludes the directory's value. */
+  def accepts(filters: Seq[Filter], spec: Map[String, String]): Boolean =
+    filters.forall {
+      case org.apache.spark.sql.sources.EqualTo(a, v) =>
+        spec.get(a).forall(_ == String.valueOf(v))
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        spec.get(a).forall(s => vs.map(String.valueOf).contains(s))
+      case _ => true
+    }
+}
+
+case class SeqScan(path: String, full: StructType, required: StructType,
+    partCols: Seq[String], prune: Seq[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-seq ReadSchema: ${required.fieldNames.mkString(",")}"
+    s"graft-seq ReadSchema: ${required.fieldNames.mkString(",")}" +
+      (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
   override def planInputPartitions(): Array[InputPartition] =
-    SeqV2Util.listFiles(path).map(f => SeqFilePartition(f): InputPartition).toArray
+    if (partCols.isEmpty)
+      SeqV2Util.listFiles(path)
+        .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
+        .toArray
+    else {
+      val root = new Path(path)
+      PartLayout.listPartitionedFiles(root,
+        root.getFileSystem(new Configuration()), partCols, _ => true,
+        spec => PartPrune.accepts(prune, spec))
+        .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
+        .toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
-    SeqReaderFactory(full.json, required.json,
+    SeqReaderFactory(full.json, required.json, partCols,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 }
 
-case class SeqFilePartition(file: String) extends InputPartition
+case class SeqFilePartition(file: String,
+    partSpec: Map[String, String]) extends InputPartition
 
 case class SeqReaderFactory(fullJson: String, requiredJson: String,
-    sessionTz: String) extends PartitionReaderFactory {
+    partCols: Seq[String], sessionTz: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SeqFilePartition].file
+    val p = partition.asInstanceOf[SeqFilePartition]
+    val file = p.file
     val full = DataType.fromJson(fullJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val zone = java.time.ZoneId.of(sessionTz)
-    // field position in the line for each required column; -1 marks the
-    // _metadata struct (answered from the partition's file path, no parse)
-    val posOf = full.fieldNames.zipWithIndex.toMap
-    val fieldPos = required.fields.map(f =>
-      if (f.name == FileMetadataColumn.NAME) -1 else posOf(f.name))
+    // field position in the LINE for each required column (partition
+    // columns never appear in lines — the data layout is full minus
+    // partCols, in declaration order); -1 marks the _metadata struct,
+    // -2 - k marks partition column k (answered from the directory spec)
+    val dataFields = full.fields.filterNot(f => partCols.contains(f.name))
+    val posOf = dataFields.map(_.name).zipWithIndex.toMap
+    val fieldPos = required.fields.map { f =>
+      if (f.name == FileMetadataColumn.NAME) -1
+      else if (partCols.contains(f.name)) -2 - partCols.indexOf(f.name)
+      else posOf(f.name)
+    }
     val types = required.fields.map(_.dataType)
+    // partition values cast once per FILE, not per row
+    val partVals = partCols.map(c =>
+      p.partSpec.get(c).map(v => PartLayout.castValue(v,
+        full(full.fieldIndex(c)).dataType)).orNull).toArray
     val metaRow = FileMetadataColumn.rowFor(file)
     val reader = new SequenceFile.Reader(new Configuration(),
       SequenceFile.Reader.file(new Path(file)))
@@ -243,6 +307,7 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String,
         while (i < types.length) {
           vals(i) =
             if (fieldPos(i) == -1) metaRow
+            else if (fieldPos(i) <= -2) partVals(-2 - fieldPos(i))
             else if (fieldPos(i) < parts.length)
               SeqV2Util.parse(parts(fieldPos(i)), types(i), zone)
             else null // short line: LazySimpleSerDe pads missing fields NULL
@@ -255,83 +320,127 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String,
   }
 }
 
-class SeqWriteBuilder(path: String, schema: StructType, partitioned: Boolean)
+class SeqWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
-  // INSERT OVERWRITE on an unpartitioned table = truncate-and-write; a
-  // partitioned layout would need per-partition replacement this flat
-  // source does not model -- refuse loudly rather than truncate wrongly
+  // NONE = plain append; ALL = truncate-and-write; DYNAMIC = replace only
+  // the partitions this write produces rows for (Hive nonstrict INSERT
+  // OVERWRITE); STATIC = replace exactly the partitions named by
+  // equality filters on partition columns
+  private var mode = "NONE"
+  private var staticSpec: Map[String, String] = Map.empty
+  override def truncate(): WriteBuilder = { mode = "ALL"; this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(!partitioned,
-      "graft-seq: partitioned INSERT OVERWRITE is not supported; use an" +
-        " unpartitioned sequencefile table or a partitioned parquet table")
-    // a pushed row filter would demand partial overwrite this flat writer
-    // can't honor — failing loudly beats silently truncating everything
     val real = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
-    require(real.isEmpty,
-      s"graft-seq supports only full-table overwrite, got filters: ${real.mkString(", ")}")
-    doTruncate = true; this
+    if (real.isEmpty) { mode = "ALL"; return this }
+    // static partition overwrite: every filter must be an equality on a
+    // partition column; a pushed ROW filter would demand partial
+    // overwrite this writer can't honor — fail loudly, never truncate
+    val specs = real.map {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if partCols.contains(a) =>
+        a -> String.valueOf(v)
+      case f => sys.error(
+        s"graft-seq supports only full-table or partition-equality overwrite, got: $f")
+    }
+    mode = "STATIC"; staticSpec = specs.toMap; this
   }
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    require(!partitioned,
-      "graft-seq: partitioned INSERT OVERWRITE is not supported; use an" +
-        " unpartitioned sequencefile table or a partitioned parquet table")
-    doTruncate = true; this
+    mode = if (partCols.isEmpty) "ALL" else "DYNAMIC"; this
   }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = SeqBatchWrite(path, schema.json, doTruncate,
+    override def toBatch: BatchWrite = SeqBatchWrite(path, schema.json,
+      partCols, mode, staticSpec,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
 }
 
-case class SeqBatchWrite(path: String, schemaJson: String, doTruncate: Boolean,
+case class SeqBatchWrite(path: String, schemaJson: String,
+    partCols: Seq[String], mode: String, staticSpec: Map[String, String],
     sessionTz: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (doTruncate && fs.exists(p)) fs.delete(p, true): Unit
+    mode match {
+      case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
+      case "STATIC" =>
+        // delete exactly the named partition subtree (all partition
+        // columns bound) — partial specs delete the matching prefix dirs
+        val rel = partCols.takeWhile(staticSpec.contains).map(c =>
+          PartLayout.escape(c) + "=" + PartLayout.escape(staticSpec(c)))
+        if (rel.nonEmpty) {
+          val d = new Path(p, rel.mkString("/"))
+          if (fs.exists(d)) fs.delete(d, true): Unit
+        }
+      case _ => ()
+    }
     fs.mkdirs(p): Unit
-    SeqWriterFactory(path, schemaJson, sessionTz)
+    SeqWriterFactory(path, schemaJson, partCols, sessionTz)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (mode == "DYNAMIC") {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
+      PartLayout.commitDynamicOverwrite(p, fs,
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+    }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class SeqWriterFactory(path: String, schemaJson: String,
-    sessionTz: String) extends DataWriterFactory {
+    partCols: Seq[String], sessionTz: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // lines carry only the data columns; partition values become the
+    // directory path (Hive layout — Partition.java / FileSinkOperator's
+    // dynamic-partition writers)
+    val dataIdx = sparkSchema.fields.zipWithIndex
+      .filterNot { case (f, _) => partCols.contains(f.name) }.map(_._2)
     val types = sparkSchema.fields.map(_.dataType)
+    val partOrds = partCols.map(c =>
+      sparkSchema.fieldIndex(c) -> sparkSchema(sparkSchema.fieldIndex(c)).dataType)
     val zone = java.time.ZoneId.of(sessionTz)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val file = new Path(path, f"part-$partitionId%05d-$taskId-$uid.seq")
     val conf = new Configuration()
-    val fs = file.getFileSystem(conf)
-    val writer = SequenceFile.createWriter(conf,
-      SequenceFile.Writer.file(file),
-      SequenceFile.Writer.keyClass(classOf[BytesWritable]),
-      SequenceFile.Writer.valueClass(classOf[Text]))
+    val fs = new Path(path).getFileSystem(conf)
     val emptyKey = new BytesWritable(Array.emptyByteArray)
     new DataWriter[InternalRow] {
+      // one open container per touched partition (dynamic-insert shape);
+      // key "" is the unpartitioned root
+      private val writers =
+        scala.collection.mutable.LinkedHashMap[String, (SequenceFile.Writer, Path)]()
+      private var seq = 0
+      private def writerFor(rel: String): SequenceFile.Writer =
+        writers.getOrElseUpdate(rel, {
+          val dir = if (rel.isEmpty) new Path(path) else new Path(path, rel)
+          seq += 1
+          val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.seq")
+          (SequenceFile.createWriter(conf, SequenceFile.Writer.file(file),
+            SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+            SequenceFile.Writer.valueClass(classOf[Text])), file)
+        })._1
       override def write(row: InternalRow): Unit = {
+        val rel =
+          if (partCols.isEmpty) ""
+          else PartLayout.partPath(row, partCols, partOrds)
         val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i < types.length) {
-          if (i > 0) sb.append(SeqV2Util.SEP): Unit
+        var first = true
+        dataIdx.foreach { i =>
+          if (!first) sb.append(SeqV2Util.SEP): Unit
+          first = false
           sb.append(SeqV2Util.render(row, i, types(i), zone)): Unit
-          i += 1
         }
-        writer.append(emptyKey, new Text(sb.toString)): Unit
+        writerFor(rel).append(emptyKey, new Text(sb.toString)): Unit
       }
       override def commit(): WriterCommitMessage = {
-        writer.close()
-        new WriterCommitMessage {}
+        writers.values.foreach(_._1.close())
+        PartWriteMessage(writers.values.map(_._2.toString).toSeq,
+          writers.keys.toSeq)
       }
       override def abort(): Unit = {
-        writer.close()
-        fs.delete(file, false): Unit
+        writers.values.foreach { case (w, f) =>
+          w.close(); fs.delete(f, false): Unit
+        }
       }
       override def close(): Unit = ()
     }

@@ -48,16 +48,16 @@ class Round10Spec extends SparkSpec {
     val avroB = new sources.v2.AvroWriteBuilder("/tmp/never", schema)
     // AlwaysTrue (whole-table) is the planner's no-op filter: accepted
     avroB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue))
-    val e1 = intercept[IllegalArgumentException](
+    // a pushed ROW filter (id is not a partition column) must fail loudly
+    val e1 = intercept[RuntimeException](
       avroB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("id", 1))))
-    assert(e1.getMessage.contains("full-table overwrite"))
+    assert(e1.getMessage.contains("partition-equality overwrite"))
 
-    val seqB = new sources.v2.SeqWriteBuilder("/tmp/never", schema,
-      partitioned = false)
+    val seqB = new sources.v2.SeqWriteBuilder("/tmp/never", schema, Nil)
     seqB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.AlwaysTrue))
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[RuntimeException](
       seqB.overwrite(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("id", 1))))
-    assert(e2.getMessage.contains("full-table overwrite"))
+    assert(e2.getMessage.contains("partition-equality overwrite"))
   }
 
   // ---- Hive compare-via-double (FunctionRegistry.java:702) ---------------
@@ -120,6 +120,77 @@ class Round10Spec extends SparkSpec {
     Seq("y", "", "false", "0").toDF("flag").createOrReplaceTempView("r10_flags")
     assert(spark.sql("SELECT count(*) FROM r10_flags WHERE CAST(flag AS BOOLEAN)")
       .collect()(0).getLong(0) == 3)
+  }
+
+  // ---- partitioned graft-seq / graft-avro: layout + DML (r9 verdict #6) --
+
+  for (fmt <- Seq("graft-seq", "graft-avro")) {
+    test(s"partitioned $fmt: insert routes, overwrite replaces, reads prune") {
+      val base = Files.createTempDirectory("r10_part").toString + "/t"
+      spark.sql("DROP TABLE IF EXISTS r10_pt")
+      spark.sql(s"""CREATE TABLE r10_pt (id INT, s STRING) USING `$fmt`
+                    PARTITIONED BY (p STRING) LOCATION '$base'""")
+      spark.sql("INSERT INTO r10_pt PARTITION (p='a') VALUES (1,'x'), (2,'y')")
+      spark.sql("INSERT INTO r10_pt VALUES (3,'z','b')") // dynamic routing
+      // Hive layout on disk: p=a / p=b subdirectories, no files at root
+      val root = new java.io.File(base)
+      val entries = root.listFiles.map(_.getName).toSet
+      assert(entries == Set("p=a", "p=b"), entries.mkString(","))
+      assert(spark.table("r10_pt").count() == 3)
+      assert(spark.table("r10_pt").where("p = 'a'").count() == 2)
+      // dynamic partition overwrite replaces ONLY the written partition
+      spark.sql("INSERT OVERWRITE r10_pt VALUES (30,'zz','b')")
+      assert(spark.table("r10_pt").orderBy("id").collect().map(_.getInt(0)).toSeq
+        == Seq(1, 2, 30))
+      // partition values round-trip through the directory name, and the
+      // data files do NOT store the partition column (layout parity with
+      // Hive: Partition.java — values live in the path)
+      val bFiles = new java.io.File(base, "p=b").listFiles
+        .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName)
+      assert(bFiles.length == 1, bFiles.mkString(","))
+      spark.sql("DROP TABLE r10_pt")
+    }
+
+    test(s"partitioned $fmt: CoW UPDATE/DELETE/MERGE keep the layout") {
+      val base = Files.createTempDirectory("r10_pdml").toString + "/t"
+      spark.sql("DROP TABLE IF EXISTS r10_pdml")
+      spark.sql(s"""CREATE TABLE r10_pdml (id INT, s STRING) USING `$fmt`
+                    PARTITIONED BY (p STRING) LOCATION '$base'""")
+      spark.sql("INSERT INTO r10_pdml VALUES (1,'a','x'), (2,'b','x'), (3,'c','y')")
+      Engine.ddl(spark, "UPDATE r10_pdml SET s = concat('U_', s) WHERE p = 'x' AND id = 2")
+      Engine.ddl(spark, "DELETE FROM r10_pdml WHERE id = 3")
+      spark.sql("DROP TABLE IF EXISTS r10_pdml_src")
+      spark.sql(s"""CREATE TABLE r10_pdml_src USING parquet
+        LOCATION '${Files.createTempDirectory("r10_pdml_src")}/s' AS
+        SELECT 1 AS id, 'M1' AS s, 'x' AS p UNION ALL SELECT 9, 'M9', 'z'""")
+      Engine.ddl(spark, """MERGE INTO r10_pdml t USING r10_pdml_src v ON t.id = v.id
+        WHEN MATCHED THEN UPDATE SET s = v.s
+        WHEN NOT MATCHED THEN INSERT VALUES (v.id, v.s, v.p)""")
+      val got = spark.table("r10_pdml").orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      assert(got == Seq((1, "M1", "x"), (2, "U_b", "x"), (9, "M9", "z")), got)
+      // rewritten + merge-inserted files landed INSIDE partition dirs:
+      // the new z partition exists, nothing flattened to the root
+      val root = new java.io.File(base)
+      assert(root.listFiles.filter(_.isFile).isEmpty)
+      assert(root.listFiles.map(_.getName).toSet == Set("p=x", "p=y", "p=z"))
+      // y's only row was deleted — its dir may remain, but must read empty
+      assert(spark.table("r10_pdml").where("p = 'y'").count() == 0)
+      spark.sql("DROP TABLE r10_pdml"); spark.sql("DROP TABLE r10_pdml_src")
+    }
+  }
+
+  test("partitioned graft-seq: partition values with special chars round-trip") {
+    val base = Files.createTempDirectory("r10_esc").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS r10_esc")
+    spark.sql(s"""CREATE TABLE r10_esc (id INT) USING `graft-seq`
+                  PARTITIONED BY (p STRING) LOCATION '$base'""")
+    spark.sql("INSERT INTO r10_esc VALUES (1, 'a/b=c:d'), (2, 'plain')")
+    val got = spark.table("r10_esc").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a/b=c:d"), (2, "plain")), got)
+    assert(spark.table("r10_esc").where("p = 'a/b=c:d'").count() == 1)
+    spark.sql("DROP TABLE r10_esc")
   }
 
   // ---- permissive-cast retry is statement-scoped (cloned session) --------

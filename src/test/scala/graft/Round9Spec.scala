@@ -402,13 +402,17 @@ class Round9Spec extends SparkSpec {
     Engine.ddl(spark, "DROP TABLE r9_pmrg")
   }
 
-  test("partitioned graft-seq DML is rejected, not flattened") {
+  test("partitioned graft-seq DML via legacy STORED AS DDL (r10: supported)") {
+    // was a loud refusal through round 9; the sources now walk the Hive
+    // p=v layout, so the same statement mutates in place, layout intact
     Engine.ddl(spark, "DROP TABLE IF EXISTS r9_pseq")
     Engine.ddl(spark, "CREATE TABLE r9_pseq (k INT, v STRING) " +
       "PARTITIONED BY (p STRING) STORED AS SEQUENCEFILE")
-    val e = intercept[RuntimeException](
-      Engine.ddl(spark, "UPDATE r9_pseq SET v = 'y' WHERE k = 1"))
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    Engine.ddl(spark, "INSERT INTO r9_pseq VALUES (1, 'x', 'a'), (2, 'y', 'b')")
+    Engine.ddl(spark, "UPDATE r9_pseq SET v = 'Y' WHERE k = 1")
+    val got = spark.table("r9_pseq").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "Y", "a"), (2, "y", "b")), got)
     Engine.ddl(spark, "DROP TABLE r9_pseq")
   }
 
