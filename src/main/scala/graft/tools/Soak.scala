@@ -124,6 +124,36 @@ object Soak {
                              slice(emb, 1, CAST(shard AS INT)))""").as("emb"))
         graft.operators.Similarity.neardupIVF(
           e, e.filter(col("vec_id") % 1000000L < 8), minSim = 0.4, nProbe = 2).count()
+      }),
+      // NEGATIVE CONTROL for s04's output-rows ratio: the brute-force
+      // TRUE count of cosine>=0.4 pairs in the exact rotated fixture.
+      // s04's sim filter is exact, so every emitted pair is a true pair —
+      // observed rows <= this, and the observed 10x/1x rows ratio is the
+      // FIXTURE's pair growth iff it tracks this op's ratio. The 10x
+      // count decomposes analytically: rotations are commuting powers of
+      // one cyclic shift, so cos(rot_s(x), rot_t(y)) = cos(x, rot_{t-s}(y))
+      // — within-shard pairs are exactly 10x the 1x truth, and cross-shard
+      // pairs reduce to 9 delta-classes with multiplicity (10-d), i.e.
+      // O(9 N^2) dot products instead of O((10N)^2 / 2).
+      Op("s04_control_bf", s => {
+        val e = embBase
+        def bf1: Long = e.select(col("vec_id").as("ai"), col("emb").as("a_emb"))
+          .join(e.select(col("vec_id").as("bi"), col("emb").as("b_emb")),
+            col("ai") < col("bi"))
+          .filter(expr("cosine_sim(a_emb, b_emb)") >= 0.4).count()
+        if (s == 1) bf1
+        else {
+          val rot = e.crossJoin(spark.range(1, 10).select(col("id").as("d")))
+            .select(col("d"),
+              expr("""concat(slice(emb, CAST(d AS INT) + 1,
+                             size(emb) - CAST(d AS INT)),
+                             slice(emb, 1, CAST(d AS INT)))""").as("b_emb"))
+          val cd = e.select(col("emb").as("a_emb")).crossJoin(rot)
+            .filter(expr("cosine_sim(a_emb, b_emb)") >= 0.4)
+            .groupBy("d").count().collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toMap
+          10 * bf1 + (1L to 9L).map(d => (10 - d) * cd.getOrElse(d, 0L)).sum
+        }
       }))
 
     val opFilter = args.drop(1).headOption
