@@ -479,6 +479,138 @@ object Engine {
     * group matching nothing is an error, like
     * hive.exec.drop.ignorenonexistent=false.
     */
+  // ---- partitioned graft-* partition-statement surface -------------------
+  // v2 tables reject SHOW PARTITIONS / ALTER TABLE ADD|DROP PARTITION, but
+  // the graft sources' partitions ARE the directory layout — so the engine
+  // answers these statements from the filesystem, Hive text shapes intact.
+
+  private val showPartsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val addPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?(PARTITION\s*\(.+?\)(?:\s*(?:PARTITION\s*\(.+?\))*)?)\s*;?\s*""".r
+
+  /** Partition columns when `table` is a partitioned graft-* table; Nil
+    * otherwise (including unresolvable names — the caller falls through
+    * to Spark's native command). */
+  private def graftPartCols(spark: SparkSession, table: String): Seq[String] =
+    try {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      if (m.provider.exists(_.toLowerCase.startsWith("graft-")))
+        m.partitionColumnNames
+      else Nil
+    } catch { case _: Exception => Nil }
+
+  /** Numeric-when-both-parse, else lexicographic — the same comparison
+    * dropPartitionsByFilter applies to catalog partitions. */
+  private def partValueCmp(v: String, lit: String): Int =
+    (v.toDoubleOption, lit.toDoubleOption) match {
+      case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+      case _ => v.compareTo(lit)
+    }
+
+  private def specMatches(preds: Seq[(String, String, String)],
+      spec: Seq[(String, String)], table: String): Boolean =
+    preds.forall { case (name, op, lit) =>
+      spec.find(_._1.equalsIgnoreCase(name)) match {
+        case None => sys.error(s"$name is not a partition column of $table")
+        case Some((_, v)) =>
+          val cmp = partValueCmp(v, lit)
+          op match {
+            case "="         => cmp == 0
+            case "!=" | "<>" => cmp != 0
+            case "<"         => cmp < 0
+            case "<="        => cmp <= 0
+            case ">"         => cmp > 0
+            case ">="        => cmp >= 0
+          }
+      }
+    }
+
+  private def parsePreds(g: String): Seq[(String, String, String)] =
+    g.split(",").toSeq.map {
+      case partCmpRe(name, op, v1, v2, v3) =>
+        (name, op, Seq(v1, v2, v3).find(_ != null).get)
+      case bad => sys.error(s"unsupported partition spec: $bad")
+    }
+
+  private def graftPartDirs(spark: SparkSession,
+      table: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem,
+        Seq[Seq[(String, String)]]) = {
+    val root = new org.apache.hadoop.fs.Path(tableLocation(spark, table))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    (root, fs, graft.sources.v2.PartLayout.listPartitionDirs(
+      root, fs, graftPartCols(spark, table)))
+  }
+
+  private def specDirName(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) =>
+      graft.sources.v2.PartLayout.escape(k) + "=" +
+        graft.sources.v2.PartLayout.escape(v)
+    }.mkString("/")
+
+  /** SHOW PARTITIONS over the directory layout (Hive's one-string-per-
+    * partition `p=v/q=w` shape; optional partial spec filters). */
+  private def showGraftPartitions(spark: SparkSession, table: String,
+      partial: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val (_, _, dirs) = graftPartDirs(spark, table)
+    val preds = partial.toSeq.flatMap(parsePreds)
+    require(preds.forall(_._2 == "="),
+      "SHOW PARTITIONS accepts only equality partition specs")
+    val rows = dirs.filter(specMatches(preds, _, table)).map(specDirName)
+    spark.createDataFrame(
+      rows.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("partition", StringType))))
+  }
+
+  /** ALTER TABLE ... ADD PARTITION on a graft table = create the
+    * directory (all partition columns must be bound, equality only). */
+  private def addGraftPartitions(spark: SparkSession, table: String,
+      ifNotExists: Boolean, specText: String): Unit = {
+    val (root, fs, dirs) = graftPartDirs(spark, table)
+    val partCols = graftPartCols(spark, table)
+    partGroupRe.findAllMatchIn(specText).map(_.group(1)).foreach { g =>
+      val preds = parsePreds(g)
+      require(preds.forall(_._2 == "="), s"ADD PARTITION needs exact specs: $g")
+      val byName = preds.map(p => p._1.toLowerCase -> p._3).toMap
+      require(partCols.forall(c => byName.contains(c.toLowerCase)),
+        s"ADD PARTITION must bind every partition column (${partCols.mkString(",")}): $g")
+      val spec = partCols.map(c => c -> byName(c.toLowerCase))
+      val dir = new org.apache.hadoop.fs.Path(root, specDirName(spec))
+      if (fs.exists(dir)) {
+        if (!ifNotExists) sys.error(s"partition ($g) already exists in $table")
+      } else fs.mkdirs(dir): Unit
+    }
+  }
+
+  /** ALTER TABLE ... DROP PARTITION on a graft table: match directories
+    * (comparator specs included), honor NO_DROP protection, delete the
+    * subtrees. */
+  private def dropGraftPartitions(spark: SparkSession, table: String,
+      ifExists: Boolean, specText: String): Unit = {
+    val (root, fs, dirs) = graftPartDirs(spark, table)
+    val toDrop = partGroupRe.findAllMatchIn(specText).map(_.group(1)).toSeq
+      .flatMap { g =>
+        val matches = dirs.filter(specMatches(parsePreds(g), _, table))
+        if (matches.isEmpty && !ifExists)
+          sys.error(s"no partition of $table matches ($g); use DROP IF EXISTS to ignore")
+        matches
+      }.distinct
+    toDrop.foreach { spec =>
+      val norm = spec.map { case (k, v) => s"${k.toLowerCase}=$v" }
+        .sorted.mkString(",")
+      require(!noDropParts.contains(qualName(spark, table) + "/" + norm) &&
+          !noDropCascade.contains(qualName(spark, table)),
+        s"Partition ($norm) of $table is protected from being dropped (NO_DROP)")
+    }
+    toDrop.foreach { spec =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, specDirName(spec)), true): Unit
+    }
+    spark.sql(s"REFRESH TABLE $table"): Unit
+  }
+
   private def dropPartitionsByFilter(spark: SparkSession, table: String,
                                      ifExists: Boolean, specText: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -2194,6 +2326,19 @@ object Engine {
         spark.emptyDataFrame
       case loadDataRe(inpath, over, table, part) =>
         loadData(spark, inpath, over != null, table, Option(part))
+        spark.emptyDataFrame
+      // partitioned graft-* tables: partition statements answered from
+      // the directory layout (v2 tables reject the native commands)
+      case showPartsRe(table, partial)
+          if graftPartCols(spark, table).nonEmpty =>
+        showGraftPartitions(spark, table, Option(partial))
+      case dropPartFilterRe(table, ifEx, specText, _)
+          if graftPartCols(spark, table).nonEmpty =>
+        dropGraftPartitions(spark, table, ifEx != null, specText)
+        spark.emptyDataFrame
+      case addPartRe(table, ifNot, specText)
+          if graftPartCols(spark, table).nonEmpty =>
+        addGraftPartitions(spark, table, ifNot != null, specText)
         spark.emptyDataFrame
       // DROP PARTITION with comparators goes through the catalog-filter
       // expansion; exact =-only specs stay on Spark's native command

@@ -94,6 +94,29 @@ object HiveSemantics {
             }
           case _ => b
         }
+
+      // IN mixes string and numeric operands the same way — GenericUDFIn
+      // resolves the common class across ALL operands, so any string +
+      // any numeric → compare the whole list via double. The pushdown
+      // refinement mirrors the binary case: `int_col IN ('1','2')` stays
+      // native when every string literal is an exact in-range integer.
+      case i @ In(v, list) if (v +: list).forall(_.resolved) &&
+          !((v +: list).forall(_.dataType == DoubleType)) =>
+        val (ov, ol) = (orig(v), list.map(orig))
+        val types = (ov +: ol).map(_.dataType)
+        if (!types.contains(StringType) || !types.exists(isNum)) i
+        else {
+          val refinable = isNum(ov.dataType) &&
+            (ov.dataType == ByteType || ov.dataType == ShortType ||
+              ov.dataType == IntegerType) &&
+            ol.forall(e => e.dataType != StringType ||
+              refineLiteral(e, ov.dataType).isDefined)
+          if (refinable)
+            In(ov, ol.map(e =>
+              if (e.dataType == StringType) refineLiteral(e, ov.dataType).get
+              else e))
+          else In(toDouble(ov), ol.map(toDouble))
+        }
     }
   }
 

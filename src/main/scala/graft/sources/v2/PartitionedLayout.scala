@@ -91,6 +91,28 @@ object PartLayout {
     if (!fs.exists(root)) Nil else walk(root, 0, Map.empty).sortBy(_._1)
   }
 
+  /** Full-depth partition DIRECTORIES (files or not — a registered-empty
+    * partition is still a partition, Hive parity), each as the ordered
+    * (column, value) spec derived from its path. */
+  def listPartitionDirs(root: Path, fs: FileSystem,
+      partCols: Seq[String]): Seq[Seq[(String, String)]] = {
+    def walk(dir: Path, depth: Int,
+        spec: Seq[(String, String)]): Seq[Seq[(String, String)]] =
+      if (depth == partCols.length) Seq(spec)
+      else Option(fs.listStatus(dir)).toSeq.flatten
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val n = st.getPath.getName
+          val eq = n.indexOf('=')
+          if (eq <= 0 || unescape(n.take(eq)) != partCols(depth)) Nil
+          else walk(st.getPath, depth + 1,
+            spec :+ (partCols(depth) -> unescape(n.drop(eq + 1))))
+        }
+    if (!fs.exists(root)) Nil
+    else walk(root, 0, Nil).sortBy(_.map(_._2).mkString("/"))
+  }
+
   /** Directory-string partition value → Catalyst internal value of the
     * declared partition column type (NULL sentinel included). */
   def castValue(v: String, dt: DataType): Any =

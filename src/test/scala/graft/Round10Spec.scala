@@ -88,6 +88,27 @@ class Round10Spec extends SparkSpec {
     assert(one("'1e2' = '100'") == false)
   }
 
+  test("IN lists mix string/numeric via double, Hive-style") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql").collect()(0).get(0)
+    assert(one("'1e2' IN (100, 200)") == true)
+    assert(one("100 IN ('1e2', '300')") == true)
+    assert(one("'abc' IN (1, 2)") == null)
+    assert(one("'10' IN (10, 20)") == true)
+    assert(one("5 IN ('5.0', '6')") == true)
+    // refined native shape: int value + plain int strings keeps the
+    // integer domain (no cast on the value side)
+    import spark.implicits._
+    Seq(1, 42, 7).toDF("n").createOrReplaceTempView("r10_in")
+    val plan = spark.sql("SELECT * FROM r10_in WHERE n IN ('42', '7')")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cast(n"), plan)
+    assert(spark.sql("SELECT count(*) FROM r10_in WHERE n IN ('42', '7')")
+      .collect()(0).getLong(0) == 2)
+    // unrefinable member forces the double path, still Hive-correct
+    assert(spark.sql("SELECT count(*) FROM r10_in WHERE n IN ('4.2e1', '7')")
+      .collect()(0).getLong(0) == 2)
+  }
+
   test("compare-via-double holds on columns, joins and filters") {
     import spark.implicits._
     Seq(("1e2", 100), ("abc", 5), ("07", 7), ("2.0", 2))
@@ -178,6 +199,36 @@ class Round10Spec extends SparkSpec {
       assert(spark.table("r10_pdml").where("p = 'y'").count() == 0)
       spark.sql("DROP TABLE r10_pdml"); spark.sql("DROP TABLE r10_pdml_src")
     }
+  }
+
+  test("graft partition statements: SHOW/ADD/DROP answered from the layout") {
+    val base = Files.createTempDirectory("r10_pstmt").toString + "/t"
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_ps")
+    spark.sql(s"""CREATE TABLE r10_ps (id INT) USING `graft-seq`
+                  PARTITIONED BY (ds STRING, hr INT) LOCATION '$base'""")
+    spark.sql("INSERT INTO r10_ps VALUES (1,'d1',0), (2,'d1',1), (3,'d2',0)")
+    // SHOW PARTITIONS: Hive one-string-per-partition shape, dir-derived
+    val parts = d("SHOW PARTITIONS r10_ps").collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("ds=d1/hr=0", "ds=d1/hr=1", "ds=d2/hr=0"), parts)
+    // partial spec filter
+    val d1 = d("SHOW PARTITIONS r10_ps PARTITION (ds='d1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(d1 == Seq("ds=d1/hr=0", "ds=d1/hr=1"))
+    // ADD PARTITION creates the directory; it lists even while empty
+    d("ALTER TABLE r10_ps ADD PARTITION (ds='d3', hr=7)")
+    assert(d("SHOW PARTITIONS r10_ps").count() == 4)
+    intercept[Exception](d("ALTER TABLE r10_ps ADD PARTITION (ds='d3', hr=7)"))
+    d("ALTER TABLE r10_ps ADD IF NOT EXISTS PARTITION (ds='d3', hr=7)")
+    // DROP with comparator spec deletes matching dirs + their data
+    d("ALTER TABLE r10_ps DROP PARTITION (ds='d1', hr>0)")
+    assert(d("SHOW PARTITIONS r10_ps").collect().map(_.getString(0)).toSeq ==
+      Seq("ds=d1/hr=0", "ds=d2/hr=0", "ds=d3/hr=7"))
+    assert(spark.table("r10_ps").count() == 2) // id=2 went with its dir
+    // no-match without IF EXISTS errors (ignorenonexistent=false parity)
+    intercept[Exception](d("ALTER TABLE r10_ps DROP PARTITION (ds='zzz')"))
+    d("ALTER TABLE r10_ps DROP IF EXISTS PARTITION (ds='zzz')")
+    spark.sql("DROP TABLE r10_ps")
   }
 
   test("partitioned graft-seq: partition values with special chars round-trip") {
