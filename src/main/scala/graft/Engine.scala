@@ -154,7 +154,12 @@ object Engine {
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2" -> (exprs => graft.functions.Reflect2(exprs)),
     "graft.functions.SortArrayBy" -> (exprs => graft.functions.SortArrayBy(exprs)),
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDFSortArrayByField" -> (exprs => graft.functions.SortArrayBy(exprs)),
-    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFSurrogateKey" -> (_ => org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID()))
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFSurrogateKey" -> (_ => org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID()),
+    // the contrib example UDFs the reference's udf_example_*.q tests
+    // register (contrib/src/java/.../udf/example/UDFExampleAdd.java:
+    // plain arity-n addition)
+    "org.apache.hadoop.hive.contrib.udf.example.UDFExampleAdd" -> (exprs =>
+      exprs.reduceLeft(org.apache.spark.sql.catalyst.expressions.Add(_, _))))
 
   private val createFunRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
