@@ -1680,6 +1680,26 @@ object Engine {
   }
 
   private val storedAsRe = """(?is)\s*STORED\s+AS\s+(\w+)\s*""".r
+  // STORED AS INPUTFORMAT 'cls' OUTPUTFORMAT 'cls' (HiveParser
+  // tableFileFormat's explicit-class branch, custom_input_output_format.q)
+  // — the standard Hive IO class pairs map onto their format keyword;
+  // unknown classes leave the statement untouched (loud native error
+  // beats silently picking a wrong format)
+  private val storedAsIORe =
+    """(?is)\s*STORED\s+AS\s+INPUTFORMAT\s+'([^']+)'\s+OUTPUTFORMAT\s+'([^']+)'\s*""".r
+  private def mapStoredAsIO(s: String): String =
+    storedAsIORe.replaceAllIn(s, m => {
+      val kw = m.group(1).split('.').last match {
+        case "SequenceFileInputFormat" => Some("SEQUENCEFILE")
+        case "TextInputFormat" => Some("TEXTFILE")
+        case "OrcInputFormat" => Some("ORC")
+        case "MapredParquetInputFormat" => Some("PARQUET")
+        case "AvroContainerInputFormat" => Some("AVRO")
+        case _ => None
+      }
+      scala.util.matching.Regex.quoteReplacement(
+        kw.map(k => s" STORED AS $k ").getOrElse(m.matched))
+    })
   // SKEWED BY (c1, c2) ON ((v1, v2), (v3, v4)) [STORED AS DIRECTORIES] —
   // the ON list holds bare values or parenthesized tuples (one level)
   private val skewedByRe =
@@ -1901,7 +1921,7 @@ object Engine {
     // Skew is a runtime concern here (AQE skew-join handles it), so the
     // clause strips. Must go first: its optional STORED AS DIRECTORIES
     // tail would otherwise be read as a STORED AS format.
-    val noSkew = skewedByRe.replaceAllIn(stmt0, " ")
+    val noSkew = mapStoredAsIO(skewedByRe.replaceAllIn(stmt0, " "))
     // collect + strip the format clauses
     var fmt = "TEXTFILE"
     var opts = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -1,4 +1,5 @@
--- auto_join2.q..auto_join9.q: the auto-converted (broadcast) twins of
+-- auto_join2.q, auto_join3.q, auto_join4.q, auto_join5.q,
+-- auto_join6.q, auto_join7.q, auto_join8.q, auto_join9.q: the auto-converted (broadcast) twins of
 -- the basic join battery — this engine always auto-converts eligible
 -- sides, so the semantics pin is results identical to the reduce-side
 -- forms: chained key arithmetic, outer + filter, grouped output.

@@ -1,4 +1,6 @@
--- auto_join10.q..auto_join20.q: auto-converted joins over subqueries —
+-- auto_join10.q, auto_join11.q, auto_join12.q, auto_join14.q,
+-- auto_join15.q, auto_join16.q, auto_join17.q, auto_join18.q,
+-- auto_join19.q, auto_join20.q: auto-converted joins over subqueries —
 -- re-aliased inner queries (aj10/11/12), grouped-then-joined (aj14/17),
 -- and the three-table mixed outer chain (aj19/20).
 SELECT 'subq_realias' AS tag, COUNT(*) AS n, SUM(x.c1) AS s FROM

@@ -1,4 +1,6 @@
--- auto_join_nulls.q / auto_join23.q..auto_join32.q reps: NULL join keys
+-- auto_join_nulls.q, auto_join23.q, auto_join24.q, auto_join26.q,
+-- auto_join27.q, auto_join28.q, auto_join29.q, auto_join31.q,
+-- auto_join32.q: NULL join keys
 -- never match (inner and outer), and the value-reordering join
 -- (auto_join_reordering_values.q) keeps column bindings straight.
 DROP TABLE IF EXISTS g634_n;

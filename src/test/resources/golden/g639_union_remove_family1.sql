@@ -1,4 +1,5 @@
--- union_remove_4.q / 5.q / 7.q / 8.q / 9.q: the union-removal
+-- union_remove_4.q, union_remove_5.q, union_remove_7.q,
+-- union_remove_8.q, union_remove_9.q: the union-removal
 -- optimization family — INSERT of a UNION ALL whose branches are
 -- map-only vs aggregate; the optimization must never change the rows
 -- that land in the table.

@@ -1,4 +1,6 @@
--- union_remove_10.q / 11.q / 15.q / 16.q / 18.q / 20.q / 21.q / 25.q:
+-- union_remove_10.q, union_remove_11.q, union_remove_15.q,
+-- union_remove_16.q, union_remove_18.q, union_remove_20.q,
+-- union_remove_21.q, union_remove_25.q:
 -- union-removal with DYNAMIC PARTITIONS — the union lands per-partition;
 -- removal must keep partition routing intact.
 DROP TABLE IF EXISTS g640_d;

@@ -1,4 +1,5 @@
--- smb_mapjoin_1.q..smb_mapjoin_8.q: sort-merge-bucket join battery over
+-- smb_mapjoin_1.q, smb_mapjoin_2.q, smb_mapjoin_3.q, smb_mapjoin_4.q,
+-- smb_mapjoin_5.q, smb_mapjoin_6.q, smb_mapjoin_7.q, smb_mapjoin_8.q: sort-merge-bucket join battery over
 -- co-bucketed sorted tables — inner, left, right, full, with one side
 -- holding keys the other lacks (empty-bucket edge) and a small second
 -- table.

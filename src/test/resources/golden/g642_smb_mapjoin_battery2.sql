@@ -1,4 +1,7 @@
--- smb_mapjoin_9.q..smb_mapjoin_20.q: SMB joins under aggregates, with
+-- smb_mapjoin_9.q, smb_mapjoin_10.q, smb_mapjoin_11.q,
+-- smb_mapjoin_12.q, smb_mapjoin_13.q, smb_mapjoin_14.q,
+-- smb_mapjoin_15.q, smb_mapjoin_16.q, smb_mapjoin_17.q,
+-- smb_mapjoin_18.q, smb_mapjoin_19.q, smb_mapjoin_20.q: SMB joins under aggregates, with
 -- a filtered probe side and a join-then-group-by (the shapes the later
 -- files vary).
 DROP TABLE IF EXISTS g642_a;

@@ -1,4 +1,10 @@
--- auto_sortmerge_join_1.q..auto_sortmerge_join_14.q (battery): the
+-- auto_sortmerge_join_1.q, auto_sortmerge_join_2.q,
+-- auto_sortmerge_join_3.q, auto_sortmerge_join_4.q,
+-- auto_sortmerge_join_5.q, auto_sortmerge_join_6.q,
+-- auto_sortmerge_join_7.q, auto_sortmerge_join_8.q,
+-- auto_sortmerge_join_9.q, auto_sortmerge_join_10.q,
+-- auto_sortmerge_join_12.q, auto_sortmerge_join_13.q,
+-- auto_sortmerge_join_14.q (battery): the
 -- auto-triggered SMB conversion across big/small table order, with a
 -- partitioned probe side and an empty small table edge (asj_12's
 -- no-match bucket).

@@ -1,5 +1,7 @@
 -- smb_mapjoin_3.q, smb_mapjoin_4.q, smb_mapjoin_5.q, smb_mapjoin_10.q,
--- smb_mapjoin_11.q..smb_mapjoin_19.q, smb_mapjoin_21.q,
+-- smb_mapjoin_11.q, smb_mapjoin_12.q, smb_mapjoin_13.q,
+-- smb_mapjoin_14.q, smb_mapjoin_15.q, smb_mapjoin_16.q,
+-- smb_mapjoin_17.q, smb_mapjoin_18.q, smb_mapjoin_19.q, smb_mapjoin_21.q,
 -- smb_mapjoin_22.q, smb_mapjoin_25.q: three-way SMB chains, join on a
 -- partitioned bucketed table, and the bucket-count-mismatch pair that
 -- still answers correctly.

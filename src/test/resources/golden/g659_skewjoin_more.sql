@@ -1,4 +1,8 @@
--- skewjoin.q, skewjoin_noskew.q, skewjoinopt3.q..skewjoinopt20.q,
+-- skewjoin.q, skewjoin_noskew.q, skewjoinopt3.q, skewjoinopt4.q,
+-- skewjoinopt5.q, skewjoinopt6.q, skewjoinopt8.q, skewjoinopt10.q,
+-- skewjoinopt12.q, skewjoinopt13.q, skewjoinopt14.q, skewjoinopt15.q,
+-- skewjoinopt16.q, skewjoinopt17.q, skewjoinopt18.q, skewjoinopt19.q,
+-- skewjoinopt20.q,
 -- skewjoin_union_remove_2.q: the remaining skew-optimization matrix —
 -- flags pick plans (compile-time union split in Hive, AQE here), the
 -- answers are pinned once: skewed outer join, skew on BOTH sides,

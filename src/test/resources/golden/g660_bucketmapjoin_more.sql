@@ -1,5 +1,7 @@
 -- bucketmapjoin2.q, bucketmapjoin3.q, bucketmapjoin4.q,
--- bucketmapjoin7.q..bucketmapjoin13.q, bucketmapjoin_negative.q,
+-- bucketmapjoin7.q, bucketmapjoin8.q, bucketmapjoin9.q,
+-- bucketmapjoin10.q, bucketmapjoin11.q, bucketmapjoin12.q,
+-- bucketmapjoin13.q, bucketmapjoin_negative.q,
 -- bucketmapjoin_negative2.q, bucketmapjoin_negative3.q,
 -- bucket_map_join_1.q, bucket_map_join_2.q, bucket_map_join_spark2.q,
 -- bucket_map_join_spark3.q, bucket_map_join_spark4.q,

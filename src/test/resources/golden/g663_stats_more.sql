@@ -1,5 +1,6 @@
--- stats1.q, stats2.q, stats3.q, stats5.q..stats10.q, stats12.q..
--- stats16.q, stats18.q, stats20.q, stats_counter.q,
+-- stats1.q, stats2.q, stats3.q, stats5.q, stats6.q, stats7.q,
+-- stats8.q, stats9.q, stats10.q, stats12.q, stats13.q, stats14.q,
+-- stats15.q, stats16.q, stats18.q, stats20.q, stats_counter.q,
 -- stats_counter_partitioned.q, stats_noscan_2.q, stats_only_null.q,
 -- stats_partscan_1_23.q, statsfs.q: the ANALYZE statement matrix — all
 -- statements accepted, per-partition specs included, and stats of an
