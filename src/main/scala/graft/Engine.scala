@@ -532,20 +532,50 @@ object Engine {
       }
     }
 
-  private def parsePreds(g: String): Seq[(String, String, String)] =
-    g.split(",").toSeq.map {
+  private def parsePreds(g: String): Seq[(String, String, String)] = {
+    // split on commas OUTSIDE quotes — a partition value may legally
+    // contain one (PARTITION (p='a,b'))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote = '\u0000'
+    g.foreach { c =>
+      if (quote != '\u0000') { cur += c; if (c == quote) quote = '\u0000' }
+      else if (c == '\'' || c == '"') { cur += c; quote = c }
+      else if (c == ',') { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map {
       case partCmpRe(name, op, v1, v2, v3) =>
         (name, op, Seq(v1, v2, v3).find(_ != null).get)
       case bad => sys.error(s"unsupported partition spec: $bad")
     }
+  }
 
-  private def graftPartDirs(spark: SparkSession,
-      table: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem,
-        Seq[Seq[(String, String)]]) = {
+  private def graftPartRoot(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
     val root = new org.apache.hadoop.fs.Path(tableLocation(spark, table))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    (root, fs, graft.sources.v2.PartLayout.listPartitionDirs(
-      root, fs, graftPartCols(spark, table)))
+    (root, root.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  /** NO_DROP protection check by partition VALUE, not spelling: the
+    * ENABLE statement's raw text key (hr=01) must protect the same
+    * logical partition a numeric-matching DROP names as hr=1. */
+  private def noDropProtected(spark: SparkSession, table: String,
+      spec: Seq[(String, String)]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val prefix = qualName(spark, table) + "/"
+    noDropCascade.contains(qualName(spark, table)) ||
+      noDropParts.asScala.exists { key =>
+        key.startsWith(prefix) && {
+          val kvs = key.stripPrefix(prefix).split(",").toSeq
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+          kvs.size == spec.size && kvs.forall { case (k, v) =>
+            spec.exists { case (sk, sv) =>
+              sk.equalsIgnoreCase(k) && partValueCmp(sv, v) == 0 }
+          }
+        }
+      }
   }
 
   private def specDirName(spec: Seq[(String, String)]): String =
@@ -560,7 +590,9 @@ object Engine {
       partial: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
-    val (_, _, dirs) = graftPartDirs(spark, table)
+    val (root, fs) = graftPartRoot(spark, table)
+    val dirs = graft.sources.v2.PartLayout.listPartitionDirs(
+      root, fs, graftPartCols(spark, table))
     val preds = partial.toSeq.flatMap(parsePreds)
     require(preds.forall(_._2 == "="),
       "SHOW PARTITIONS accepts only equality partition specs")
@@ -574,7 +606,7 @@ object Engine {
     * directory (all partition columns must be bound, equality only). */
   private def addGraftPartitions(spark: SparkSession, table: String,
       ifNotExists: Boolean, specText: String): Unit = {
-    val (root, fs, dirs) = graftPartDirs(spark, table)
+    val (root, fs) = graftPartRoot(spark, table)
     val partCols = graftPartCols(spark, table)
     partGroupRe.findAllMatchIn(specText).map(_.group(1)).foreach { g =>
       val preds = parsePreds(g)
@@ -595,7 +627,9 @@ object Engine {
     * subtrees. */
   private def dropGraftPartitions(spark: SparkSession, table: String,
       ifExists: Boolean, specText: String): Unit = {
-    val (root, fs, dirs) = graftPartDirs(spark, table)
+    val (root, fs) = graftPartRoot(spark, table)
+    val dirs = graft.sources.v2.PartLayout.listPartitionDirs(
+      root, fs, graftPartCols(spark, table))
     val toDrop = partGroupRe.findAllMatchIn(specText).map(_.group(1)).toSeq
       .flatMap { g =>
         val matches = dirs.filter(specMatches(parsePreds(g), _, table))
@@ -604,11 +638,9 @@ object Engine {
         matches
       }.distinct
     toDrop.foreach { spec =>
-      val norm = spec.map { case (k, v) => s"${k.toLowerCase}=$v" }
-        .sorted.mkString(",")
-      require(!noDropParts.contains(qualName(spark, table) + "/" + norm) &&
-          !noDropCascade.contains(qualName(spark, table)),
-        s"Partition ($norm) of $table is protected from being dropped (NO_DROP)")
+      require(!noDropProtected(spark, table, spec),
+        s"Partition (${spec.map { case (k, v) => s"$k=$v" }.mkString(",")})" +
+          s" of $table is protected from being dropped (NO_DROP)")
     }
     toDrop.foreach { spec =>
       fs.delete(new org.apache.hadoop.fs.Path(root, specDirName(spec)), true): Unit
@@ -686,6 +718,22 @@ object Engine {
     if (fmt == "graft-seq" ||
         (fmt == "graft-avro" && m.partitionColumnNames.nonEmpty)) m.schema
     else null
+  }
+
+  /** DATA-only schema (partition columns excluded) for operations that
+    * run inside ONE flat directory — a partition subdir's files never
+    * store the partition columns, so a COMPACT/CONCATENATE there must
+    * read and write the line fields only (a full-schema read would map
+    * the partition column to NULL and the rewrite would append it as a
+    * spurious trailing field). */
+  private def tableDataSchema(spark: SparkSession, table: String)
+      : org.apache.spark.sql.types.StructType = {
+    val fmt = tableFormat(spark, table)
+    if (fmt != "graft-seq") return null
+    val m = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    org.apache.spark.sql.types.StructType(
+      m.schema.filterNot(f => m.partitionColumnNames.contains(f.name)))
   }
 
   /** Datasource provider of `table`, for the copy-on-write engine: DML on
@@ -1689,12 +1737,19 @@ object Engine {
     """(?is)\s*STORED\s+AS\s+INPUTFORMAT\s+'([^']+)'\s+OUTPUTFORMAT\s+'([^']+)'\s*""".r
   private def mapStoredAsIO(s: String): String =
     storedAsIORe.replaceAllIn(s, m => {
-      val kw = m.group(1).split('.').last match {
-        case "SequenceFileInputFormat" => Some("SEQUENCEFILE")
-        case "TextInputFormat" => Some("TEXTFILE")
-        case "OrcInputFormat" => Some("ORC")
-        case "MapredParquetInputFormat" => Some("PARQUET")
-        case "AvroContainerInputFormat" => Some("AVRO")
+      // the pair must MATCH: a mixed in/out pair (reads seq, writes text)
+      // has no single-format equivalent — leave it for the loud native
+      // error rather than silently writing the wrong format
+      val kw = (m.group(1).split('.').last, m.group(2).split('.').last) match {
+        case ("SequenceFileInputFormat", "HiveSequenceFileOutputFormat") =>
+          Some("SEQUENCEFILE")
+        case ("TextInputFormat", "HiveIgnoreKeyTextOutputFormat") =>
+          Some("TEXTFILE")
+        case ("OrcInputFormat", "OrcOutputFormat") => Some("ORC")
+        case ("MapredParquetInputFormat", "MapredParquetOutputFormat") =>
+          Some("PARQUET")
+        case ("AvroContainerInputFormat", "AvroContainerOutputFormat") =>
+          Some("AVRO")
         case _ => None
       }
       scala.util.matching.Regex.quoteReplacement(
@@ -2478,7 +2533,7 @@ object Engine {
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
           format = tableFormat(spark, table),
-          schema = tableDmlSchema(spark, table))
+          schema = tableDataSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
@@ -2501,7 +2556,7 @@ object Engine {
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
           format = tableFormat(spark, table),
-          schema = tableDmlSchema(spark, table))
+          schema = tableDataSchema(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case exportRe(table, dir) =>

@@ -354,6 +354,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
     val specs = real.map {
       case org.apache.spark.sql.sources.EqualTo(a, v) if partCols.contains(a) =>
         a -> String.valueOf(v)
+      // the planner pushes static PARTITION (p=v) specs as null-safe
+      // equality; a NULL value names the default partition directory
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if partCols.contains(a) =>
+        a -> (if (v == null) PartLayout.NULL_DIR else String.valueOf(v))
       case f => sys.error(
         s"graft-avro supports only full-table or partition-equality overwrite, got: $f")
     }
@@ -385,12 +389,8 @@ case class AvroBatchWrite(path: String, schemaJson: String,
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
-        val rel = partCols.takeWhile(staticSpec.contains).map(c =>
-          PartLayout.escape(c) + "=" + PartLayout.escape(staticSpec(c)))
-        if (rel.nonEmpty) {
-          val d = new Path(p, rel.mkString("/"))
-          if (fs.exists(d)) fs.delete(d, true): Unit
-        }
+        // value-matched delete (hr=1 also replaces a dir spelled hr=01)
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
       case _ => ()
     }
     fs.mkdirs(p): Unit

@@ -91,6 +91,32 @@ object PartLayout {
     if (!fs.exists(root)) Nil else walk(root, 0, Map.empty).sortBy(_._1)
   }
 
+  /** Partition-VALUE equality by meaning, not spelling: numeric when both
+    * sides parse (hr=01 names the same partition as hr=1), string
+    * otherwise — the comparison Hive's metastore filter applies. Pruning
+    * and static-overwrite deletion must use THIS, or a lexically
+    * different spelling of the same value silently escapes them. */
+  def valueEq(dirValue: String, litValue: String): Boolean =
+    (dirValue.toDoubleOption, litValue.toDoubleOption) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => dirValue == litValue
+    }
+
+  /** Delete every partition directory whose values match `spec`
+    * semantically (all of spec's columns equal; spec may bind a prefix
+    * subset) — the static INSERT OVERWRITE PARTITION delete step. */
+  def deleteMatchingPartitions(root: Path, fs: FileSystem,
+      partCols: Seq[String], spec: Map[String, String]): Unit =
+    listPartitionDirs(root, fs, partCols)
+      .filter(dirSpec => spec.forall { case (k, v) =>
+        dirSpec.exists { case (dk, dv) => dk.equalsIgnoreCase(k) && valueEq(dv, v) }
+      })
+      .foreach { dirSpec =>
+        val rel = dirSpec.map { case (k, v) => escape(k) + "=" + escape(v) }
+          .mkString("/")
+        fs.delete(new Path(root, rel), true)
+      }
+
   /** Full-depth partition DIRECTORIES (files or not — a registered-empty
     * partition is still a partition, Hive parity), each as the ordered
     * (column, value) spec derived from its path. */

@@ -232,9 +232,13 @@ object PartPrune {
   def accepts(filters: Seq[Filter], spec: Map[String, String]): Boolean =
     filters.forall {
       case org.apache.spark.sql.sources.EqualTo(a, v) =>
-        spec.get(a).forall(_ == String.valueOf(v))
+        // by VALUE, not spelling: directory hr=01 must survive a hr=1
+        // filter (pruning is a listing optimization, never allowed to
+        // drop a semantically matching partition)
+        spec.get(a).forall(s => PartLayout.valueEq(s, String.valueOf(v)))
       case org.apache.spark.sql.sources.In(a, vs) =>
-        spec.get(a).forall(s => vs.map(String.valueOf).contains(s))
+        spec.get(a).forall(s =>
+          vs.exists(v => PartLayout.valueEq(s, String.valueOf(v))))
       case _ => true
     }
 }
@@ -339,6 +343,10 @@ class SeqWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
     val specs = real.map {
       case org.apache.spark.sql.sources.EqualTo(a, v) if partCols.contains(a) =>
         a -> String.valueOf(v)
+      // the planner pushes static PARTITION (p=v) specs as null-safe
+      // equality; a NULL value names the default partition directory
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if partCols.contains(a) =>
+        a -> (if (v == null) PartLayout.NULL_DIR else String.valueOf(v))
       case f => sys.error(
         s"graft-seq supports only full-table or partition-equality overwrite, got: $f")
     }
@@ -363,14 +371,9 @@ case class SeqBatchWrite(path: String, schemaJson: String,
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
-        // delete exactly the named partition subtree (all partition
-        // columns bound) — partial specs delete the matching prefix dirs
-        val rel = partCols.takeWhile(staticSpec.contains).map(c =>
-          PartLayout.escape(c) + "=" + PartLayout.escape(staticSpec(c)))
-        if (rel.nonEmpty) {
-          val d = new Path(p, rel.mkString("/"))
-          if (fs.exists(d)) fs.delete(d, true): Unit
-        }
+        // delete every directory naming the same LOGICAL partitions
+        // (value match, not spelling — hr=1 must also replace hr=01)
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
       case _ => ()
     }
     fs.mkdirs(p): Unit

@@ -101,12 +101,32 @@ object EventStreams {
 
   /** One fan-out micro-batch write — exposed so replay idempotency is
     * testable (calling twice with the same batchId must be a no-op).
+    *
+    * Batch 0 first clears any stale `batch_id=*` subdirectories: a stream
+    * restarted with a FRESH checkpoint over an existing output directory
+    * renumbers from 0, and without the sweep the previous run's batches
+    * would survive alongside the new ones (every row duplicated). Replay
+    * of batch 0 within one checkpoint lineage is still idempotent — a
+    * replayed 0 means no later batch committed, so the sweep only ever
+    * removes dead generations.
     */
   private[graft] def fanOutBatch(batch: DataFrame, highDir: String,
-                                 lowDir: String, batchId: Long): Unit =
+                                 lowDir: String, batchId: Long): Unit = {
+    if (batchId == 0) {
+      val hconf = batch.sparkSession.sessionState.newHadoopConf()
+      Seq(highDir, lowDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p))
+          Option(fs.listStatus(p)).toSeq.flatten
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+            .foreach(st => fs.delete(st.getPath, true))
+      }
+    }
     graft.operators.MultiInsert.fanOut(batch, Seq(
       s"$highDir/batch_id=$batchId" -> ((df: DataFrame) => df.filter(col("value") > 10)),
       s"$lowDir/batch_id=$batchId" -> ((df: DataFrame) => df.filter(col("value") <= 10))))
+  }
 
   /** Streaming upsert sink: every micro-batch MERGEs into a copy-on-write
     * parquet table — the CDC-into-lakehouse pattern. Each batch is first

@@ -231,6 +231,80 @@ class Round10Spec extends SparkSpec {
     spark.sql("DROP TABLE r10_ps")
   }
 
+  test("partition value matching is semantic, not lexical (review batch)") {
+    val base = Files.createTempDirectory("r10_lex").toString + "/t"
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_lex")
+    spark.sql(s"""CREATE TABLE r10_lex (id INT) USING `graft-seq`
+                  PARTITIONED BY (hr INT) LOCATION '$base'""")
+    // a directory spelled hr=01 (as LOAD DATA/ADD PARTITION with raw
+    // text would create it) must behave as the logical partition hr=1
+    d("ALTER TABLE r10_lex ADD PARTITION (hr=01)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/hr=01")))
+    // write a row into the odd-spelled dir through the flat writer
+    import spark.implicits._
+    Seq(7).toDF("id").write.format("graft-seq").mode("append").save(s"$base/hr=01")
+    // 1) pruning must NOT drop the hr=01 dir for a hr=1 filter
+    assert(spark.table("r10_lex").where("hr = 1").count() == 1)
+    // 2) static-equality overwrite of hr=1 must replace hr=01 too
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try d("INSERT OVERWRITE r10_lex PARTITION (hr=1) VALUES (42)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val after = spark.table("r10_lex").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(after == Seq((42, 1)), after)
+    // 3) NO_DROP registered as hr=01 protects a DROP spelled hr=1
+    d("ALTER TABLE r10_lex PARTITION (hr=01) ENABLE NO_DROP")
+    val e = intercept[Exception](d("ALTER TABLE r10_lex DROP PARTITION (hr=1)"))
+    assert(e.getMessage.contains("NO_DROP"), e.getMessage)
+    d("ALTER TABLE r10_lex PARTITION (hr=01) DISABLE NO_DROP")
+    d("ALTER TABLE r10_lex DROP PARTITION (hr=1)")
+    assert(spark.table("r10_lex").count() == 0)
+    // 4) quoted comma inside a partition value parses
+    spark.sql("DROP TABLE IF EXISTS r10_comma")
+    spark.sql(s"""CREATE TABLE r10_comma (id INT) USING `graft-seq`
+                  PARTITIONED BY (p STRING)
+                  LOCATION '${Files.createTempDirectory("r10_comma")}/t'""")
+    Engine.ddl(spark, "ALTER TABLE r10_comma ADD PARTITION (p='a,b')")
+    assert(Engine.ddl(spark, "SHOW PARTITIONS r10_comma").count() == 1)
+    spark.sql("DROP TABLE r10_comma")
+    spark.sql("DROP TABLE r10_lex")
+  }
+
+  test("COMPACT on one partition keeps partition columns out of the files") {
+    val base = Files.createTempDirectory("r10_cpt").toString + "/t"
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_cpt")
+    spark.sql(s"""CREATE TABLE r10_cpt (id INT, s STRING) USING `graft-seq`
+                  PARTITIONED BY (p STRING) LOCATION '$base'""")
+    spark.sql("INSERT INTO r10_cpt VALUES (1,'a','x'), (2,'b','x'), (3,'c','y')")
+    d("ALTER TABLE r10_cpt PARTITION (p='x') CONCATENATE")
+    // the compacted files must still be DATA-only lines: a full read
+    // keeps exact values (a spurious trailing partition field would
+    // shift parses / add a NULL column)
+    val got = spark.table("r10_cpt").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y")), got)
+    // and the raw flat read of the partition dir sees exactly 2 fields
+    val raw = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL("id INT, s STRING"))
+      .format("graft-seq").load(s"$base/p=x")
+    assert(raw.columns.toSeq == Seq("id", "s"))
+    assert(raw.count() == 2)
+    spark.sql("DROP TABLE r10_cpt")
+  }
+
+  test("mixed STORED AS INPUTFORMAT/OUTPUTFORMAT pair is not silently mapped") {
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_io")
+    // a matched pair maps (g677 covers it); a MIXED pair must fail loudly
+    val e = intercept[Exception](d(
+      """CREATE TABLE r10_io (k INT)
+         STORED AS INPUTFORMAT 'org.apache.hadoop.mapred.SequenceFileInputFormat'
+         OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat'"""))
+    assert(!spark.catalog.tableExists("r10_io"))
+  }
+
   test("partitioned graft-seq: partition values with special chars round-trip") {
     val base = Files.createTempDirectory("r10_esc").toString + "/t"
     spark.sql("DROP TABLE IF EXISTS r10_esc")

@@ -123,6 +123,11 @@ class StreamingSpec extends SparkSpec {
     // a genuinely new batch still lands (per-batch subdir, not truncate-all)
     EventStreams.fanOutBatch(batch, hi, lo, 8L)
     assert(spark.read.parquet(hi).count() == 2 * nHi)
+    // a FRESH checkpoint renumbers from 0: batch 0 sweeps the previous
+    // run's generations, so restarting over an existing dir never dupes
+    EventStreams.fanOutBatch(batch, hi, lo, 0L)
+    assert(spark.read.parquet(hi).count() == nHi)
+    assert(spark.read.parquet(lo).count() == nLo)
   }
 
   test("flatMapGroupsWithState emits exactly the completed sessions") {
