@@ -1394,7 +1394,10 @@ object Engine {
           .map(_.getPath)
       else Array(src)
     files.foreach(f => FileUtil.copy(srcFs, f, dstFs, new Path(dst, f.getName), false, conf))
-    if (partSpec.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    // graft DSv2 tables scan the directory layout directly (no catalog
+    // partition list) and reject MSCK as v2 tables
+    if (partSpec.nonEmpty && !tableFormat(spark, table).startsWith("graft-"))
+      spark.sql(s"MSCK REPAIR TABLE $table"): Unit
     spark.sql(s"REFRESH TABLE $table")
   }
 

@@ -305,6 +305,29 @@ class Round10Spec extends SparkSpec {
     assert(!spark.catalog.tableExists("r10_io"))
   }
 
+  test("graft-seq: hybrid static+dynamic insert and LOAD DATA PARTITION") {
+    val base = Files.createTempDirectory("r10_hyb").toString + "/t"
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_hybseq")
+    spark.sql(s"""CREATE TABLE r10_hybseq (k INT) USING `graft-seq`
+                  PARTITIONED BY (ds STRING, hr INT) LOCATION '$base'""")
+    Tables.views(spark, sf, "nation")
+    // hybrid: ds static, hr dynamic, on the DSv2 source
+    d("""INSERT OVERWRITE TABLE r10_hybseq PARTITION (ds='d1', hr)
+         SELECT n_nationkey, CAST(n_regionkey AS INT) FROM nation""")
+    assert(spark.table("r10_hybseq").count() == 25)
+    assert(spark.table("r10_hybseq").where("hr = 2").count() == 5)
+    // LOAD DATA into one partition: byte-copy a seq file in, read back
+    val stage = Files.createTempDirectory("r10_stage").toString + "/s"
+    spark.sql("SELECT 900 AS k").write.format("graft-seq")
+      .mode("overwrite").save(stage)
+    d(s"LOAD DATA INPATH '$stage' INTO TABLE r10_hybseq PARTITION (ds='d9', hr=9)")
+    val loaded = spark.table("r10_hybseq").where("ds = 'd9'")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(loaded == Seq((900, "d9", 9)), loaded)
+    spark.sql("DROP TABLE r10_hybseq")
+  }
+
   test("partitioned graft-seq: partition values with special chars round-trip") {
     val base = Files.createTempDirectory("r10_esc").toString + "/t"
     spark.sql("DROP TABLE IF EXISTS r10_esc")
