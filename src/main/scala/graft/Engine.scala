@@ -715,7 +715,7 @@ object Engine {
     val fmt = tableFormat(spark, table)
     val m = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    if (fmt == "graft-seq" ||
+    if (fmt == "graft-seq" || fmt == "graft-rcfile" ||
         (fmt == "graft-avro" && m.partitionColumnNames.nonEmpty)) m.schema
     else null
   }
@@ -729,7 +729,7 @@ object Engine {
   private def tableDataSchema(spark: SparkSession, table: String)
       : org.apache.spark.sql.types.StructType = {
     val fmt = tableFormat(spark, table)
-    if (fmt != "graft-seq") return null
+    if (fmt != "graft-seq" && fmt != "graft-rcfile") return null
     val m = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     org.apache.spark.sql.types.StructType(
@@ -840,6 +840,9 @@ object Engine {
           case "graft-seq" =>
             ("org.apache.hadoop.mapred.SequenceFileInputFormat",
               "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat")
+          case "graft-rcfile" =>
+            ("org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+              "org.apache.hadoop.hive.ql.io.RCFileOutputFormat")
           case _ =>
             ("org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
               "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
@@ -1753,6 +1756,7 @@ object Engine {
           Some("PARQUET")
         case ("AvroContainerInputFormat", "AvroContainerOutputFormat") =>
           Some("AVRO")
+        case ("RCFileInputFormat", "RCFileOutputFormat") => Some("RCFILE")
         case _ => None
       }
       scala.util.matching.Regex.quoteReplacement(
@@ -2020,6 +2024,10 @@ object Engine {
         opts += "escape" -> serdeProps.getOrElse("escapeChar", "\\")
         fmt = "OPENCSV"
       case Some("JsonSerDe") => fmt = "JSONFILE"
+      // the text columnar serde is graft-rcfile's cell contract;
+      // LazyBinaryColumnarSerDe (binary cells) stays unmapped — loud
+      // native error beats silently misreading binary cells as text
+      case Some("ColumnarSerDe") => fmt = "RCFILE"
       case Some(_) => return stmt0 // RegexSerDe & friends: no provider
     }
     s = s.replaceAll("(?i)\\bEXTERNAL\\s+", "")
@@ -2034,7 +2042,8 @@ object Engine {
       case "AVRO"     => "`graft-avro`"
       case "JSONFILE" => "json"
       case "SEQUENCEFILE" => "`graft-seq`"
-      case other => return stmt0 // RCFILE: no datasource mapping (obsolete)
+      case "RCFILE" => "`graft-rcfile`"
+      case other => return stmt0
     }
     val optsSql = if (opts.isEmpty) "" else
       opts.map { case (k, v) =>
@@ -2106,6 +2115,7 @@ object Engine {
         case "AVRO" => "`graft-avro`"
         case "JSONFILE" => "json"
         case "SEQUENCEFILE" => "`graft-seq`"
+        case "RCFILE" => "`graft-rcfile`"
         case _ => return stmt0
       }
       val optsSql = if (opts.isEmpty) "" else
@@ -2308,6 +2318,7 @@ object Engine {
           case "AVRO"     => "`graft-avro`"
           case "JSONFILE" => "json"
           case "SEQUENCEFILE" => "`graft-seq`"
+          case "RCFILE"   => "`graft-rcfile`"
           case o => throw new IllegalArgumentException(
             s"SET FILEFORMAT $o has no datasource mapping")
         }

@@ -87,6 +87,47 @@ object Round10Queries {
               FROM nation WHERE n_regionkey = 1
               UNION ALL
               SELECT n_nationkey, n_name, 'd2', 9
-              FROM nation WHERE n_nationkey < 3"""))
+              FROM nation WHERE n_nationkey < 3""")),
+
+    // ---- a17: the a15 program verbatim, but STORED on the genuine Hive
+    //      RCFile columnar container (sources/v2/RcFileDataSource —
+    //      reference ql/.../io/RCFile.java via the hive-exec classes Spark
+    //      bundles). Same oracle as a15: the storage layer must be
+    //      invisible to DML semantics. ----
+    Q("a17_partitioned_dml_rcfile", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_rc")
+      val base = graft.tools.Tmp.dir("graft_pdml_rc")
+      s.sql(s"""CREATE TABLE graft_tmp.pdml_rc (n_nationkey INT, n_name STRING)
+               USING `graft-rcfile` PARTITIONED BY (rk INT) LOCATION '$base'""")
+      graft.Tables.t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("rk"))
+        .write.insertInto("graft_tmp.pdml_rc")
+      Engine.ddl(s,
+        "UPDATE graft_tmp.pdml_rc SET n_name = concat('U_', n_name) WHERE rk = 1")
+      Engine.ddl(s,
+        "DELETE FROM graft_tmp.pdml_rc WHERE rk = 2 AND n_nationkey % 2 = 0")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_rc_src")
+      s.sql(s"""CREATE TABLE graft_tmp.pdml_rc_src USING parquet
+              LOCATION '${graft.tools.Tmp.dir("graft_pdml_rc_src")}/t' AS
+              SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+              UNION ALL SELECT 990, 'M99', 99""")
+      Engine.ddl(s,
+        """MERGE INTO graft_tmp.pdml_rc t USING graft_tmp.pdml_rc_src s
+           ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+           WHEN NOT MATCHED THEN INSERT VALUES (s.n_nationkey, s.n_name, s.rk)""")
+      s.table("graft_tmp.pdml_rc").select("n_nationkey", "n_name", "rk")
+    },
+      Some("""WITH upd AS (
+                SELECT n_nationkey,
+                       CASE WHEN n_nationkey = 0 THEN 'M0'
+                            WHEN n_regionkey = 1 THEN 'U_' || n_name
+                            ELSE n_name END AS n_name,
+                       n_regionkey AS rk
+                FROM nation
+                WHERE NOT (n_regionkey = 2 AND n_nationkey % 2 = 0))
+              SELECT n_nationkey, n_name, rk FROM upd
+              UNION ALL SELECT 990, 'M99', 99"""))
   )
 }

@@ -384,10 +384,10 @@ object Round2Queries {
       val base = graft.tools.Tmp.dir("graft_text")
       t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite")
-        .option("sep", "").option("nullValue", "\\N")
+        .option("sep", "\u0001").option("nullValue", "\\N")
         .csv(s"$base/txt")
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-        .option("sep", "").option("nullValue", "\\N")
+        .option("sep", "\u0001").option("nullValue", "\\N")
         .csv(s"$base/txt")
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), max("n_name").as("max_name"))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.StructType
   */
 object SequenceFileText {
 
-  private val SEP = ""
+  private val SEP = "\u0001"
 
   def write(df: DataFrame, dir: String): Unit = {
     val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("\\N")))

@@ -1,0 +1,332 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.io.RCFile
+import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+import org.apache.hadoop.io.LongWritable
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 for Hive's RCFile columnar container, so
+  * `CREATE TABLE ... STORED AS RCFILE` statements run natively against
+  * the genuine on-disk format (reference: ql/src/java/.../io/RCFile.java;
+  * row groups of column-major buffers behind a SequenceFile-style header).
+  * The container classes ship with Spark's Hive integration
+  * (hive-exec-core), so files written here are byte-interoperable with
+  * Hive-written RCFile data and vice versa.
+  *
+  * Cell contract is ColumnarSerDe's (serde2/columnar/ColumnarSerDe.java):
+  * each cell is the LazySimpleSerDe text rendering of the value, `\N` for
+  * NULL — shared with the graft-seq line contract via [[SeqV2Util]].
+  *
+  * Scale design: one InputPartition per container file; column pruning is
+  * pushed to the STORAGE layer (`hive.io.file.readcolumn.ids`), so
+  * unprojected columns are never decompressed — the point of RCFile — and
+  * a `SELECT count(*)` reads row counts from group headers without
+  * touching any column buffer. Partitioned tables share the Hive `p=v`
+  * layout machinery ([[PartLayout]]): listing-time pruning, dynamic /
+  * static overwrite, NULL sentinel, `_metadata.file_path` for CoW DML.
+  */
+class RcFileDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rcfile"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RcV2Util.inferSchema(Option(options.get("path")).getOrElse(
+      sys.error("graft-rcfile requires a path to infer a schema")))
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val p = Option(properties.get("path"))
+      .orElse(Option(properties.get("location"))).getOrElse("")
+    val partCols =
+      if (partitioning.nonEmpty) PartLayout.partColNames(partitioning)
+      else Option(properties.get("partitions")).toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    RcTable(p, schema, partCols)
+  }
+}
+
+object RcV2Util {
+  /** Projection conf the RCFile reader honors (ColumnProjectionUtils
+    * keys): read.all=false + the explicit id list means skipped columns'
+    * buffers are never decompressed. An EMPTY id list (count(*)) still
+    * iterates rows — row counts live in the group key headers. */
+  def projectionConf(ids: Seq[Int]): Configuration = {
+    val conf = new Configuration()
+    conf.setBoolean("hive.io.file.read.all.columns", false)
+    conf.set("hive.io.file.readcolumn.ids", ids.mkString(","))
+    conf
+  }
+
+  /** Column count from the file's own metadata (the writer records it as
+    * `hive.io.rcfile.column.number`); schema-less reads see string
+    * columns c0..cN — Hive tables always carry a declared schema, so this
+    * is a programmatic-read convenience only. */
+  def inferSchema(dir: String): StructType = {
+    val files = SeqV2Util.listFiles(dir)
+    require(files.nonEmpty, s"no files under $dir")
+    val p = new Path(files.head)
+    val conf = new Configuration()
+    val r = new RCFile.Reader(p.getFileSystem(conf), p, conf)
+    val n = try {
+      Option(r.getMetadataValueOf(
+          new org.apache.hadoop.io.Text(RCFile.COLUMN_NUMBER_METADATA_STR)))
+        .map(_.toString.toInt).getOrElse(1)
+    } finally r.close()
+    StructType((0 until n).map(i => StructField(s"c$i", StringType)))
+  }
+
+  /** One RCFile cell (raw bytes) → Catalyst value via the shared
+    * LazySimpleSerDe text contract. */
+  def parseCell(cell: BytesRefWritable, dt: DataType,
+                zone: java.time.ZoneId): Any = {
+    val raw = new String(cell.getData, cell.getStart, cell.getLength, "UTF-8")
+    SeqV2Util.parse(raw, dt, zone)
+  }
+}
+
+case class RcTable(path: String, tableSchema: StructType,
+    partCols: Seq[String] = Nil)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
+  override def name(): String = s"graft-rcfile:$path"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    PartLayout.identityTransforms(partCols)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(FileMetadataColumn)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RcScanBuilder(path, tableSchema, partCols)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RcWriteBuilder(path, info.schema(), partCols)
+}
+
+class RcScanBuilder(path: String, full: StructType, partCols: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  private var required: StructType = full
+  private var prune: Seq[Filter] = Nil
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  // same contract as SeqScanBuilder: partition equality/IN filters are
+  // remembered for listing-time pruning only; every filter is returned
+  // for Spark to re-evaluate post-scan
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    prune = filters.toSeq.filter {
+      case org.apache.spark.sql.sources.EqualTo(a, _) => partCols.contains(a)
+      case org.apache.spark.sql.sources.In(a, _) => partCols.contains(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def build(): Scan = RcScan(path, full, required, partCols, prune)
+}
+
+case class RcScan(path: String, full: StructType, required: StructType,
+    partCols: Seq[String], prune: Seq[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rcfile ReadSchema: ${required.fieldNames.mkString(",")}" +
+      (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
+  override def planInputPartitions(): Array[InputPartition] =
+    if (partCols.isEmpty)
+      SeqV2Util.listFiles(path)
+        .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
+        .toArray
+    else {
+      val root = new Path(path)
+      PartLayout.listPartitionedFiles(root,
+        root.getFileSystem(new Configuration()), partCols, _ => true,
+        spec => PartPrune.accepts(prune, spec))
+        .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
+        .toArray
+    }
+  override def createReaderFactory(): PartitionReaderFactory =
+    RcReaderFactory(full.json, required.json, partCols,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+}
+
+case class RcReaderFactory(fullJson: String, requiredJson: String,
+    partCols: Seq[String], sessionTz: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqFilePartition]
+    val file = p.file
+    val full = DataType.fromJson(fullJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val zone = java.time.ZoneId.of(sessionTz)
+    // data columns (the stored layout) are full minus partition columns,
+    // in declaration order; required fields resolve to a stored column id
+    // (>= 0), the _metadata struct (-1), or a partition ordinal (-2 - k)
+    val dataFields = full.fields.filterNot(f => partCols.contains(f.name))
+    val posOf = dataFields.map(_.name).zipWithIndex.toMap
+    val fieldPos = required.fields.map { f =>
+      if (f.name == FileMetadataColumn.NAME) -1
+      else if (partCols.contains(f.name)) -2 - partCols.indexOf(f.name)
+      else posOf(f.name)
+    }
+    val types = required.fields.map(_.dataType)
+    val partVals = partCols.map(c =>
+      p.partSpec.get(c).map(v => PartLayout.castValue(v,
+        full(full.fieldIndex(c)).dataType)).orNull).toArray
+    val metaRow = FileMetadataColumn.rowFor(file)
+    // storage-level pruning: only the projected stored-column ids are
+    // decompressed by the container reader
+    val conf = RcV2Util.projectionConf(fieldPos.filter(_ >= 0).sorted.toSeq)
+    val fsPath = new Path(file)
+    val reader = new RCFile.Reader(fsPath.getFileSystem(conf), fsPath, conf)
+    val rowId = new LongWritable()
+    val row = new BytesRefArrayWritable()
+    new PartitionReader[InternalRow] {
+      private var hasRow = false
+      override def next(): Boolean = { hasRow = reader.next(rowId); hasRow }
+      override def get(): InternalRow = {
+        reader.getCurrentRow(row)
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) =
+            if (fieldPos(i) == -1) metaRow
+            else if (fieldPos(i) <= -2) partVals(-2 - fieldPos(i))
+            else if (fieldPos(i) < row.size)
+              RcV2Util.parseCell(row.get(fieldPos(i)), types(i), zone)
+            else null // short row: ColumnarSerDe pads missing columns NULL
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
+  private var mode = "NONE"
+  private var staticSpec: Map[String, String] = Map.empty
+  override def truncate(): WriteBuilder = { mode = "ALL"; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val real = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    if (real.isEmpty) { mode = "ALL"; return this }
+    val specs = real.map {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if partCols.contains(a) =>
+        a -> String.valueOf(v)
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if partCols.contains(a) =>
+        a -> (if (v == null) PartLayout.NULL_DIR else String.valueOf(v))
+      case f => sys.error(
+        s"graft-rcfile supports only full-table or partition-equality overwrite, got: $f")
+    }
+    mode = "STATIC"; staticSpec = specs.toMap; this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = if (partCols.isEmpty) "ALL" else "DYNAMIC"; this
+  }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = RcBatchWrite(path, schema.json,
+      partCols, mode, staticSpec,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  }
+}
+
+case class RcBatchWrite(path: String, schemaJson: String,
+    partCols: Seq[String], mode: String, staticSpec: Map[String, String],
+    sessionTz: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    mode match {
+      case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
+      case "STATIC" =>
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
+      case _ => ()
+    }
+    fs.mkdirs(p): Unit
+    RcWriterFactory(path, schemaJson, partCols, sessionTz)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (mode == "DYNAMIC") {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
+      PartLayout.commitDynamicOverwrite(p, fs,
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class RcWriterFactory(path: String, schemaJson: String,
+    partCols: Seq[String], sessionTz: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val dataIdx = sparkSchema.fields.zipWithIndex
+      .filterNot { case (f, _) => partCols.contains(f.name) }.map(_._2)
+    val types = sparkSchema.fields.map(_.dataType)
+    val partOrds = partCols.map(c =>
+      sparkSchema.fieldIndex(c) -> sparkSchema(sparkSchema.fieldIndex(c)).dataType)
+    val zone = java.time.ZoneId.of(sessionTz)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    // the container requires the column count up front (it sizes the
+    // per-group column buffers — RCFile.Writer's row-group machinery)
+    val conf = new Configuration()
+    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, dataIdx.length)
+    val fs = new Path(path).getFileSystem(conf)
+    new DataWriter[InternalRow] {
+      private val writers =
+        scala.collection.mutable.LinkedHashMap[String, (RCFile.Writer, Path)]()
+      private var seq = 0
+      private def writerFor(rel: String): RCFile.Writer =
+        writers.getOrElseUpdate(rel, {
+          val dir = if (rel.isEmpty) new Path(path) else new Path(path, rel)
+          fs.mkdirs(dir): Unit
+          seq += 1
+          val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.rc")
+          (new RCFile.Writer(fs, conf, file), file)
+        })._1
+      override def write(row: InternalRow): Unit = {
+        val rel =
+          if (partCols.isEmpty) ""
+          else PartLayout.partPath(row, partCols, partOrds)
+        val cells = new BytesRefArrayWritable(dataIdx.length)
+        var j = 0
+        dataIdx.foreach { i =>
+          val bytes = SeqV2Util.render(row, i, types(i), zone).getBytes("UTF-8")
+          cells.set(j, new BytesRefWritable(bytes, 0, bytes.length))
+          j += 1
+        }
+        writerFor(rel).append(cells)
+      }
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._1.close())
+        PartWriteMessage(writers.values.map(_._2.toString).toSeq,
+          writers.keys.toSeq)
+      }
+      override def abort(): Unit = {
+        writers.values.foreach { case (w, f) =>
+          w.close(); fs.delete(f, false): Unit
+        }
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -75,7 +75,7 @@ class SequenceFileDataSource extends TableProvider with DataSourceRegister {
 }
 
 object SeqV2Util {
-  val SEP = ""
+  val SEP = "\u0001"
   val NULL = "\\N"
 
   /** Render micros-of-a-wall-clock LocalDateTime in the reference's

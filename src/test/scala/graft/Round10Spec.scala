@@ -341,6 +341,130 @@ class Round10Spec extends SparkSpec {
     spark.sql("DROP TABLE r10_esc")
   }
 
+  test("partitioned graft-avro: NULL partition value round-trips as the Hive sentinel") {
+    val base = Files.createTempDirectory("r10_nullp").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS r10_nullp")
+    spark.sql(s"""CREATE TABLE r10_nullp (id INT) USING `graft-avro`
+                  PARTITIONED BY (ds STRING) LOCATION '$base'""")
+    spark.sql("INSERT INTO r10_nullp VALUES (1, CAST(NULL AS STRING)), (2, 'd2')")
+    // on disk: the Hive sentinel directory, not a literal 'null'
+    val dirs = new java.io.File(base).listFiles().map(_.getName).sorted.toSeq
+    assert(dirs == Seq("ds=__HIVE_DEFAULT_PARTITION__", "ds=d2"), dirs)
+    // reads back as SQL NULL, filterable with IS NULL
+    val got = spark.table("r10_nullp").orderBy("id")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1, None), (2, Some("d2"))), got)
+    assert(spark.table("r10_nullp").where("ds IS NULL").count() == 1)
+    // overwriting the non-null partition leaves the NULL partition intact
+    Engine.ddl(spark,
+      "INSERT OVERWRITE TABLE r10_nullp PARTITION (ds='d2') SELECT 20")
+    val after = spark.table("r10_nullp").orderBy("id")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(after == Seq((1, None), (20, Some("d2"))), after)
+    spark.sql("DROP TABLE r10_nullp")
+  }
+
+  // ---- graft-rcfile: the genuine Hive RCFile container -------------------
+
+  test("graft-rcfile: typed round-trip, storage-level column pruning, count(*)") {
+    val dir = Files.createTempDirectory("r10_rc").toString + "/t"
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1, 'alpha', CAST(1.5 AS DOUBLE), CAST('2024-03-01 10:30:00' AS TIMESTAMP), CAST(1.50 AS DECIMAL(10,2))),
+           (2, '',      CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),                 CAST(NULL AS DECIMAL(10,2))),
+           (3, NULL,    CAST(-2.25 AS DOUBLE), CAST('2024-03-02 00:00:01.123' AS TIMESTAMP), CAST(-2.25 AS DECIMAL(10,2)))
+         AS t(id, s, d, ts, dec)""")
+    df.write.format("graft-rcfile").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-rcfile").schema(df.schema).load(dir)
+    // empty string and NULL are distinct cells (\N sentinel, ColumnarSerDe)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1, Some("alpha")), (2, Some("")), (3, None)), got)
+    assert(back.where("ts = CAST('2024-03-02 00:00:01.123' AS TIMESTAMP)")
+      .count() == 1)
+    assert(back.selectExpr("sum(dec)").collect()(0).getDecimal(0)
+      .compareTo(new java.math.BigDecimal("-0.75")) == 0)
+    // pruning reaches the scan (the container then skips the other
+    // columns' buffers entirely — hive.io.file.readcolumn.ids)
+    val plan = back.select("s").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: s"), plan)
+    assert(back.count() == 3) // zero projected columns still counts rows
+  }
+
+  test("STORED AS RCFILE / ColumnarSerDe / SET FILEFORMAT map to graft-rcfile") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_rcddl")
+    d("CREATE TABLE r10_rcddl (k INT, v STRING) STORED AS RCFILE")
+    assert(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier("r10_rcddl")).provider.get == "graft-rcfile")
+    d("INSERT INTO r10_rcddl VALUES (1, 'x'), (2, NULL)")
+    // CoW DML over _metadata.file_path works on the RCFile container
+    d("UPDATE r10_rcddl SET v = 'y' WHERE k = 1")
+    d("DELETE FROM r10_rcddl WHERE k = 2")
+    val rows = spark.table("r10_rcddl")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "y")), rows)
+    // the explicit text columnar serde maps; the IO-class pair maps
+    d("DROP TABLE IF EXISTS r10_rcserde")
+    d("""CREATE TABLE r10_rcserde (k INT)
+         ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe'
+         STORED AS RCFILE""")
+    d("DROP TABLE IF EXISTS r10_rcio")
+    d("""CREATE TABLE r10_rcio (k INT)
+         STORED AS INPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileInputFormat'
+         OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileOutputFormat'""")
+    for (t <- Seq("r10_rcserde", "r10_rcio")) {
+      d(s"INSERT INTO $t VALUES (7)")
+      assert(spark.table(t).collect().map(_.getInt(0)).toSeq == Seq(7), t)
+    }
+    // LazyBinaryColumnarSerDe (binary cells) must NOT silently map to the
+    // text contract
+    val e = intercept[Exception](d(
+      """CREATE TABLE r10_rcbin (k INT)
+         ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe'
+         STORED AS RCFILE"""))
+    assert(!spark.catalog.tableExists("r10_rcbin"))
+    // ALTER ... SET FILEFORMAT RCFILE converts a table in place
+    d("DROP TABLE IF EXISTS r10_rcalter")
+    d("CREATE TABLE r10_rcalter (k INT) STORED AS PARQUET")
+    d("INSERT INTO r10_rcalter VALUES (5)")
+    d("ALTER TABLE r10_rcalter SET FILEFORMAT RCFILE")
+    d("INSERT INTO r10_rcalter VALUES (6)")
+    assert(spark.table("r10_rcalter").collect().map(_.getInt(0)).toSet
+      == Set(5, 6))
+    Seq("r10_rcddl", "r10_rcserde", "r10_rcio", "r10_rcalter")
+      .foreach(t => d(s"DROP TABLE $t"))
+  }
+
+  test("graft-rcfile container interops with Hive's own RCFile reader") {
+    // read the files back with the raw hive-exec Reader (no graft code on
+    // the read path): cell bytes must be the ColumnarSerDe text contract
+    val dir = Files.createTempDirectory("r10_rcraw").toString + "/t"
+    spark.sql("SELECT 41 AS a, 'x' AS b UNION ALL SELECT 42, NULL")
+      .coalesce(1).write.format("graft-rcfile").mode("overwrite").save(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(file.toString)
+    val r = new org.apache.hadoop.hive.ql.io.RCFile.Reader(
+      p.getFileSystem(conf), p, conf)
+    val id = new org.apache.hadoop.io.LongWritable()
+    val row = new org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable()
+    val cells = scala.collection.mutable.Buffer[Seq[String]]()
+    while (r.next(id)) {
+      r.getCurrentRow(row)
+      cells += (0 until row.size).map { i =>
+        val c = row.get(i)
+        new String(c.getData, c.getStart, c.getLength, "UTF-8")
+      }
+    }
+    r.close()
+    assert(cells.sortBy(_.head) ==
+      Seq(Seq("41", "x"), Seq("42", "\\N")), cells)
+  }
+
   // ---- permissive-cast retry is statement-scoped (cloned session) --------
 
   test("narrowing-insert retry does not flip the shared session policy") {

@@ -172,14 +172,14 @@ class Round7Spec extends SparkSpec {
   test("rewriteHiveCreate decodes octal delimiters and leaves non-Hive DDL alone") {
     val oct = Engine.rewriteHiveCreate(
       "CREATE TABLE t3 (a STRING) ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\001' STORED AS TEXTFILE")
-    assert(oct.contains("sep = ''"), oct)
+    assert(oct.contains("sep = '\u0001'"), oct)
     val plain = "CREATE TABLE t4 (a STRING) USING parquet"
     assert(Engine.rewriteHiveCreate(plain) == plain)
-    // round 8: SEQUENCEFILE maps to the DSv2 source; RCFILE stays untouched
+    // round 8: SEQUENCEFILE maps to the DSv2 source; round 10: RCFILE too
     val seq = "CREATE TABLE t5 (a STRING) STORED AS SEQUENCEFILE"
     assert(Engine.rewriteHiveCreate(seq).contains("USING `graft-seq`"))
     val rc = "CREATE TABLE t6 (a STRING) STORED AS RCFILE"
-    assert(Engine.rewriteHiveCreate(rc) == rc) // no mapping: untouched
+    assert(Engine.rewriteHiveCreate(rc).contains("USING `graft-rcfile`"))
   }
 
   test("rewriteHiveInsertDir maps directory writes onto USING providers") {

@@ -256,7 +256,7 @@ class Round9Spec extends SparkSpec {
         new org.apache.hadoop.io.Text)
       assert(r.next(k, v))
       r.close()
-      val cells = v.toString.split("", -1)
+      val cells = v.toString.split("\u0001", -1)
       assert(cells(0) == "2024-03-01 21:00:00.0", cells(0))
       assert(cells(1) == "2024-05-06 07:08:09.25", cells(1))
 
@@ -601,6 +601,6 @@ class Round9Spec extends SparkSpec {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       }.head
-    assert(line == "1x", line.replace('', '|'))
+    assert(line == "1\u0001x", line.replace('\u0001', '|'))
   }
 }
