@@ -2028,6 +2028,15 @@ object Engine {
       // LazyBinaryColumnarSerDe (binary cells) stays unmapped — loud
       // native error beats silently misreading binary cells as text
       case Some("ColumnarSerDe") => fmt = "RCFILE"
+      // thrift-serialized sequencefiles (src_thrift / join_thrift.q):
+      // the serde class IS the schema — serialization.class flows to the
+      // DSv2 source, which derives columns from the thrift metadata
+      case Some("ThriftDeserializer") =>
+        serdeProps.get("serialization.class")
+          .foreach(c => opts += "thrift.class" -> c)
+        serdeProps.get("serialization.format")
+          .foreach(f => opts += "thrift.protocol" -> f)
+        fmt = "THRIFTSEQ"
       case Some(_) => return stmt0 // RegexSerDe & friends: no provider
     }
     s = s.replaceAll("(?i)\\bEXTERNAL\\s+", "")
@@ -2043,6 +2052,7 @@ object Engine {
       case "JSONFILE" => "json"
       case "SEQUENCEFILE" => "`graft-seq`"
       case "RCFILE" => "`graft-rcfile`"
+      case "THRIFTSEQ" => "`graft-thrift-seq`"
       case other => return stmt0
     }
     val optsSql = if (opts.isEmpty) "" else

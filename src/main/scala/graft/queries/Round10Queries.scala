@@ -128,6 +128,55 @@ object Round10Queries {
                 FROM nation
                 WHERE NOT (n_regionkey = 2 AND n_nationkey % 2 = 0))
               SELECT n_nationkey, n_name, rk FROM upd
-              UNION ALL SELECT 990, 'M99', 99"""))
+              UNION ALL SELECT 990, 'M99', 99""")),
+
+    // ---- q154: thrift-serialized sequencefile tables (the src_thrift
+    //      fixture shape behind join_thrift.q — serde2/thrift/
+    //      ThriftDeserializer.java). The serde CLASS is the schema: the
+    //      DSv2 source (sources/v2/ThriftSeqDataSource) derives columns
+    //      from the generated thrift metadata; records are TBinaryProtocol
+    //      bytes in SequenceFile values. ----
+    Q("q154_thrift_seq", (s, d) => {
+      val de = Engine.ddl(s, _: String)
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.src_thrift")
+      val base = graft.tools.Tmp.dir("graft_src_thrift")
+      de(s"""CREATE TABLE graft_tmp.src_thrift
+           ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.thrift.ThriftDeserializer'
+           WITH SERDEPROPERTIES (
+             'serialization.class' = 'org.apache.hadoop.hive.serde2.thrift.test.Complex',
+             'serialization.format' = 'org.apache.thrift.protocol.TBinaryProtocol')
+           STORED AS SEQUENCEFILE
+           LOCATION '$base/t'""")
+      graft.Tables.t(s, d, "nation").createOrReplaceTempView("q154_nation")
+      de("""INSERT INTO graft_tmp.src_thrift
+           SELECT CAST(n_nationkey AS INT),
+                  concat('record_', n_nationkey),
+                  array(CAST(n_nationkey AS INT), CAST(n_regionkey AS INT)),
+                  array(n_name),
+                  array(named_struct(
+                    'myint', CAST(n_nationkey * 2 AS INT),
+                    'myString', concat('s', n_name),
+                    'underscore_int', CAST(n_nationkey + 1 AS INT))),
+                  map('key', n_name),
+                  NULL, NULL, NULL, NULL
+           FROM q154_nation WHERE n_nationkey < 5""")
+      s.sql("""SELECT s1.aint AS aint, s1.aString AS astring,
+                      s2.lintString AS lintstring
+               FROM graft_tmp.src_thrift s1
+               JOIN graft_tmp.src_thrift s2 ON s1.aint = s2.aint""")
+    },
+      Some("""WITH t AS (
+                SELECT CAST(n_nationkey AS INT) AS aint,
+                       'record_' || n_nationkey AS astring,
+                       [struct_pack(
+                          myint := CAST(n_nationkey * 2 AS INT),
+                          myString := 's' || n_name,
+                          underscore_int := CAST(n_nationkey + 1 AS INT))]
+                         AS lintstring
+                FROM nation WHERE n_nationkey < 5)
+              SELECT s1.aint AS aint, s1.astring AS astring,
+                     s2.lintstring AS lintstring
+              FROM t s1 JOIN t s2 ON s1.aint = s2.aint"""))
   )
 }

@@ -437,6 +437,33 @@ class Round10Spec extends SparkSpec {
       .foreach(t => d(s"DROP TABLE $t"))
   }
 
+  test("graft-rcfile: hybrid insert, LOAD DATA PARTITION, SHOW TABLE EXTENDED") {
+    val base = Files.createTempDirectory("r10_rchyb").toString + "/t"
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_hybrc")
+    spark.sql(s"""CREATE TABLE r10_hybrc (k INT) USING `graft-rcfile`
+                  PARTITIONED BY (ds STRING, hr INT) LOCATION '$base'""")
+    Tables.views(spark, sf, "nation")
+    d("""INSERT OVERWRITE TABLE r10_hybrc PARTITION (ds='d1', hr)
+         SELECT n_nationkey, CAST(n_regionkey AS INT) FROM nation""")
+    assert(spark.table("r10_hybrc").count() == 25)
+    assert(spark.table("r10_hybrc").where("hr = 2").count() == 5)
+    val stage = Files.createTempDirectory("r10_rcstage").toString + "/s"
+    spark.sql("SELECT 900 AS k").write.format("graft-rcfile")
+      .mode("overwrite").save(stage)
+    d(s"LOAD DATA INPATH '$stage' INTO TABLE r10_hybrc PARTITION (ds='d9', hr=9)")
+    val loaded = spark.table("r10_hybrc").where("ds = 'd9'")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(loaded == Seq((900, "d9", 9)), loaded)
+    // the Hive status lines advertise the genuine RCFile IO classes
+    val status = Engine.ddl(spark,
+      "SHOW TABLE EXTENDED LIKE 'r10_hybrc'")
+      .collect().map(_.mkString("\t")).mkString("\n")
+    assert(status.contains("RCFileInputFormat"), status)
+    assert(status.contains("RCFileOutputFormat"), status)
+    spark.sql("DROP TABLE r10_hybrc")
+  }
+
   test("graft-rcfile container interops with Hive's own RCFile reader") {
     // read the files back with the raw hive-exec Reader (no graft code on
     // the read path): cell bytes must be the ColumnarSerDe text contract
@@ -463,6 +490,64 @@ class Round10Spec extends SparkSpec {
     r.close()
     assert(cells.sortBy(_.head) ==
       Seq(Seq("41", "x"), Seq("42", "\\N")), cells)
+  }
+
+  // ---- graft-thrift-seq: the serde class IS the schema -------------------
+
+  test("thrift sequencefile: class-derived schema, union tag, genuine bytes") {
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_thrift")
+    d("""CREATE TABLE r10_thrift
+         ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.thrift.ThriftDeserializer'
+         WITH SERDEPROPERTIES (
+           'serialization.class' = 'org.apache.hadoop.hive.serde2.thrift.test.Complex',
+           'serialization.format' = 'org.apache.thrift.protocol.TBinaryProtocol')
+         STORED AS SEQUENCEFILE""")
+    // the DDL carried no column list: all 10 Complex fields come from the
+    // generated thrift metadata, in declaration order
+    assert(spark.table("r10_thrift").columns.toSeq == Seq("aint", "aString",
+      "lint", "lString", "lintString", "mStringString", "attributes",
+      "unionField1", "unionField2", "unionField3"))
+    d("""INSERT INTO r10_thrift
+         SELECT 1, 'one', array(1, 2), array('a'),
+                array(named_struct('myint', 2, 'myString', 'sx', 'underscore_int', 3)),
+                map('k', 'v'), NULL,
+                named_struct(
+                  'intValue', 7, 'longValue', CAST(NULL AS BIGINT),
+                  'stringValue', CAST(NULL AS STRING), 'doubleValue', CAST(NULL AS DOUBLE),
+                  'flag', CAST(NULL AS BOOLEAN),
+                  'lString', CAST(NULL AS ARRAY<STRING>),
+                  'unionMStringString', CAST(NULL AS MAP<STRING,STRING>)),
+                NULL, NULL""")
+    val row = spark.table("r10_thrift").collect()(0)
+    assert(row.getInt(0) == 1 && row.getString(1) == "one")
+    assert(row.getSeq[Int](2) == Seq(1, 2))
+    // the union field wrote through the REAL TUnion (one alternative set)
+    val u = row.getStruct(row.fieldIndex("unionField1"))
+    assert(u.getInt(0) == 7 && u.isNullAt(2), u)
+    // the on-disk record is genuine TBinaryProtocol bytes: read it back
+    // with raw libthrift, no graft code on the path
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_thrift"))
+      .location.getPath
+    val file = new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val r = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(file.toString)))
+    val k = new org.apache.hadoop.io.BytesWritable()
+    val v = new org.apache.hadoop.io.BytesWritable()
+    assert(r.next(k, v)); r.close()
+    val obj = new org.apache.hadoop.hive.serde2.thrift.test.Complex()
+    new org.apache.thrift.TDeserializer(
+        new org.apache.thrift.protocol.TBinaryProtocol.Factory())
+      .deserialize(obj, java.util.Arrays.copyOf(v.getBytes, v.getLength))
+    assert(obj.getAint == 1 && obj.getAString == "one")
+    assert(obj.getUnionField1.getSetField.getFieldName == "intValue")
+    assert(obj.getUnionField1.getFieldValue == Integer.valueOf(7))
+    spark.sql("DROP TABLE r10_thrift")
   }
 
   // ---- permissive-cast retry is statement-scoped (cloned session) --------
