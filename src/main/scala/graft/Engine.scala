@@ -140,8 +140,9 @@ object Engine {
     * class names (what a migrating user's scripts actually contain) onto
     * the same Catalyst builders, so `CREATE TEMPORARY FUNCTION f AS
     * 'org.apache.hadoop.hive.ql.udf.generic.GenericUDFField'` just works.
-    * Statements with an unknown class fall through to Spark's native
-    * parser (which handles UDF1..22 classes and USING JAR).
+    * Statements with an unknown class resolve against the session
+    * classloader (jarUdfBuilder — the ADD JAR runtime-loading path);
+    * anything else falls through to Spark's native parser.
     */
   private val functionClasses: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression] = Map(
     "graft.functions.FieldExpr" -> (exprs => FieldExpr(exprs)),
@@ -160,6 +161,91 @@ object Engine {
     // plain arity-n addition)
     "org.apache.hadoop.hive.contrib.udf.example.UDFExampleAdd" -> (exprs =>
       exprs.reduceLeft(org.apache.spark.sql.catalyst.expressions.Add(_, _))))
+
+  /** Executor-side invoker for a session-jar UDF class: captures only the
+    * class NAME, resolving instance + method lazily per JVM (ADD JAR
+    * distributes the jar; java.lang.reflect.Method is not serializable,
+    * so the resolution must happen after deserialization). */
+  private class JarUdfCall(clsName: String, arity: Int) extends Serializable {
+    @transient private lazy val target = {
+      val c = Class.forName(clsName, true,
+        Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader))
+      val inst = c.getDeclaredConstructor().newInstance()
+      val m = c.getMethods
+        .find(m => m.getName == "call" && m.getParameterCount == arity).get
+      (inst, m)
+    }
+    def invoke(args: Any*): Any =
+      target._2.invoke(target._1, args.map(_.asInstanceOf[AnyRef]): _*)
+  }
+
+  private def javaToCatalyst(t: java.lang.reflect.Type)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    t match {
+      case c: Class[_] => c.getName match {
+        case "java.lang.String" => Some(StringType)
+        case "java.lang.Integer" => Some(IntegerType)
+        case "java.lang.Long" => Some(LongType)
+        case "java.lang.Double" => Some(DoubleType)
+        case "java.lang.Float" => Some(FloatType)
+        case "java.lang.Boolean" => Some(BooleanType)
+        case "java.lang.Short" => Some(ShortType)
+        case "java.lang.Byte" => Some(ByteType)
+        case "java.math.BigDecimal" => Some(DecimalType.SYSTEM_DEFAULT)
+        case "[B" => Some(BinaryType)
+        case "java.sql.Date" => Some(DateType)
+        case "java.sql.Timestamp" => Some(TimestampType)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** CREATE FUNCTION for a class NOT in the builtin catalog: if the
+    * session classloader (which ADD JAR extends — mapjoin_addjar.q's
+    * runtime-loading surface) can load it and it implements the Java
+    * UDF0..UDF8 interfaces, resolve the reference's FunctionTask
+    * class→builder step to a ScalaUDF. Unknown shapes return None and
+    * the statement falls through to Spark's native handling. */
+  private def jarUdfBuilder(cls: String): Option[Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val c = try Class.forName(cls, false,
+        Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader))
+      catch { case _: ClassNotFoundException | _: LinkageError => return None }
+    val iface = c.getGenericInterfaces.collectFirst {
+      case p: java.lang.reflect.ParameterizedType
+        if p.getRawType.isInstanceOf[Class[_]] &&
+          p.getRawType.asInstanceOf[Class[_]].getName
+            .matches("org\\.apache\\.spark\\.sql\\.api\\.java\\.UDF\\d+") => p
+    }.getOrElse(return None)
+    val arity = iface.getRawType.asInstanceOf[Class[_]].getName
+      .stripPrefix("org.apache.spark.sql.api.java.UDF").toInt
+    if (arity > 8) return None
+    val ret = javaToCatalyst(iface.getActualTypeArguments.last)
+      .getOrElse(return None)
+    val h = new JarUdfCall(cls, arity)
+    val fn: AnyRef = arity match {
+      case 0 => () => h.invoke()
+      case 1 => (a: Any) => h.invoke(a)
+      case 2 => (a: Any, b: Any) => h.invoke(a, b)
+      case 3 => (a: Any, b: Any, c3: Any) => h.invoke(a, b, c3)
+      case 4 => (a: Any, b: Any, c3: Any, d: Any) => h.invoke(a, b, c3, d)
+      case 5 => (a: Any, b: Any, c3: Any, d: Any, e: Any) =>
+        h.invoke(a, b, c3, d, e)
+      case 6 => (a: Any, b: Any, c3: Any, d: Any, e: Any, f: Any) =>
+        h.invoke(a, b, c3, d, e, f)
+      case 7 => (a: Any, b: Any, c3: Any, d: Any, e: Any, f: Any, g: Any) =>
+        h.invoke(a, b, c3, d, e, f, g)
+      case _ => (a: Any, b: Any, c3: Any, d: Any, e: Any, f: Any, g: Any,
+        i: Any) => h.invoke(a, b, c3, d, e, f, g, i)
+    }
+    Some(exprs => org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+      fn, ret, exprs, Nil, udfName = Some(cls)))
+  }
 
   private val createFunRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
@@ -2423,6 +2509,15 @@ object Engine {
       case createFunRe(name, cls) if functionClasses.contains(cls) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, functionClasses(cls), "scala_udf")
+        spark.emptyDataFrame
+      // a class NOT in the builtin catalog but loadable from the session
+      // classloader (e.g. after ADD JAR — mapjoin_addjar.q's runtime-
+      // loading surface) that implements the Java UDF0..22 interfaces:
+      // resolve it to a ScalaUDF builder, the reference's FunctionTask
+      // class-to-builder step for user jars
+      case createFunRe(name, cls) if jarUdfBuilder(cls).isDefined =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name.split('.').last, jarUdfBuilder(cls).get, "scala_udf")
         spark.emptyDataFrame
       case dropFunRe(name) =>
         spark.sessionState.functionRegistry.dropFunction(
