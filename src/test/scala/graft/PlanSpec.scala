@@ -45,4 +45,19 @@ class PlanSpec extends SparkSpec {
   test("q75: salt participates in the join keys") {
     assert(plan("q75_salted_join").contains("__salt"))
   }
+
+  test("a17: RCFile scan prunes columns at the storage layer") {
+    // the DML gate ends in a 3-column read of a 2+1-partition-column
+    // table; the scan description must carry the pruned ReadSchema (the
+    // container then skips unprojected column buffers entirely)
+    assert(plan("a17_partitioned_dml_rcfile").contains("graft-rcfile ReadSchema:"))
+  }
+
+  test("q154: thrift scan converts only the projected fields") {
+    val p = plan("q154_thrift_seq")
+    // the join reads aint/aString/lintString; the per-side scans must
+    // show a pruned field list, not all 10 Complex fields
+    assert(p.contains("graft-thrift-seq"), p.take(400))
+    assert(!p.contains("unionField1"), "thrift scan failed to prune")
+  }
 }
