@@ -177,6 +177,59 @@ object Round10Queries {
                 FROM nation WHERE n_nationkey < 5)
               SELECT s1.aint AS aint, s1.astring AS astring,
                      s2.lintstring AS lintstring
-              FROM t s1 JOIN t s2 ON s1.aint = s2.aint"""))
+              FROM t s1 JOIN t s2 ON s1.aint = s2.aint""")),
+
+    // ---- t17: URL canonicalization + URL-level dedup — the CommonCrawl-
+    //      style corpus primitive (lowercase scheme/host, strip www. and
+    //      default port, drop tracking params, sort the rest, drop the
+    //      fragment), then keep one doc per canonical URL (longest,
+    //      doc_id tiebreak). Pure functions./higher-order chain — stays
+    //      in whole-stage codegen, one shuffle on the canonical key. The
+    //      oracle derives the canonical form INDEPENDENTLY from the
+    //      generating columns, so a parse bug cannot cancel out. ----
+    Q("t17_url_dedup", (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(s, d, "documents")
+        .withColumn("url", expr(
+          """CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.EXAMPLE.COM:443')
+               WHEN 1 THEN concat('https://', source, '.example.com')
+               ELSE concat('Https://', source, '.Example.Com') END
+             || '/docs/' || CAST(doc_id % 40 AS STRING)
+             || CASE CAST(doc_id % 2 AS INT)
+                  WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 5 AS STRING), '&ref=x')
+                  ELSE concat('?id=', CAST(doc_id % 5 AS STRING)) END
+             || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '#sec' ELSE '' END"""))
+      val canon = docs.withColumn("canonical_url", expr(
+        """concat(
+             lower(parse_url(url, 'PROTOCOL')), '://',
+             regexp_replace(lower(parse_url(url, 'HOST')), '^www\\.', ''),
+             regexp_replace(parse_url(url, 'PATH'), '/$', ''),
+             CASE WHEN size(filter(split(parse_url(url, 'QUERY'), '&'),
+                        p -> p NOT RLIKE '^(utm_|ref=|fbclid=|gclid=)')) > 0
+                  THEN concat('?', array_join(array_sort(
+                         filter(split(parse_url(url, 'QUERY'), '&'),
+                                p -> p NOT RLIKE '^(utm_|ref=|fbclid=|gclid=)')), '&'))
+                  ELSE '' END)"""))
+      canon.groupBy(col("canonical_url"))
+        .agg(min(struct(negate(col("n_chars")), col("doc_id"))).as("k"),
+          count(lit(1)).as("n_docs"))
+        .select(col("canonical_url"), col("k.doc_id").as("doc_id"),
+          negate(col("k.col1")).as("n_chars"), col("n_docs"))
+    },
+      Some("""WITH canon AS (
+                SELECT doc_id, n_chars,
+                       'https://' || lower(source) || '.example.com/docs/' ||
+                       CAST(doc_id % 40 AS VARCHAR) || '?id=' ||
+                       CAST(doc_id % 5 AS VARCHAR) AS canonical_url
+                FROM documents),
+              ranked AS (
+                SELECT canonical_url, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY canonical_url
+                         ORDER BY n_chars DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY canonical_url) AS n_docs
+                FROM canon)
+              SELECT canonical_url, doc_id, n_chars, n_docs
+              FROM ranked WHERE rn = 1"""))
   )
 }
