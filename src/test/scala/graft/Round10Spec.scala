@@ -550,6 +550,42 @@ class Round10Spec extends SparkSpec {
     spark.sql("DROP TABLE r10_thrift")
   }
 
+  test("thrift sequencefile: TCompactProtocol round-trips too") {
+    val d = Engine.ddl(spark, _: String)
+    spark.sql("DROP TABLE IF EXISTS r10_thriftc")
+    d("""CREATE TABLE r10_thriftc
+         ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.thrift.ThriftDeserializer'
+         WITH SERDEPROPERTIES (
+           'serialization.class' = 'org.apache.hadoop.hive.serde2.thrift.test.IntString',
+           'serialization.format' = 'org.apache.thrift.protocol.TCompactProtocol')
+         STORED AS SEQUENCEFILE""")
+    d("INSERT INTO r10_thriftc SELECT 5, 'five', 50")
+    val r = spark.table("r10_thriftc").collect()(0)
+    assert((r.getInt(0), r.getString(1), r.getInt(2)) == ((5, "five", 50)))
+    // compact bytes are NOT binary-protocol bytes: reading them back with
+    // the wrong factory must not silently yield the same record
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_thriftc"))
+      .location.getPath
+    val file = new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    val sr = new org.apache.hadoop.io.SequenceFile.Reader(
+      new org.apache.hadoop.conf.Configuration(),
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(file.toString)))
+    val (k, v) = (new org.apache.hadoop.io.BytesWritable(),
+      new org.apache.hadoop.io.BytesWritable())
+    assert(sr.next(k, v)); sr.close()
+    val obj = new org.apache.hadoop.hive.serde2.thrift.test.IntString()
+    new org.apache.thrift.TDeserializer(
+        new org.apache.thrift.protocol.TCompactProtocol.Factory())
+      .deserialize(obj, java.util.Arrays.copyOf(v.getBytes, v.getLength))
+    assert(obj.getMyint == 5 && obj.getMyString == "five" &&
+      obj.getUnderscore_int == 50)
+    spark.sql("DROP TABLE r10_thriftc")
+  }
+
   // ---- permissive-cast retry is statement-scoped (cloned session) --------
 
   test("narrowing-insert retry does not flip the shared session policy") {
