@@ -60,8 +60,9 @@ class ThriftSeqDataSource extends TableProvider with DataSourceRegister {
       "graft-thrift-seq does not support partitioned tables")
     val p = Option(properties.get("path"))
       .orElse(Option(properties.get("location"))).getOrElse("")
-    ThriftSeqTable(p, schema,
-      properties.get("thrift.class"),
+    val cls = Option(properties.get("thrift.class")).getOrElse(sys.error(
+      "graft-thrift-seq requires thrift.class (serialization.class)"))
+    ThriftSeqTable(p, schema, cls,
       Option(properties.get("thrift.protocol"))
         .getOrElse("org.apache.thrift.protocol.TBinaryProtocol"))
   }
