@@ -203,15 +203,24 @@ object Engine {
     }
   }
 
+  // successful resolutions only — a None must stay retryable because the
+  // class may become loadable after a LATER ADD JAR
+  private val jarUdfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression]()
+
   /** CREATE FUNCTION for a class NOT in the builtin catalog: if the
     * session classloader (which ADD JAR extends — mapjoin_addjar.q's
     * runtime-loading surface) can load it and it implements the Java
     * UDF0..UDF8 interfaces, resolve the reference's FunctionTask
-    * class→builder step to a ScalaUDF. Unknown shapes return None and
-    * the statement falls through to Spark's native handling. */
+    * class→builder step to a ScalaUDF (arguments cast to the interface's
+    * declared types, Hive's coercion contract). Non-UDF shapes return
+    * None and the statement falls through to Spark's native handling;
+    * a UDF with arity above 8 fails loudly instead. */
   private def jarUdfBuilder(cls: String): Option[Seq[
       org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression] = {
+    Option(jarUdfCache.get(cls)).foreach(b => return Some(b))
     val c = try Class.forName(cls, false,
         Option(Thread.currentThread().getContextClassLoader)
           .getOrElse(getClass.getClassLoader))
@@ -224,9 +233,11 @@ object Engine {
     }.getOrElse(return None)
     val arity = iface.getRawType.asInstanceOf[Class[_]].getName
       .stripPrefix("org.apache.spark.sql.api.java.UDF").toInt
-    if (arity > 8) return None
+    require(arity <= 8,
+      s"graft: jar UDF $cls has arity $arity — only UDF0..UDF8 supported")
     val ret = javaToCatalyst(iface.getActualTypeArguments.last)
       .getOrElse(return None)
+    val argTypes = iface.getActualTypeArguments.init.map(javaToCatalyst)
     val h = new JarUdfCall(cls, arity)
     val fn: AnyRef = arity match {
       case 0 => () => h.invoke()
@@ -243,8 +254,23 @@ object Engine {
       case _ => (a: Any, b: Any, c3: Any, d: Any, e: Any, f: Any, g: Any,
         i: Any) => h.invoke(a, b, c3, d, e, f, g, i)
     }
-    Some(exprs => org.apache.spark.sql.catalyst.expressions.ScalaUDF(
-      fn, ret, exprs, Nil, udfName = Some(cls)))
+    val builder = (exprs: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      // cast each argument to the interface's declared type (Hive coerces
+      // int→string etc.; the reflective call would otherwise throw on a
+      // mismatched boxed type)
+      val cast = exprs.zipWithIndex.map { case (e, i) =>
+        argTypes.lift(i).flatten match {
+          case Some(t) if e.dataType != t =>
+            org.apache.spark.sql.catalyst.expressions.Cast(e, t)
+          case _ => e
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+        fn, ret, cast, Nil, udfName = Some(cls))
+    }
+    jarUdfCache.put(cls, builder): Unit
+    Some(builder)
   }
 
   private val createFunRe =

@@ -132,9 +132,21 @@ object ThriftBridge {
 
   // ---- thrift object → Catalyst ----
 
-  /** Convert ONE top-level field (by position in the declared schema);
-    * the reader calls this only for required fields, so projection prunes
-    * the conversion work. */
+  /** Thrift declaration index for each of `names`, resolved by NAME
+    * against the class metadata — never by position in a caller-supplied
+    * schema (a reordered or subset external schema must keep reading the
+    * right fields, or fail loudly on an unknown name). */
+  def fieldIndexes(className: String, names: Seq[String]): Array[Int] = {
+    val byName = fieldsOf(tbase(className)).zipWithIndex
+      .map { case ((f, _), i) => f.getFieldName -> i }.toMap
+    names.map(n => byName.getOrElse(n, sys.error(
+      s"graft-thrift-seq: $className has no field '$n' " +
+        s"(fields: ${byName.keys.mkString(", ")})"))).toArray
+  }
+
+  /** Convert ONE top-level field (by thrift declaration index from
+    * [[fieldIndexes]]); the reader calls this only for required fields,
+    * so projection prunes the conversion work. */
   def fieldToCatalyst(obj: TBase[_, _], fieldIdx: Int): Any = {
     val (f, _) = fieldsOf(obj.getClass.asInstanceOf[Class[_ <: TBase[_, _]]])
       .apply(fieldIdx)
@@ -178,11 +190,14 @@ object ThriftBridge {
                   className: String): TBase[_, _] = {
     val obj = newInstance(className)
     val fs = fieldsOf(obj.getClass.asInstanceOf[Class[_ <: TBase[_, _]]])
+    val byName = fs.map { case (f, m) => f.getFieldName -> (f, m) }.toMap
     val tb = obj.asInstanceOf[TBase[Nothing, TFieldIdEnum]]
-    fs.zipWithIndex.foreach { case ((f, m), i) =>
+    // by NAME: the incoming schema may reorder or subset the class fields
+    schema.fields.zipWithIndex.foreach { case (sf, i) =>
+      val (f, m) = byName.getOrElse(sf.name, sys.error(
+        s"graft-thrift-seq: $className has no field '${sf.name}'"))
       if (!row.isNullAt(i))
-        tb.setFieldValue(f,
-          fromCatalyst(row, i, schema(i).dataType, m.valueMetaData))
+        tb.setFieldValue(f, fromCatalyst(row, i, sf.dataType, m.valueMetaData))
     }
     obj
   }
@@ -262,16 +277,18 @@ case class ThriftScan(path: String, full: StructType, required: StructType,
       .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    ThriftReaderFactory(full.json, required.json, thriftClass, protocol)
+    ThriftReaderFactory(required.json, thriftClass, protocol)
 }
 
-case class ThriftReaderFactory(fullJson: String, requiredJson: String,
+case class ThriftReaderFactory(requiredJson: String,
     thriftClass: String, protocol: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SeqFilePartition].file
-    val full = DataType.fromJson(fullJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val fieldPos = required.fields.map(f => full.fieldIndex(f.name))
+    // resolve by NAME against the thrift metadata (an external schema may
+    // reorder or subset the class's fields)
+    val fieldPos = ThriftBridge.fieldIndexes(thriftClass,
+      required.fields.map(_.name).toSeq)
     val deser = new TDeserializer(ThriftBridge.protocolFactory(protocol))
     val reader = new SequenceFile.Reader(new Configuration(),
       SequenceFile.Reader.file(new Path(file)))
@@ -286,8 +303,9 @@ case class ThriftReaderFactory(fullJson: String, requiredJson: String,
       override def next(): Boolean = { hasRow = reader.next(key, value); hasRow }
       override def get(): InternalRow = {
         val obj = ThriftBridge.newInstance(thriftClass)
+        // offset/length overload: no per-row byte copy on the scan path
         deser.deserialize(obj.asInstanceOf[TBase[Nothing, Nothing]],
-          java.util.Arrays.copyOf(value.getBytes, value.getLength))
+          value.getBytes, 0, value.getLength)
         new GenericInternalRow(
           fieldPos.map(p => ThriftBridge.fieldToCatalyst(obj, p)))
       }

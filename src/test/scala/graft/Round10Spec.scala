@@ -550,6 +550,25 @@ class Round10Spec extends SparkSpec {
     spark.sql("DROP TABLE r10_thrift")
   }
 
+  test("thrift reader resolves an external schema by NAME, not position") {
+    val dir = Files.createTempDirectory("r10_thrext").toString + "/t"
+    val cls = "org.apache.hadoop.hive.serde2.thrift.test.IntString"
+    spark.sql("SELECT 5 AS myint, 'five' AS myString, 50 AS underscore_int")
+      .write.format("graft-thrift-seq").option("thrift.class", cls)
+      .mode("overwrite").save(dir)
+    // reordered SUBSET schema: positional resolution would hand back
+    // myint (an Integer) under the myString slot and crash or swap
+    val r = spark.read.format("graft-thrift-seq").option("thrift.class", cls)
+      .schema("myString STRING, myint INT").load(dir).collect()(0)
+    assert((r.getString(0), r.getInt(1)) == (("five", 5)))
+    // unknown field names fail loudly, never silently misread
+    val e = intercept[Exception] {
+      spark.read.format("graft-thrift-seq").option("thrift.class", cls)
+        .schema("nope STRING").load(dir).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("thrift sequencefile: TCompactProtocol round-trips too") {
     val d = Engine.ddl(spark, _: String)
     spark.sql("DROP TABLE IF EXISTS r10_thriftc")
