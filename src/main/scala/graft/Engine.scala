@@ -861,6 +861,17 @@ object Engine {
     * first-class since round 10: the DSv2 sources walk the Hive `p=v`
     * layout on read (via the `partitions` option Acid passes) and route
     * rows back into partition directories on write. */
+  /** Source options the copy-on-write engine must echo on its path-based
+    * reads and rewrites (e.g. graft-rcfile's `serde` — a rewrite through
+    * the wrong cell codec would corrupt the table). Catalog loads get
+    * these automatically; Acid's direct path loads do not. */
+  private def tableDmlOptions(spark: SparkSession, table: String)
+      : Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .storage.properties.filter { case (k, _) =>
+        !Set("path", "location", "partitions").contains(k.toLowerCase) }
+
   private def tableDmlPartCols(spark: SparkSession, table: String): Seq[String] =
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
@@ -1234,7 +1245,7 @@ object Engine {
       format = tableFormat(spark, table),
       deleteSourceCols = srcRefCols.map("pj_" + _),
       schema = tableDmlSchema(spark, table), setPostJoin = setPostJoin,
-      partitionCols = partCols)
+      partitionCols = partCols, options = tableDmlOptions(spark, table))
     // the insert branch may have created partition DIRECTORIES the catalog
     // has never seen (Hive's dynamic-partition MoveTask registers them);
     // MSCK registers the delta so the new rows are visible. graft DSv2
@@ -2136,10 +2147,14 @@ object Engine {
         opts += "escape" -> serdeProps.getOrElse("escapeChar", "\\")
         fmt = "OPENCSV"
       case Some("JsonSerDe") => fmt = "JSONFILE"
-      // the text columnar serde is graft-rcfile's cell contract;
-      // LazyBinaryColumnarSerDe (binary cells) stays unmapped — loud
-      // native error beats silently misreading binary cells as text
-      case Some("ColumnarSerDe") => fmt = "RCFILE"
+      // both columnar serdes route to graft-rcfile, which instantiates
+      // the NAMED serde class for its cell codec (bare STORED AS RCFILE
+      // defaults to LazyBinaryColumnarSerDe, the reference's
+      // hive.default.rcfile.serde)
+      case Some("ColumnarSerDe") =>
+        fmt = "RCFILE"
+        opts += "serde" -> "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"
+      case Some("LazyBinaryColumnarSerDe") => fmt = "RCFILE"
       // thrift-serialized sequencefiles (src_thrift / join_thrift.q):
       // the serde class IS the schema — serialization.class flows to the
       // DSv2 source, which derives columns from the thrift metadata
@@ -2590,7 +2605,8 @@ object Engine {
           sys.error(s"UPDATE cannot set partition column $k"))
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), set,
-          tableFormat(spark, table), tableDmlSchema(spark, table), partCols)
+          tableFormat(spark, table), tableDmlSchema(spark, table), partCols,
+          tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
@@ -2605,19 +2621,22 @@ object Engine {
           sys.error(s"UPDATE cannot set partition column $k"))
         operators.Acid.updateWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), set,
-          tableFormat(spark, table), tableDmlSchema(spark, table), partCols)
+          tableFormat(spark, table), tableDmlSchema(spark, table), partCols,
+          tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table),
-          tableDmlSchema(spark, table), tableDmlPartCols(spark, table))
+          tableDmlSchema(spark, table), tableDmlPartCols(spark, table),
+          tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteAllRe(table) =>
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), tableFormat(spark, table),
-          tableDmlSchema(spark, table), tableDmlPartCols(spark, table))
+          tableDmlSchema(spark, table), tableDmlPartCols(spark, table),
+          tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case protectRe(table, part, enable, mode, cascade) =>
@@ -2678,7 +2697,8 @@ object Engine {
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
           format = tableFormat(spark, table),
-          schema = tableDataSchema(spark, table))
+          schema = tableDataSchema(spark, table),
+          options = tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
@@ -2701,7 +2721,8 @@ object Engine {
         }
         operators.Acid.compact(spark, dir, numFiles = 1,
           format = tableFormat(spark, table),
-          schema = tableDataSchema(spark, table))
+          schema = tableDataSchema(spark, table),
+          options = tableDmlOptions(spark, table))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case exportRe(table, dir) =>

@@ -38,9 +38,10 @@ object Acid {
   def updateWhere(spark: SparkSession, path: String, cond: Column,
                   set: Map[String, Column], format: String = "parquet",
                   schema: StructType = null,
-                  partitionCols: Seq[String] = Nil): Unit =
+                  partitionCols: Seq[String] = Nil,
+                  options: Map[String, String] = Map.empty): Unit =
     rewrite(spark, path, cond, identityKept = true, set, format, schema,
-      partitionCols)
+      partitionCols, options)
 
   /** graft-seq/graft-avro read flat directories: a partitioned table is
     * loaded with the `partitions` option so the source walks the Hive
@@ -53,9 +54,10 @@ object Acid {
   /** DELETE FROM tbl WHERE cond, copy-on-write. */
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
                   format: String = "parquet", schema: StructType = null,
-                  partitionCols: Seq[String] = Nil): Unit =
+                  partitionCols: Seq[String] = Nil,
+                  options: Map[String, String] = Map.empty): Unit =
     rewrite(spark, path, cond, identityKept = false, Map.empty, format, schema,
-      partitionCols)
+      partitionCols, options)
 
   /** MERGE INTO tbl USING source ON keys — copy-on-write upsert.
     *
@@ -82,8 +84,9 @@ object Acid {
                 deleteSourceCols: Seq[String] = Nil,
                 schema: StructType = null,
                 setPostJoin: Map[String, String] = Map.empty,
-                partitionCols: Seq[String] = Nil): Unit = {
-    val df = load(spark, path, format, schema, partitionCols)
+                partitionCols: Seq[String] = Nil,
+                options: Map[String, String] = Map.empty): Unit = {
+    val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
     val srcKeyed = source.select(cols.map(col): _*)
@@ -105,7 +108,7 @@ object Acid {
       // partitioned table the append is partition-aware so inserted rows
       // land under their partition directories (a flat root file would
       // lose the partition values on read)
-      val w = inserts.write.mode("append")
+      val w = inserts.write.mode("append").options(options)
       val wp =
         if (partitionCols.isEmpty) w
         else if (format.startsWith("graft-"))
@@ -147,7 +150,7 @@ object Acid {
              when(src("__src_matched"), src(s"__src_$c")).otherwise(survivors(c))
            else survivors(c)).as(c)
         }: _*)
-      swapIn(spark, path, affected, merged, format, partitionCols)
+      swapIn(spark, path, affected, merged, format, partitionCols, options)
     }
   }
 
@@ -158,17 +161,20 @@ object Acid {
     * concern left is file-count hygiene after many small merges/appends.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int,
-              format: String = "parquet", schema: StructType = null): Unit = {
-    val df = load(spark, path, format, schema)
+              format: String = "parquet", schema: StructType = null,
+              options: Map[String, String] = Map.empty): Unit = {
+    val df = load(spark, path, format, schema, options = options)
     val all = df.withColumn(FILE, col("_metadata.file_path"))
       .select(FILE).distinct().collect().map(_.getString(0))
-    swapIn(spark, path, all, df.repartition(numFiles), format)
+    swapIn(spark, path, all, df.repartition(numFiles), format,
+      options = options)
   }
 
   private def load(spark: SparkSession, path: String, format: String,
                    schema: StructType,
-                   partitionCols: Seq[String] = Nil): DataFrame = {
-    val r = spark.read
+                   partitionCols: Seq[String] = Nil,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.options(options)
     partOpt(if (schema != null) r.schema(schema) else r, format, partitionCols)
       .format(format).load(path)
   }
@@ -176,8 +182,9 @@ object Acid {
   private def rewrite(spark: SparkSession, path: String, cond: Column,
                       identityKept: Boolean, set: Map[String, Column],
                       format: String, schema: StructType = null,
-                      partitionCols: Seq[String] = Nil): Unit = {
-    val df = load(spark, path, format, schema, partitionCols)
+                      partitionCols: Seq[String] = Nil,
+                      options: Map[String, String] = Map.empty): Unit = {
+    val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
 
@@ -197,7 +204,7 @@ object Acid {
         // DELETE: keep rows where cond is false or null (SQL semantics)
         survivors.filter(!coalesce(cond, lit(false))).select(cols.map(col): _*)
 
-    swapIn(spark, path, affected, rewritten, format, partitionCols)
+    swapIn(spark, path, affected, rewritten, format, partitionCols, options)
   }
 
   /** Write `newData` beside the table, move its files in, drop the stale
@@ -217,9 +224,10 @@ object Acid {
   private def swapIn(spark: SparkSession, path: String,
                      staleFiles: Seq[String], newData: DataFrame,
                      format: String = "parquet",
-                     partitionCols: Seq[String] = Nil): Unit = {
+                     partitionCols: Seq[String] = Nil,
+                     options: Map[String, String] = Map.empty): Unit = {
     val tmp = path.stripSuffix("/") + "_cow_" + java.util.UUID.randomUUID().toString
-    val writer = newData.write.mode("overwrite")
+    val writer = newData.write.mode("overwrite").options(options)
     (if (partitionCols.isEmpty) writer
      else if (format.startsWith("graft-"))
        // graft writers lay out partition dirs from the row values

@@ -18,6 +18,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 for Hive's RCFile columnar container, so
   * `CREATE TABLE ... STORED AS RCFILE` statements run natively against
@@ -27,9 +28,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (hive-exec-core), so files written here are byte-interoperable with
   * Hive-written RCFile data and vice versa.
   *
-  * Cell contract is ColumnarSerDe's (serde2/columnar/ColumnarSerDe.java):
-  * each cell is the LazySimpleSerDe text rendering of the value, `\N` for
-  * NULL — shared with the graft-seq line contract via [[SeqV2Util]].
+  * Cells encode through the REAL columnar serde classes: bare
+  * `STORED AS RCFILE` uses the reference's default
+  * LazyBinaryColumnarSerDe (HiveConf.java:770 — binary cells), an
+  * explicit `ROW FORMAT SERDE ColumnarSerDe` the text contract; either
+  * way graft-written files are cell-byte-identical to Hive-written ones.
   *
   * Scale design: one InputPartition per container file; column pruning is
   * pushed to the STORAGE layer (`hive.io.file.readcolumn.ids`), so
@@ -56,11 +59,19 @@ class RcFileDataSource extends TableProvider with DataSourceRegister {
       if (partitioning.nonEmpty) PartLayout.partColNames(partitioning)
       else Option(properties.get("partitions")).toSeq
         .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-    RcTable(p, schema, partCols)
+    RcTable(p, schema, partCols,
+      Option(properties.get("serde")).getOrElse(RcV2Util.DEFAULT_SERDE))
   }
 }
 
 object RcV2Util {
+  /** The reference's default for bare `STORED AS RCFILE`
+    * (HiveConf hive.default.rcfile.serde, common/.../HiveConf.java:770):
+    * binary cells. An explicit `ROW FORMAT SERDE ColumnarSerDe` selects
+    * the text-cell contract instead. Both run through the REAL serde
+    * classes below, so cell bytes are Hive-identical either way. */
+  val DEFAULT_SERDE = "org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe"
+
   /** Projection conf the RCFile reader honors (ColumnProjectionUtils
     * keys): read.all=false + the explicit id list means skipped columns'
     * buffers are never decompressed. An EMPTY id list (count(*)) still
@@ -70,6 +81,121 @@ object RcV2Util {
     conf.setBoolean("hive.io.file.read.all.columns", false)
     conf.set("hive.io.file.readcolumn.ids", ids.mkString(","))
     conf
+  }
+
+  /** Hive type-string for the serde's `columns.types` property. */
+  def hiveTypeName(dt: DataType): String = dt match {
+    case StringType => "string"
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(s"graft-rcfile: unsupported column type $other")
+  }
+
+  /** Instantiate + initialize the named columnar serde against the DATA
+    * schema (partition columns never reach the serde). */
+  def newSerde(serdeClass: String, dataSchema: StructType)
+      : org.apache.hadoop.hive.serde2.AbstractSerDe = {
+    val serde = Class.forName(serdeClass)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.hadoop.hive.serde2.AbstractSerDe]
+    val props = new java.util.Properties()
+    props.setProperty("columns", dataSchema.fieldNames.mkString(","))
+    props.setProperty("columns.types",
+      dataSchema.fields.map(f => hiveTypeName(f.dataType)).mkString(":"))
+    serde.initialize(new Configuration(), props)
+    serde
+  }
+
+  /** Standard-Java ObjectInspector matching [[toHiveJava]]'s objects, for
+    * the serde's serialize side. */
+  def standardOI(dataSchema: StructType)
+      : org.apache.hadoop.hive.serde2.objectinspector.StructObjectInspector = {
+    import org.apache.hadoop.hive.serde2.objectinspector.ObjectInspectorFactory
+    import org.apache.hadoop.hive.serde2.objectinspector.primitive.{PrimitiveObjectInspectorFactory => P}
+    import scala.collection.JavaConverters._
+    val ois = dataSchema.fields.map(f => (f.dataType match {
+      case StringType => P.javaStringObjectInspector
+      case IntegerType => P.javaIntObjectInspector
+      case LongType => P.javaLongObjectInspector
+      case ShortType => P.javaShortObjectInspector
+      case ByteType => P.javaByteObjectInspector
+      case DoubleType => P.javaDoubleObjectInspector
+      case FloatType => P.javaFloatObjectInspector
+      case BooleanType => P.javaBooleanObjectInspector
+      case BinaryType => P.javaByteArrayObjectInspector
+      case DateType => P.javaDateObjectInspector
+      case TimestampType | TimestampNTZType => P.javaTimestampObjectInspector
+      case _: DecimalType => P.javaHiveDecimalObjectInspector
+      case other => sys.error(s"graft-rcfile: unsupported column type $other")
+    }): org.apache.hadoop.hive.serde2.objectinspector.ObjectInspector)
+    ObjectInspectorFactory.getStandardStructObjectInspector(
+      dataSchema.fieldNames.toSeq.asJava, ois.toSeq.asJava)
+  }
+
+  /** Hive-Java primitive (from getPrimitiveJavaObject) → Catalyst. */
+  def hiveJavaToCatalyst(v: Any, dt: DataType,
+      zone: java.time.ZoneId): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (v == null) return null
+    dt match {
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case IntegerType | LongType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType => v
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case d: DecimalType => Decimal(
+        v.asInstanceOf[org.apache.hadoop.hive.common.`type`.HiveDecimal]
+          .bigDecimalValue.setScale(d.scale), d.precision, d.scale)
+      case DateType =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case TimestampType =>
+        // Hive timestamps are wall-clock via the JVM zone (Timestamp
+        // round-trips through toLocalDateTime symmetrically); re-anchor
+        // the wall-clock in the SESSION zone
+        DateTimeUtils.instantToMicros(v.asInstanceOf[java.sql.Timestamp]
+          .toLocalDateTime.atZone(zone).toInstant)
+      case TimestampNTZType =>
+        DateTimeUtils.localDateTimeToMicros(
+          v.asInstanceOf[java.sql.Timestamp].toLocalDateTime)
+      case other => sys.error(s"graft-rcfile: unsupported read type $other")
+    }
+  }
+
+  /** Catalyst value at `row(i)` → the Hive-Java object [[standardOI]]
+    * declares. */
+  def toHiveJava(row: InternalRow, i: Int, dt: DataType,
+      zone: java.time.ZoneId): Object = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (row.isNullAt(i)) return null
+    dt match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+      case LongType => java.lang.Long.valueOf(row.getLong(i))
+      case ShortType => java.lang.Short.valueOf(row.getShort(i))
+      case ByteType => java.lang.Byte.valueOf(row.getByte(i))
+      case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+      case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+      case BinaryType => row.getBinary(i)
+      case d: DecimalType => org.apache.hadoop.hive.common.`type`.HiveDecimal
+        .create(row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong))
+      case TimestampType => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.ofInstant(
+          DateTimeUtils.microsToInstant(row.getLong(i)), zone))
+      case TimestampNTZType => java.sql.Timestamp.valueOf(
+        DateTimeUtils.microsToLocalDateTime(row.getLong(i)))
+      case other => sys.error(s"graft-rcfile: unsupported write type $other")
+    }
   }
 
   /** Column count from the file's own metadata (the writer records it as
@@ -90,17 +216,11 @@ object RcV2Util {
     StructType((0 until n).map(i => StructField(s"c$i", StringType)))
   }
 
-  /** One RCFile cell (raw bytes) → Catalyst value via the shared
-    * LazySimpleSerDe text contract. */
-  def parseCell(cell: BytesRefWritable, dt: DataType,
-                zone: java.time.ZoneId): Any = {
-    val raw = new String(cell.getData, cell.getStart, cell.getLength, "UTF-8")
-    SeqV2Util.parse(raw, dt, zone)
-  }
 }
 
 case class RcTable(path: String, tableSchema: StructType,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    serde: String = RcV2Util.DEFAULT_SERDE)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
   override def name(): String = s"graft-rcfile:$path"
@@ -114,12 +234,13 @@ case class RcTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RcScanBuilder(path, tableSchema, partCols)
+    new RcScanBuilder(path, tableSchema, partCols, serde)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RcWriteBuilder(path, info.schema(), partCols)
+    new RcWriteBuilder(path, info.schema(), partCols, serde)
 }
 
-class RcScanBuilder(path: String, full: StructType, partCols: Seq[String])
+class RcScanBuilder(path: String, full: StructType, partCols: Seq[String],
+    serde: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
@@ -138,11 +259,12 @@ class RcScanBuilder(path: String, full: StructType, partCols: Seq[String])
     filters
   }
   override def pushedFilters(): Array[Filter] = Array.empty
-  override def build(): Scan = RcScan(path, full, required, partCols, prune)
+  override def build(): Scan =
+    RcScan(path, full, required, partCols, prune, serde)
 }
 
 case class RcScan(path: String, full: StructType, required: StructType,
-    partCols: Seq[String], prune: Seq[Filter])
+    partCols: Seq[String], prune: Seq[Filter], serde: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -164,11 +286,12 @@ case class RcScan(path: String, full: StructType, required: StructType,
     }
   override def createReaderFactory(): PartitionReaderFactory =
     RcReaderFactory(full.json, required.json, partCols,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde)
 }
 
 case class RcReaderFactory(fullJson: String, requiredJson: String,
-    partCols: Seq[String], sessionTz: String) extends PartitionReaderFactory {
+    partCols: Seq[String], sessionTz: String, serde: String)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqFilePartition]
     val file = p.file
@@ -197,20 +320,37 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
     val reader = new RCFile.Reader(fsPath.getFileSystem(conf), fsPath, conf)
     val rowId = new LongWritable()
     val row = new BytesRefArrayWritable()
+    // the REAL columnar serde (text or binary cells — whatever the table
+    // declared) decodes each projected cell; initialized against the
+    // DATA schema, exactly as the reference's RCFileRecordReader pairs
+    // with ColumnarSerDeBase
+    val serdeInst = RcV2Util.newSerde(serde,
+      StructType(dataFields.toSeq.map(f => f.copy())))
+    val soi = serdeInst.getObjectInspector
+      .asInstanceOf[org.apache.hadoop.hive.serde2.objectinspector.StructObjectInspector]
+    val refs = soi.getAllStructFieldRefs
     new PartitionReader[InternalRow] {
       private var hasRow = false
       override def next(): Boolean = { hasRow = reader.next(rowId); hasRow }
       override def get(): InternalRow = {
         reader.getCurrentRow(row)
+        val struct = serdeInst.deserialize(row)
         val vals = new Array[Any](types.length)
         var i = 0
         while (i < types.length) {
           vals(i) =
             if (fieldPos(i) == -1) metaRow
             else if (fieldPos(i) <= -2) partVals(-2 - fieldPos(i))
-            else if (fieldPos(i) < row.size)
-              RcV2Util.parseCell(row.get(fieldPos(i)), types(i), zone)
-            else null // short row: ColumnarSerDe pads missing columns NULL
+            else {
+              val ref = refs.get(fieldPos(i))
+              val data = soi.getStructFieldData(struct, ref)
+              if (data == null) null
+              else RcV2Util.hiveJavaToCatalyst(
+                ref.getFieldObjectInspector
+                  .asInstanceOf[org.apache.hadoop.hive.serde2.objectinspector.PrimitiveObjectInspector]
+                  .getPrimitiveJavaObject(data),
+                types(i), zone)
+            }
           i += 1
         }
         new GenericInternalRow(vals)
@@ -220,7 +360,8 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
   }
 }
 
-class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
+class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String],
+    serde: String)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
   private var mode = "NONE"
@@ -245,13 +386,13 @@ class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = RcBatchWrite(path, schema.json,
       partCols, mode, staticSpec,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde)
   }
 }
 
 case class RcBatchWrite(path: String, schemaJson: String,
     partCols: Seq[String], mode: String, staticSpec: Map[String, String],
-    sessionTz: String) extends BatchWrite {
+    sessionTz: String, serde: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -262,7 +403,7 @@ case class RcBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    RcWriterFactory(path, schemaJson, partCols, sessionTz)
+    RcWriterFactory(path, schemaJson, partCols, sessionTz, serde)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
@@ -276,7 +417,8 @@ case class RcBatchWrite(path: String, schemaJson: String,
 }
 
 case class RcWriterFactory(path: String, schemaJson: String,
-    partCols: Seq[String], sessionTz: String) extends DataWriterFactory {
+    partCols: Seq[String], sessionTz: String, serde: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val dataIdx = sparkSchema.fields.zipWithIndex
@@ -303,18 +445,22 @@ case class RcWriterFactory(path: String, schemaJson: String,
           val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.rc")
           (new RCFile.Writer(fs, conf, file), file)
         })._1
+      // the REAL serde (text or binary cells, per the table's DDL)
+      // serializes each row; RCFile.Writer.append copies the returned
+      // buffer into its column buffers, so the serde's reuse is safe
+      private val dataSchema = StructType(
+        dataIdx.toSeq.map(i => sparkSchema.fields(i)))
+      private val serdeInst = RcV2Util.newSerde(serde, dataSchema)
+      private val oi = RcV2Util.standardOI(dataSchema)
       override def write(row: InternalRow): Unit = {
         val rel =
           if (partCols.isEmpty) ""
           else PartLayout.partPath(row, partCols, partOrds)
-        val cells = new BytesRefArrayWritable(dataIdx.length)
-        var j = 0
+        val jrow = new java.util.ArrayList[Object](dataIdx.length)
         dataIdx.foreach { i =>
-          val bytes = SeqV2Util.render(row, i, types(i), zone).getBytes("UTF-8")
-          cells.set(j, new BytesRefWritable(bytes, 0, bytes.length))
-          j += 1
+          jrow.add(RcV2Util.toHiveJava(row, i, types(i), zone)): Unit
         }
-        writerFor(rel).append(cells)
+        writerFor(rel).append(serdeInst.serialize(jrow, oi))
       }
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())

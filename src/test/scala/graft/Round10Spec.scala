@@ -418,13 +418,16 @@ class Round10Spec extends SparkSpec {
       d(s"INSERT INTO $t VALUES (7)")
       assert(spark.table(t).collect().map(_.getInt(0)).toSeq == Seq(7), t)
     }
-    // LazyBinaryColumnarSerDe (binary cells) must NOT silently map to the
-    // text contract
-    val e = intercept[Exception](d(
-      """CREATE TABLE r10_rcbin (k INT)
+    // LazyBinaryColumnarSerDe (binary cells — the reference's DEFAULT
+    // rcfile serde) round-trips through the real serde class
+    d("""CREATE TABLE r10_rcbin (k INT, v STRING)
          ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe'
-         STORED AS RCFILE"""))
-    assert(!spark.catalog.tableExists("r10_rcbin"))
+         STORED AS RCFILE""")
+    d("INSERT INTO r10_rcbin VALUES (3, 'bin'), (4, NULL)")
+    assert(spark.table("r10_rcbin").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+      == Set((3, Some("bin")), (4, None)))
+    d("DROP TABLE r10_rcbin")
     // ALTER ... SET FILEFORMAT RCFILE converts a table in place
     d("DROP TABLE IF EXISTS r10_rcalter")
     d("CREATE TABLE r10_rcalter (k INT) STORED AS PARQUET")
@@ -466,10 +469,13 @@ class Round10Spec extends SparkSpec {
 
   test("graft-rcfile container interops with Hive's own RCFile reader") {
     // read the files back with the raw hive-exec Reader (no graft code on
-    // the read path): cell bytes must be the ColumnarSerDe text contract
+    // the read path): with the explicit text serde the cell bytes must be
+    // the ColumnarSerDe text contract ('41', '\N')
     val dir = Files.createTempDirectory("r10_rcraw").toString + "/t"
     spark.sql("SELECT 41 AS a, 'x' AS b UNION ALL SELECT 42, NULL")
-      .coalesce(1).write.format("graft-rcfile").mode("overwrite").save(dir)
+      .coalesce(1).write.format("graft-rcfile")
+      .option("serde", "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe")
+      .mode("overwrite").save(dir)
     val file = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !f.getName.startsWith("_")
         && !f.getName.startsWith(".")).head
@@ -490,6 +496,36 @@ class Round10Spec extends SparkSpec {
     r.close()
     assert(cells.sortBy(_.head) ==
       Seq(Seq("41", "x"), Seq("42", "\\N")), cells)
+    // and the DEFAULT (binary) serde: decode a graft-written file with an
+    // independently initialized LazyBinaryColumnarSerDe — the genuine
+    // Hive implementation, no graft code on the decode path
+    val bdir = Files.createTempDirectory("r10_rcbinraw").toString + "/t"
+    spark.sql("SELECT 7 AS a, 'bin' AS b").coalesce(1)
+      .write.format("graft-rcfile").mode("overwrite").save(bdir)
+    val bfile = new java.io.File(bdir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    val bp = new org.apache.hadoop.fs.Path(bfile.toString)
+    val br = new org.apache.hadoop.hive.ql.io.RCFile.Reader(
+      bp.getFileSystem(conf), bp, conf)
+    val brow = new org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable()
+    assert(br.next(id)); br.getCurrentRow(brow); br.close()
+    val serde = new org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe()
+    val props = new java.util.Properties()
+    props.setProperty("columns", "a,b")
+    props.setProperty("columns.types", "int:string")
+    serde.initialize(new org.apache.hadoop.conf.Configuration(), props)
+    val obj = serde.deserialize(brow)
+    val soi = serde.getObjectInspector
+      .asInstanceOf[org.apache.hadoop.hive.serde2.objectinspector.StructObjectInspector]
+    val vals = soi.getAllStructFieldRefs.toArray.toSeq.map { ref0 =>
+      val ref = ref0.asInstanceOf[
+        org.apache.hadoop.hive.serde2.objectinspector.StructField]
+      ref.getFieldObjectInspector
+        .asInstanceOf[org.apache.hadoop.hive.serde2.objectinspector.PrimitiveObjectInspector]
+        .getPrimitiveJavaObject(soi.getStructFieldData(obj, ref))
+    }
+    assert(vals == Seq(7, "bin"), vals)
   }
 
   // ---- graft-thrift-seq: the serde class IS the schema -------------------
