@@ -528,6 +528,30 @@ class Round10Spec extends SparkSpec {
     assert(vals == Seq(7, "bin"), vals)
   }
 
+  test("graft-rcfile timestamps carry the session wall clock (Hive semantics)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val dir = Files.createTempDirectory("r10_rctz").toString + "/t"
+      spark.sql("SELECT TIMESTAMP'2024-03-01 21:00:00' AS ts")
+        .write.format("graft-rcfile").mode("overwrite").save(dir)
+      // same session zone: wall clock round-trips
+      val back = spark.read.schema("ts TIMESTAMP").format("graft-rcfile")
+        .load(dir).selectExpr("CAST(ts AS STRING)").head().getString(0)
+      assert(back == "2024-03-01 21:00:00", back)
+      // a different session zone reinterprets the stored wall clock as its
+      // own (Hive's zone-dependent timestamp contract): 21:00 read as UTC
+      // is 9h later than 21:00 Tokyo as an instant
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = spark.read.schema("ts TIMESTAMP").format("graft-rcfile")
+        .load(dir).selectExpr("unix_timestamp(ts)").head().getLong(0)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val tokyo = spark.read.schema("ts TIMESTAMP").format("graft-rcfile")
+        .load(dir).selectExpr("unix_timestamp(ts)").head().getLong(0)
+      assert(utc - tokyo == 9 * 3600, s"$utc vs $tokyo")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   // ---- graft-thrift-seq: the serde class IS the schema -------------------
 
   test("thrift sequencefile: class-derived schema, union tag, genuine bytes") {
