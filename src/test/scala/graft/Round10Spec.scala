@@ -528,6 +528,29 @@ class Round10Spec extends SparkSpec {
     assert(vals == Seq(7, "bin"), vals)
   }
 
+  test("CONCATENATE merges rcfile small files through the right serde") {
+    // the rcfile_merge*.q surface: many small inserts, one CONCATENATE,
+    // content identical, file count reduced — and the rewrite must run
+    // under the table's own cell codec (tableDmlOptions plumbing)
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_rcmerge")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/r10_rcmerge")
+    wh.getFileSystem(spark.sessionState.newHadoopConf()).delete(wh, true): Unit
+    d("CREATE TABLE r10_rcmerge (k INT, v STRING) STORED AS RCFILE")
+    (1 to 4).foreach(i => d(s"INSERT INTO r10_rcmerge VALUES ($i, 'v$i')"))
+    def files = new java.io.File(wh.toUri.getPath).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).length
+    assert(files >= 4, files)
+    d("ALTER TABLE r10_rcmerge CONCATENATE")
+    assert(files == 1, files)
+    assert(spark.table("r10_rcmerge").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      == (1 to 4).map(i => (i, s"v$i")).toSet)
+    d("DROP TABLE r10_rcmerge")
+  }
+
   test("graft-rcfile timestamps carry the session wall clock (Hive semantics)") {
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
