@@ -652,6 +652,26 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("DML on a thrift table fails loudly (Hive parity: non-ACID storage)") {
+    val d = Engine.ddl(spark, _: String)
+    val base = Files.createTempDirectory("r10_tdml").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS r10_tdml")
+    d(s"""CREATE TABLE r10_tdml
+         ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.thrift.ThriftDeserializer'
+         WITH SERDEPROPERTIES (
+           'serialization.class' = 'org.apache.hadoop.hive.serde2.thrift.test.IntString')
+         STORED AS SEQUENCEFILE LOCATION '$base'""")
+    d("INSERT INTO r10_tdml SELECT 1, 'x', 2")
+    // the reference rejects UPDATE/DELETE on non-ACID (thrift) tables
+    // outright; the CoW engine's _metadata requirement produces the same
+    // loud refusal — and the data must be untouched after the failure
+    intercept[Exception](d("UPDATE r10_tdml SET myString = 'y' WHERE myint = 1"))
+    intercept[Exception](d("DELETE FROM r10_tdml WHERE myint = 1"))
+    val r = spark.table("r10_tdml").collect()(0)
+    assert((r.getInt(0), r.getString(1), r.getInt(2)) == ((1, "x", 2)))
+    spark.sql("DROP TABLE r10_tdml")
+  }
+
   test("thrift sequencefile: TCompactProtocol round-trips too") {
     val d = Engine.ddl(spark, _: String)
     spark.sql("DROP TABLE IF EXISTS r10_thriftc")
