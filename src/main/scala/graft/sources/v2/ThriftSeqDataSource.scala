@@ -36,6 +36,12 @@ import org.apache.thrift.protocol.{TBinaryProtocol, TCompactProtocol, TProtocolF
   * struct of its alternatives with exactly the set one non-null (Hive
   * renders uniontype<...> — same information, Catalyst-native shape).
   *
+  * Nullability caveat (thrift's own wire contract, pinned in
+  * SourceRoundTripSpec): default-requiredness PRIMITIVE fields are
+  * always serialized by the generated write(), so a null written into
+  * one reads back as the thrift default (0/false). Strings, structs and
+  * containers are genuinely nullable (their write is null-guarded).
+  *
   * Scale design: one InputPartition per container file; thrift records
   * are row-serialized so each record deserializes once, but only the
   * REQUIRED top-level fields convert to Catalyst values (projection

@@ -92,4 +92,34 @@ class SourceRoundTripSpec extends SparkSpec {
   test("graft-seq round-trips text-safe adversarial rows") {
     roundTrip("graft-seq", Map.empty, textSafe = true)
   }
+
+  test("graft-thrift-seq round-trips adversarial strings incl. \\x01 and newlines") {
+    // the thrift protocol is length-prefixed binary: delimiter bytes,
+    // newlines and the text-null sentinel all pass through literally.
+    // CONTRACT PIN: default-requiredness thrift PRIMITIVES are not
+    // nullable on the wire — the generated write() emits them
+    // unconditionally, so a null int reads back as the thrift default 0
+    // (strings and containers stay nullable via their null checks)
+    val rows = batch(textSafe = false).map(r =>
+      Row(r.get(0), r.get(1), Option(r.get(3)).map(_ => r.get(0)).orNull))
+    val tschema = StructType(Seq(
+      StructField("myint", IntegerType),
+      StructField("myString", StringType),
+      StructField("underscore_int", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), tschema)
+    val dir = Files.createTempDirectory("rt_thrift").toString + "/t"
+    val cls = "org.apache.hadoop.hive.serde2.thrift.test.IntString"
+    df.write.format("graft-thrift-seq").option("thrift.class", cls)
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft-thrift-seq")
+      .option("thrift.class", cls).schema(tschema).load(dir).collect()
+    def got_(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+    // expected: primitive nulls collapse to the thrift default 0
+    def want_(r: Row) = (Some(Option(r.get(0)).getOrElse(0)): Option[Any],
+      Option(r.get(1)), Some(Option(r.get(2)).getOrElse(0)): Option[Any])
+    val (got, want) = (back.toSeq.map(got_).sortBy(_.toString),
+      rows.map(want_).sortBy(_.toString))
+    assert(got == want, got.zip(want).find { case (g, w) => g != w })
+  }
 }
