@@ -419,8 +419,26 @@ object Engine {
   // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
   // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
   // times, no data/metadata change. A deliberate no-op here.
+  // Hive grammar: PARTITION follows TOUCH (alterStatementSuffixTouch)
   private val touchRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?TOUCH\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*""".r
+  // ALTER TABLE t NOT SKEWED / NOT STORED AS DIRECTORIES / SKEWED BY ... —
+  // DDLSemanticAnalyzer analyzeAltertableSkewedby: list-bucketing
+  // metadata only. Skew is a runtime concern here (AQE + Salt), exactly
+  // like the CREATE-side SKEWED BY strip — accept as no-ops.
+  private val alterSkewRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:NOT\s+SKEWED""" +
+      """|NOT\s+STORED\s+AS\s+DIRECTORIES""" +
+      """|SKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^()]*\))*\)""" +
+      """(?:\s+STORED\s+AS\s+DIRECTORIES)?)\s*;?\s*""").r
+  // ALTER TABLE t CLUSTERED BY (cols) [SORTED BY (cols)] INTO n BUCKETS —
+  // alterStatementSuffixClusterbySortby. Hive only flips metadata (old
+  // data keeps its layout); here the table is REWRITTEN into the new
+  // bucketing via the same CTAS+swap machinery as SET FILEFORMAT, so the
+  // catalog's bucket spec and the files always agree.
+  private val alterClusterRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTERED\s+BY\s*\(([^)]*)\)""" +
+      """\s*(?:SORTED\s+BY\s*\(([^)]*)\)\s*)?INTO\s+(\d+)\s+BUCKETS\s*;?\s*""").r
   // CREATE/DROP/ALTER INDEX — DDLSemanticAnalyzer.java:307
   // (TOK_CREATEINDEX), ql/index/. The FEATURE is a deliberate skip
   // (dropped by Hive 3; columnar stats + parquet min/max serve the same
@@ -2336,7 +2354,48 @@ object Engine {
       case None => ()
     }
     stmt0 match {
-      case touchRe(_, _) => return spark.emptyDataFrame
+      case touchRe(table, _) =>
+        // validate the table exists (Hive's TOUCH errors on a bad name),
+        // then no-op — there are no hooks to fire here
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)): Unit
+        return spark.emptyDataFrame
+      case alterSkewRe(table) =>
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)): Unit
+        return spark.emptyDataFrame
+      case alterClusterRe(table, cols, sorted, n) =>
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val meta = spark.sessionState.catalog.getTableMetadata(id)
+        val provider0 = meta.provider
+          .filterNot(_.equalsIgnoreCase("hive")).getOrElse("parquet")
+        val provider =
+          if (provider0.startsWith("graft-")) s"`$provider0`" else provider0
+        val optsMap = meta.storage.properties.filter { case (k, _) =>
+          !Set("path", "location").contains(k.toLowerCase) }
+        val optsSql = if (optsMap.isEmpty) "" else optsMap.map { case (k, v) =>
+          s"$k = '${v.replace("\\", "\\\\").replace("'", "\\'")}'" }
+          .mkString(" OPTIONS (", ", ", ")")
+        val partBy = if (meta.partitionColumnNames.nonEmpty)
+          meta.partitionColumnNames.mkString(" PARTITIONED BY (", ", ", ")")
+        else ""
+        val sortBy = Option(sorted).map(s => s" SORTED BY ($s)").getOrElse("")
+        val tmp = table + "_clust_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
+        tmpPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tmpPath, true): Unit
+        spark.sql(s"CREATE TABLE $tmp USING $provider$optsSql$partBy" +
+          s" CLUSTERED BY ($cols)$sortBy INTO $n BUCKETS" +
+          s" AS SELECT * FROM $table")
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        if (meta.partitionColumnNames.nonEmpty)
+          spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+        spark.sql(s"REFRESH TABLE $table")
+        return spark.emptyDataFrame
       case showConfRe(name) => return showConf(spark, name)
       case showTableExtRe(db, pattern, part) =>
         return showTableExtended(spark, Option(db), pattern, Option(part))

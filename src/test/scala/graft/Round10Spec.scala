@@ -708,6 +708,41 @@ class Round10Spec extends SparkSpec {
     spark.sql("DROP TABLE r10_thriftc")
   }
 
+  // ---- late statement-surface closures -----------------------------------
+
+  test("TOUCH PARTITION, ALTER NOT SKEWED family accepted; bad table loud") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_touch")
+    d("CREATE TABLE r10_touch (a INT) PARTITIONED BY (p STRING)")
+    d("INSERT INTO r10_touch PARTITION (p='x') VALUES (1)")
+    d("ALTER TABLE r10_touch TOUCH")
+    d("ALTER TABLE r10_touch TOUCH PARTITION (p='x')")
+    d("ALTER TABLE r10_touch NOT SKEWED")
+    d("ALTER TABLE r10_touch NOT STORED AS DIRECTORIES")
+    d("ALTER TABLE r10_touch SKEWED BY (a) ON ((1), (2)) STORED AS DIRECTORIES")
+    assert(spark.table("r10_touch").count() == 1)
+    intercept[Exception](d("ALTER TABLE r10_no_such_tbl TOUCH"))
+    d("DROP TABLE r10_touch")
+  }
+
+  test("ALTER CLUSTERED BY INTO n BUCKETS rewrites into real bucketing") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_clust")
+    d("CREATE TABLE r10_clust (k INT, v STRING) STORED AS PARQUET")
+    d("INSERT INTO r10_clust SELECT id, concat('v', id) FROM range(100)")
+    d("ALTER TABLE r10_clust CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_clust"))
+    // unlike Hive (metadata-only flip over unchanged files), the data was
+    // REWRITTEN into the new bucketing, so spec and files agree
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("k")), meta.bucketSpec)
+    assert(spark.table("r10_clust").count() == 100)
+    assert(spark.table("r10_clust").where("k = 42").collect()
+      .map(_.getString(1)).toSeq == Seq("v42"))
+    d("DROP TABLE r10_clust")
+  }
+
   // ---- permissive-cast retry is statement-scoped (cloned session) --------
 
   test("narrowing-insert retry does not flip the shared session policy") {
