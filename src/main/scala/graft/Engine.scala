@@ -2235,7 +2235,7 @@ object Engine {
 
   private val iodRe =
     ("""(?is)(\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'[^']+')""" +
-      """((?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)|\s+STORED\s+AS\s+\w+)+(\s+SELECT\b.*|\s+FROM\b.*)""").r
+      """((?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)|\s+STORED\s+AS\s+\w+)*(\s+SELECT\b.*|\s+FROM\b.*)""").r
 
   /** `INSERT OVERWRITE [LOCAL] DIRECTORY '<p>' [ROW FORMAT DELIMITED ...]
     * [STORED AS fmt] SELECT ...` — the reference's write-results-to-path
@@ -2343,8 +2343,13 @@ object Engine {
       d
     } else stmt1
     val stmt2 = rewriteHiveCreate(stmt1d)
+    // the bare `INSERT OVERWRITE [LOCAL] DIRECTORY '<p>' SELECT` form
+    // (no ROW FORMAT / STORED AS) defaults to Hive text, same as a
+    // clause-less table — route it through the rewrite too
     val stmt = if (stmt2.toUpperCase.contains("OVERWRITE") &&
-      (stmt2.toUpperCase.contains("ROW FORMAT") || stmt2.toUpperCase.contains("STORED AS")))
+      (stmt2.toUpperCase.contains("ROW FORMAT") ||
+        stmt2.toUpperCase.contains("STORED AS") ||
+        stmt2.toUpperCase.contains("DIRECTORY")))
       rewriteHiveInsertDir(stmt2) else stmt2
     // authorization DDL (GRANT/REVOKE/ROLE/SHOW GRANT...) — Spark has no
     // parser for these at all; answered from the session registry
@@ -2841,7 +2846,11 @@ object Engine {
       // hosts — the property the reference's explain .q goldens rely on.
       case s if s.trim.toUpperCase.startsWith("EXPLAIN ") =>
         import org.apache.spark.sql.functions.{col, regexp_replace}
-        spark.sql(s).select(
+        // Hive 2.x EXPLAIN ANALYZE annotates the plan with measured row
+        // counts; Spark's closest surface is the cost-annotated plan
+        val s2 = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\b".r
+          .replaceFirstIn(s, "EXPLAIN COST")
+        spark.sql(s2).select(
           regexp_replace(regexp_replace(
             regexp_replace(col("plan"), "#\\d+", "#"),
             "(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>"),

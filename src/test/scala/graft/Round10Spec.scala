@@ -725,6 +725,24 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_touch")
   }
 
+  test("EXPLAIN ANALYZE and bare INSERT OVERWRITE DIRECTORY work") {
+    val d = Engine.ddl(spark, _: String)
+    // Hive 2.x EXPLAIN ANALYZE → the cost-annotated plan
+    val plan = d("EXPLAIN ANALYZE SELECT 1 AS one").collect()(0).getString(0)
+    assert(plan.contains("Optimized Logical Plan") || plan.contains("=="), plan)
+    // clause-less directory write defaults to the Hive text layout
+    val out = Files.createTempDirectory("r10_iod").toString + "/d"
+    Tables.views(spark, sf, "region")
+    d(s"INSERT OVERWRITE DIRECTORY '$out' " +
+      "SELECT r_regionkey, r_name FROM region")
+    val lines = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).sorted
+    assert(lines.length == 5, lines.toSeq)
+    assert(lines.head == "0\u0001AFRICA", lines.head)
+  }
+
   test("ALTER CLUSTERED BY INTO n BUCKETS rewrites into real bucketing") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_clust")
