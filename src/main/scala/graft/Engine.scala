@@ -416,6 +416,13 @@ object Engine {
   private val colDefRe =
     """(?is)^\s*`?([\w]+)`?\s+(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
 
+  // ALTER TABLE <dest> EXCHANGE PARTITION (<spec>) WITH TABLE <src> —
+  // DDLTask.java:4270 exchangeTablePartition / the metastore's
+  // exchange_partition: MOVE every source partition matching the
+  // (possibly partial, equality-only) spec into the destination table.
+  private val exchangeRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+EXCHANGE\s+PARTITION\s*\(([^)]*)\)\s+WITH\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+
   // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
   // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
   // times, no data/metadata change. A deliberate no-op here.
@@ -776,6 +783,100 @@ object Engine {
       fs.delete(new org.apache.hadoop.fs.Path(root, specDirName(spec)), true): Unit
     }
     spark.sql(s"REFRESH TABLE $table"): Unit
+  }
+
+  /** ALTER TABLE dest EXCHANGE PARTITION (spec) WITH TABLE src —
+    * DDLTask.java:4270 exchangeTablePartition. The metastore contract
+    * (exchange_partition): both tables must share column AND partition
+    * schemas, every source partition matching the spec moves (a partial
+    * spec exchanges the whole matching subtree, exchange_partition3.q),
+    * the destination must not already hold any matched partition, and
+    * the move is a directory RENAME — no data rewrite, scale-free.
+    * Supported uniformly for catalog-partitioned v1 tables and
+    * directory-partitioned graft-* DSv2 tables; mixed formats are
+    * refused because the files move verbatim.
+    */
+  private def exchangePartition(spark: SparkSession, destName: String,
+      specText: String, srcName: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val parser = spark.sessionState.sqlParser
+    val destId = parser.parseTableIdentifier(destName)
+    val srcId = parser.parseTableIdentifier(srcName)
+    val dest = cat.getTableMetadata(destId)
+    val src = cat.getTableMetadata(srcId)
+    require(dest.identifier != src.identifier,
+      s"EXCHANGE PARTITION: source and destination are the same table ($srcName)")
+    def sig(m: org.apache.spark.sql.catalyst.catalog.CatalogTable) =
+      m.schema.map(f => (f.name.toLowerCase, f.dataType.catalogString))
+    require(sig(dest) == sig(src) &&
+      dest.partitionColumnNames.map(_.toLowerCase) ==
+        src.partitionColumnNames.map(_.toLowerCase),
+      s"EXCHANGE PARTITION: $destName and $srcName have different schemas")
+    val destProv = dest.provider.filterNot(_.equalsIgnoreCase("hive"))
+      .map(_.toLowerCase).getOrElse("parquet")
+    val srcProv = src.provider.filterNot(_.equalsIgnoreCase("hive"))
+      .map(_.toLowerCase).getOrElse("parquet")
+    require(destProv == srcProv,
+      s"EXCHANGE PARTITION: storage formats differ ($srcProv vs $destProv); " +
+        "partition files move verbatim, so both tables must share a format")
+    val partCols = src.partitionColumnNames
+    val preds = parsePreds(specText)
+    require(preds.nonEmpty && preds.forall(_._2 == "="),
+      s"EXCHANGE PARTITION needs an equality partition spec, got: $specText")
+    preds.foreach { case (n, _, _) =>
+      require(partCols.exists(_.equalsIgnoreCase(n)),
+        s"$n is not a partition column of $srcName") }
+    val isGraft = srcProv.startsWith("graft-")
+    // matched source partitions as (full ordered spec, source directory)
+    val matched: Seq[(Seq[(String, String)], org.apache.hadoop.fs.Path)] =
+      if (isGraft) {
+        val (root, fs) = graftPartRoot(spark, srcName)
+        graft.sources.v2.PartLayout.listPartitionDirs(root, fs, partCols)
+          .filter(specMatches(preds, _, srcName))
+          .map(s => s -> new org.apache.hadoop.fs.Path(root, specDirName(s)))
+      } else cat.listPartitions(srcId).map { p =>
+        val spec = partCols.map(c =>
+          c -> p.spec.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(
+            sys.error(s"partition of $srcName lacks column $c")))
+        spec -> new org.apache.hadoop.fs.Path(p.location)
+      }.filter { case (spec, _) => specMatches(preds, spec, srcName) }
+    require(matched.nonEmpty,
+      s"EXCHANGE PARTITION: no partition of $srcName matches ($specText)")
+    matched.foreach { case (spec, _) =>
+      require(!noDropProtected(spark, srcName, spec),
+        s"Partition (${spec.map { case (k, v) => s"$k=$v" }.mkString(",")})" +
+          s" of $srcName is protected from being dropped (NO_DROP)") }
+    val hconf = spark.sessionState.newHadoopConf()
+    val destRoot = new org.apache.hadoop.fs.Path(tableLocation(spark, destName))
+    val fsDest = destRoot.getFileSystem(hconf)
+    // validate the WHOLE batch before touching anything — the metastore
+    // refuses the exchange outright rather than half-applying it
+    matched.foreach { case (spec, _) =>
+      val specStr = spec.map { case (k, v) => s"$k=$v" }.mkString(",")
+      val registered = if (destProv.startsWith("graft-")) false
+        else cat.listPartitions(destId, Some(dest.partitionColumnNames.map(c =>
+          c -> spec.find(_._1.equalsIgnoreCase(c)).get._2).toMap)).nonEmpty
+      require(!registered,
+        s"EXCHANGE PARTITION: partition ($specStr) already exists in $destName")
+      require(!fsDest.exists(new org.apache.hadoop.fs.Path(destRoot, specDirName(spec))),
+        s"EXCHANGE PARTITION: target directory for ($specStr) already exists under $destName")
+    }
+    matched.foreach { case (spec, srcDir) =>
+      val destDir = new org.apache.hadoop.fs.Path(destRoot, specDirName(spec))
+      if (destDir.getParent != null) fsDest.mkdirs(destDir.getParent): Unit
+      require(fsDest.rename(srcDir, destDir),
+        s"EXCHANGE PARTITION: move failed: $srcDir -> $destDir")
+      if (!isGraft) {
+        val specSql = spec.map { case (k, v) =>
+          s"$k='${v.replace("'", "\\'")}'" }.mkString(", ")
+        // data already moved: ADD points the dest catalog at the standard
+        // layout dir; the source DROP finds its directory gone (no-op delete)
+        spark.sql(s"ALTER TABLE $destName ADD PARTITION ($specSql)"): Unit
+        spark.sql(s"ALTER TABLE $srcName DROP PARTITION ($specSql)"): Unit
+      }
+    }
+    spark.sql(s"REFRESH TABLE $destName"): Unit
+    spark.sql(s"REFRESH TABLE $srcName"): Unit
   }
 
   private def dropPartitionsByFilter(spark: SparkSession, table: String,
@@ -2401,6 +2502,9 @@ object Engine {
           spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
         spark.sql(s"REFRESH TABLE $table")
         return spark.emptyDataFrame
+      case exchangeRe(destT, specText, srcT) =>
+        exchangePartition(spark, destT, specText, srcT)
+        return spark.emptyDataFrame
       case showConfRe(name) => return showConf(spark, name)
       case showTableExtRe(db, pattern, part) =>
         return showTableExtended(spark, Option(db), pattern, Option(part))
@@ -2814,24 +2918,9 @@ object Engine {
       // input_partitions stays empty: pruned-partition detail lives in
       // EXPLAIN FORMATTED's PartitionFilters here.
       case s if s.trim.toUpperCase.startsWith("EXPLAIN DEPENDENCY") =>
-        import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
         val q = s.trim.substring("EXPLAIN DEPENDENCY".length).trim
-        val analyzed = spark.sql(q).queryExecution.analyzed
-        val names = scala.collection.mutable.SortedSet[String]()
-        def add(segs: Seq[String]): Unit = {
-          val keep = segs.filter(x => x.nonEmpty && x != "spark_catalog")
-          names += (if (keep.length >= 2) keep.takeRight(2).mkString("@")
-                    else keep.mkString)
-        }
-        analyzed.foreach {
-          case v: View => add(v.desc.identifier.database.toSeq :+
-            v.desc.identifier.table)
-          case sa: SubqueryAlias
-              if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) =>
-            add(sa.identifier.qualifier :+ sa.identifier.name)
-          case _ => ()
-        }
-        val json = names.toSeq
+        val names = queryInputTables(spark, q)
+        val json = names
           .map(n => s"""{"tablename":"$n"}""")
           .mkString("""{"input_partitions":[],"input_tables":[""", ",", "]}")
         spark.createDataFrame(
@@ -2839,6 +2928,43 @@ object Engine {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("dependency",
               org.apache.spark.sql.types.StringType))))
+      // SHOW CREATE TABLE t AS SERDE asks for Hive-serde DDL — a shape
+      // Spark only answers for Hive-provider tables. Every table here is
+      // a datasource table, so degrade to the plain form (the table's
+      // actual runnable DDL) instead of erroring the script.
+      case s if "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+[\\w.`]+\\s+AS\\s+SERDE\\s*;?\\s*$".r
+          .findFirstIn(s).isDefined =>
+        spark.sql("(?is)\\s+AS\\s+SERDE\\s*;?\\s*$".r.replaceFirstIn(s.trim, ""))
+      // EXPLAIN LOGICAL <query> — reference explainOption KW_LOGICAL
+      // (HiveParser.g:650): print the logical operator tree only. The
+      // analog here is the OPTIMIZED logical plan (what Catalyst hands
+      // to physical planning), scrubbed like the physical EXPLAIN path.
+      case s if s.trim.toUpperCase.startsWith("EXPLAIN LOGICAL") =>
+        val q = s.trim.substring("EXPLAIN LOGICAL".length).trim
+        return oneStringRow(spark, "plan",
+          scrubPlanText(spark.sql(q).queryExecution.optimizedPlan.toString))
+      // EXPLAIN [FORMATTED] AUTHORIZATION <stmt> — ExplainTask.java:319-334:
+      // the INPUTS/OUTPUTS/CURRENT_USER/OPERATION block. Inputs reuse the
+      // DEPENDENCY traversal (db@table per analyzed leaf); outputs are
+      // empty for queries (the reference masks its scratch-dir line);
+      // authorization *enforcement* is a deliberate scope-out, so no
+      // AUTHORIZATION_FAILURES section is emitted.
+      case s if "(?is)^\\s*EXPLAIN\\s+(FORMATTED\\s+)?AUTHORIZATION\\b".r
+          .findFirstIn(s.trim).isDefined =>
+        val q = "(?is)^\\s*EXPLAIN\\s+(FORMATTED\\s+)?AUTHORIZATION\\b".r
+          .replaceFirstIn(s.trim, "").trim
+        val op = q.split("\\s+").headOption.map(_.toUpperCase) match {
+          case Some("USE") => "SWITCHDATABASE"
+          case _ => "QUERY"
+        }
+        val inputs =
+          if (op == "SWITCHDATABASE") Seq("database:" + q.split("\\s+")(1))
+          else queryInputTables(spark, q)
+        val text = (Seq("INPUTS: ") ++ inputs.map("  " + _) ++
+          Seq("OUTPUTS: ", "CURRENT_USER: ",
+            "  " + System.getProperty("user.name"),
+            "OPERATION: ", "  " + op)).mkString("\n")
+        return oneStringRow(spark, "explain", text)
       // EXPLAIN [EXTENDED|FORMATTED|...] SELECT — the reference's
       // ExplainTask surface. Spark answers natively; the raw text carries
       // per-session expression ids (#123) and absolute file paths, both
@@ -2874,6 +3000,49 @@ object Engine {
         insertWithHiveCasts(spark, stmt)
     }
   }
+
+  /** The input tables/views a query reads, as sorted db@table strings —
+    * the ExplainTask dependency/authorization traversal shared by
+    * EXPLAIN DEPENDENCY and EXPLAIN AUTHORIZATION. Views are expanded by
+    * the analyzer, so both the view and its base tables list — the
+    * reference's behavior. The innermost SubqueryAlias above each leaf
+    * carries the relation's name (outer aliases like `src s1` are
+    * skipped); View nodes carry catalog/temp view names.
+    */
+  private def queryInputTables(spark: SparkSession, q: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
+    val analyzed = spark.sql(q).queryExecution.analyzed
+    val names = scala.collection.mutable.SortedSet[String]()
+    def add(segs: Seq[String]): Unit = {
+      val keep = segs.filter(x => x.nonEmpty && x != "spark_catalog")
+      names += (if (keep.length >= 2) keep.takeRight(2).mkString("@")
+                else keep.mkString)
+    }
+    analyzed.foreach {
+      case v: View => add(v.desc.identifier.database.toSeq :+
+        v.desc.identifier.table)
+      case sa: SubqueryAlias
+          if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) =>
+        add(sa.identifier.qualifier :+ sa.identifier.name)
+      case _ => ()
+    }
+    names.toSeq
+  }
+
+  /** Session- and host-stable plan text: expression ids, absolute file
+    * paths, and plan ids scrubbed — same contract as the EXPLAIN path. */
+  private def scrubPlanText(plan: String): String =
+    plan.replaceAll("#\\d+", "#")
+      .replaceAll("(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+
+  private def oneStringRow(spark: SparkSession, colName: String,
+      value: String): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(value)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(colName,
+          org.apache.spark.sql.types.StringType))))
 
   // one registration per (session, dataDir); avoids 10 schema reads per query
   private val registered =

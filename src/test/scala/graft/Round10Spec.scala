@@ -775,4 +775,124 @@ class Round10Spec extends SparkSpec {
     assert(spark.table("r10_narrow").collect().map(_.getInt(0)).toSeq == Seq(42))
     d("DROP TABLE r10_narrow")
   }
+
+  // ---- ALTER TABLE ... EXCHANGE PARTITION (DDLTask.java:4270) ------------
+
+  private def parts(t: String): Seq[String] =
+    Engine.ddl(spark, s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0)).toSeq.sorted
+
+  test("EXCHANGE PARTITION moves the partition dest<-src (exchange_partition.q)") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_ex1"); d("DROP TABLE IF EXISTS r10_ex2")
+    d("CREATE TABLE r10_ex1 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("CREATE TABLE r10_ex2 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("INSERT INTO r10_ex2 PARTITION (ds='2013-04-05') VALUES ('row1'), ('row2')")
+    d("ALTER TABLE r10_ex1 EXCHANGE PARTITION (ds='2013-04-05') WITH TABLE r10_ex2")
+    assert(parts("r10_ex1") == Seq("ds=2013-04-05"))
+    assert(parts("r10_ex2") == Seq())
+    // the DATA moved with the partition — no rewrite, same rows
+    assert(spark.table("r10_ex1").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("row1", "row2"))
+    assert(spark.table("r10_ex2").count() == 0)
+    d("DROP TABLE r10_ex1"); d("DROP TABLE r10_ex2")
+  }
+
+  test("EXCHANGE PARTITION partial spec moves the whole subtree (exchange_partition3.q)") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_ex3"); d("DROP TABLE IF EXISTS r10_ex4")
+    d("CREATE TABLE r10_ex3 (f1 STRING) PARTITIONED BY (ds STRING, hr STRING)")
+    d("CREATE TABLE r10_ex4 (f1 STRING) PARTITIONED BY (ds STRING, hr STRING)")
+    d("ALTER TABLE r10_ex3 ADD PARTITION (ds='2014-01-03', hr='1')")
+    d("INSERT INTO r10_ex4 PARTITION (ds='2013-04-05', hr='1') VALUES ('a')")
+    d("INSERT INTO r10_ex4 PARTITION (ds='2013-04-05', hr='2') VALUES ('b')")
+    d("INSERT INTO r10_ex4 PARTITION (ds='2014-09-09', hr='1') VALUES ('keep')")
+    d("ALTER TABLE r10_ex3 EXCHANGE PARTITION (ds='2013-04-05') WITH TABLE r10_ex4")
+    assert(parts("r10_ex3") ==
+      Seq("ds=2013-04-05/hr=1", "ds=2013-04-05/hr=2", "ds=2014-01-03/hr=1"))
+    assert(parts("r10_ex4") == Seq("ds=2014-09-09/hr=1"))
+    assert(spark.table("r10_ex3").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b"))
+    assert(spark.table("r10_ex4").collect().map(_.getString(0)).toSeq == Seq("keep"))
+    d("DROP TABLE r10_ex3"); d("DROP TABLE r10_ex4")
+  }
+
+  test("EXCHANGE PARTITION refuses existing dest partitions and schema drift") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_ex5"); d("DROP TABLE IF EXISTS r10_ex6")
+    d("DROP TABLE IF EXISTS r10_ex7")
+    d("CREATE TABLE r10_ex5 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("CREATE TABLE r10_ex6 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("CREATE TABLE r10_ex7 (f1 STRING, extra INT) PARTITIONED BY (ds STRING)")
+    d("INSERT INTO r10_ex5 PARTITION (ds='d1') VALUES ('already')")
+    d("INSERT INTO r10_ex6 PARTITION (ds='d1') VALUES ('incoming')")
+    // dest already holds ds=d1 → refuse, and refuse must not half-apply
+    val e1 = intercept[Exception](
+      d("ALTER TABLE r10_ex5 EXCHANGE PARTITION (ds='d1') WITH TABLE r10_ex6"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    assert(parts("r10_ex6") == Seq("ds=d1")) // source untouched
+    // column schemas differ → metastore-shaped refusal
+    val e2 = intercept[Exception](
+      d("ALTER TABLE r10_ex7 EXCHANGE PARTITION (ds='d1') WITH TABLE r10_ex6"))
+    assert(e2.getMessage.contains("different schemas"), e2.getMessage)
+    // no matching source partition → loud
+    val e3 = intercept[Exception](
+      d("ALTER TABLE r10_ex5 EXCHANGE PARTITION (ds='nope') WITH TABLE r10_ex6"))
+    assert(e3.getMessage.contains("no partition"), e3.getMessage)
+    d("DROP TABLE r10_ex5"); d("DROP TABLE r10_ex6"); d("DROP TABLE r10_ex7")
+  }
+
+  test("EXCHANGE PARTITION works on directory-partitioned graft-seq tables") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_exs"); d("DROP TABLE IF EXISTS r10_exd")
+    d(s"""CREATE TABLE r10_exs (v STRING) USING `graft-seq`
+          PARTITIONED BY (p STRING) LOCATION '${tools.Tmp.dir("r10_exs")}'""")
+    d(s"""CREATE TABLE r10_exd (v STRING) USING `graft-seq`
+          PARTITIONED BY (p STRING) LOCATION '${tools.Tmp.dir("r10_exd")}'""")
+    spark.sql("SELECT 'x' AS v, 'one' AS p").write.insertInto("r10_exs")
+    spark.sql("SELECT 'y' AS v, 'two' AS p").write.insertInto("r10_exs")
+    d("ALTER TABLE r10_exd EXCHANGE PARTITION (p='one') WITH TABLE r10_exs")
+    assert(parts("r10_exd") == Seq("p=one"))
+    assert(parts("r10_exs") == Seq("p=two"))
+    assert(spark.table("r10_exd").select("v").collect().map(_.getString(0)).toSeq
+      == Seq("x"))
+    assert(spark.table("r10_exs").select("v").collect().map(_.getString(0)).toSeq
+      == Seq("y"))
+    d("DROP TABLE r10_exs"); d("DROP TABLE r10_exd")
+  }
+
+  // ---- EXPLAIN LOGICAL / AUTHORIZATION (HiveParser.g:650) ----------------
+
+  test("EXPLAIN LOGICAL prints the scrubbed optimized logical plan") {
+    val out = Engine.sql(spark, sf,
+      "EXPLAIN LOGICAL SELECT n_name FROM nation WHERE n_regionkey = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(out.contains("Filter") || out.contains("Relation"), out)
+    assert(!out.matches("(?s).*#\\d+.*"), out) // expression ids scrubbed
+    assert(!out.contains("/root/testdata"), out) // paths scrubbed
+  }
+
+  test("EXPLAIN [FORMATTED] AUTHORIZATION emits the ExplainTask block") {
+    val out = Engine.sql(spark, sf,
+      "EXPLAIN AUTHORIZATION SELECT r_name FROM region JOIN nation ON r_regionkey = n_regionkey")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(out.contains("INPUTS: "), out)
+    assert(out.contains("  nation") && out.contains("  region"), out)
+    assert(out.contains("CURRENT_USER: "), out)
+    assert(out.contains("OPERATION: \n  QUERY"), out)
+    val use = Engine.sql(spark, sf, "EXPLAIN FORMATTED AUTHORIZATION USE default")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(use.contains("database:default"), use)
+    assert(use.contains("SWITCHDATABASE"), use)
+  }
+
+  test("SHOW CREATE TABLE ... AS SERDE degrades to the plain runnable DDL") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_scts")
+    d("CREATE TABLE r10_scts (k INT) STORED AS PARQUET")
+    val out = d("SHOW CREATE TABLE r10_scts AS SERDE")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(out.toUpperCase.contains("CREATE TABLE") && out.contains("r10_scts"), out)
+    d("DROP TABLE r10_scts")
+  }
 }
