@@ -125,6 +125,122 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash", exprs => org.apache.spark.sql.catalyst.expressions
         .HiveHash(exprs), "scala_udf")
+    // SQL names for the Column-composed function family — a migrating
+    // script calls these by NAME in SQL text (FunctionRegistry.java
+    // registers all of them), so each gets a FunctionRegistry builder
+    // bridged through GraftColumnBridge. Literal-argument extraction
+    // mirrors Hive: ngrams/context_ngrams take constant n/k
+    // (GenericUDAFnGrams checks PRIMITIVE CONSTANT args).
+    locally {
+      import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
+      val reg = spark.sessionState.functionRegistry
+      def colFn(name: String, build: Seq[org.apache.spark.sql.Column] =>
+          org.apache.spark.sql.Column): Unit =
+        reg.createOrReplaceTempFunction(name,
+          exprs => toExpression(build(exprs.map(toColumn))), "scala_udf")
+      def litInt(fname: String, e: Expression): Int = e match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case Literal(v: Short, _) => v.toInt
+        case Literal(v: Byte, _) => v.toInt
+        case other => sys.error(
+          s"$fname expects a constant integer argument, got: ${other.sql}")
+      }
+      // Hive's ngrams/context_ngrams take flat array<string> OR the
+      // sentences() shape array<array<string>> (n-grams never cross inner
+      // sentence boundaries), and answer
+      // array<struct<ngram:array<string>, estfrequency:double>>
+      // (GenericUDAFnGrams) — the .q scripts access `.estfrequency`, so
+      // the SQL names emit that exact shape. Counts here are EXACT
+      // (map-side-combined partials): the optional precision argument is
+      // accepted and ignored.
+      def nested(e: Expression): Boolean = e.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.ArrayType, _) => true
+        case _ => false
+      }
+      def hiveNGramShape(agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.functions._
+        transform(agg, x => struct(
+          split(x.getField("ngram"), " ").as("ngram"),
+          x.getField("freq").cast("double").as("estfrequency")))
+      }
+      reg.createOrReplaceTempFunction("ngrams", exprs => {
+        val (n, k) = (litInt("ngrams", exprs(1)), litInt("ngrams", exprs(2)))
+        val agg = if (nested(exprs(0)))
+          graft.functions.NGrams.ngramsSentences(toColumn(exprs(0)), n, k)
+        else graft.functions.NGrams.ngrams(toColumn(exprs(0)), n, k)
+        toExpression(hiveNGramShape(agg))
+      }, "scala_udf")
+      reg.createOrReplaceTempFunction("context_ngrams", exprs => {
+        val context = exprs(1) match {
+          // entries may be wrapped (e.g. CAST(NULL AS STRING)) — any
+          // foldable entry works; a null fold is the wildcard slot
+          case CreateArray(items, _) => items.map {
+            case e if e.foldable => Option(e.eval(
+              org.apache.spark.sql.catalyst.InternalRow.empty)).map(_.toString)
+            case other => sys.error("context_ngrams context entries must be " +
+              s"string literals or null wildcards, got: ${other.sql}")
+          }
+          case other => sys.error(
+            s"context_ngrams expects an array literal context, got: ${other.sql}")
+        }
+        val k = litInt("context_ngrams", exprs(2))
+        val agg = if (nested(exprs(0)))
+          graft.functions.NGrams.contextNGramsSentences(
+            toColumn(exprs(0)), context, k)
+        else graft.functions.NGrams.contextNGrams(toColumn(exprs(0)), context, k)
+        toExpression(hiveNGramShape(agg))
+      }, "scala_udf")
+      colFn("ewah_bitmap", cols => graft.functions.Bitmap.bitmapAgg(cols(0)))
+      colFn("ewah_bitmap_and", cols =>
+        graft.functions.Bitmap.bitmapAnd(cols(0), cols(1)))
+      colFn("ewah_bitmap_or", cols =>
+        graft.functions.Bitmap.bitmapOr(cols(0), cols(1)))
+      colFn("ewah_bitmap_empty", cols =>
+        graft.functions.Bitmap.bitmapEmpty(cols(0)))
+      colFn("create_union", cols =>
+        graft.functions.UnionTypeShim.createUnion(cols.head, cols.tail: _*))
+      // compute_stats(col[, numBitVectors]) — GenericUDAFComputeStats:
+      // per-type stats struct with the reference's exact field names;
+      // NumDistinctValues is an FM-sketch ESTIMATE there, so the faithful
+      // distributed analog is approx_count_distinct (HLL++), not an exact
+      // count. The numBitVectors argument is accepted and ignored.
+      reg.createOrReplaceTempFunction("compute_stats", exprs => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val c = toColumn(exprs(0))
+        val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as("CountNulls")
+        val ndv = approx_count_distinct(c).as("NumDistinctValues")
+        val stats = exprs(0).dataType match {
+          case BooleanType => struct(
+            lit("Boolean").as("ColumnType"),
+            sum(when(c === true, 1L).otherwise(0L)).as("CountTrues"),
+            sum(when(c === false, 1L).otherwise(0L)).as("CountFalses"),
+            nulls)
+          case ByteType | ShortType | IntegerType | LongType => struct(
+            lit("Long").as("ColumnType"),
+            min(c).cast("bigint").as("Min"), max(c).cast("bigint").as("Max"),
+            nulls, ndv)
+          case FloatType | DoubleType | _: DecimalType => struct(
+            lit("Double").as("ColumnType"),
+            min(c).cast("double").as("Min"), max(c).cast("double").as("Max"),
+            nulls, ndv)
+          case StringType => struct(
+            lit("String").as("ColumnType"),
+            max(length(c)).cast("bigint").as("MaxLength"),
+            avg(length(c)).as("AvgLength"), nulls, ndv)
+          case BinaryType => struct(
+            lit("Binary").as("ColumnType"),
+            max(length(c)).cast("bigint").as("MaxLength"),
+            avg(length(c)).as("AvgLength"), nulls)
+          case other => sys.error(
+            s"compute_stats: unsupported column type ${other.catalogString}")
+        }
+        toExpression(stats)
+      }, "scala_udf")
+    }
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.StatsAnswerRule]))
       spark.experimental.extraOptimizations =

@@ -48,6 +48,28 @@ object NGrams {
   def ngrams(tokens: Column, n: Int, k: Int): Column =
     udaf(new NGramsAggregator(n, k)).apply(tokens)
 
+  /** The space-joined n-gram windows of one token array, as a column —
+    * shared by the sentence-nested variants below and context_ngrams. */
+  private def ngramWindows(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    transform(
+      filter(sequence(lit(0), greatest(size(tokens) - lit(n), lit(0))),
+        i => i <= size(tokens) - lit(n)),
+      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
+  }
+
+  /** Hive's ngrams also accepts `array<array<string>>` — the `sentences()`
+    * shape (GenericUDAFnGrams nested-list mode): n-grams are counted
+    * WITHIN each inner sentence, never across sentence boundaries.
+    * Composition: precompute each sentence's windows column-side, flatten,
+    * and count the windows with the 1-gram aggregator.
+    */
+  def ngramsSentences(sents: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    udaf(new NGramsAggregator(1, k)).apply(
+      flatten(transform(sents, s => ngramWindows(s, n))))
+  }
+
   /** Hive `context_ngrams(tokens, context, k)` (GenericUDAFContextNGrams):
     * top-k fillers for a context pattern, where None marks the wildcard
     * slots. Composition: carve context-matching windows out of each token
@@ -57,22 +79,41 @@ object NGrams {
     * @param tokensCol name of an array<string> column
     */
   def contextNGrams(tokensCol: String, context: Seq[Option[String]], k: Int): Column = {
+    import org.apache.spark.sql.functions.col
+    contextNGrams(col(tokensCol), context, k)
+  }
+
+  /** Column-based overload (same semantics) — lets the SQL-name
+    * registration in `Engine.install` accept an arbitrary tokens
+    * EXPRESSION (e.g. `context_ngrams(split(text, ' '), ...)`), not just
+    * a column name.
+    */
+  def contextNGrams(tokens: Column, context: Seq[Option[String]], k: Int): Column =
+    udaf(new NGramsAggregator(1, k)).apply(contextWindows(tokens, context))
+
+  /** Sentence-nested variant (`sentences()` input): the context is matched
+    * within each inner sentence only, mirroring ngramsSentences. */
+  def contextNGramsSentences(sents: Column,
+      context: Seq[Option[String]], k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    udaf(new NGramsAggregator(1, k)).apply(
+      flatten(transform(sents, s => contextWindows(s, context))))
+  }
+
+  private def contextWindows(tokens: Column,
+      context: Seq[Option[String]]): Column = {
     import org.apache.spark.sql.functions._
     val n = context.length
     require(context.exists(_.isEmpty), "context needs at least one wildcard (None)")
-    val fixed = context.zipWithIndex.collect { case (Some(w), i) =>
-      // Spark's lexer escapes with BACKSLASH; a doubled quote ('') parses
-      // as two ADJACENT string literals that concatenate ("don''t" would
-      // silently match "dont")
-      s"$tokensCol[i + $i] = '${w.replace("\\", "\\\\").replace("'", "\\'")}'"
-    }
     // i <= size-n guards short arrays (sequence upper bound is clamped >=0)
-    val cond = (s"i <= size($tokensCol) - $n" +: fixed).mkString(" AND ")
-    val fillers = context.zipWithIndex.collect { case (None, i) => s"$tokensCol[i + $i]" }
-    val windows = expr(
-      s"""transform(
-            filter(sequence(0, greatest(size($tokensCol) - $n, 0)), i -> $cond),
-            i -> concat_ws(' ', ${fillers.mkString(", ")}))""")
-    udaf(new NGramsAggregator(1, k)).apply(windows)
+    val cond: Column => Column = i =>
+      context.zipWithIndex.collect { case (Some(w), j) =>
+        get(tokens, i + lit(j)) === lit(w)
+      }.foldLeft(i <= size(tokens) - lit(n))(_ && _)
+    val fillers: Column => Column = i => concat_ws(" ",
+      context.zipWithIndex.collect { case (None, j) => get(tokens, i + lit(j)) }: _*)
+    transform(
+      filter(sequence(lit(0), greatest(size(tokens) - lit(n), lit(0))), cond),
+      fillers)
   }
 }

@@ -15,3 +15,21 @@ object GraftSessionClone {
     case other => other.newSession()
   }
 }
+
+/** Accessor for the `private[sql]` Column <-> Catalyst Expression bridge
+  * (`classic.ExpressionUtils`). graft registers its Column-composed
+  * functions (ngrams, ewah_bitmap family, create_union, compute_stats)
+  * under their Hive SQL names in the session FunctionRegistry, whose
+  * builders work on Expressions — this is the one sanctioned crossing
+  * point between the two layers.
+  */
+object GraftColumnBridge {
+  def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  // eager node->Expression conversion: ExpressionUtils.expression wraps the
+  // node lazily (ColumnNodeExpression), which the FunctionRegistry path
+  // never unwraps — UDAF-bearing columns (InvokeInlineUserDefinedFunction)
+  // would reach codegen unconverted and throw INTERNAL_ERROR
+  def toExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -886,6 +886,130 @@ class Round10Spec extends SparkSpec {
     assert(use.contains("SWITCHDATABASE"), use)
   }
 
+  // ---- SQL names for the Column-composed function family ------------------
+
+  test("every reference FunctionRegistry name resolves in the session") {
+    Engine.sql(spark, sf, "SELECT 1").collect() // install the registry
+    // the registerUDF/registerGenericUDF/registerUDAF/registerGenericUDAF/
+    // register[Generic]UDTF names from the reference's
+    // exec/FunctionRegistry.java, minus pure-grammar shapes that Spark
+    // parses as syntax rather than named functions (case/when/between/in/
+    // like/rlike/regexp/index, boolean connectives, operators, div)
+    val names = ("""abs acos add_months array array_contains ascii asin
+      assert_true atan avg base64 bin ceil ceiling coalesce collect_list
+      collect_set compute_stats concat concat_ws context_ngrams conv corr
+      cos count covar_pop covar_samp create_union cume_dist
+      current_database current_date current_timestamp current_user date_add
+      date_sub datediff day dayofmonth decode degrees dense_rank e elt
+      encode ewah_bitmap ewah_bitmap_and ewah_bitmap_empty ewah_bitmap_or
+      exp explode field find_in_set first_value floor format_number
+      from_unixtime from_utc_timestamp get_json_object greatest hash hex
+      histogram_numeric hour if in_file initcap inline instr isnotnull
+      isnull java_method json_tuple last_day last_value lcase least length
+      levenshtein ln locate log log10 log2 lower lpad ltrim map map_keys
+      map_values max min minute month named_struct next_day ngrams ntile
+      nvl parse_url parse_url_tuple percent_rank percentile
+      percentile_approx pi pmod posexplode pow power printf radians rand
+      rank reflect reflect2 regexp_extract regexp_replace repeat reverse
+      round row_number rpad rtrim second sentences sign sin size sort_array
+      space split sqrt stack std stddev stddev_pop stddev_samp str_to_map
+      struct substr substring sum tan to_date to_unix_timestamp
+      to_utc_timestamp translate trim ucase unbase64 unhex unix_timestamp
+      upper var_pop var_samp variance weekofyear xpath xpath_boolean
+      xpath_double xpath_float xpath_int xpath_long xpath_number
+      xpath_short xpath_string year""").split("\\s+").filter(_.nonEmpty)
+    val missing = names.filterNot { n =>
+      try {
+        spark.sessionState.catalog.lookupFunctionInfo(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)); true
+      } catch { case _: Exception => false }
+    }
+    assert(missing.isEmpty, s"unresolved reference functions: ${missing.mkString(", ")}")
+  }
+
+  test("ngrams / context_ngrams answer by SQL name in the Hive shape") {
+    // ngrams over 'a b a b c': bigram 'a b' twice, others once; the
+    // optional accuracy 4th arg is accepted (counts stay exact here).
+    // Output shape is Hive's: array<struct<ngram:array<string>,
+    // estfrequency:double>> (the .q scripts access `.estfrequency`)
+    val g = Engine.sql(spark, sf,
+      "SELECT ngrams(split('a b a b c', ' '), 2, 3, 1000) AS g")
+      .selectExpr("explode(g) AS t").selectExpr("t.ngram", "t.estfrequency")
+      .collect().map(r => (r.getSeq[String](0), r.getDouble(1))).toSeq
+    assert(g == Seq((Seq("a", "b"), 2.0), (Seq("b", "a"), 1.0),
+      (Seq("b", "c"), 1.0)), g)
+    val cg = Engine.sql(spark, sf,
+      """SELECT context_ngrams(split('i love cats and i love dogs', ' '),
+                               array('love', null), 5) AS g""")
+      .selectExpr("explode(g) AS t").selectExpr("t.ngram")
+      .collect().map(_.getSeq[String](0)).sortBy(_.mkString).toSeq
+    assert(cg == Seq(Seq("cats"), Seq("dogs")), cg)
+    // the sentences() nested shape (udaf_ngrams.q's actual idiom):
+    // n-grams never cross sentence boundaries — 'fox. The' must NOT count
+    val nested = Engine.sql(spark, sf,
+      """SELECT ngrams(sentences(lower(
+           'The quick fox. The lazy dog. The quick dog.')), 2, 2) AS g""")
+      .selectExpr("explode(g) AS t")
+      .selectExpr("t.ngram", "t.estfrequency").collect()
+      .map(r => (r.getSeq[String](0).mkString(" "), r.getDouble(1))).toSeq
+    assert(nested.head == ("the quick", 2.0), nested.toSeq)
+    assert(!nested.exists(_._1.contains("fox the")), nested.toSeq)
+    val nestedCtx = Engine.sql(spark, sf,
+      """SELECT context_ngrams(sentences(lower(
+           'The quick fox. The lazy dog. The quick dog.')),
+           array('the', null), 3) AS g""")
+      .selectExpr("explode(g) AS t").selectExpr("t.ngram", "t.estfrequency")
+      .collect().map(r => (r.getSeq[String](0).mkString(" "), r.getDouble(1)))
+      .sortBy(r => (-r._2, r._1)).toSeq
+    assert(nestedCtx == Seq(("quick", 2.0), ("lazy", 1.0)), nestedCtx)
+  }
+
+  test("ewah_bitmap family and create_union answer by SQL name") {
+    val s = Engine.sql(spark, sf, _: String)
+    // bits {1,3,5} -> word 0b101010 = 42
+    assert(s("SELECT ewah_bitmap(x) AS b FROM (SELECT explode(array(1L,3L,5L)) AS x)")
+      .collect().head.getSeq[Long](0) == Seq(42L))
+    // {1,3} AND {2,4} = empty; {1,3} OR {2,4} = {1,2,3,4} -> 0b11110 = 30
+    assert(s("""SELECT ewah_bitmap_and(a, b) AS x, ewah_bitmap_or(a, b) AS o,
+                       ewah_bitmap_empty(ewah_bitmap_and(a, b)) AS e
+                FROM (SELECT ewah_bitmap(x) a, ewah_bitmap(x+1) b
+                      FROM (SELECT explode(array(1L, 3L)) AS x))""")
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getBoolean(2)))
+      .toSeq == Seq((Seq(), Seq(30L), true)))
+    // create_union: tag picks the live alternative, the rest are NULL
+    val u = s("SELECT create_union(1, 'a', 2.0D) AS u").collect().head.getStruct(0)
+    assert(u.getInt(0) == 1 && u.isNullAt(1) && u.getDouble(2) == 2.0, u)
+  }
+
+  test("compute_stats answers the per-type Hive struct by SQL name") {
+    val s = Engine.sql(spark, sf, _: String)
+    // Long: ColumnType/Min/Max/CountNulls/NumDistinctValues
+    val lg = s("SELECT compute_stats(x, 16) AS st FROM (SELECT explode(array(1L,3L,NULL)) AS x)")
+      .selectExpr("st.ColumnType", "st.Min", "st.Max", "st.CountNulls",
+        "st.NumDistinctValues").collect().head
+    assert(lg.getString(0) == "Long" && lg.getLong(1) == 1L && lg.getLong(2) == 3L
+      && lg.getLong(3) == 1L && lg.getLong(4) == 2L, lg)
+    // String: ColumnType/MaxLength/AvgLength/CountNulls/NumDistinctValues
+    val st = s("SELECT compute_stats(v, 16) AS st FROM (SELECT explode(array('aa','bbbb',NULL)) AS v)")
+      .selectExpr("st.ColumnType", "st.MaxLength", "st.AvgLength",
+        "st.CountNulls").collect().head
+    assert(st.getString(0) == "String" && st.getLong(1) == 4L
+      && st.getDouble(2) == 3.0 && st.getLong(3) == 1L, st)
+    // Boolean: ColumnType/CountTrues/CountFalses/CountNulls
+    val bl = s("SELECT compute_stats(b, 16) AS st FROM (SELECT explode(array(true,false,NULL)) AS b)")
+      .selectExpr("st.ColumnType", "st.CountTrues", "st.CountFalses",
+        "st.CountNulls").collect().head
+    assert(bl.getString(0) == "Boolean" && bl.getLong(1) == 1L
+      && bl.getLong(2) == 1L && bl.getLong(3) == 1L, bl)
+    // grouped: stats structs distribute over GROUP BY like any aggregate
+    val grouped = Engine.sql(spark, sf,
+      """SELECT n_regionkey, compute_stats(n_nationkey, 16) AS st
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      .selectExpr("n_regionkey", "st.Min", "st.Max").collect()
+    assert(grouped.length == 5)
+    assert(grouped.head.getLong(1) == 0L && grouped.head.getLong(2) == 20L)
+  }
+
   test("SHOW CREATE TABLE ... AS SERDE degrades to the plain runnable DDL") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_scts")
