@@ -579,6 +579,13 @@ object Engine {
   // warn no-op so era scripts keep running.
   private val archiveRe =
     """(?is)\s*ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?(?:UN)?ARCHIVE\s*(?:PARTITION\s*\([^)]*\)\s*)?;?\s*""".r
+  // DELETE FILE[S]/JAR[S]/ARCHIVE[S] <paths> — the CLI's
+  // DeleteResourceProcessor: removes resources from the session list so
+  // later tasks stop shipping them. Spark cannot un-add a file/jar from
+  // a running context, so accept the statement as a loud no-op — the
+  // script's intent (end-of-run cleanup) has nothing left to affect.
+  private val deleteResourceRe =
+    """(?is)\s*DELETE\s+(FILES?|JARS?|ARCHIVES?)\s+(\S[^;]*?)\s*;?\s*""".r
   // SHOW LOCKS [t] — with hive.support.concurrency=false (the default)
   // the reference's lock manager is absent and the listing is empty; the
   // engine has no lock manager by design (Spark's writers coordinate via
@@ -2648,6 +2655,10 @@ object Engine {
       case archiveRe() =>
         System.err.println(s"[graft] ARCHIVE/UNARCHIVE accepted as no-op " +
           s"(HAR packing has no object-store analog): ${stmt0.trim.takeWhile(_ != '\n')}")
+        return spark.emptyDataFrame
+      case deleteResourceRe(kind, paths) =>
+        System.err.println(s"[graft] DELETE ${kind.toUpperCase} accepted as " +
+          s"no-op (Spark cannot un-add session resources): ${paths.trim}")
         return spark.emptyDataFrame
       case showLocksRe() =>
         return spark.createDataFrame(

@@ -1010,6 +1010,22 @@ class Round10Spec extends SparkSpec {
     assert(grouped.head.getLong(1) == 0L && grouped.head.getLong(2) == 20L)
   }
 
+  test("DELETE FILE/JAR accepted as loud no-ops; row DELETE still routes") {
+    val d = Engine.ddl(spark, _: String)
+    // the CLI DeleteResourceProcessor surface: a script's cleanup lines
+    // must not error the run (Spark cannot un-add session resources)
+    d("DELETE FILE /tmp/nonexistent_resource.txt")
+    d("DELETE JARS a.jar b.jar")
+    d("DELETE ARCHIVE x.tgz")
+    // ...and the resource form must not shadow row-level DELETE
+    d("DROP TABLE IF EXISTS r10_delres")
+    d("CREATE TABLE r10_delres (k INT) STORED AS PARQUET")
+    d("INSERT INTO r10_delres VALUES (1), (2)")
+    d("DELETE FROM r10_delres WHERE k = 1")
+    assert(spark.table("r10_delres").collect().map(_.getInt(0)).toSeq == Seq(2))
+    d("DROP TABLE r10_delres")
+  }
+
   test("SHOW CREATE TABLE ... AS SERDE degrades to the plain runnable DDL") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_scts")
