@@ -152,27 +152,19 @@ object Engine {
       // sentence boundaries), and answer
       // array<struct<ngram:array<string>, estfrequency:double>>
       // (GenericUDAFnGrams) — the .q scripts access `.estfrequency`, so
-      // the SQL names emit that exact shape. Counts here are EXACT
-      // (map-side-combined partials): the optional precision argument is
-      // accepted and ignored.
+      // the SQL names emit that exact shape (NGrams.ngramsHive: windows
+      // are NUL-joined internally so space-bearing tokens reconstruct
+      // losslessly). Counts here are EXACT (map-side-combined partials):
+      // the optional precision argument is accepted and ignored.
       def nested(e: Expression): Boolean = e.dataType match {
         case org.apache.spark.sql.types.ArrayType(
           _: org.apache.spark.sql.types.ArrayType, _) => true
         case _ => false
       }
-      def hiveNGramShape(agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        import org.apache.spark.sql.functions._
-        transform(agg, x => struct(
-          split(x.getField("ngram"), " ").as("ngram"),
-          x.getField("freq").cast("double").as("estfrequency")))
-      }
-      reg.createOrReplaceTempFunction("ngrams", exprs => {
-        val (n, k) = (litInt("ngrams", exprs(1)), litInt("ngrams", exprs(2)))
-        val agg = if (nested(exprs(0)))
-          graft.functions.NGrams.ngramsSentences(toColumn(exprs(0)), n, k)
-        else graft.functions.NGrams.ngrams(toColumn(exprs(0)), n, k)
-        toExpression(hiveNGramShape(agg))
-      }, "scala_udf")
+      reg.createOrReplaceTempFunction("ngrams", exprs =>
+        toExpression(graft.functions.NGrams.ngramsHive(toColumn(exprs(0)),
+          nested(exprs(0)), litInt("ngrams", exprs(1)),
+          litInt("ngrams", exprs(2)))), "scala_udf")
       reg.createOrReplaceTempFunction("context_ngrams", exprs => {
         val context = exprs(1) match {
           // entries may be wrapped (e.g. CAST(NULL AS STRING)) — any
@@ -186,12 +178,8 @@ object Engine {
           case other => sys.error(
             s"context_ngrams expects an array literal context, got: ${other.sql}")
         }
-        val k = litInt("context_ngrams", exprs(2))
-        val agg = if (nested(exprs(0)))
-          graft.functions.NGrams.contextNGramsSentences(
-            toColumn(exprs(0)), context, k)
-        else graft.functions.NGrams.contextNGrams(toColumn(exprs(0)), context, k)
-        toExpression(hiveNGramShape(agg))
+        toExpression(graft.functions.NGrams.contextNGramsHive(toColumn(exprs(0)),
+          nested(exprs(0)), context, litInt("context_ngrams", exprs(2))))
       }, "scala_udf")
       colFn("ewah_bitmap", cols => graft.functions.Bitmap.bitmapAgg(cols(0)))
       colFn("ewah_bitmap_and", cols =>
@@ -211,13 +199,15 @@ object Engine {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
         val c = toColumn(exprs(0))
-        val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as("CountNulls")
+        // count(when(...)) not sum(when(...)): count answers 0 over empty
+        // input, matching the reference's zeroed counters
+        val nulls = count(when(c.isNull, 1)).as("CountNulls")
         val ndv = approx_count_distinct(c).as("NumDistinctValues")
         val stats = exprs(0).dataType match {
           case BooleanType => struct(
             lit("Boolean").as("ColumnType"),
-            sum(when(c === true, 1L).otherwise(0L)).as("CountTrues"),
-            sum(when(c === false, 1L).otherwise(0L)).as("CountFalses"),
+            count(when(c === true, 1)).as("CountTrues"),
+            count(when(c === false, 1)).as("CountFalses"),
             nulls)
           case ByteType | ShortType | IntegerType | LongType => struct(
             lit("Long").as("ColumnType"),
@@ -537,7 +527,7 @@ object Engine {
   // exchange_partition: MOVE every source partition matching the
   // (possibly partial, equality-only) spec into the destination table.
   private val exchangeRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+EXCHANGE\s+PARTITION\s*\(([^)]*)\)\s+WITH\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+EXCHANGE\s+PARTITION\s*\(([^)]*)\)\s+WITH\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
 
   // ALTER TABLE t [PARTITION(...)] TOUCH — DDLSemanticAnalyzer
   // analyzeAlterTableTouch: fires pre/post hooks and bumps modification
@@ -973,30 +963,45 @@ object Engine {
     val destRoot = new org.apache.hadoop.fs.Path(tableLocation(spark, destName))
     val fsDest = destRoot.getFileSystem(hconf)
     // validate the WHOLE batch before touching anything — the metastore
-    // refuses the exchange outright rather than half-applying it
+    // refuses the exchange outright rather than half-applying it. One
+    // dest-catalog fetch, compared in memory (not one listing RPC per
+    // matched partition).
+    val destSpecs: Set[Seq[(String, String)]] =
+      if (destProv.startsWith("graft-")) Set.empty
+      else cat.listPartitions(destId).map(p =>
+        p.spec.toSeq.map { case (k, v) => (k.toLowerCase, v) }.sortBy(_._1)).toSet
     matched.foreach { case (spec, _) =>
       val specStr = spec.map { case (k, v) => s"$k=$v" }.mkString(",")
-      val registered = if (destProv.startsWith("graft-")) false
-        else cat.listPartitions(destId, Some(dest.partitionColumnNames.map(c =>
-          c -> spec.find(_._1.equalsIgnoreCase(c)).get._2).toMap)).nonEmpty
-      require(!registered,
+      require(!destSpecs.contains(
+          spec.map { case (k, v) => (k.toLowerCase, v) }.sortBy(_._1)),
         s"EXCHANGE PARTITION: partition ($specStr) already exists in $destName")
       require(!fsDest.exists(new org.apache.hadoop.fs.Path(destRoot, specDirName(spec))),
         s"EXCHANGE PARTITION: target directory for ($specStr) already exists under $destName")
     }
-    matched.foreach { case (spec, srcDir) =>
+    // phase 1: move every directory; on any failure, roll the completed
+    // renames back so a multi-partition batch is never left half-moved
+    // (a rename can fail mid-batch on cross-filesystem tables or quota)
+    val moved = scala.collection.mutable.ListBuffer
+      .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+    try matched.foreach { case (spec, srcDir) =>
       val destDir = new org.apache.hadoop.fs.Path(destRoot, specDirName(spec))
       if (destDir.getParent != null) fsDest.mkdirs(destDir.getParent): Unit
       require(fsDest.rename(srcDir, destDir),
         s"EXCHANGE PARTITION: move failed: $srcDir -> $destDir")
-      if (!isGraft) {
-        val specSql = spec.map { case (k, v) =>
-          s"$k='${v.replace("'", "\\'")}'" }.mkString(", ")
-        // data already moved: ADD points the dest catalog at the standard
-        // layout dir; the source DROP finds its directory gone (no-op delete)
-        spark.sql(s"ALTER TABLE $destName ADD PARTITION ($specSql)"): Unit
-        spark.sql(s"ALTER TABLE $srcName DROP PARTITION ($specSql)"): Unit
-      }
+      moved += ((srcDir, destDir))
+    } catch { case e: Throwable =>
+      moved.reverse.foreach { case (srcDir, destDir) =>
+        fsDest.rename(destDir, srcDir): Unit }
+      throw e
+    }
+    // phase 2: catalog updates, after all data is in place
+    if (!isGraft) matched.foreach { case (spec, _) =>
+      val specSql = spec.map { case (k, v) =>
+        s"$k='${v.replace("\\", "\\\\").replace("'", "\\'")}'" }.mkString(", ")
+      // data already moved: ADD points the dest catalog at the standard
+      // layout dir; the source DROP finds its directory gone (no-op delete)
+      spark.sql(s"ALTER TABLE $destName ADD PARTITION ($specSql)"): Unit
+      spark.sql(s"ALTER TABLE $srcName DROP PARTITION ($specSql)"): Unit
     }
     spark.sql(s"REFRESH TABLE $destName"): Unit
     spark.sql(s"REFRESH TABLE $srcName"): Unit
@@ -3069,7 +3074,7 @@ object Engine {
       case s if s.trim.toUpperCase.startsWith("EXPLAIN LOGICAL") =>
         val q = s.trim.substring("EXPLAIN LOGICAL".length).trim
         return oneStringRow(spark, "plan",
-          scrubPlanText(spark.sql(q).queryExecution.optimizedPlan.toString))
+          scrubPlanText(analyzeOnly(spark, q).optimizedPlan.toString))
       // EXPLAIN [FORMATTED] AUTHORIZATION <stmt> — ExplainTask.java:319-334:
       // the INPUTS/OUTPUTS/CURRENT_USER/OPERATION block. Inputs reuse the
       // DEPENDENCY traversal (db@table per analyzed leaf); outputs are
@@ -3079,16 +3084,31 @@ object Engine {
       case s if "(?is)^\\s*EXPLAIN\\s+(FORMATTED\\s+)?AUTHORIZATION\\b".r
           .findFirstIn(s.trim).isDefined =>
         val q = "(?is)^\\s*EXPLAIN\\s+(FORMATTED\\s+)?AUTHORIZATION\\b".r
-          .replaceFirstIn(s.trim, "").trim
-        val op = q.split("\\s+").headOption.map(_.toUpperCase) match {
+          .replaceFirstIn(s.trim, "").trim.stripSuffix(";").trim
+        val toks = q.split("\\s+").filter(_.nonEmpty)
+        val op = toks.headOption.map(_.toUpperCase) match {
           case Some("USE") => "SWITCHDATABASE"
           case _ => "QUERY"
         }
-        val inputs =
-          if (op == "SWITCHDATABASE") Seq("database:" + q.split("\\s+")(1))
-          else queryInputTables(spark, q)
+        val (inputs, outputs) =
+          if (op == "SWITCHDATABASE") {
+            require(toks.length >= 2, s"USE needs a database name: $q")
+            (Seq("database:" + toks(1)), Seq.empty[String])
+          } else {
+            val analyzed = analyzeOnly(spark, q).analyzed
+            // write targets are OUTPUTS (the reference lists the insert
+            // target there, not under INPUTS)
+            val outs = analyzed.collect {
+              case c: org.apache.spark.sql.execution.datasources
+                  .InsertIntoHadoopFsRelationCommand => c.catalogTable
+            }.flatten.map(t =>
+              (t.identifier.database.toSeq :+ t.identifier.table)
+                .filter(x => x.nonEmpty && x != "spark_catalog").mkString("@"))
+            (queryInputTablesOf(analyzed), outs.distinct.sorted)
+          }
         val text = (Seq("INPUTS: ") ++ inputs.map("  " + _) ++
-          Seq("OUTPUTS: ", "CURRENT_USER: ",
+          Seq("OUTPUTS: ") ++ outputs.map("  " + _) ++
+          Seq("CURRENT_USER: ",
             "  " + System.getProperty("user.name"),
             "OPERATION: ", "  " + op)).mkString("\n")
         return oneStringRow(spark, "explain", text)
@@ -3098,16 +3118,14 @@ object Engine {
       // scrubbed here so explain output is stable across sessions and
       // hosts — the property the reference's explain .q goldens rely on.
       case s if s.trim.toUpperCase.startsWith("EXPLAIN ") =>
-        import org.apache.spark.sql.functions.{col, regexp_replace}
         // Hive 2.x EXPLAIN ANALYZE annotates the plan with measured row
-        // counts; Spark's closest surface is the cost-annotated plan
+        // counts; Spark's closest surface is the cost-annotated plan.
+        // EXPLAIN answers a single string row, so the shared string-side
+        // scrub (scrubPlanText) applies — one scrub contract, not two.
         val s2 = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\b".r
           .replaceFirstIn(s, "EXPLAIN COST")
-        spark.sql(s2).select(
-          regexp_replace(regexp_replace(
-            regexp_replace(col("plan"), "#\\d+", "#"),
-            "(file|hdfs|s3a?):[^\\s,\\]]+", "$1:<path>"),
-            "plan_id=\\d+", "plan_id=").as("plan"))
+        return oneStringRow(spark, "plan", scrubPlanText(
+          spark.sql(s2).collect().map(_.getString(0)).mkString("\n")))
       case createViewRe(prefix, select)
           if autoNamed(spark, select).exists(identity) =>
         val names = hiveColNames(spark, select)
@@ -3136,9 +3154,21 @@ object Engine {
     * carries the relation's name (outer aliases like `src s1` are
     * skipped); View nodes carry catalog/temp view names.
     */
-  private def queryInputTables(spark: SparkSession, q: String): Seq[String] = {
+  /** Parse + analyze WITHOUT executing: `spark.sql` runs command plans
+    * eagerly, so an `EXPLAIN AUTHORIZATION INSERT ...` routed through it
+    * would actually perform the INSERT. SKIP mode analyzes only. */
+  private def analyzeOnly(spark: SparkSession, q: String)
+      : org.apache.spark.sql.execution.QueryExecution =
+    spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(q),
+      org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+
+  private def queryInputTables(spark: SparkSession, q: String): Seq[String] =
+    queryInputTablesOf(analyzeOnly(spark, q).analyzed)
+
+  private def queryInputTablesOf(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
-    val analyzed = spark.sql(q).queryExecution.analyzed
     val names = scala.collection.mutable.SortedSet[String]()
     def add(segs: Seq[String]): Unit = {
       val keep = segs.filter(x => x.nonEmpty && x != "spark_catalog")

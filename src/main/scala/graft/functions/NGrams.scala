@@ -48,26 +48,55 @@ object NGrams {
   def ngrams(tokens: Column, n: Int, k: Int): Column =
     udaf(new NGramsAggregator(n, k)).apply(tokens)
 
-  /** The space-joined n-gram windows of one token array, as a column —
-    * shared by the sentence-nested variants below and context_ngrams. */
-  private def ngramWindows(tokens: Column, n: Int): Column = {
+  /** Join delimiter for the Hive-shaped SQL route: the aggregator keys on
+    * joined window strings, and a space would both corrupt tokens that
+    * contain spaces and merge distinct n-grams that collide when joined
+    * (('a b','c') vs ('a','b c')). NUL never appears in tokenized text. */
+  private val SqlSep = "\u0000"
+
+  /** The sep-joined n-gram windows of one token array, as a column —
+    * shared by the Hive-shaped SQL route and context_ngrams. */
+  private def ngramWindows(tokens: Column, n: Int, sep: String): Column = {
     import org.apache.spark.sql.functions._
     transform(
       filter(sequence(lit(0), greatest(size(tokens) - lit(n), lit(0))),
         i => i <= size(tokens) - lit(n)),
-      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
+      i => concat_ws(sep, slice(tokens, i + lit(1), lit(n))))
   }
 
-  /** Hive's ngrams also accepts `array<array<string>>` — the `sentences()`
-    * shape (GenericUDAFnGrams nested-list mode): n-grams are counted
+  /** The SQL-name route (`Engine.install`): Hive's exact output shape
+    * `array<struct<ngram:array<string>, estfrequency:double>>`
+    * (GenericUDAFnGrams), over flat `array<string>` input or the
+    * `sentences()` nested shape — in nested mode n-grams are counted
     * WITHIN each inner sentence, never across sentence boundaries.
-    * Composition: precompute each sentence's windows column-side, flatten,
-    * and count the windows with the 1-gram aggregator.
+    * Composition: precompute the windows column-side (NUL-joined so the
+    * token arrays reconstruct losslessly), count them with the 1-gram
+    * aggregator, and split the keys back into arrays.
     */
-  def ngramsSentences(sents: Column, n: Int, k: Int): Column = {
+  def ngramsHive(tokens: Column, nested: Boolean, n: Int, k: Int): Column = {
     import org.apache.spark.sql.functions._
-    udaf(new NGramsAggregator(1, k)).apply(
-      flatten(transform(sents, s => ngramWindows(s, n))))
+    val windows =
+      if (nested) flatten(transform(tokens, s => ngramWindows(s, n, SqlSep)))
+      else ngramWindows(tokens, n, SqlSep)
+    hiveShape(udaf(new NGramsAggregator(1, k)).apply(windows))
+  }
+
+  /** context_ngrams under the same contract (wildcard fillers as the
+    * ngram arrays). */
+  def contextNGramsHive(tokens: Column, nested: Boolean,
+      context: Seq[Option[String]], k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val windows =
+      if (nested) flatten(transform(tokens, s => contextWindows(s, context, SqlSep)))
+      else contextWindows(tokens, context, SqlSep)
+    hiveShape(udaf(new NGramsAggregator(1, k)).apply(windows))
+  }
+
+  private def hiveShape(agg: Column): Column = {
+    import org.apache.spark.sql.functions._
+    transform(agg, x => struct(
+      split(x.getField("ngram"), SqlSep).as("ngram"),
+      x.getField("freq").cast("double").as("estfrequency")))
   }
 
   /** Hive `context_ngrams(tokens, context, k)` (GenericUDAFContextNGrams):
@@ -89,19 +118,10 @@ object NGrams {
     * a column name.
     */
   def contextNGrams(tokens: Column, context: Seq[Option[String]], k: Int): Column =
-    udaf(new NGramsAggregator(1, k)).apply(contextWindows(tokens, context))
-
-  /** Sentence-nested variant (`sentences()` input): the context is matched
-    * within each inner sentence only, mirroring ngramsSentences. */
-  def contextNGramsSentences(sents: Column,
-      context: Seq[Option[String]], k: Int): Column = {
-    import org.apache.spark.sql.functions._
-    udaf(new NGramsAggregator(1, k)).apply(
-      flatten(transform(sents, s => contextWindows(s, context))))
-  }
+    udaf(new NGramsAggregator(1, k)).apply(contextWindows(tokens, context, " "))
 
   private def contextWindows(tokens: Column,
-      context: Seq[Option[String]]): Column = {
+      context: Seq[Option[String]], sep: String): Column = {
     import org.apache.spark.sql.functions._
     val n = context.length
     require(context.exists(_.isEmpty), "context needs at least one wildcard (None)")
@@ -110,7 +130,7 @@ object NGrams {
       context.zipWithIndex.collect { case (Some(w), j) =>
         get(tokens, i + lit(j)) === lit(w)
       }.foldLeft(i <= size(tokens) - lit(n))(_ && _)
-    val fillers: Column => Column = i => concat_ws(" ",
+    val fillers: Column => Column = i => concat_ws(sep,
       context.zipWithIndex.collect { case (None, j) => get(tokens, i + lit(j)) }: _*)
     transform(
       filter(sequence(lit(0), greatest(size(tokens) - lit(n), lit(0))), cond),

@@ -1010,6 +1010,71 @@ class Round10Spec extends SparkSpec {
     assert(grouped.head.getLong(1) == 0L && grouped.head.getLong(2) == 20L)
   }
 
+  // ---- review-fix pins (round-10 self-review batch) -----------------------
+
+  test("EXPLAIN AUTHORIZATION/LOGICAL of DML analyzes without executing") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_noexec")
+    d("CREATE TABLE r10_noexec (k INT) STORED AS PARQUET")
+    d("INSERT INTO r10_noexec VALUES (1)")
+    // explaining an INSERT must not perform it (spark.sql would); the
+    // write target lists under OUTPUTS, the read tables under INPUTS
+    val auth = Engine.sql(spark, sf,
+      "EXPLAIN AUTHORIZATION INSERT INTO r10_noexec SELECT n_nationkey FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(auth.contains("r10_noexec"), auth)
+    assert(auth.indexOf("OUTPUTS") < auth.indexOf("r10_noexec"), auth)
+    assert(auth.contains("  nation") &&
+      auth.indexOf("nation") < auth.indexOf("OUTPUTS"), auth)
+    d("EXPLAIN LOGICAL INSERT INTO r10_noexec VALUES (3)").collect()
+    assert(spark.table("r10_noexec").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // trailing semicolon on the explained statement must not leak
+    val use = d("EXPLAIN AUTHORIZATION USE default;")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(use.contains("database:default\n") || use.endsWith("database:default")
+      || !use.contains("default;"), use)
+    d("DROP TABLE r10_noexec")
+  }
+
+  test("ngrams SQL name keeps space-bearing tokens and distinct grams apart") {
+    // ('New York','City') must answer ngram=['New York','City'], not a
+    // 3-token split; and ('a b','c') vs ('a','b c') must not merge
+    val g = Engine.sql(spark, sf,
+      "SELECT ngrams(array('New York', 'City'), 2, 5) AS g")
+      .selectExpr("explode(g) AS t").selectExpr("t.ngram").collect()
+      .map(_.getSeq[String](0)).toSeq
+    assert(g == Seq(Seq("New York", "City")), g)
+    val two = Engine.sql(spark, sf,
+      """SELECT ngrams(ws, 2, 5) AS g FROM (
+           SELECT array('a b', 'c') AS ws UNION ALL SELECT array('a', 'b c'))""")
+      .selectExpr("explode(g) AS t").selectExpr("t.ngram", "t.estfrequency")
+      .collect().map(r => (r.getSeq[String](0), r.getDouble(1))).toSeq
+    assert(two.toSet == Set((Seq("a b", "c"), 1.0), (Seq("a", "b c"), 1.0)), two)
+  }
+
+  test("EXCHANGE PARTITION accepts backticked identifiers") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_exb1"); d("DROP TABLE IF EXISTS r10_exb2")
+    d("CREATE TABLE r10_exb1 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("CREATE TABLE r10_exb2 (f1 STRING) PARTITIONED BY (ds STRING)")
+    d("INSERT INTO r10_exb2 PARTITION (ds='x') VALUES ('v')")
+    d("ALTER TABLE `r10_exb1` EXCHANGE PARTITION (ds='x') WITH TABLE `r10_exb2`")
+    assert(parts("r10_exb1") == Seq("ds=x"))
+    d("DROP TABLE r10_exb1"); d("DROP TABLE r10_exb2")
+  }
+
+  test("compute_stats answers zero counters over empty input") {
+    val r = Engine.sql(spark, sf,
+      "SELECT compute_stats(k, 16) AS st FROM (SELECT 1 AS k) WHERE k = 0")
+      .selectExpr("st.CountNulls", "st.NumDistinctValues").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L, r)
+    val b = Engine.sql(spark, sf,
+      "SELECT compute_stats(b, 16) AS st FROM (SELECT true AS b) WHERE NOT b")
+      .selectExpr("st.CountTrues", "st.CountFalses", "st.CountNulls")
+      .collect().head
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) == ((0L, 0L, 0L)), b)
+  }
+
   test("DELETE FILE/JAR accepted as loud no-ops; row DELETE still routes") {
     val d = Engine.ddl(spark, _: String)
     // the CLI DeleteResourceProcessor surface: a script's cleanup lines
