@@ -230,6 +230,43 @@ object Round10Queries {
                        COUNT(*) OVER (PARTITION BY canonical_url) AS n_docs
                 FROM canon)
               SELECT canonical_url, doc_id, n_chars, n_docs
-              FROM ranked WHERE rn = 1"""))
+              FROM ranked WHERE rn = 1""")),
+
+    // ---- q155: the ngrams SQL-NAME route (Engine.install registration →
+    //      GraftColumnBridge → NGrams.ngramsHive) — same counting contract
+    //      as the API gate q64, but exercising the FunctionRegistry path
+    //      and Hive's array<struct<ngram:array<string>, estfrequency>>
+    //      output shape, with the accepted-and-ignored precision arg. ----
+    Q("q155_ngrams_sql", (s, d) =>
+      Engine.sql(s, d,
+        """SELECT t.ngram[0] AS w1, t.ngram[1] AS w2,
+                  CAST(t.estfrequency AS DOUBLE) AS freq
+           FROM (SELECT explode(g) AS t FROM
+                  (SELECT ngrams(split(text, ' '), 2, 20, 1000) AS g
+                   FROM documents))"""),
+      Some("""WITH t AS (SELECT doc_id,
+                 unnest(range(len(string_split(text,' ')))) AS pos,
+                 unnest(string_split(text,' ')) AS word
+               FROM documents),
+              b AS (SELECT a.word AS w1, c.word AS w2
+                    FROM t a JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1)
+             SELECT w1, w2, CAST(count(*) AS DOUBLE) AS freq FROM b
+             GROUP BY w1, w2 ORDER BY freq DESC, w1, w2 LIMIT 20""")),
+
+    // ---- q156: compute_stats SQL name — the deterministic struct fields
+    //      (ColumnType/Min/Max/CountNulls) oracle exactly; the
+    //      NumDistinctValues HLL++ estimate is deliberately not selected
+    //      (approximate by contract, like the reference's FM sketch). ----
+    Q("q156_compute_stats_sql", (s, d) =>
+      Engine.sql(s, d,
+        """SELECT st.ColumnType AS column_type, st.Min AS min_v,
+                  st.Max AS max_v, st.CountNulls AS count_nulls
+           FROM (SELECT compute_stats(n_chars, 16) AS st FROM documents)"""),
+      Some("""SELECT 'Long' AS column_type,
+                     CAST(min(n_chars) AS BIGINT) AS min_v,
+                     CAST(max(n_chars) AS BIGINT) AS max_v,
+                     CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT)
+                       AS count_nulls
+              FROM documents"""))
   )
 }
