@@ -1074,7 +1074,7 @@ object Engine {
     val fmt = tableFormat(spark, table)
     val m = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    if (fmt == "graft-seq" || fmt == "graft-rcfile" ||
+    if (fmt == "graft-seq" || fmt == "graft-rcfile" || fmt == "graft-text" ||
         (fmt == "graft-avro" && m.partitionColumnNames.nonEmpty)) m.schema
     else null
   }
@@ -1088,7 +1088,8 @@ object Engine {
   private def tableDataSchema(spark: SparkSession, table: String)
       : org.apache.spark.sql.types.StructType = {
     val fmt = tableFormat(spark, table)
-    if (fmt != "graft-seq" && fmt != "graft-rcfile") return null
+    if (fmt != "graft-seq" && fmt != "graft-rcfile" && fmt != "graft-text")
+      return null
     val m = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     org.apache.spark.sql.types.StructType(
@@ -1204,7 +1205,7 @@ object Engine {
           case "avro" | "graft-avro" =>
             ("org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
               "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat")
-          case "csv" | "text" | "json" =>
+          case "csv" | "text" | "json" | "graft-text" =>
             ("org.apache.hadoop.mapred.TextInputFormat",
               "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")
           case "graft-seq" =>
@@ -2140,7 +2141,7 @@ object Engine {
   private val rowFormatRe =
     """(?is)\s*ROW\s+FORMAT\s+DELIMITED((?:\s+(?:FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY|NULL\s+DEFINED\s+AS)\s+'[^']*')*)\s*""".r
   private val rowFormatOptRe =
-    """(?is)(FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|NULL\s+DEFINED\s+AS)\s+'([^']*)'""".r
+    """(?is)(FIELDS\s+TERMINATED\s+BY|ESCAPED\s+BY|NULL\s+DEFINED\s+AS|COLLECTION\s+ITEMS\s+TERMINATED\s+BY|MAP\s+KEYS\s+TERMINATED\s+BY|LINES\s+TERMINATED\s+BY)\s+'([^']*)'""".r
   // ROW FORMAT SERDE 'class' [WITH SERDEPROPERTIES ('k'='v', ...)] — the
   // named-serde form; known classes map onto datasource providers
   private val rowFormatSerdeRe =
@@ -2342,7 +2343,62 @@ object Engine {
     sb.toString
   }
 
-  private[graft] def rewriteHiveCreate(stmt0: String): String = {
+  /** `UNIONTYPE<T0, T1, ...>` column DDL (HiveParser.g:2050,
+    * serde UnionTypeInfo) → the engine's documented union shim shape
+    * (functions/UnionTypeShim.scala): `STRUCT<tag:INT, field0:T0, ...>`
+    * with exactly the tag'th field non-null. Bracket-aware — member
+    * types may nest generics (`UNIONTYPE<INT, MAP<STRING,INT>>`) and
+    * unions may nest unions.
+    */
+  private[graft] def rewriteUnionType(stmt: String): String = {
+    val up = stmt.toUpperCase
+    var idx = up.indexOf("UNIONTYPE")
+    if (idx < 0) return stmt
+    val sb = new StringBuilder
+    var pos = 0
+    while (idx >= 0) {
+      val boundary = idx == 0 || !Character.isLetterOrDigit(stmt.charAt(idx - 1))
+      val after = idx + "UNIONTYPE".length
+      val lt = stmt.indexWhere(!_.isWhitespace, after)
+      if (!boundary || lt < 0 || stmt.charAt(lt) != '<') {
+        sb.append(stmt.substring(pos, after)); pos = after
+      } else {
+        sb.append(stmt.substring(pos, idx))
+        var depth = 0; var i = lt
+        while (i < stmt.length && (depth != 0 || i == lt)) {
+          stmt.charAt(i) match {
+            case '<' => depth += 1
+            case '>' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val inner = stmt.substring(lt + 1, i - 1)
+        // split member types on TOP-LEVEL commas only (generics + decimal
+        // precision commas sit inside <> / () nesting)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var d = 0; var start = 0
+        inner.zipWithIndex.foreach { case (c, j) => c match {
+          case '<' | '(' => d += 1
+          case '>' | ')' => d -= 1
+          case ',' if d == 0 => parts += inner.substring(start, j); start = j + 1
+          case _ => ()
+        }}
+        parts += inner.substring(start)
+        sb.append("STRUCT<tag: INT" + parts.zipWithIndex.map { case (t, j) =>
+          s", field$j: ${t.trim}" }.mkString + ">")
+        pos = i
+      }
+      idx = up.indexOf("UNIONTYPE", math.max(pos, after))
+    }
+    sb.append(stmt.substring(pos))
+    val out = sb.toString
+    if (out.toUpperCase.contains("UNIONTYPE<")) rewriteUnionType(out) else out
+  }
+
+  private[graft] def rewriteHiveCreate(stmt0x: String): String = {
+    val stmt0 = if (stmt0x.toUpperCase.contains("UNIONTYPE"))
+      rewriteUnionType(stmt0x) else stmt0x
     val up = stmt0.toUpperCase
     if (!up.contains("CREATE") || !up.contains("TABLE") ||
         !(up.contains("STORED AS") || up.contains("ROW FORMAT") ||
@@ -2364,6 +2420,10 @@ object Engine {
           case "FIELDS TERMINATED BY" => opts += "sep" -> delimChar(o.group(2))
           case "ESCAPED BY"           => opts += "escape" -> delimChar(o.group(2))
           case "NULL DEFINED AS"      => opts += "nullValue" -> o.group(2)
+          case "COLLECTION ITEMS TERMINATED BY" =>
+            opts += "collection.delim" -> delimChar(o.group(2))
+          case "MAP KEYS TERMINATED BY" =>
+            opts += "mapkey.delim" -> delimChar(o.group(2))
           case _                      => ()
         }
       }
@@ -2388,6 +2448,10 @@ object Engine {
         serdeProps.get("field.delim").foreach(v => opts += "sep" -> v)
         serdeProps.get("serialization.null.format")
           .foreach(v => opts += "nullValue" -> v)
+        serdeProps.get("collection.delim")
+          .foreach(v => opts += "collection.delim" -> v)
+        serdeProps.get("mapkey.delim")
+          .foreach(v => opts += "mapkey.delim" -> v)
       case Some("OpenCSVSerde") =>
         opts += "sep" -> serdeProps.getOrElse("separatorChar", ",")
         opts += "quote" -> serdeProps.getOrElse("quoteChar", "\"")
@@ -2414,11 +2478,56 @@ object Engine {
       case Some(_) => return stmt0 // RegexSerDe & friends: no provider
     }
     s = s.replaceAll("(?i)\\bEXTERNAL\\s+", "")
+    // serde-relevant table properties: Hive passes TBLPROPERTIES to the
+    // serde at init, so skip.header.line.count and
+    // serialization.null.format are honored from EITHER properties
+    // clause (OpenCSVSerde/LazySimpleSerDe behavior). header=1 maps to
+    // the csv header option (per-file first-line skip, same semantics);
+    // deeper skips have no datasource mapping — refuse loudly rather
+    // than silently reading header lines as data.
+    if (fmt == "TEXTFILE" || fmt == "OPENCSV") {
+      val propRe =
+        """(?i)'(skip\.header\.line\.count|skip\.footer\.line\.count|serialization\.null\.format)'\s*=\s*'([^']*)'""".r
+      propRe.findAllMatchIn(s).foreach { m =>
+        (m.group(1).toLowerCase, m.group(2)) match {
+          case ("skip.header.line.count", "1") => opts += "header" -> "true"
+          case ("skip.header.line.count", "0") => ()
+          case ("skip.header.line.count", n) => sys.error(
+            s"skip.header.line.count=$n has no datasource mapping (only 0/1)")
+          case ("skip.footer.line.count", "0") => ()
+          case ("skip.footer.line.count", n) => sys.error(
+            s"skip.footer.line.count=$n has no datasource mapping")
+          case ("serialization.null.format", v) =>
+            if (!opts.contains("nullValue")) opts += "nullValue" -> v
+        }
+      }
+    }
     val provider = fmt match {
       case "TEXTFILE" =>
-        if (!opts.contains("sep")) opts += "sep" -> "\u0001"
-        if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
-        "csv"
+        // complex column types (or explicit collection/map-key delims)
+        // exceed the csv datasource — route to graft-text, which runs
+        // the REAL LazySimpleSerDe (nested \002/\003 separators, byte-
+        // interoperable). UNIONTYPE was already rewritten to STRUCT<.
+        val complex = "(?i)\\b(ARRAY|MAP|STRUCT)\\s*<".r.findFirstIn(s).isDefined
+        if (complex || opts.contains("collection.delim") ||
+            opts.contains("mapkey.delim")) {
+          require(!opts.contains("header"),
+            "skip.header.line.count is not supported on complex-typed text tables")
+          val t = scala.collection.mutable.LinkedHashMap[String, String]()
+          opts.get("sep").foreach(v => t += "field.delim" -> v)
+          opts.get("collection.delim").foreach(v => t += "collection.delim" -> v)
+          opts.get("mapkey.delim").foreach(v => t += "mapkey.delim" -> v)
+          opts.get("escape").foreach(v => t += "escape.delim" -> v)
+          opts.get("nullValue").foreach(v => t += "serialization.null.format" -> v)
+          opts = t
+          "`graft-text`"
+        } else {
+          if (!opts.contains("sep")) opts += "sep" -> "\u0001"
+          if (!opts.contains("nullValue")) opts += "nullValue" -> "\\N"
+          opts.remove("collection.delim"): Unit
+          opts.remove("mapkey.delim"): Unit
+          "csv"
+        }
       case "OPENCSV"  => "csv"
       case "PARQUET"  => "parquet"
       case "ORC"      => "orc"
@@ -2633,6 +2742,13 @@ object Engine {
       case exchangeRe(destT, specText, srcT) =>
         exchangePartition(spark, destT, specText, srcT)
         return spark.emptyDataFrame
+      // STORED BY '<handler>' — external-system storage handlers
+      // (HBase/Accumulo), the documented out-of-scope connectors
+      // (SURVEY §2.1). Refuse with intent, not a bare parse error.
+      case s if "(?is)\\bSTORED\\s+BY\\s+'".r.findFirstIn(s).isDefined =>
+        sys.error("STORED BY storage handlers (HBase/Accumulo connectors) " +
+          "are out of scope — see SURVEY.md §2.1; use a native format " +
+          "(PARQUET/ORC/TEXTFILE/...) instead")
       case showConfRe(name) => return showConf(spark, name)
       case showTableExtRe(db, pattern, part) =>
         return showTableExtended(spark, Option(db), pattern, Option(part))

@@ -267,6 +267,32 @@ object Round10Queries {
                      CAST(max(n_chars) AS BIGINT) AS max_v,
                      CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT)
                        AS count_nulls
-              FROM documents"""))
+              FROM documents""")),
+
+    // ---- q157: complex-typed STORED AS TEXTFILE table — the graft-text
+    //      source (real LazySimpleSerDe, nested \002/\003 separators;
+    //      create_nested_type.q family). Writes nation-derived arrays and
+    //      structs into text lines, reads every nesting level back. ----
+    Q("q157_text_complex", (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.q157_t")
+      Engine.ddl(s,
+        s"""CREATE TABLE graft_tmp.q157_t (
+              k INT, words ARRAY<STRING>, st STRUCT<r: INT, nm: STRING>)
+            STORED AS TEXTFILE
+            LOCATION '${graft.tools.Tmp.dir("q157")}/t'""")
+      graft.Tables.t(s, d, "nation").createOrReplaceTempView("q157_nation")
+      s.sql("""INSERT INTO graft_tmp.q157_t
+               SELECT n_nationkey, array(n_name, upper(n_name)),
+                      named_struct('r', n_regionkey, 'nm', n_name)
+               FROM q157_nation""")
+      s.sql("""SELECT k, words[1] AS w2, size(words) AS nw,
+                      st.r AS r, st.nm AS nm
+               FROM graft_tmp.q157_t""")
+    },
+      Some("""SELECT n_nationkey AS k, upper(n_name) AS w2,
+                     CAST(2 AS INTEGER) AS nw,
+                     n_regionkey AS r, n_name AS nm
+              FROM nation"""))
   )
 }

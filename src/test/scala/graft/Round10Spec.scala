@@ -1091,6 +1091,106 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_delres")
   }
 
+  // ---- graft-text: STORED AS TEXTFILE with complex types -----------------
+  //      (LazySimpleSerDe nested separators; serde/.../lazy/
+  //      LazySimpleSerDe.java — the csv datasource cannot express these)
+
+  private val X1 = "\u0001"; private val X2 = "\u0002"; private val X3 = "\u0003"
+
+  test("complex-typed TEXTFILE tables route to graft-text, bytes Hive-exact") {
+    val d = Engine.ddl(spark, _: String)
+    val dir = tools.Tmp.dir("r10_gt1")
+    d("DROP TABLE IF EXISTS r10_gt1")
+    d(s"""CREATE TABLE r10_gt1 (m MAP<INT, STRING>, a ARRAY<INT>,
+          s STRUCT<x: INT, y: STRING>) STORED AS TEXTFILE LOCATION '$dir'""")
+    d("INSERT INTO r10_gt1 SELECT map(1, 'a', 2, 'b'), array(7, 8), " +
+      "named_struct('x', 3, 'y', 'z')")
+    val r = d("SELECT m[2], a[1], s.y FROM r10_gt1").collect().head
+    assert(r.getString(0) == "b" && r.getInt(1) == 8 && r.getString(2) == "z", r)
+    // raw bytes are the serde's exact layout: fields \001, collection
+    // items \002, map key-value \003 — Hive-readable in place
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part")).head
+    val bytes = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(bytes == s"1${X3}a${X2}2${X3}b${X1}7${X2}8${X1}3${X2}z\n",
+      bytes.getBytes("UTF-8").map(_.toInt).mkString(","))
+    d("DROP TABLE r10_gt1")
+  }
+
+  test("graft-text reads Hive-written lines and honors custom delimiters") {
+    val d = Engine.ddl(spark, _: String)
+    // a file as Hive's serde would have written it (simulated existing data)
+    val dir = tools.Tmp.dir("r10_gt3")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "000000_0"),
+      s"k1${X2}k2${X1}1${X2}2${X2}3\nonly${X1}9\n".getBytes("UTF-8"))
+    d("DROP TABLE IF EXISTS r10_gt3")
+    d(s"""CREATE TABLE r10_gt3 (names ARRAY<STRING>, nums ARRAY<INT>)
+          STORED AS TEXTFILE LOCATION '$dir'""")
+    assert(d("SELECT size(names), nums[0] FROM r10_gt3 ORDER BY 2").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((2, 1), (1, 9)))
+    d("DROP TABLE r10_gt3")
+    // explicit COLLECTION ITEMS delimiter routes to graft-text too
+    d("DROP TABLE IF EXISTS r10_gt2")
+    d(s"""CREATE TABLE r10_gt2 (a ARRAY<STRING>)
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+          COLLECTION ITEMS TERMINATED BY '|'
+          STORED AS TEXTFILE LOCATION '${tools.Tmp.dir("r10_gt2")}'""")
+    d("INSERT INTO r10_gt2 SELECT array('p', 'q', 'r')")
+    assert(d("SELECT a[2] FROM r10_gt2").collect().head.getString(0) == "r")
+    d("DROP TABLE r10_gt2")
+  }
+
+  test("partitioned graft-text supports CoW DML and partition listing") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gt4")
+    d(s"""CREATE TABLE r10_gt4 (tags ARRAY<STRING>, v INT)
+          PARTITIONED BY (p STRING) STORED AS TEXTFILE
+          LOCATION '${tools.Tmp.dir("r10_gt4")}'""")
+    d("INSERT INTO r10_gt4 PARTITION (p='a') SELECT array('t1'), 1")
+    d("INSERT INTO r10_gt4 PARTITION (p='b') SELECT array('t2','t3'), 2")
+    d("UPDATE r10_gt4 SET v = v + 10 WHERE p = 'b'")
+    assert(d("SELECT p, v, size(tags) FROM r10_gt4 ORDER BY p").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2))).toSeq ==
+      Seq(("a", 1, 1), ("b", 12, 2)))
+    assert(parts("r10_gt4") == Seq("p=a", "p=b"))
+    d("DROP TABLE r10_gt4")
+  }
+
+  test("UNIONTYPE DDL rewrites to the struct shim; custom null marker holds") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gt5")
+    d(s"""CREATE TABLE r10_gt5 (u UNIONTYPE<INT, STRING>)
+          STORED AS TEXTFILE LOCATION '${tools.Tmp.dir("r10_gt5")}'""")
+    d("INSERT INTO r10_gt5 SELECT named_struct('tag', 1, " +
+      "'field0', CAST(NULL AS INT), 'field1', 'hello')")
+    val u = d("SELECT u.tag, u.field1 FROM r10_gt5").collect().head
+    assert(u.getInt(0) == 1 && u.getString(1) == "hello", u)
+    d("DROP TABLE r10_gt5")
+    // NULL DEFINED AS on a complex-typed text table writes/reads the
+    // custom marker at every level
+    d("DROP TABLE IF EXISTS r10_gt6")
+    d(s"""CREATE TABLE r10_gt6 (a ARRAY<STRING>, s STRING)
+          ROW FORMAT DELIMITED NULL DEFINED AS 'NADA'
+          STORED AS TEXTFILE LOCATION '${tools.Tmp.dir("r10_gt6")}'""")
+    d("INSERT INTO r10_gt6 SELECT NULL, NULL")
+    d("INSERT INTO r10_gt6 SELECT array('x'), 'y'")
+    assert(d("SELECT a IS NULL, s IS NULL FROM r10_gt6 ORDER BY 1").collect()
+      .map(x => (x.getBoolean(0), x.getBoolean(1))).toSeq ==
+      Seq((false, false), (true, true)))
+    d("DROP TABLE r10_gt6")
+  }
+
+  test("simple TEXTFILE tables keep the csv fast path") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gt7")
+    d(s"""CREATE TABLE r10_gt7 (k INT, s STRING) STORED AS TEXTFILE
+          LOCATION '${tools.Tmp.dir("r10_gt7")}'""")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_gt7"))
+    assert(meta.provider.contains("csv"), meta.provider)
+    d("DROP TABLE r10_gt7")
+  }
+
   test("SHOW CREATE TABLE ... AS SERDE degrades to the plain runnable DDL") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_scts")
