@@ -3258,7 +3258,39 @@ object Engine {
         // the self-read INSERT OVERWRITE staging and the Hive implicit-cast
         // retry both live inside insertWithHiveCasts so every insert route
         // (plain and FROM-first branches) shares them
-        insertWithHiveCasts(spark, stmt)
+        try insertWithHiveCasts(spark, stmt)
+        catch {
+          // a text directory export whose SELECT carries complex types
+          // exceeds the csv datasource; the serde-faithful fallback is
+          // graft-text (same \001 layout, nested \002/\003 for the
+          // complex columns — what Hive itself writes). Types are only
+          // known post-analysis, hence retry rather than pre-route.
+          case e: Exception
+              if String.valueOf(e.getMessage)
+                .contains("UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE") &&
+                stmt.contains("USING csv") =>
+            val dirRe = ("""(?is)\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?""" +
+              """DIRECTORY\s+'([^']+)'\s+USING\s+csv\s*""" +
+              """(?:OPTIONS\s*\(([^)]*)\))?\s*(.*)""").r
+            stmt match {
+              case dirRe(dir, optText, select) =>
+                // DSv2 providers can't serve INSERT ... DIRECTORY USING
+                // (FileFormat-only command) — write through the API
+                val pair = """(\w+)\s*=\s*'((?:[^'\\]|\\.)*)'""".r
+                val nameMap = Map("sep" -> "field.delim",
+                  "nullValue" -> "serialization.null.format",
+                  "escape" -> "escape.delim")
+                val mapped = pair.findAllMatchIn(
+                    Option(optText).getOrElse("")).toSeq.flatMap { p =>
+                  nameMap.get(p.group(1)).map(_ ->
+                    p.group(2).replace("\\'", "'").replace("\\\\", "\\"))
+                }.toMap
+                spark.sql(select).write.format("graft-text")
+                  .options(mapped).mode("overwrite").save(dir)
+                spark.emptyDataFrame
+              case _ => throw e
+            }
+        }
     }
   }
 

@@ -42,6 +42,7 @@ object FormatBench {
     val formats: Seq[(String, Map[String, String])] = Seq(
       "parquet" -> Map.empty,
       "graft-seq" -> Map.empty,
+      "graft-text" -> Map.empty, // LazySimpleSerDe lines (lazy field decode)
       "graft-rcfile" -> Map.empty, // binary (LazyBinaryColumnarSerDe)
       "graft-rcfile-text" -> Map(
         "serde" -> "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"))

@@ -1180,6 +1180,18 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_gt6")
   }
 
+  test("INSERT OVERWRITE DIRECTORY with complex types falls back to graft-text") {
+    val dir = tools.Tmp.dir("r10_iodx")
+    Engine.sql(spark, sf,
+      s"""INSERT OVERWRITE DIRECTORY '$dir'
+          SELECT n_nationkey, array(n_name, 'x') AS a FROM nation WHERE n_nationkey < 2""")
+    val lines = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).sorted.toSeq
+    // Hive text layout: fields \001, array items \002
+    assert(lines == Seq(s"0${X1}NATION_0${X2}x", s"1${X1}NATION_1${X2}x"), lines)
+  }
+
   test("simple TEXTFILE tables keep the csv fast path") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_gt7")
