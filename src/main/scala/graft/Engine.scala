@@ -3266,27 +3266,37 @@ object Engine {
           // complex columns — what Hive itself writes). Types are only
           // known post-analysis, hence retry rather than pre-route.
           case e: Exception
-              if String.valueOf(e.getMessage)
-                .contains("UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE") &&
-                stmt.contains("USING csv") =>
+              if (String.valueOf(e.getMessage)
+                  .contains("UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE") &&
+                  stmt.contains("USING csv")) ||
+                String.valueOf(e.getMessage)
+                  .contains("Only Data Sources providing FileFormat") =>
             val dirRe = ("""(?is)\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?""" +
-              """DIRECTORY\s+'([^']+)'\s+USING\s+csv\s*""" +
+              """DIRECTORY\s+'([^']+)'\s+USING\s+`?([\w-]+)`?\s*""" +
               """(?:OPTIONS\s*\(([^)]*)\))?\s*(.*)""").r
             stmt match {
-              case dirRe(dir, optText, select) =>
-                // DSv2 providers can't serve INSERT ... DIRECTORY USING
-                // (FileFormat-only command) — write through the API
-                val pair = """(\w+)\s*=\s*'((?:[^'\\]|\\.)*)'""".r
-                val nameMap = Map("sep" -> "field.delim",
-                  "nullValue" -> "serialization.null.format",
-                  "escape" -> "escape.delim")
-                val mapped = pair.findAllMatchIn(
-                    Option(optText).getOrElse("")).toSeq.flatMap { p =>
-                  nameMap.get(p.group(1)).map(_ ->
+              case dirRe(dir, prov, optText, select) =>
+                val pair = """`?([\w.]+)`?\s*=\s*'((?:[^'\\]|\\.)*)'""".r
+                val pairs = pair.findAllMatchIn(Option(optText).getOrElse(""))
+                  .map(p => p.group(1) ->
                     p.group(2).replace("\\'", "'").replace("\\\\", "\\"))
-                }.toMap
-                spark.sql(select).write.format("graft-text")
-                  .options(mapped).mode("overwrite").save(dir)
+                  .toSeq
+                // a csv export whose SELECT carries complex types exceeds
+                // the csv datasource: the serde-faithful fallback is
+                // graft-text (same \001 layout, nested \002/\003 for the
+                // complex columns — what Hive itself writes). Option
+                // names remap to the serde's. Types are only known
+                // post-analysis, hence retry rather than pre-route.
+                val (provider, opts) =
+                  if (prov == "csv") {
+                    val nameMap = Map("sep" -> "field.delim",
+                      "nullValue" -> "serialization.null.format",
+                      "escape" -> "escape.delim")
+                    ("graft-text",
+                      pairs.flatMap { case (k, v) => nameMap.get(k).map(_ -> v) })
+                  } else (prov, pairs)
+                spark.sql(select).write.format(provider)
+                  .options(opts.toMap).mode("overwrite").save(dir)
                 spark.emptyDataFrame
               case _ => throw e
             }

@@ -1192,6 +1192,38 @@ class Round10Spec extends SparkSpec {
     assert(lines == Seq(s"0${X1}NATION_0${X2}x", s"1${X1}NATION_1${X2}x"), lines)
   }
 
+  test("directory exports to the graft DSv2 formats write through the API") {
+    // INSERT OVERWRITE DIRECTORY ... USING <dsv2> is rejected by Spark's
+    // FileFormat-only command — the engine retries through the DataFrame
+    // writer, so STORED AS SEQUENCEFILE/RCFILE/AVRO exports work
+    for ((stored, fmt) <- Seq("SEQUENCEFILE" -> "graft-seq",
+        "RCFILE" -> "graft-rcfile", "AVRO" -> "graft-avro")) {
+      val dir = tools.Tmp.dir(s"r10_iod_$fmt")
+      Engine.sql(spark, sf,
+        s"""INSERT OVERWRITE DIRECTORY '$dir' STORED AS $stored
+            SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3""")
+      assert(spark.read.schema("n_nationkey INT, n_name STRING")
+        .format(fmt).load(dir).count() == 3, fmt)
+    }
+  }
+
+  test("CONCATENATE and LOAD DATA work on complex-typed text tables") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gtc")
+    d(s"""CREATE TABLE r10_gtc (a ARRAY<INT>) STORED AS TEXTFILE
+          LOCATION '${tools.Tmp.dir("r10_gtc")}'""")
+    d("INSERT INTO r10_gtc SELECT array(1, 2)")
+    d("INSERT INTO r10_gtc SELECT array(3)")
+    d("ALTER TABLE r10_gtc CONCATENATE")
+    assert(spark.table("r10_gtc").count() == 2)
+    val src = tools.Tmp.dir("r10_gtl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "f.txt"),
+      s"1${X2}2\n3\n".getBytes("UTF-8"))
+    d(s"LOAD DATA LOCAL INPATH '$src/f.txt' INTO TABLE r10_gtc")
+    assert(spark.table("r10_gtc").count() == 4)
+    d("DROP TABLE r10_gtc")
+  }
+
   test("simple TEXTFILE tables keep the csv fast path") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_gt7")
