@@ -2864,7 +2864,19 @@ object Engine {
       case setFileFormatRe(table, part, fmt) =>
         require(part == null, s"per-partition SET FILEFORMAT is not " +
           s"supported: a datasource table carries one format table-wide")
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        // a complex-typed schema exceeds the csv datasource: the TEXTFILE
+        // target then means graft-text (real LazySimpleSerDe), same
+        // routing as the CREATE-side rewrite
+        val hasComplex = meta.schema.fields.exists(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
         val provider = fmt.toUpperCase match {
+          case "TEXTFILE" if hasComplex => "`graft-text`"
           case "TEXTFILE" => "csv"
           case "PARQUET"  => "parquet"
           case "ORC"      => "orc"
@@ -2875,8 +2887,6 @@ object Engine {
           case o => throw new IllegalArgumentException(
             s"SET FILEFORMAT $o has no datasource mapping")
         }
-        val meta = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(table))
         val opts = if (provider == "csv")
           " OPTIONS (sep = '\u0001', nullValue = '\\\\N')" else ""
         val partBy = if (meta.partitionColumnNames.nonEmpty)
@@ -3361,7 +3371,8 @@ object Engine {
 
   // one registration per (session, dataDir); avoids 10 schema reads per query
   private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** Drop-in SQL entry point: register the fixture tables that exist under
     * `dataDir` by their reference names and run HiveQL/Spark SQL text —
@@ -3377,8 +3388,13 @@ object Engine {
   def sql(spark: SparkSession, dataDir: String,
           query: String): org.apache.spark.sql.DataFrame = {
     install(spark)
-    val key = System.identityHashCode(spark) + "|" + dataDir
-    if (registered.add(key)) {
+    // keyed by the SESSION OBJECT, not its identityHashCode: hash codes
+    // are reused after GC (the cast-retry path clones sessions freely),
+    // and a reused code would silently skip view registration for a
+    // brand-new session — fixture tables would resolve as missing
+    val dirs = registered.computeIfAbsent(spark, _ =>
+      java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
+    if (dirs.add(dataDir)) {
       val present = Tables.all.filter(n =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataDir/$n.parquet")))
       Tables.views(spark, dataDir, present: _*)

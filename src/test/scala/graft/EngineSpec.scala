@@ -20,10 +20,17 @@ class EngineSpec extends SparkSpec {
     // other suites may have registered lineitem on the shared session;
     // the assertion is that Engine.sql itself won't (no file in this dir)
     spark.catalog.dropTempView("lineitem")
-    val e = intercept[Exception] {
-      Engine.sql(spark, part.toString, "SELECT count(*) FROM lineitem").collect()
+    try {
+      val e = intercept[Exception] {
+        Engine.sql(spark, part.toString, "SELECT count(*) FROM lineitem").collect()
+      }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    } finally {
+      // restore the fixture view: Engine.sql memoizes registration per
+      // (session, dir), so a dropped view would otherwise stay missing
+      // for every later suite sharing this session
+      Tables.views(spark, sf, "lineitem")
     }
-    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
 
   test("Engine.sql registration is memoized per (session, dir)") {

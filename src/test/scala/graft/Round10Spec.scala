@@ -1224,6 +1224,26 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_gtc")
   }
 
+  test("SET FILEFORMAT TEXTFILE on a complex-typed table routes to graft-text") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gts")
+    d(s"""CREATE TABLE r10_gts (a ARRAY<INT>) STORED AS PARQUET
+          LOCATION '${tools.Tmp.dir("r10_gts")}'""")
+    d("INSERT INTO r10_gts SELECT array(1, 2)")
+    d("ALTER TABLE r10_gts SET FILEFORMAT TEXTFILE")
+    assert(spark.table("r10_gts").collect().head.getSeq[Int](0) == Seq(1, 2))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_gts"))
+    assert(meta.provider.exists(_.contains("graft-text")), meta.provider)
+    // EXPORT/IMPORT round-trips the graft-text table too
+    d("DROP TABLE IF EXISTS r10_gts2")
+    val dump = tools.Tmp.dir("r10_gts_dump") + "/d"
+    d(s"EXPORT TABLE r10_gts TO '$dump'")
+    d(s"IMPORT TABLE r10_gts2 FROM '$dump'")
+    assert(spark.table("r10_gts2").collect().head.getSeq[Int](0) == Seq(1, 2))
+    d("DROP TABLE r10_gts"); d("DROP TABLE r10_gts2")
+  }
+
   test("simple TEXTFILE tables keep the csv fast path") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_gt7")
