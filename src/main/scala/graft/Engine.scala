@@ -2508,8 +2508,16 @@ object Engine {
         // exceed the csv datasource — route to graft-text, which runs
         // the REAL LazySimpleSerDe (nested \002/\003 separators, byte-
         // interoperable). UNIONTYPE was already rewritten to STRUCT<.
-        val complex = "(?i)\\b(ARRAY|MAP|STRUCT)\\s*<".r.findFirstIn(s).isDefined
-        if (complex || opts.contains("collection.delim") ||
+        // detection region stops at the CTAS SELECT (a TIMESTAMP literal
+        // or array() call in the query text is not a column type)
+        val head = "(?is)\\bSELECT\\b".r.findFirstMatchIn(s)
+          .map(m => s.substring(0, m.start)).getOrElse(s)
+        val complex = "(?i)\\b(ARRAY|MAP|STRUCT)\\s*<".r.findFirstIn(head).isDefined
+        // TIMESTAMP columns route to the serde too: Hive text carries
+        // `yyyy-MM-dd HH:mm:ss[.f...]` wall-clock values, where the csv
+        // writer emits ISO-8601 `T`/`Z` forms a Hive reader cannot parse
+        val hasTs = "(?i)\\bTIMESTAMP\\b".r.findFirstIn(head).isDefined
+        if (complex || hasTs || opts.contains("collection.delim") ||
             opts.contains("mapkey.delim")) {
           require(!opts.contains("header"),
             "skip.header.line.count is not supported on complex-typed text tables")
@@ -3308,6 +3316,17 @@ object Engine {
                 spark.sql(select).write.format(provider)
                   .options(opts.toMap).mode("overwrite").save(dir)
                 spark.emptyDataFrame
+              // CTAS into a text table whose SELECT carries complex types:
+              // the column types are only known post-analysis, so the
+              // rewrite routed to csv — retry as a graft-text CTAS (DSv2
+              // CTAS works; option keys remap to the serde's names)
+              case _ if "(?is)\\bCREATE\\s+TABLE\\b".r.findFirstIn(stmt).isDefined &&
+                  !stmt.contains("header = ") =>
+                val remapped = stmt.replace("USING csv", "USING `graft-text`")
+                  .replace("sep = ", "`field.delim` = ")
+                  .replace("nullValue = ", "`serialization.null.format` = ")
+                  .replace("escape = ", "`escape.delim` = ")
+                insertWithHiveCasts(spark, remapped)
               case _ => throw e
             }
         }

@@ -1244,6 +1244,40 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_gts"); d("DROP TABLE r10_gts2")
   }
 
+  test("TIMESTAMP text tables write Hive wall-clock bytes via graft-text") {
+    val d = Engine.ddl(spark, _: String)
+    val dir = tools.Tmp.dir("r10_gtts")
+    d("DROP TABLE IF EXISTS r10_gtts")
+    d(s"""CREATE TABLE r10_gtts (t TIMESTAMP, s STRING)
+          STORED AS TEXTFILE LOCATION '$dir'""")
+    d("INSERT INTO r10_gtts VALUES (TIMESTAMP '2024-05-06 07:08:09.123', 'x')")
+    d("INSERT INTO r10_gtts VALUES (TIMESTAMP '2024-05-06 07:08:09', 'y')")
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).sorted.toSeq
+    // Hive Timestamp.toString: space-separated wall clock, fraction only
+    // when non-zero — NOT the csv writer's ISO T/Z form a Hive reader
+    // cannot parse
+    assert(lines == Seq(s"2024-05-06 07:08:09${X1}y",
+      s"2024-05-06 07:08:09.123${X1}x"), lines)
+    assert(d("SELECT CAST(t AS STRING) FROM r10_gtts ORDER BY s").collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("2024-05-06 07:08:09.123", "2024-05-06 07:08:09"))
+    d("DROP TABLE r10_gtts")
+  }
+
+  test("CTAS text tables with complex select output retry as graft-text") {
+    val d = Engine.ddl(spark, _: String)
+    d("DROP TABLE IF EXISTS r10_gtcx")
+    d(s"""CREATE TABLE r10_gtcx STORED AS TEXTFILE
+          LOCATION '${tools.Tmp.dir("r10_gtcx")}' AS SELECT array(1, 2) AS a""")
+    assert(spark.table("r10_gtcx").collect().head.getSeq[Int](0) == Seq(1, 2))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("r10_gtcx"))
+    assert(meta.provider.exists(_.contains("graft-text")), meta.provider)
+    d("DROP TABLE r10_gtcx")
+  }
+
   test("simple TEXTFILE tables keep the csv fast path") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_gt7")
