@@ -1278,6 +1278,29 @@ class Round10Spec extends SparkSpec {
     d("DROP TABLE r10_gtcx")
   }
 
+  test("graft-text reads CRLF and gzip files like the reference's reader") {
+    val d = Engine.ddl(spark, _: String)
+    val dir = tools.Tmp.dir("r10_gtcrlf")
+    // Windows line endings: Hive's LineRecordReader strips \r, so must we
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crlf.txt"),
+      s"a${X2}b\r\nc\r\n".getBytes("UTF-8"))
+    // gzip member: unsplittable single-stream read via the codec factory
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, "more.txt.gz")))
+    gz.write(s"d${X2}e${X2}f\n".getBytes("UTF-8")); gz.close()
+    d("DROP TABLE IF EXISTS r10_gtr")
+    d(s"CREATE TABLE r10_gtr (a ARRAY<STRING>) STORED AS TEXTFILE LOCATION '$dir'")
+    val r = d("SELECT size(a) FROM r10_gtr ORDER BY 1").collect()
+      .map(_.getInt(0)).toSeq
+    assert(r == Seq(1, 2, 3), r) // c | a,b | d,e,f — no \r residue
+    val vals = d("SELECT a FROM r10_gtr").collect()
+      .map(_.getSeq[String](0)).sortBy(_.length)
+    assert(vals(0) == Seq("c") && vals(1) == Seq("a", "b")
+      && vals(2) == Seq("d", "e", "f"), vals.toSeq)
+    d("DROP TABLE r10_gtr")
+  }
+
   test("simple TEXTFILE tables keep the csv fast path") {
     val d = Engine.ddl(spark, _: String)
     d("DROP TABLE IF EXISTS r10_gt7")
