@@ -46,7 +46,7 @@ class TextDataSource extends TableProvider with DataSourceRegister {
     TextV2Util.inferSchema(
       Option(options.get("path")).getOrElse(
         sys.error("graft-text requires a path to infer a schema")),
-      Option(options.get("field.delim")).getOrElse(""))
+      Option(options.get("field.delim")).getOrElse("\u0001"))
 
   override def supportsExternalMetadata(): Boolean = true
 

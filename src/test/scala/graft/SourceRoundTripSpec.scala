@@ -34,7 +34,7 @@ class SourceRoundTripSpec extends SparkSpec {
         // delimiter-text layouts (Hive's own sentinel ambiguity) — only
         // the binary cells must preserve it, along with delimiter bytes
         (if (textSafe) Nil
-         else Seq("\\N", "ab", "line1\nline2", "tab\there"))
+         else Seq("\\N", "a\u0001b", "line1\nline2", "tab\there"))
     val strings = specials ++ (1 to 50).map(_ =>
       rnd.alphanumeric.take(rnd.nextInt(20)).mkString)
     val doubles = Seq(0.0, -0.0, 1.5e308, -2.2e-308, 123.456,
