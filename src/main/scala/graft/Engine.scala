@@ -714,6 +714,9 @@ object Engine {
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
+  // target-table extraction for ANY insert form (SELECT or VALUES tail)
+  private val insertTargetRe =
+    """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+).*""".r
   private val whenUpdateRe =
     """(?is)\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
   private val whenDeleteRe =
@@ -756,21 +759,40 @@ object Engine {
       else Nil
     } catch { case _: Exception => Nil }
 
-  /** Numeric-when-both-parse, else lexicographic — the same comparison
-    * dropPartitionsByFilter applies to catalog partitions. */
-  private def partValueCmp(v: String, lit: String): Int =
-    (v.toDoubleOption, lit.toDoubleOption) match {
-      case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
-      case _ => v.compareTo(lit)
-    }
+  /** Declared partition-column types (lowercased names) for ANY catalog
+    * table; empty on unresolvable names. Partition comparisons dispatch
+    * on these: Hive's metastore compares a numeric-typed partition
+    * value numerically (hr=1 matches hr=01) but a STRING-typed one by
+    * exact text (p='1' and p='01' are distinct partitions). */
+  private def tablePartTypes(spark: SparkSession, table: String)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    try {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      m.partitionSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Numeric compare for numeric-typed partition columns, lexicographic
+    * for string-typed — the comparison the metastore's
+    * dropPartitionsByFilter applies per declared column type. */
+  private def partValueCmp(v: String, lit: String,
+      dt: org.apache.spark.sql.types.DataType): Int =
+    if (graft.sources.v2.PartLayout.numericPartType(dt))
+      (v.toDoubleOption, lit.toDoubleOption) match {
+        case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+        case _ => v.compareTo(lit)
+      }
+    else v.compareTo(lit)
 
   private def specMatches(preds: Seq[(String, String, String)],
-      spec: Seq[(String, String)], table: String): Boolean =
+      spec: Seq[(String, String)], table: String,
+      types: Map[String, org.apache.spark.sql.types.DataType]): Boolean =
     preds.forall { case (name, op, lit) =>
       spec.find(_._1.equalsIgnoreCase(name)) match {
         case None => sys.error(s"$name is not a partition column of $table")
         case Some((_, v)) =>
-          val cmp = partValueCmp(v, lit)
+          val cmp = partValueCmp(v, lit,
+            types.getOrElse(name.toLowerCase, org.apache.spark.sql.types.StringType))
           op match {
             case "="         => cmp == 0
             case "!=" | "<>" => cmp != 0
@@ -815,6 +837,7 @@ object Engine {
       spec: Seq[(String, String)]): Boolean = {
     import scala.jdk.CollectionConverters._
     val prefix = qualName(spark, table) + "/"
+    val types = tablePartTypes(spark, table)
     noDropCascade.contains(qualName(spark, table)) ||
       noDropParts.asScala.exists { key =>
         key.startsWith(prefix) && {
@@ -822,7 +845,9 @@ object Engine {
             .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
           kvs.size == spec.size && kvs.forall { case (k, v) =>
             spec.exists { case (sk, sv) =>
-              sk.equalsIgnoreCase(k) && partValueCmp(sv, v) == 0 }
+              sk.equalsIgnoreCase(k) && partValueCmp(sv, v,
+                types.getOrElse(k.toLowerCase,
+                  org.apache.spark.sql.types.StringType)) == 0 }
           }
         }
       }
@@ -846,7 +871,8 @@ object Engine {
     val preds = partial.toSeq.flatMap(parsePreds)
     require(preds.forall(_._2 == "="),
       "SHOW PARTITIONS accepts only equality partition specs")
-    val rows = dirs.filter(specMatches(preds, _, table)).map(specDirName)
+    val rows = dirs.filter(
+      specMatches(preds, _, table, tablePartTypes(spark, table))).map(specDirName)
     spark.createDataFrame(
       rows.map(org.apache.spark.sql.Row(_)).asJava,
       StructType(Seq(StructField("partition", StringType))))
@@ -882,7 +908,8 @@ object Engine {
       root, fs, graftPartCols(spark, table))
     val toDrop = partGroupRe.findAllMatchIn(specText).map(_.group(1)).toSeq
       .flatMap { g =>
-        val matches = dirs.filter(specMatches(parsePreds(g), _, table))
+        val matches = dirs.filter(
+          specMatches(parsePreds(g), _, table, tablePartTypes(spark, table)))
         if (matches.isEmpty && !ifExists)
           sys.error(s"no partition of $table matches ($g); use DROP IF EXISTS to ignore")
         matches
@@ -940,19 +967,21 @@ object Engine {
       require(partCols.exists(_.equalsIgnoreCase(n)),
         s"$n is not a partition column of $srcName") }
     val isGraft = srcProv.startsWith("graft-")
+    val srcPartTypes = src.partitionSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
     // matched source partitions as (full ordered spec, source directory)
     val matched: Seq[(Seq[(String, String)], org.apache.hadoop.fs.Path)] =
       if (isGraft) {
         val (root, fs) = graftPartRoot(spark, srcName)
         graft.sources.v2.PartLayout.listPartitionDirs(root, fs, partCols)
-          .filter(specMatches(preds, _, srcName))
+          .filter(specMatches(preds, _, srcName, srcPartTypes))
           .map(s => s -> new org.apache.hadoop.fs.Path(root, specDirName(s)))
       } else cat.listPartitions(srcId).map { p =>
         val spec = partCols.map(c =>
           c -> p.spec.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(
             sys.error(s"partition of $srcName lacks column $c")))
         spec -> new org.apache.hadoop.fs.Path(p.location)
-      }.filter { case (spec, _) => specMatches(preds, spec, srcName) }
+      }.filter { case (spec, _) => specMatches(preds, spec, srcName, srcPartTypes) }
     require(matched.nonEmpty,
       s"EXCHANGE PARTITION: no partition of $srcName matches ($specText)")
     matched.foreach { case (spec, _) =>
@@ -966,14 +995,24 @@ object Engine {
     // refuses the exchange outright rather than half-applying it. One
     // dest-catalog fetch, compared in memory (not one listing RPC per
     // matched partition).
-    val destSpecs: Set[Seq[(String, String)]] =
-      if (destProv.startsWith("graft-")) Set.empty
+    // existing logical partitions at the destination, VALUE-matched: a
+    // dest holding hr=01 must refuse an incoming hr=1 (same logical
+    // partition under another spelling — two directories for one
+    // partition otherwise), for graft directory layouts and catalog
+    // tables alike.
+    val destExisting: Seq[Seq[(String, String)]] =
+      if (destProv.startsWith("graft-"))
+        graft.sources.v2.PartLayout.listPartitionDirs(destRoot, fsDest, partCols)
       else cat.listPartitions(destId).map(p =>
-        p.spec.toSeq.map { case (k, v) => (k.toLowerCase, v) }.sortBy(_._1)).toSet
+        partCols.map(c => c -> p.spec.find(_._1.equalsIgnoreCase(c)).map(_._2)
+          .getOrElse(sys.error(s"partition of $destName lacks column $c"))))
     matched.foreach { case (spec, _) =>
       val specStr = spec.map { case (k, v) => s"$k=$v" }.mkString(",")
-      require(!destSpecs.contains(
-          spec.map { case (k, v) => (k.toLowerCase, v) }.sortBy(_._1)),
+      val dup = destExisting.exists(ex => spec.forall { case (k, v) =>
+        ex.exists { case (ek, ev) => ek.equalsIgnoreCase(k) &&
+          partValueCmp(ev, v, srcPartTypes.getOrElse(k.toLowerCase,
+            org.apache.spark.sql.types.StringType)) == 0 } })
+      require(!dup,
         s"EXCHANGE PARTITION: partition ($specStr) already exists in $destName")
       require(!fsDest.exists(new org.apache.hadoop.fs.Path(destRoot, specDirName(spec))),
         s"EXCHANGE PARTITION: target directory for ($specStr) already exists under $destName")
@@ -1011,6 +1050,7 @@ object Engine {
                                      ifExists: Boolean, specText: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val parts = spark.sessionState.catalog.listPartitions(ident)
+    val types = tablePartTypes(spark, table)
     val groups = partGroupRe.findAllMatchIn(specText).map(_.group(1)).toSeq
     val toDrop = groups.flatMap { g =>
       val preds = g.split(",").toSeq.map {
@@ -1023,10 +1063,8 @@ object Engine {
           p.spec.find(_._1.equalsIgnoreCase(name)) match {
             case None => sys.error(s"$name is not a partition column of $table")
             case Some((_, v)) =>
-              val cmp = (v.toDoubleOption, lit.toDoubleOption) match {
-                case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
-                case _ => v.compareTo(lit)
-              }
+              val cmp = partValueCmp(v, lit, types.getOrElse(name.toLowerCase,
+                org.apache.spark.sql.types.StringType))
               op match {
                 case "="         => cmp == 0
                 case "!=" | "<>" => cmp != 0
@@ -1561,8 +1599,10 @@ object Engine {
           val res = cloned.sql(stmt)
           // the clone invalidated ITS relation cache; refresh the target in
           // the caller's session too so it doesn't serve a stale file list
+          // (insertTargetRe also covers INSERT INTO t VALUES (...) — the
+          // SELECT-only branch regex would miss the VALUES form)
           stmt match {
-            case insertBranchRe(_, target, _, _) =>
+            case insertTargetRe(target) =>
               try { spark.sql(s"REFRESH TABLE $target"): Unit }
               catch { case _: Exception => () }
             case _ => ()
@@ -2990,7 +3030,13 @@ object Engine {
       // loading surface) that implements the Java UDF0..22 interfaces:
       // resolve it to a ScalaUDF builder, the reference's FunctionTask
       // class-to-builder step for user jars
-      case createFunRe(name, cls) if jarUdfBuilder(cls).isDefined =>
+      case createFunRe(name, cls) if {
+        // re-registration must re-resolve: a later ADD JAR may carry a
+        // MODIFIED class (changed arity/signature) under the same name,
+        // and a forever-cached builder would keep serving the stale shape
+        jarUdfCache.remove(cls)
+        jarUdfBuilder(cls).isDefined
+      } =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, jarUdfBuilder(cls).get, "scala_udf")
         spark.emptyDataFrame

@@ -161,8 +161,15 @@ object Round10Queries {
                   map('key', n_name),
                   NULL, NULL, NULL, NULL
            FROM q154_nation WHERE n_nationkey < 5""")
+      // The nested array<struct> column is projected through scalar fields
+      // (plus the array length) so the driver's pandas comparator can sort
+      // the result — s2.lintString still exercises the thrift decode of the
+      // full LIST<STRUCT> field; only the gate's OUTPUT is scalar.
       s.sql("""SELECT s1.aint AS aint, s1.aString AS astring,
-                      s2.lintString AS lintstring
+                      size(s2.lintString) AS n_lint,
+                      s2.lintString[0].myint AS l_myint,
+                      s2.lintString[0].myString AS l_mystring,
+                      s2.lintString[0].underscore_int AS l_uint
                FROM graft_tmp.src_thrift s1
                JOIN graft_tmp.src_thrift s2 ON s1.aint = s2.aint""")
     },
@@ -176,7 +183,10 @@ object Round10Queries {
                          AS lintstring
                 FROM nation WHERE n_nationkey < 5)
               SELECT s1.aint AS aint, s1.astring AS astring,
-                     s2.lintstring AS lintstring
+                     CAST(len(s2.lintstring) AS INT) AS n_lint,
+                     s2.lintstring[1].myint AS l_myint,
+                     s2.lintstring[1].myString AS l_mystring,
+                     s2.lintstring[1].underscore_int AS l_uint
               FROM t s1 JOIN t s2 ON s1.aint = s2.aint""")),
 
     // ---- t17: URL canonicalization + URL-level dedup — the CommonCrawl-

@@ -259,7 +259,7 @@ case class AvroScan(path: String, required: StructType,
       val root = new Path(path)
       PartLayout.listPartitionedFiles(root,
         root.getFileSystem(new Configuration()), partCols, _.endsWith(".avro"),
-        spec => PartPrune.accepts(prune, spec))
+        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(required, partCols)))
         .map { case (f, spec) => AvroFilePartition(f, spec): InputPartition }
         .toArray
     }
@@ -390,7 +390,9 @@ case class AvroBatchWrite(path: String, schemaJson: String,
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
         // value-matched delete (hr=1 also replaces a dir spelled hr=01)
-        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec,
+          PartLayout.partTypes(
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
       case _ => ()
     }
     fs.mkdirs(p): Unit
@@ -402,7 +404,9 @@ case class AvroBatchWrite(path: String, schemaJson: String,
       val fs = p.getFileSystem(new Configuration())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
-        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
+        partCols, PartLayout.partTypes(
+          DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
     }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -47,11 +47,19 @@ object PartLayout {
     else c.toString
   }
 
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+      // only decode %XX when both digits are hex — an external writer may
+      // leave a raw '%' in a directory name (FileUtils.unescapePathName
+      // applies the same guard); passing it through beats failing the
+      // whole partition listing.
+      if (s.charAt(i) == '%' && i + 3 <= s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
         sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
         i += 3
       } else { sb.append(s.charAt(i)); i += 1 }
@@ -91,25 +99,50 @@ object PartLayout {
     if (!fs.exists(root)) Nil else walk(root, 0, Map.empty).sortBy(_._1)
   }
 
-  /** Partition-VALUE equality by meaning, not spelling: numeric when both
-    * sides parse (hr=01 names the same partition as hr=1), string
-    * otherwise — the comparison Hive's metastore filter applies. Pruning
-    * and static-overwrite deletion must use THIS, or a lexically
-    * different spelling of the same value silently escapes them. */
-  def valueEq(dirValue: String, litValue: String): Boolean =
-    (dirValue.toDoubleOption, litValue.toDoubleOption) match {
-      case (Some(a), Some(b)) => a == b
-      case _ => dirValue == litValue
-    }
+  /** Partition types whose values the metastore compares NUMERICALLY
+    * (hr=01 names the same partition as hr=1). String-typed partition
+    * columns compare by exact text — Hive treats p='1' and p='01' as
+    * DISTINCT partitions there, and a numeric match would silently
+    * delete the wrong sibling. */
+  def numericPartType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Declared partition-column types by lowercased name; columns the
+    * schema does not carry default to STRING (exact comparison). */
+  def partTypes(schema: StructType, partCols: Seq[String]): Map[String, DataType] =
+    partCols.map(c => c.toLowerCase ->
+      schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(StringType: DataType)).toMap
+
+  /** Partition-VALUE equality by the DECLARED column type: numeric
+    * comparison for numeric columns (hr=01 matches hr=1), exact string
+    * equality otherwise — the comparison Hive's metastore filter
+    * applies. Pruning and static-overwrite deletion must use THIS: a
+    * numeric column's alternate spelling must not escape them, and a
+    * string column's lookalike siblings (p=1 vs p=01) must not be
+    * swept together. */
+  def valueEq(dirValue: String, litValue: String, dt: DataType): Boolean =
+    if (numericPartType(dt))
+      (dirValue.toDoubleOption, litValue.toDoubleOption) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => dirValue == litValue
+      }
+    else dirValue == litValue
 
   /** Delete every partition directory whose values match `spec`
-    * semantically (all of spec's columns equal; spec may bind a prefix
-    * subset) — the static INSERT OVERWRITE PARTITION delete step. */
+    * semantically under the declared `types` (all of spec's columns
+    * equal; spec may bind a prefix subset) — the static INSERT
+    * OVERWRITE PARTITION delete step. */
   def deleteMatchingPartitions(root: Path, fs: FileSystem,
-      partCols: Seq[String], spec: Map[String, String]): Unit =
+      partCols: Seq[String], spec: Map[String, String],
+      types: Map[String, DataType]): Unit =
     listPartitionDirs(root, fs, partCols)
       .filter(dirSpec => spec.forall { case (k, v) =>
-        dirSpec.exists { case (dk, dv) => dk.equalsIgnoreCase(k) && valueEq(dv, v) }
+        dirSpec.exists { case (dk, dv) => dk.equalsIgnoreCase(k) &&
+          valueEq(dv, v, types.getOrElse(k.toLowerCase, StringType)) }
       })
       .foreach { dirSpec =>
         val rel = dirSpec.map { case (k, v) => escape(k) + "=" + escape(v) }
@@ -188,9 +221,16 @@ object PartLayout {
     * this job wrote into, delete the files the job did NOT write (the
     * pre-existing generation). Untouched partitions stay intact — Hive's
     * hive.exec.dynamic.partition.mode=nonstrict INSERT OVERWRITE
-    * semantics (FileSinkOperator + MoveTask per-partition replace). */
+    * semantics (FileSinkOperator + MoveTask per-partition replace).
+    *
+    * A touched partition also replaces any VALUE-EQUAL sibling spelled
+    * differently (a numeric column's hr=01 directory when this job wrote
+    * hr=1): same logical partition, so the stale spelling's whole
+    * subtree goes — otherwise a read would serve both generations. */
   def commitDynamicOverwrite(root: Path, fs: FileSystem,
-      touchedDirs: Set[String], written: Set[String]): Unit =
+      touchedDirs: Set[String], written: Set[String],
+      partCols: Seq[String] = Nil,
+      types: Map[String, DataType] = Map.empty): Unit = {
     touchedDirs.foreach { rel =>
       val dir = if (rel.isEmpty) root else new Path(root, rel)
       Option(fs.listStatus(dir)).toSeq.flatten
@@ -198,6 +238,25 @@ object PartLayout {
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         .foreach(st => fs.delete(st.getPath, false))
     }
+    if (partCols.nonEmpty && touchedDirs.exists(_.nonEmpty) &&
+        types.exists(t => numericPartType(t._2))) {
+      val touchedSpecs = touchedDirs.filter(_.nonEmpty).map { rel =>
+        rel.split("/").toSeq.map(_.split("=", 2)).collect {
+          case Array(k, v) => unescape(k) -> unescape(v)
+        }
+      }
+      listPartitionDirs(root, fs, partCols).foreach { dirSpec =>
+        val relOfDir = dirSpec.map { case (k, v) =>
+          escape(k) + "=" + escape(v) }.mkString("/")
+        val shadowed = !touchedDirs.contains(relOfDir) &&
+          touchedSpecs.exists(t => t.size == dirSpec.size &&
+            t.zip(dirSpec).forall { case ((tk, tv), (dk, dv)) =>
+              tk.equalsIgnoreCase(dk) &&
+                valueEq(dv, tv, types.getOrElse(tk.toLowerCase, StringType)) })
+        if (shadowed) fs.delete(new Path(root, relOfDir), true): Unit
+      }
+    }
+  }
 }
 
 /** Commit message carrying the files + partition dirs a task wrote — the

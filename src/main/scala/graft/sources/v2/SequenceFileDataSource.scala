@@ -228,19 +228,23 @@ class SeqScanBuilder(path: String, full: StructType, partCols: Seq[String])
 object PartPrune {
   /** Directory-spec predicate from the remembered partition filters: a
     * spec (so far) passes unless some filter names one of its columns
-    * with a value set that excludes the directory's value. */
-  def accepts(filters: Seq[Filter], spec: Map[String, String]): Boolean =
+    * with a value set that excludes the directory's value. `types` is
+    * the declared partition-column type map (PartLayout.partTypes) —
+    * numeric columns match by value (directory hr=01 must survive a
+    * hr=1 filter), string columns by exact text. */
+  def accepts(filters: Seq[Filter], spec: Map[String, String],
+      types: Map[String, org.apache.spark.sql.types.DataType]): Boolean = {
+    def dt(a: String) = types.getOrElse(a.toLowerCase,
+      org.apache.spark.sql.types.StringType)
     filters.forall {
       case org.apache.spark.sql.sources.EqualTo(a, v) =>
-        // by VALUE, not spelling: directory hr=01 must survive a hr=1
-        // filter (pruning is a listing optimization, never allowed to
-        // drop a semantically matching partition)
-        spec.get(a).forall(s => PartLayout.valueEq(s, String.valueOf(v)))
+        spec.get(a).forall(s => PartLayout.valueEq(s, String.valueOf(v), dt(a)))
       case org.apache.spark.sql.sources.In(a, vs) =>
         spec.get(a).forall(s =>
-          vs.exists(v => PartLayout.valueEq(s, String.valueOf(v))))
+          vs.exists(v => PartLayout.valueEq(s, String.valueOf(v), dt(a))))
       case _ => true
     }
+  }
 }
 
 case class SeqScan(path: String, full: StructType, required: StructType,
@@ -260,7 +264,7 @@ case class SeqScan(path: String, full: StructType, required: StructType,
       val root = new Path(path)
       PartLayout.listPartitionedFiles(root,
         root.getFileSystem(new Configuration()), partCols, _ => true,
-        spec => PartPrune.accepts(prune, spec))
+        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
         .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
         .toArray
     }
@@ -373,7 +377,9 @@ case class SeqBatchWrite(path: String, schemaJson: String,
       case "STATIC" =>
         // delete every directory naming the same LOGICAL partitions
         // (value match, not spelling — hr=1 must also replace hr=01)
-        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec,
+          PartLayout.partTypes(
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
       case _ => ()
     }
     fs.mkdirs(p): Unit
@@ -385,7 +391,9 @@ case class SeqBatchWrite(path: String, schemaJson: String,
       val fs = p.getFileSystem(new Configuration())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
-        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
+        partCols, PartLayout.partTypes(
+          DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
     }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

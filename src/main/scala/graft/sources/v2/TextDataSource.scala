@@ -319,7 +319,7 @@ case class TextScan(path: String, full: StructType, required: StructType,
       val root = new Path(path)
       PartLayout.listPartitionedFiles(root,
         root.getFileSystem(new Configuration()), partCols, _ => true,
-        spec => PartPrune.accepts(prune, spec))
+        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
         .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
         .toArray
     }
@@ -420,7 +420,9 @@ case class TextBatchWrite(path: String, schemaJson: String,
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
-        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec)
+        PartLayout.deleteMatchingPartitions(p, fs, partCols, staticSpec,
+          PartLayout.partTypes(
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
       case _ => ()
     }
     fs.mkdirs(p): Unit
@@ -432,7 +434,9 @@ case class TextBatchWrite(path: String, schemaJson: String,
       val fs = p.getFileSystem(new Configuration())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
-        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet)
+        msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
+        partCols, PartLayout.partTypes(
+          DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols))
     }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
