@@ -250,26 +250,37 @@ case class AvroScan(path: String, required: StructType,
     s"graft-avro ReadSchema: ${required.fieldNames.mkString(",")}" +
       (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty)
-      AvroV2Util.listFiles(path)
-        .map(f => AvroFilePartition(f, Map.empty[String, String]): InputPartition)
-        .toArray
-    else {
-      val root = new Path(path)
-      PartLayout.listPartitionedFiles(root,
-        root.getFileSystem(new Configuration()), partCols, _.endsWith(".avro"),
-        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(required, partCols)))
-        .map { case (f, spec) => AvroFilePartition(f, spec): InputPartition }
-        .toArray
-    }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // byte-range splits aligned to Avro block sync markers at read time
+    // (DataFileReader.sync/pastSync — the same convention Avro's own
+    // Hadoop input format uses)
+    val target = FileSplits.targetBytes
+    val listed: Seq[(String, Long, Map[String, String])] =
+      if (partCols.isEmpty)
+        FileSplits.listFilesWithLen(path)
+          .filter(_._1.endsWith(".avro"))
+          .map { case (f, len) => (f, len, Map.empty[String, String]) }
+      else {
+        val root = new Path(path)
+        PartLayout.listPartitionedFilesWithLen(root,
+          root.getFileSystem(new Configuration()), partCols, _.endsWith(".avro"),
+          spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(required, partCols)))
+      }
+    listed.flatMap { case (f, len, spec) =>
+      FileSplits.forFile(f, len, target).map { case (start, length) =>
+        AvroFilePartition(f, spec, start, length): InputPartition
+      }
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     AvroReaderFactory(required.json, partCols)
 }
 
-case class AvroFilePartition(file: String,
-    partSpec: Map[String, String]) extends InputPartition
+/** One byte-range of one Avro container file ((0, Long.MaxValue) = the
+  * whole file); the reader aligns to block sync markers. */
+case class AvroFilePartition(file: String, partSpec: Map[String, String],
+    start: Long = 0L, length: Long = Long.MaxValue) extends InputPartition
 
 case class AvroReaderFactory(requiredJson: String,
     partCols: Seq[String]) extends PartitionReaderFactory {
@@ -296,6 +307,11 @@ case class AvroReaderFactory(requiredJson: String,
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new Path(file), new Configuration()),
       new GenericDatumReader[GenericRecord](null, readerSchema))
+    // sync-aligned byte range (Avro's own Hadoop reader convention):
+    // seek to the first block sync after `start`, stop once past `end`
+    val rangeEnd =
+      if (p.length == Long.MaxValue) Long.MaxValue else p.start + p.length
+    reader.sync(p.start)
     val fields = full.fields
     // Avro schema resolution ignores LOGICAL types: a decimal field's
     // bytes resolve even when the FILE was written at a different scale
@@ -312,7 +328,8 @@ case class AvroReaderFactory(requiredJson: String,
       }
     }
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = reader.hasNext
+      override def next(): Boolean =
+        reader.hasNext && !reader.pastSync(rangeEnd)
       override def get(): InternalRow = {
         val rec = reader.next()
         val vals = new Array[Any](fields.length)

@@ -76,15 +76,24 @@ object PartLayout {
   def listPartitionedFiles(root: Path, fs: FileSystem, partCols: Seq[String],
       keep: String => Boolean,
       prune: Map[String, String] => Boolean = _ => true)
-      : Seq[(String, Map[String, String])] = {
+      : Seq[(String, Map[String, String])] =
+    listPartitionedFilesWithLen(root, fs, partCols, keep, prune)
+      .map { case (f, _, spec) => f -> spec }
+
+  /** As [[listPartitionedFiles]] but carrying each file's length — the
+    * split planner's input (one listing, no re-stat per file). */
+  def listPartitionedFilesWithLen(root: Path, fs: FileSystem,
+      partCols: Seq[String], keep: String => Boolean,
+      prune: Map[String, String] => Boolean = _ => true)
+      : Seq[(String, Long, Map[String, String])] = {
     def walk(dir: Path, depth: Int,
-        spec: Map[String, String]): Seq[(String, Map[String, String])] = {
+        spec: Map[String, String]): Seq[(String, Long, Map[String, String])] = {
       val entries = Option(fs.listStatus(dir)).toSeq.flatten
         .filterNot(st => st.getPath.getName.startsWith("_") ||
           st.getPath.getName.startsWith("."))
       if (depth == partCols.length)
         entries.filter(st => st.isFile && keep(st.getPath.getName))
-          .map(st => st.getPath.toString -> spec)
+          .map(st => (st.getPath.toString, st.getLen, spec))
       else entries.filter(_.isDirectory).flatMap { st =>
         val n = st.getPath.getName
         val eq = n.indexOf('=')

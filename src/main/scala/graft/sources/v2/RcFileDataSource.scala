@@ -271,19 +271,26 @@ case class RcScan(path: String, full: StructType, required: StructType,
   override def description(): String =
     s"graft-rcfile ReadSchema: ${required.fieldNames.mkString(",")}" +
       (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
-  override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty)
-      SeqV2Util.listFiles(path)
-        .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
-        .toArray
-    else {
-      val root = new Path(path)
-      PartLayout.listPartitionedFiles(root,
-        root.getFileSystem(new Configuration()), partCols, _ => true,
-        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
-        .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
-        .toArray
-    }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // byte-range splits aligned to RCFile sync markers at read time —
+    // RCFileInputFormat's FileInputFormat block-split parallelism
+    val target = FileSplits.targetBytes
+    val listed: Seq[(String, Long, Map[String, String])] =
+      if (partCols.isEmpty)
+        FileSplits.listFilesWithLen(path).map { case (f, len) =>
+          (f, len, Map.empty[String, String]) }
+      else {
+        val root = new Path(path)
+        PartLayout.listPartitionedFilesWithLen(root,
+          root.getFileSystem(new Configuration()), partCols, _ => true,
+          spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
+      }
+    listed.flatMap { case (f, len, spec) =>
+      FileSplits.forFile(f, len, target).map { case (start, length) =>
+        SeqFilePartition(f, spec, start, length): InputPartition
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     RcReaderFactory(full.json, required.json, partCols,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde)
@@ -318,6 +325,11 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
     val conf = RcV2Util.projectionConf(fieldPos.filter(_ >= 0).sorted.toSeq)
     val fsPath = new Path(file)
     val reader = new RCFile.Reader(fsPath.getFileSystem(conf), fsPath, conf)
+    // sync-aligned byte range (RCFileRecordReader convention): seek to
+    // the first sync after `start`; a row group whose preceding sync sits
+    // at or past `end` belongs to the next split's reader
+    val end = if (p.length == Long.MaxValue) Long.MaxValue else p.start + p.length
+    if (p.start > 0) reader.sync(p.start)
     val rowId = new LongWritable()
     val row = new BytesRefArrayWritable()
     // the REAL columnar serde (text or binary cells — whatever the table
@@ -331,7 +343,10 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
     val refs = soi.getAllStructFieldRefs
     new PartitionReader[InternalRow] {
       private var hasRow = false
-      override def next(): Boolean = { hasRow = reader.next(rowId); hasRow }
+      override def next(): Boolean = {
+        hasRow = reader.next(rowId) && reader.lastSeenSyncPos() < end
+        hasRow
+      }
       override def get(): InternalRow = {
         reader.getCurrentRow(row)
         val struct = serdeInst.deserialize(row)

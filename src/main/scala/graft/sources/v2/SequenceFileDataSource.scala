@@ -255,26 +255,36 @@ case class SeqScan(path: String, full: StructType, required: StructType,
   override def description(): String =
     s"graft-seq ReadSchema: ${required.fieldNames.mkString(",")}" +
       (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
-  override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty)
-      SeqV2Util.listFiles(path)
-        .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
-        .toArray
-    else {
-      val root = new Path(path)
-      PartLayout.listPartitionedFiles(root,
-        root.getFileSystem(new Configuration()), partCols, _ => true,
-        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
-        .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
-        .toArray
-    }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // block-style byte-range splits (sync-marker aligned at read time) —
+    // the reference's FileInputFormat parallelism, not one task per file
+    val target = FileSplits.targetBytes
+    val listed: Seq[(String, Long, Map[String, String])] =
+      if (partCols.isEmpty)
+        FileSplits.listFilesWithLen(path).map { case (f, len) =>
+          (f, len, Map.empty[String, String]) }
+      else {
+        val root = new Path(path)
+        PartLayout.listPartitionedFilesWithLen(root,
+          root.getFileSystem(new Configuration()), partCols, _ => true,
+          spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
+      }
+    listed.flatMap { case (f, len, spec) =>
+      FileSplits.forFile(f, len, target).map { case (start, length) =>
+        SeqFilePartition(f, spec, start, length): InputPartition
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     SeqReaderFactory(full.json, required.json, partCols,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 }
 
-case class SeqFilePartition(file: String,
-    partSpec: Map[String, String]) extends InputPartition
+/** One byte-range of one container file. `start`/`length` bound the
+  * range; the reader aligns to the format's record boundary (sync
+  * marker / newline). A (0, Long.MaxValue) range is the whole file. */
+case class SeqFilePartition(file: String, partSpec: Map[String, String],
+    start: Long = 0L, length: Long = Long.MaxValue) extends InputPartition
 
 case class SeqReaderFactory(fullJson: String, requiredJson: String,
     partCols: Seq[String], sessionTz: String) extends PartitionReaderFactory {
@@ -303,11 +313,21 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String,
     val metaRow = FileMetadataColumn.rowFor(file)
     val reader = new SequenceFile.Reader(new Configuration(),
       SequenceFile.Reader.file(new Path(file)))
+    // sync-aligned byte range (SequenceFileRecordReader convention): seek
+    // to the first sync after `start`; a record read from a position at or
+    // past `end` with a sync seen belongs to the NEXT split's reader
+    val end = if (p.length == Long.MaxValue) Long.MaxValue else p.start + p.length
+    if (p.start > 0) reader.sync(p.start)
     val key = new BytesWritable()
     val value = new Text()
     new PartitionReader[InternalRow] {
       private var hasRow = false
-      override def next(): Boolean = { hasRow = reader.next(key, value); hasRow }
+      override def next(): Boolean = {
+        val pos = reader.getPosition
+        hasRow = reader.next(key, value) &&
+          !(pos >= end && reader.syncSeen())
+        hasRow
+      }
       override def get(): InternalRow = {
         val parts = value.toString.split(SeqV2Util.SEP, -1)
         val vals = new Array[Any](types.length)

@@ -310,19 +310,27 @@ case class TextScan(path: String, full: StructType, required: StructType,
   override def description(): String =
     s"graft-text ReadSchema: ${required.fieldNames.mkString(",")}" +
       (if (prune.nonEmpty) s" PartitionPrune: ${prune.mkString(",")}" else "")
-  override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty)
-      SeqV2Util.listFiles(path)
-        .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
-        .toArray
-    else {
-      val root = new Path(path)
-      PartLayout.listPartitionedFiles(root,
-        root.getFileSystem(new Configuration()), partCols, _ => true,
-        spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
-        .map { case (f, spec) => SeqFilePartition(f, spec): InputPartition }
-        .toArray
-    }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // newline-boundary byte ranges for uncompressed text (the
+    // LineRecordReader convention); suffix-compressed files (gzip —
+    // standard Hive practice) stay one split each
+    val target = FileSplits.targetBytes
+    val listed: Seq[(String, Long, Map[String, String])] =
+      if (partCols.isEmpty)
+        FileSplits.listFilesWithLen(path).map { case (f, len) =>
+          (f, len, Map.empty[String, String]) }
+      else {
+        val root = new Path(path)
+        PartLayout.listPartitionedFilesWithLen(root,
+          root.getFileSystem(new Configuration()), partCols, _ => true,
+          spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
+      }
+    listed.flatMap { case (f, len, spec) =>
+      FileSplits.forFile(f, len, target).map { case (start, length) =>
+        SeqFilePartition(f, spec, start, length): InputPartition
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     TextReaderFactory(full.json, required.json, partCols,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, props)
@@ -354,11 +362,43 @@ case class TextReaderFactory(fullJson: String, requiredJson: String,
     val soi = serde.getObjectInspector
       .asInstanceOf[org.apache.hadoop.hive.serde2.objectinspector.StructObjectInspector]
     val refs = soi.getAllStructFieldRefs
-    val in = TextV2Util.openMaybeCompressed(new Path(p.file), conf)
-    val lr = new org.apache.hadoop.util.LineReader(in)
+    // Newline-aligned byte range (LineRecordReader convention): a line
+    // belongs to the split containing its FIRST byte. A non-zero start
+    // seeks then discards the partial line (the previous split read it —
+    // it reads through the first line ENDING past its end); compressed
+    // streams are never range-split, and their decompressed position is
+    // unbounded, so their end is +inf.
+    val fsPath = new Path(p.file)
+    val rawFs = fsPath.getFileSystem(conf)
+    val codec = Option(
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(fsPath))
+    val end: Long = codec match {
+      case Some(_) => Long.MaxValue
+      case None =>
+        if (p.length == Long.MaxValue) Long.MaxValue else p.start + p.length
+    }
+    var pos: Long = p.start
+    val lr = codec match {
+      case Some(c) =>
+        new org.apache.hadoop.util.LineReader(c.createInputStream(rawFs.open(fsPath)))
+      case None =>
+        val s = rawFs.open(fsPath)
+        if (p.start > 0) s.seek(p.start)
+        val r = new org.apache.hadoop.util.LineReader(s)
+        if (p.start > 0) pos += r.readLine(new Text())
+        r
+    }
     val line = new Text()
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = lr.readLine(line) > 0
+      override def next(): Boolean = {
+        if (pos > end) false
+        else {
+          val n = lr.readLine(line)
+          pos += n
+          n > 0
+        }
+      }
       override def get(): InternalRow = {
         val struct = serde.deserialize(line)
         val vals = new Array[Any](types.length)

@@ -278,10 +278,16 @@ case class ThriftScan(path: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-thrift-seq($thriftClass) ReadSchema: ${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
-    SeqV2Util.listFiles(path)
-      .map(f => SeqFilePartition(f, Map.empty[String, String]): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // SequenceFile sync markers make the container splittable (same
+    // convention as graft-seq): byte ranges at Spark's scan target size
+    val target = FileSplits.targetBytes
+    FileSplits.listFilesWithLen(path).flatMap { case (f, len) =>
+      FileSplits.forFile(f, len, target).map { case (start, length) =>
+        SeqFilePartition(f, Map.empty[String, String], start, length): InputPartition
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     ThriftReaderFactory(required.json, thriftClass, protocol)
 }
@@ -289,7 +295,8 @@ case class ThriftScan(path: String, full: StructType, required: StructType,
 case class ThriftReaderFactory(requiredJson: String,
     thriftClass: String, protocol: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SeqFilePartition].file
+    val part = partition.asInstanceOf[SeqFilePartition]
+    val file = part.file
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     // resolve by NAME against the thrift metadata (an external schema may
     // reorder or subset the class's fields)
@@ -304,9 +311,17 @@ case class ThriftReaderFactory(requiredJson: String,
       reader.getKeyClass, new Configuration())
       .asInstanceOf[org.apache.hadoop.io.Writable]
     val value = new BytesWritable()
+    // sync-aligned byte range (SequenceFileRecordReader convention)
+    val end =
+      if (part.length == Long.MaxValue) Long.MaxValue else part.start + part.length
+    if (part.start > 0) reader.sync(part.start)
     new PartitionReader[InternalRow] {
       private var hasRow = false
-      override def next(): Boolean = { hasRow = reader.next(key, value); hasRow }
+      override def next(): Boolean = {
+        val pos = reader.getPosition
+        hasRow = reader.next(key, value) && !(pos >= end && reader.syncSeen())
+        hasRow
+      }
       override def get(): InternalRow = {
         val obj = ThriftBridge.newInstance(thriftClass)
         // offset/length overload: no per-row byte copy on the scan path

@@ -74,6 +74,45 @@ object FormatBench {
       require(n1 == rows && n2 == rows, s"$label row count mismatch")
       println(f"$label%-20s $wSec%8.2f $allSec%10.2f $projSec%11.2f")
     }
+
+    // ---- single-large-file split parallelism (round 11) ------------------
+    // One multi-hundred-MB container file per format: the byte-range split
+    // planner (FileSplits, sync-marker/newline aligned) fans the scan out;
+    // the whole-file read is the pre-split one-task-per-file floor.
+    println()
+    println(f"${"format"}%-20s ${"file_mb"}%8s ${"splits"}%7s ${"split_s"}%8s ${"whole_s"}%8s")
+    val bigRows = rows * 4
+    val bigDf = spark.range(bigRows).select(
+      col("id").cast("int").as("k"),
+      concat(lit("name_"), col("id") % 1000).as("name"),
+      (col("id") % 97).cast("double").as("v1"),
+      (col("id") % 13).cast("int").as("v2"),
+      concat(lit("payload_"), col("id"), lit("_" * 3),
+        lit("x" * 40)).as("payload"),
+      (col("id") % 7 === 0).as("flag"))
+    val splitFormats = Seq("graft-seq", "graft-text", "graft-rcfile", "graft-avro")
+    val hconf = spark.sessionState.newHadoopConf()
+    splitFormats.foreach { fmt =>
+      val dir = Tmp.dir(s"fmtbench_big_$fmt") + "/t"
+      bigDf.coalesce(1).write.format(fmt).mode("overwrite").save(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      val len = fs.listStatus(p).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).max
+      def rd: DataFrame =
+        spark.read.schema(bigDf.schema).format(fmt).load(dir)
+      def scanCount(): Long =
+        rd.agg(count(lit(1)), sum(col("v1"))).collect()(0).getLong(0)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        math.max(len / 8, 1L).toString)
+      val nSplits = rd.rdd.getNumPartitions
+      val (splitSec, c1) = minOf3(scanCount())
+      spark.conf.set("spark.sql.files.maxPartitionBytes", Long.MaxValue.toString)
+      val (wholeSec, c2) = minOf3(scanCount())
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+      require(c1 == bigRows && c2 == bigRows, s"$fmt split scan row mismatch")
+      println(f"$fmt%-20s ${len / 1e6}%8.1f $nSplits%7d $splitSec%8.2f $wholeSec%8.2f")
+    }
     spark.stop()
   }
 }

@@ -93,6 +93,135 @@ class Round11Spec extends SparkSpec {
     assert(sources.v2.PartLayout.unescape(sources.v2.PartLayout.escape(v)) == v)
   }
 
+  // ---- byte-range file splits in the graft DSv2 sources ------------------
+
+  test("FileSplits.ranges: FileInputFormat-style target splits with slop tail") {
+    assert(sources.v2.FileSplits.ranges(100, 1000) == Seq((0L, 100L)))
+    // 10% slop: a 1.05x remainder is ONE split, not a task plus a sliver
+    assert(sources.v2.FileSplits.ranges(1050, 1000) == Seq((0L, 1050L)))
+    assert(sources.v2.FileSplits.ranges(2500, 1000) ==
+      Seq((0L, 1000L), (1000L, 1000L), (2000L, 500L)))
+    // ranges tile the file exactly
+    for (len <- Seq(1L, 999L, 1000L, 1101L, 123457L)) {
+      val rs = sources.v2.FileSplits.ranges(len, 1000)
+      assert(rs.head._1 == 0 && rs.map(_._2).sum == len)
+      assert(rs.sliding(2).forall {
+        case Seq((s1, l1), (s2, _)) => s1 + l1 == s2
+        case _ => true
+      })
+    }
+    assert(!sources.v2.FileSplits.isSplittable("/x/part-0.gz"))
+    assert(sources.v2.FileSplits.isSplittable("/x/part-0.seq"))
+  }
+
+  /** Write via `write`, then read the same directory at a tiny split
+    * target and at a whole-file target; both reads must agree exactly
+    * and the split read must fan out to > 1 scan partition. */
+  private def splitRoundTrip(fmt: String, dir: String,
+      write: org.apache.spark.sql.DataFrame => Unit,
+      read: () => org.apache.spark.sql.DataFrame,
+      minSplits: Int = 2): Unit = {
+    val rows = 120000
+    import spark.implicits._
+    val df = spark.range(rows.toLong).select(
+      $"id".cast("int").as("k"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v_"), $"id",
+        org.apache.spark.sql.functions.lit("_" + "x" * 40)).as("v"))
+    write(df)
+    def collectAll() = read().select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    val (nSplit, splitRows) =
+      try (read().rdd.getNumPartitions, collectAll())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    val (nWhole, wholeRows) = (read().rdd.getNumPartitions, collectAll())
+    assert(nSplit >= minSplits,
+      s"$fmt: expected >= $minSplits scan partitions at 64k target, got $nSplit")
+    assert(nSplit > nWhole, s"$fmt: split plan ($nSplit) not wider than whole-file ($nWhole)")
+    assert(splitRows.length == rows, s"$fmt: split read lost/duplicated rows (${splitRows.length})")
+    assert(splitRows == wholeRows, s"$fmt: split read diverges from whole-file read")
+  }
+
+  test("graft-seq scans split large files on sync boundaries") {
+    val dir = tools.Tmp.dir("r11_split_seq")
+    splitRoundTrip("graft-seq", dir,
+      df => df.write.format("graft-seq").mode("overwrite").save(dir),
+      () => spark.read.format("graft-seq")
+        .schema("k INT, v STRING").load(dir))
+  }
+
+  test("graft-text scans split large files on newline boundaries") {
+    val dir = tools.Tmp.dir("r11_split_text")
+    splitRoundTrip("graft-text", dir,
+      df => df.write.format("graft-text").mode("overwrite").save(dir),
+      () => spark.read.format("graft-text")
+        .schema("k INT, v STRING").load(dir))
+  }
+
+  test("graft-rcfile scans split large files on sync boundaries") {
+    val dir = tools.Tmp.dir("r11_split_rc")
+    splitRoundTrip("graft-rcfile", dir,
+      df => df.write.format("graft-rcfile").mode("overwrite").save(dir),
+      () => spark.read.format("graft-rcfile")
+        .schema("k INT, v STRING").load(dir))
+  }
+
+  test("graft-avro scans split large files on block sync boundaries") {
+    val dir = tools.Tmp.dir("r11_split_avro")
+    splitRoundTrip("graft-avro", dir,
+      df => df.write.format("graft-avro").mode("overwrite").save(dir),
+      () => spark.read.format("graft-avro")
+        .schema("k INT, v STRING").load(dir))
+  }
+
+  test("graft-thrift-seq scans split large files on sync boundaries") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_thrift")
+    val base = tools.Tmp.dir("r11_split_thrift")
+    Engine.ddl(spark, s"""CREATE TABLE graft_tmp.r11_thrift
+      ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.thrift.ThriftDeserializer'
+      WITH SERDEPROPERTIES (
+        'serialization.class' = 'org.apache.hadoop.hive.serde2.thrift.test.Complex',
+        'serialization.format' = 'org.apache.thrift.protocol.TBinaryProtocol')
+      STORED AS SEQUENCEFILE
+      LOCATION '$base/t'""")
+    Engine.ddl(spark, """INSERT INTO graft_tmp.r11_thrift
+      SELECT CAST(id AS INT), concat('record_', id),
+             array(CAST(id AS INT)), array(concat('s', id)),
+             array(named_struct('myint', CAST(id AS INT),
+               'myString', concat('m', id), 'underscore_int', CAST(id + 1 AS INT))),
+             map('k', concat('v', id)), NULL, NULL, NULL, NULL
+      FROM range(30000)""")
+    def read() = spark.table("graft_tmp.r11_thrift").select("aint", "astring")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    val (nSplit, splitRows) =
+      try (read().rdd.getNumPartitions,
+        read().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq)
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    val wholeRows = read().collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(nSplit > 1, s"thrift-seq: expected multiple scan partitions, got $nSplit")
+    assert(splitRows.length == 30000 && splitRows == wholeRows)
+    spark.sql("DROP TABLE graft_tmp.r11_thrift")
+  }
+
+  test("gzip text stays one split per file") {
+    val dir = tools.Tmp.dir("r11_gz_text")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val out = new java.util.zip.GZIPOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(dir, "part-0.gz")))
+    val sb = new StringBuilder
+    for (i <- 0 until 50000) sb.append(s"$i\u0001line_$i\n")
+    out.write(sb.toString.getBytes("UTF-8")); out.close()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val df = spark.read.format("graft-text").schema("k INT, v STRING").load(dir)
+      assert(df.rdd.getNumPartitions == 1, "gzip must not be byte-range split")
+      assert(df.count() == 50000)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
   // ---- EXCHANGE PARTITION refuses a value-equal partition at a graft dest
 
   test("EXCHANGE PARTITION refuses moving hr=1 onto a graft dest holding hr=01") {
