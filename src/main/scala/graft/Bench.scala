@@ -46,6 +46,24 @@ object Bench {
     // deflates one, so the min is the stable engine-cost estimate (the
     // r6 "regressions" were 40% VM noise; see PERF.md).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+
+    // Committed quiet-host per-query seconds (bench_reference_times.json):
+    // the steal-retry baseline. Three of four recent driver boards were
+    // contention-distorted and each cost a judge adjudication cycle — a
+    // query whose min lands far above its quiet-host time WHILE the host
+    // was stealing cycles is re-timed (bounded) instead of reported as a
+    // regression; whatever remains is annotated per query in the artifact.
+    val refTimes: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_reference_times.json")), "UTF-8")
+      """"([^"\s]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val stealRetries = sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "3").toInt
+    // a min this far above the committed quiet time is "suspect"...
+    val suspectRatio = 3.0
+    // ...but only when the host visibly stole cycles during the timing
+    val stealGate = 0.5
     // focused adjudication runs (PERF.md protocol): comma-separated names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -59,9 +77,12 @@ object Bench {
     // a throwing query must be VISIBLE in the artifact: its time-to-failure
     // would otherwise read as a speedup and pass the regression gate
     val failedQueries = scala.collection.mutable.SortedSet.empty[String]
+    val querySteal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retriedQueries = scala.collection.mutable.SortedSet.empty[String]
+    val suspectQueries = scala.collection.mutable.SortedSet.empty[String]
     val results = picked.map { case (name, fn) =>
       var attributed = false
-      val dt = (1 to runs).map { _ =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -90,8 +111,26 @@ object Bench {
           tools.Checkpoints.sweep()
           (System.nanoTime() - t0) / 1e9
         }
-      }.min
-      name -> dt
+      }
+      val qSteal0 = stealSec()
+      var best = (1 to runs).map(_ => timeOnce()).min
+      var qSteal = { val s = stealSec(); if (s < 0 || qSteal0 < 0) -1.0 else s - qSteal0 }
+      // contention-retry: min far above the committed quiet-host time AND
+      // visible steal during the timing window → re-time, bounded. Each
+      // retry re-reads steal so a now-quiet host can clear the query.
+      val ref = refTimes.getOrElse(name, -1.0)
+      var attempts = 0
+      while (attempts < stealRetries && ref > 0.02 && !failedQueries.contains(name) &&
+          best > suspectRatio * ref && qSteal > stealGate) {
+        attempts += 1
+        retriedQueries += name
+        val s0 = stealSec()
+        best = math.min(best, timeOnce())
+        qSteal = { val s = stealSec(); if (s < 0 || s0 < 0) qSteal else s - s0 }
+      }
+      if (ref > 0.02 && best > suspectRatio * ref) suspectQueries += name: Unit
+      querySteal(name) = qSteal
+      name -> best
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def dict(rs: Seq[(String, Double)]): String =
@@ -119,9 +158,17 @@ object Bench {
     val stealDelta = { val s1 = stealSec(); if (s1 < 0 || steal0 < 0) -1.0 else s1 - steal0 }
     val gw = globalWindowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fq = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw,"failed_queries":$fq"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":${dict(results)},"sf":"$sfDir"}"""
+    val rq = retriedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // queries still >3x their committed quiet-host time after retries;
+    // their per-query steal (below / in BENCH_RESULT.json) says whether
+    // the residual is contention or a real regression
+    val sq = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw,"failed_queries":$fq,"retried_queries":$rq,"suspect_queries":$sq"""
+    // per-query steal deltas: full detail in BENCH_RESULT.json; the stdout
+    // line carries only the suspect queries' steal (bounded size)
+    val suspectSteal = dict(suspectQueries.toSeq.map(n => n -> querySteal.getOrElse(n, -1.0)))
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"suspect_steal":$suspectSteal,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"query_steal":${dict(querySteal.toSeq)},"queries":${dict(results)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
         (fullJson + "\n").getBytes("UTF-8"))
