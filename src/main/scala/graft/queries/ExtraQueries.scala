@@ -206,11 +206,21 @@ object ExtraQueries {
                FROM events) WHERE rn = 1""")),
 
     // ---- approx_count_distinct (HLL++; engine-specific → rows-only) ----
+    // Bounded oracle: the HLL++ estimate itself is engine-specific, but
+    // its documented error bound is not — the gate emits the EXACT NDV
+    // plus a boolean asserting the estimate landed within 3x the
+    // requested rsd (0.02 → 6%), and the oracle supplies exact + TRUE.
+    // A broken sketch (or a broken bound) now fails the driver gate
+    // instead of hiding behind no_oracle.
     Q("q62_approx_distinct", (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct("l_partkey").as("exact_nd"),
-          approx_count_distinct("l_partkey", 0.02).as("approx_nd")),
-      None),
+          approx_count_distinct("l_partkey", 0.02).as("approx_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) <=
+            col("exact_nd") * 0.06).as("approx_ok")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+             TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- histogram_numeric (Hive UDAF; bin placement engine-specific) ----
     Q("q63_histogram", (s, d) =>

@@ -232,17 +232,34 @@ object Round2Queries {
              CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_custkey AS VARCHAR) END AS f1
              FROM orders WHERE o_orderkey < 100""")),
 
-    // ---- percentile_approx (t-digest sketch semantics are engine-specific
-    //      → rows-only, like approx_count_distinct/histogram_numeric).
-    //      Scalar output columns only: the driver's rows-only path sorts the
-    //      result in pandas, and an array-typed column crashes it
-    //      (unhashable numpy.ndarray) — extract the quantiles instead. ----
+    // ---- percentile_approx: the KLL-style sketch's picks are
+    //      engine-specific, but its rank-error contract is not. Bounded
+    //      oracle: emit the EXACT quantiles plus booleans asserting each
+    //      approximation landed within a value tolerance implied by the
+    //      accuracy parameter on these columns (l_quantity spans [1,50]
+    //      with ~60k rows at sf0.01 and accuracy 10000 → ±1.0 is
+    //      generous; l_discount spans [0,0.1] at accuracy 1000 → ±0.01),
+    //      and the oracle supplies exact + TRUE. ----
     Q("q97_percentile_approx", (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
-          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 1).as("p25_disc"),
-          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 2).as("p75_disc")),
-      None),
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
+          expr("percentile(l_quantity, 0.5)").as("p50e"),
+          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 1).as("p25a"),
+          element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 2).as("p75a"),
+          expr("percentile(l_discount, 0.25)").as("p25e"),
+          expr("percentile(l_discount, 0.75)").as("p75e"))
+        .select(col("l_returnflag"),
+          round(col("p50e"), 4).as("p50_exact"),
+          (abs(col("p50a") - col("p50e")) <= 1.0).as("p50_ok"),
+          round(col("p25e"), 4).as("p25_exact"),
+          (abs(col("p25a") - col("p25e")) <= 0.01).as("p25_ok"),
+          round(col("p75e"), 4).as("p75_exact"),
+          (abs(col("p75a") - col("p75e")) <= 0.01).as("p75_ok")),
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact, TRUE AS p50_ok,
+             round(quantile_cont(l_discount, 0.25), 4) AS p25_exact, TRUE AS p25_ok,
+             round(quantile_cont(l_discount, 0.75), 4) AS p75_exact, TRUE AS p75_ok
+             FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- compute_stats UDAF parity (GenericUDAFComputeStats): the column
     //      statistics Hive's ANALYZE collects, as one aggregation ----
