@@ -1682,6 +1682,15 @@ object Engine {
           Option(part).map(p => s" PARTITION ($p)").getOrElse(""), body)
       case seg => sys.error(s"unsupported multi-insert branch: $seg")
     }
+    // one output entity per statement (SemanticAnalyzer ErrorMsg 10087,
+    // duplicate_insert1/2.q): the same table — or the same table+partition
+    // — may not appear as two destinations; branch order would silently
+    // decide which write survives
+    val dupTargets = branches.groupBy(b => (b.tbl.toLowerCase,
+        b.partSql.toLowerCase.replaceAll("[\\s'\"]", "")))
+      .filter(_._2.lengthCompare(1) > 0).keys.map(_._1)
+    require(dupTargets.isEmpty,
+      s"The same output cannot be present multiple times: ${dupTargets.mkString(", ")}")
     // A joined source (`FROM a JOIN b ON ...` / comma list) can't be
     // collapsed into a SELECT * view: qualifiers would be lost and
     // same-named columns collide.
