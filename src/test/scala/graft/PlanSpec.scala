@@ -60,4 +60,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft-thrift-seq"), p.take(400))
     assert(!p.contains("unionField1"), "thrift scan failed to prune")
   }
+
+  test("partitioned fact x filtered dim join gains a DPP subquery filter") {
+    // At fixture scale the PERF.md observation was that Spark's benefit
+    // estimator declines DPP; this fixture is sized so the estimator
+    // injects it (broadcast-reuse path): a 400k-row fact partitioned 40
+    // ways joined to a selectively-filtered 40-row dim on the partition
+    // column. The physical scan must carry a dynamicpruning expression in
+    // its PartitionFilters — the runtime analogue of q69's static pruning.
+    import org.apache.spark.sql.functions._
+    val dir = tools.Tmp.dir("plan_dpp")
+    spark.range(400000).select(
+        (col("id") % 1000).as("v"), (col("id") % 40).cast("int").as("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(dir + "/fact")
+    spark.range(40).select(col("id").cast("int").as("pk"),
+        (col("id") % 4).as("attr"))
+      .write.mode("overwrite").parquet(dir + "/dim")
+    val fact = spark.read.parquet(dir + "/fact")
+    val dim = spark.read.parquet(dir + "/dim").filter(col("attr") === 1)
+    val q = fact.join(broadcast(dim), "pk").agg(sum("v"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no DPP filter in the fact scan:\n" + p.take(1500))
+    // and it actually prunes: only 10 of 40 partitions survive the dim
+    // filter, so the result equals the filtered-join value
+    val expect = spark.read.parquet(dir + "/fact")
+      .filter(col("pk") % 4 === 1).agg(sum("v")).collect()(0).getLong(0)
+    assert(q.collect()(0).getLong(0) == expect)
+  }
 }
