@@ -27,7 +27,8 @@ object Registry {
       queries.Round6Queries.all ++
       queries.Round7Queries.all ++
       queries.Round8Queries.all ++
-      queries.Round10Queries.all
+      queries.Round10Queries.all ++
+      queries.Round11Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

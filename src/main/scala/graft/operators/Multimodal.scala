@@ -278,6 +278,140 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------------------------------------
+  // REAL pixel decode (round 11): javax.imageio is in the JDK — no
+  // native codecs, zero egress — so the "documented stub seam" narrows
+  // to: pixels are genuinely decoded, resized (nearest-neighbor), and
+  // featurized; only exotic codecs stay out of scope.
+  // -------------------------------------------------------------------
+
+  /** Hand-rolled PNG encoder (8-bit RGB, filter 0, single IDAT) over
+    * java.util.zip Deflater/CRC32 — deliberately INDEPENDENT of
+    * javax.imageio, so the decode path is tested against a second
+    * implementation of the format, not against itself. */
+  private[graft] def pngEncodeRgb(w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter type None per scanline
+      i += 1
+      var x = 0
+      while (x < w) {
+        val p = rgb(x, y)
+        raw(i) = ((p >> 16) & 0xFF).toByte
+        raw(i + 1) = ((p >> 8) & 0xFF).toByte
+        raw(i + 2) = (p & 0xFF).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Deterministic DECODABLE synthetic images: a coordinate-gradient
+    * pattern (r = x, g = y, b = doc_id mod 256) in small real PNGs.
+    * Lossless format + closed-form pattern = the oracle can recompute
+    * every pixel statistic independently in SQL. */
+  def synthPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id * 3) % 7).toInt
+      val b = (id % 256).toInt
+      (id, pngEncodeRgb(w, h, (x, y) => (x << 16) | (y << 8) | b))
+    }.toDF("doc_id", "payload")
+  }
+
+  case class PixelStats(doc_id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double, gray_sum: Long,
+      feature: Array[Float])
+
+  /** Real pixel decode + resize + featurize: ImageIO.read (PNG/JPEG, in
+    * the JDK) → per-channel means over EVERY pixel → a nearest-neighbor
+    * 8x8 grayscale thumbnail whose values double as a 64-dim feature
+    * (the aHash input shape). Narrow per-partition map, zero shuffle;
+    * unparseable payloads yield (-1, -1) dims rather than dropped rows.
+    */
+  def decodePixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null)
+            PixelStats(id, -1L, -1L, -1.0, -1.0, -1.0, -1L, Array.empty[Float])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            // nearest-neighbor 8x8 grayscale thumbnail: sample point
+            // (i*w/8, j*h/8), integer gray = (r+g+b)/3 — the resize +
+            // featurize step on real pixels
+            val gray = new Array[Float](64)
+            var graySum = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val p = img.getRGB(i * w / 8, j * h / 8)
+                val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                gray(j * 8 + i) = g.toFloat
+                graySum += g
+                i += 1
+              }
+              j += 1
+            }
+            PixelStats(id, w.toLong, h.toLong,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, graySum, gray)
+          }
+        }
+      }
+  }
+
+  /** aHash from the decode's 8x8 grayscale feature: bit k set when
+    * gray(k) >= mean(gray) — the standard perceptual fingerprint, now on
+    * real pixels. */
+  def aHash(feature: Array[Float]): Long = {
+    if (feature.length != 64) return -1L
+    val mean = feature.sum / 64f
+    feature.zipWithIndex.foldLeft(0L) { case (acc, (g, k)) =>
+      if (g >= mean) acc | (1L << k) else acc
+    }
+  }
+
   /** Batched featurize: one setup per partition, streaming over rows. */
   def featurize(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._

@@ -245,4 +245,55 @@ class Round11Spec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(bs, "hr=1")))
     for (t <- Seq("r11_exs", "r11_exd")) spark.sql(s"DROP TABLE graft_tmp.$t")
   }
+
+  // ---- real pixel decode (javax.imageio) ---------------------------------
+
+  test("hand-rolled PNG decodes to the exact generating pattern") {
+    val png = operators.Multimodal.pngEncodeRgb(11, 9,
+      (x, y) => (x << 16) | (y << 8) | 200)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "JDK reader rejected the hand-rolled PNG")
+    assert(img.getWidth == 11 && img.getHeight == 9)
+    for (x <- 0 until 11; y <- 0 until 9)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == ((x << 16) | (y << 8) | 200),
+        s"pixel ($x,$y) decoded wrong")
+  }
+
+  test("JPEG pixel decode: exact dims, means within lossy tolerance") {
+    // uniform-color image through the JDK's lossy JPEG writer: dimensions
+    // survive exactly; channel means land within a small band of the
+    // source color (a decoder bug — channel swap, scaling — lands far out)
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 30)
+      img.setRGB(x, y, (180 << 16) | (90 << 8) | 40)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", buf))
+    import spark.implicits._
+    val media = Seq((7L, buf.toByteArray)).toDF("doc_id", "payload")
+    val st = operators.Multimodal.decodePixelStats(spark, media).collect()(0)
+    assert(st.width == 40 && st.height == 30)
+    assert(math.abs(st.mean_r - 180) < 8, st.mean_r.toString)
+    assert(math.abs(st.mean_g - 90) < 8, st.mean_g.toString)
+    assert(math.abs(st.mean_b - 40) < 8, st.mean_b.toString)
+    assert(st.feature.length == 64)
+  }
+
+  test("aHash on real pixels: deterministic, sensitive, corrupt-safe") {
+    import spark.implicits._
+    def stats(id: Long) = operators.Multimodal.decodePixelStats(spark,
+      operators.Multimodal.synthPng(spark, Seq(id).toDF("doc_id"))).collect()(0)
+    val (a, b) = (stats(5L), stats(6L))
+    val (ha, hb) = (operators.Multimodal.aHash(a.feature),
+      operators.Multimodal.aHash(b.feature))
+    assert(ha == operators.Multimodal.aHash(stats(5L).feature), "not deterministic")
+    assert(ha != 0L && ha != -1L)
+    // gradient images share structure but differ in mean split → need not
+    // collide; the important pin is corrupt payloads flow through as rows
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val c = operators.Multimodal.decodePixelStats(spark, corrupt).collect()(0)
+    assert(c.width == -1L && c.feature.isEmpty &&
+      operators.Multimodal.aHash(c.feature) == -1L)
+    assert(hb != 0L)
+  }
 }
