@@ -36,11 +36,13 @@ import org.apache.thrift.protocol.{TBinaryProtocol, TCompactProtocol, TProtocolF
   * struct of its alternatives with exactly the set one non-null (Hive
   * renders uniontype<...> — same information, Catalyst-native shape).
   *
-  * Nullability caveat (thrift's own wire contract, pinned in
+  * Nullability (thrift's own wire contract, pinned in
   * SourceRoundTripSpec): default-requiredness PRIMITIVE fields are
   * always serialized by the generated write(), so a null written into
-  * one reads back as the thrift default (0/false). Strings, structs and
-  * containers are genuinely nullable (their write is null-guarded).
+  * one would read back as the thrift default (0/false) — the writer
+  * REFUSES such a write loudly rather than corrupting the value.
+  * Strings, structs and containers are genuinely nullable (their write
+  * is null-guarded) and pass through.
   *
   * Scale design: one InputPartition per container file; thrift records
   * are row-serialized so each record deserializes once, but only the
@@ -204,6 +206,24 @@ object ThriftBridge {
         s"graft-thrift-seq: $className has no field '${sf.name}'"))
       if (!row.isNullAt(i))
         tb.setFieldValue(f, fromCatalyst(row, i, sf.dataType, m.valueMetaData))
+      else {
+        // REFUSAL, not silent corruption: a NULL routed into a
+        // non-optional PRIMITIVE field would be serialized by the
+        // generated write() as the thrift default and read back as
+        // 0/false — fail the write loudly instead (strings, structs and
+        // containers are null-guarded on the wire and pass through)
+        import org.apache.thrift.protocol.TType
+        val t = m.valueMetaData.`type`
+        val primitive = t == TType.BOOL || t == TType.BYTE ||
+          t == TType.I16 || t == TType.I32 || t == TType.I64 ||
+          t == TType.DOUBLE
+        if (primitive &&
+            m.requirementType != org.apache.thrift.TFieldRequirementType.OPTIONAL)
+          sys.error(s"graft-thrift-seq: NULL for non-optional primitive " +
+            s"field '${sf.name}' of $className would silently read back " +
+            "as the thrift default (0/false); write a value, or declare " +
+            "the field optional in the thrift IDL")
+      }
     }
     obj
   }

@@ -151,11 +151,12 @@ class SourceRoundTripSpec extends SparkSpec {
     // the thrift protocol is length-prefixed binary: delimiter bytes,
     // newlines and the text-null sentinel all pass through literally.
     // CONTRACT PIN: default-requiredness thrift PRIMITIVES are not
-    // nullable on the wire — the generated write() emits them
-    // unconditionally, so a null int reads back as the thrift default 0
-    // (strings and containers stay nullable via their null checks)
+    // nullable on the wire — a NULL int would silently read back as the
+    // thrift default 0, so the writer REFUSES it loudly (r10 advisor
+    // seam); null STRINGS stay nullable and round-trip.
     val rows = batch(textSafe = false).map(r =>
-      Row(r.get(0), r.get(1), Option(r.get(3)).map(_ => r.get(0)).orNull))
+      Row(Option(r.get(0)).getOrElse(0), r.get(1),
+        Option(r.get(3)).flatMap(_ => Option(r.get(0))).getOrElse(0)))
     val tschema = StructType(Seq(
       StructField("myint", IntegerType),
       StructField("myString", StringType),
@@ -168,12 +169,27 @@ class SourceRoundTripSpec extends SparkSpec {
       .mode("overwrite").save(dir)
     val back = spark.read.format("graft-thrift-seq")
       .option("thrift.class", cls).schema(tschema).load(dir).collect()
-    def got_(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
-    // expected: primitive nulls collapse to the thrift default 0
-    def want_(r: Row) = (Some(Option(r.get(0)).getOrElse(0)): Option[Any],
-      Option(r.get(1)), Some(Option(r.get(2)).getOrElse(0)): Option[Any])
-    val (got, want) = (back.toSeq.map(got_).sortBy(_.toString),
-      rows.map(want_).sortBy(_.toString))
+    def canon(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+    val (got, want) = (back.toSeq.map(canon).sortBy(_.toString),
+      rows.map(canon).sortBy(_.toString))
     assert(got == want, got.zip(want).find { case (g, w) => g != w })
+  }
+
+  test("graft-thrift-seq refuses NULL into a non-optional primitive field") {
+    val tschema = StructType(Seq(
+      StructField("myint", IntegerType),
+      StructField("myString", StringType),
+      StructField("underscore_int", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1, "ok", 2), Row(null, "null int", 3)), 1), tschema)
+    val dir = Files.createTempDirectory("rt_thrift_null").toString + "/t"
+    val cls = "org.apache.hadoop.hive.serde2.thrift.test.IntString"
+    val e = intercept[org.apache.spark.SparkException](
+      df.write.format("graft-thrift-seq").option("thrift.class", cls)
+        .mode("overwrite").save(dir))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + chain(t.getCause)
+    assert(chain(e).contains("NULL for non-optional primitive"), chain(e).take(400))
   }
 }
