@@ -412,6 +412,76 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV payloads WITH real PCM content: 16-bit LE samples
+    * following sample[k] = ((k * (doc_id + 3)) mod 65536) - 32768 across
+    * the interleaved channel stream — closed-form, so the sample-level
+    * decoder below is oracled value-by-value (the audio face of
+    * [[synthPng]]; [[synthWav]] stays the silent header-only fixture). */
+  def synthWavPcm(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val base = wavBytes(id)
+      val bb = java.nio.ByteBuffer.wrap(base)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nVals = (base.length - 44) / 2
+      var k = 0
+      while (k < nVals) {
+        bb.putShort(44 + 2 * k, ((k * (id + 3)) % 65536 - 32768).toShort)
+        k += 1
+      }
+      (id, base)
+    }.toDF("doc_id", "payload")
+  }
+
+  case class AudioStats(doc_id: Long, channels: Long, sample_rate: Long,
+      n_values: Long, sample_sum: Long, max_abs: Long)
+
+  /** Sample-level WAV decode: the RIFF walk of [[parseWav]] locates the
+    * data chunk, then every 16-bit LE PCM value is read — sum, count and
+    * peak over the real bytes (the audio analogue of
+    * [[decodePixelStats]]). Narrow per-partition map; unparseable
+    * payloads yield -1 dims. */
+  def decodeAudioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, b) =>
+          val hdr = parseWav(b)
+          val dataOff = findDataChunk(b)
+          (hdr, dataOff) match {
+            case (Some((ch, rate, bits, _)), Some((off, len))) if bits == 16 =>
+              val n = math.min(len, b.length.toLong - off) / 2
+              var (sum, maxAbs) = (0L, 0L)
+              var k = 0
+              while (k < n) {
+                val v = ((b(off + 2 * k) & 0xFF) |
+                  (b(off + 2 * k + 1) << 8)).toShort.toLong
+                sum += v
+                val a = math.abs(v)
+                if (a > maxAbs) maxAbs = a
+                k += 1
+              }
+              AudioStats(id, ch.toLong, rate, n, sum, maxAbs)
+            case _ => AudioStats(id, -1L, -1L, -1L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** (offset, declared length) of the RIFF data chunk's payload. */
+  private def findDataChunk(b: Array[Byte]): Option[(Int, Long)] = {
+    if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF") return None
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = le32(b, o + 4)
+      if (id == "data") return Some((o + 8, len))
+      off += 8L + len + (len & 1L)
+    }
+    None
+  }
+
   /** Batched featurize: one setup per partition, streaming over rows. */
   def featurize(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._

@@ -135,4 +135,28 @@ object HiveSemantics {
         GreaterThan(Length(c.child), Literal(0))
     }
   }
+
+  /** CAST(numeric AS BINARY) is an ERROR in Hive ("Only string, char,
+    * varchar or binary data can be cast into binary data types" —
+    * GenericUDFToBinary via invalid_cast_to_binary_*.q), while Spark's
+    * legacy (non-ANSI) cast silently emits the value's raw bytes. Byte
+    * soup where the reference raises is a silent divergence, so refuse
+    * at analysis — a user-written workaround is cast(string) first. */
+  object BinaryCastGuard extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      plan.resolveExpressions {
+        case c: Cast if c.child.resolved && c.dataType == BinaryType &&
+            !(c.child.dataType == StringType ||
+              c.child.dataType == BinaryType ||
+              c.child.dataType == NullType ||
+              c.child.dataType.isInstanceOf[CharType] ||
+              c.child.dataType.isInstanceOf[VarcharType]) =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              ("Only string, char, varchar or binary data can be cast into " +
+                s"binary data types, got ${c.child.dataType.catalogString}")))
+      }
+    }
+  }
 }

@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hive comparison/cast semantics (see HiveSemantics.scala)
     e.injectResolutionRule(_ => HiveSemantics.CompareViaDouble)
     e.injectResolutionRule(_ => HiveSemantics.StringBooleanCast)
+    e.injectResolutionRule(_ => HiveSemantics.BinaryCastGuard)
   }
 }

@@ -52,6 +52,41 @@ object Round11Queries {
                      round((d.h - 1) / 2.0, 4) AS mean_g,
                      round(CAST(d.b AS DOUBLE), 4) AS mean_b,
                      thumb.gray_sum
-              FROM d JOIN thumb ON d.doc_id = thumb.doc_id"""))
+              FROM d JOIN thumb ON d.doc_id = thumb.doc_id""")),
+
+    // ---- m06: sample-level audio decode — real 16-bit LE PCM values
+    //      read out of RIFF/WAV data chunks (m04 stopped at the header).
+    //      Payload samples follow a closed-form pattern, so the oracle
+    //      recomputes sum/count/peak value-by-value: an endianness flip,
+    //      off-by-one data offset, or sign error breaks the hash. ----
+    Q("m06_audio_samples", (s, d) => {
+      val media = Multimodal.synthWavPcm(s,
+        t(s, d, "documents").filter(col("doc_id") < 300))
+      Multimodal.decodeAudioStats(s, media).toDF()
+        .select("doc_id", "channels", "sample_rate", "n_values",
+          "sample_sum", "max_abs")
+    },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS ch,
+                       CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            ELSE 32000 END AS rate,
+                       (doc_id % 100) * 10 * (1 + doc_id % 2) AS nvals
+                FROM documents WHERE doc_id < 300),
+              s AS (
+                SELECT d.doc_id,
+                       unnest(range(0, d.nvals)) AS k
+                FROM d),
+              v AS (
+                SELECT s.doc_id,
+                       ((s.k * (s.doc_id + 3)) % 65536) - 32768 AS val
+                FROM s)
+              SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
+                     CAST(d.rate AS BIGINT) AS sample_rate,
+                     CAST(d.nvals AS BIGINT) AS n_values,
+                     COALESCE(sum(v.val), 0) AS sample_sum,
+                     COALESCE(max(abs(v.val)), 0) AS max_abs
+              FROM d LEFT JOIN v ON d.doc_id = v.doc_id
+              GROUP BY d.doc_id, d.ch, d.rate, d.nvals"""))
   )
 }

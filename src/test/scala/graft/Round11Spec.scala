@@ -279,6 +279,22 @@ class Round11Spec extends SparkSpec {
     assert(st.feature.length == 64)
   }
 
+  test("audio sample decode survives truncated data chunks") {
+    import spark.implicits._
+    // a WAV whose data chunk declares more bytes than the file carries:
+    // the decoder must clamp to what exists, not walk off the end
+    val full = operators.Multimodal.synthWavPcm(spark,
+      Seq(7L).toDF("doc_id")).collect()(0).getAs[Array[Byte]]("payload")
+    val truncated = full.take(full.length - 10)
+    val st = operators.Multimodal.decodeAudioStats(spark,
+      Seq((7L, truncated)).toDF("doc_id", "payload")).collect()(0)
+    assert(st.channels == 2 && st.n_values == (full.length - 44 - 10) / 2)
+    // and non-WAV bytes flow through as unknown rows
+    val bad = operators.Multimodal.decodeAudioStats(spark,
+      Seq((8L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")).collect()(0)
+    assert(bad.channels == -1L)
+  }
+
   test("aHash on real pixels: deterministic, sensitive, corrupt-safe") {
     import spark.implicits._
     def stats(id: Long) = operators.Multimodal.decodePixelStats(spark,
