@@ -1467,6 +1467,20 @@ object Engine {
     var insertNotMatched = false
     var deleteMatched = Option.empty[String]
     val bounds = whenPos :+ text.length
+    // SemanticAnalyzer parity (merge_negative_2.q; Spark raises
+    // NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION): with several MATCHED
+    // clauses only the LAST may omit its AND condition — an earlier
+    // unconditional clause would make the rest dead code, silently
+    val matchedPreds = bounds.sliding(2)
+      .map(w => text.substring(w(0), w(1)).trim).flatMap {
+        case whenUpdateRe(p, _) => Some(Option(p))
+        case whenDeleteRe(p) => Some(Option(p))
+        case _ => None
+      }.toSeq
+    matchedPreds.dropRight(1).foreach(p => require(p.nonEmpty,
+      "MERGE: when there are more than one MATCHED clause, only the last " +
+        "MATCHED clause can omit its condition " +
+        "(NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION)"))
     bounds.sliding(2).map(w => text.substring(w(0), w(1)).trim).foreach {
       case whenUpdateRe(updPred, assigns) =>
         // a conditional UPDATE (WHEN MATCHED AND pred) can only evaluate
