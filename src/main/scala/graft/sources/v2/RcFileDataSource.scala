@@ -60,7 +60,9 @@ class RcFileDataSource extends TableProvider with DataSourceRegister {
       else Option(properties.get("partitions")).toSeq
         .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     RcTable(p, schema, partCols,
-      Option(properties.get("serde")).getOrElse(RcV2Util.DEFAULT_SERDE))
+      Option(properties.get("serde")).getOrElse(RcV2Util.DEFAULT_SERDE),
+      Option(properties.get("compress.codec")).map("compress.codec" -> _)
+        .toMap)
   }
 }
 
@@ -220,7 +222,8 @@ object RcV2Util {
 
 case class RcTable(path: String, tableSchema: StructType,
     partCols: Seq[String] = Nil,
-    serde: String = RcV2Util.DEFAULT_SERDE)
+    serde: String = RcV2Util.DEFAULT_SERDE,
+    props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
   override def name(): String = s"graft-rcfile:$path"
@@ -236,7 +239,7 @@ case class RcTable(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RcScanBuilder(path, tableSchema, partCols, serde)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RcWriteBuilder(path, info.schema(), partCols, serde)
+    new RcWriteBuilder(path, info.schema(), partCols, serde, props)
 }
 
 class RcScanBuilder(path: String, full: StructType, partCols: Seq[String],
@@ -376,7 +379,7 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
 }
 
 class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String],
-    serde: String)
+    serde: String, props: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
   private var mode = "NONE"
@@ -401,13 +404,15 @@ class RcWriteBuilder(path: String, schema: StructType, partCols: Seq[String],
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = RcBatchWrite(path, schema.json,
       partCols, mode, staticSpec,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde,
+      TextV2Util.effectiveOutputCodec(props))
   }
 }
 
 case class RcBatchWrite(path: String, schemaJson: String,
     partCols: Seq[String], mode: String, staticSpec: Map[String, String],
-    sessionTz: String, serde: String) extends BatchWrite {
+    sessionTz: String, serde: String,
+    outputCodec: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -420,7 +425,8 @@ case class RcBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    RcWriterFactory(path, schemaJson, partCols, sessionTz, serde)
+    RcWriterFactory(path, schemaJson, partCols, sessionTz, serde,
+      outputCodec)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
@@ -436,7 +442,8 @@ case class RcBatchWrite(path: String, schemaJson: String,
 }
 
 case class RcWriterFactory(path: String, schemaJson: String,
-    partCols: Seq[String], sessionTz: String, serde: String)
+    partCols: Seq[String], sessionTz: String, serde: String,
+    outputCodec: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -462,7 +469,12 @@ case class RcWriterFactory(path: String, schemaJson: String,
           fs.mkdirs(dir): Unit
           seq += 1
           val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.rc")
-          (new RCFile.Writer(fs, conf, file), file)
+          // hive.exec.compress.output parity: RCFile compresses its
+          // key/value sections internally (RCFile.Writer's codec arg —
+          // the reference's RCFileOutputFormat.getRecordWriter path);
+          // the file stays sync-splittable and self-describing
+          (new RCFile.Writer(fs, conf, file, null,
+            outputCodec.map(TextV2Util.newCodec(_, conf)).orNull), file)
         })._1
       // the REAL serde (text or binary cells, per the table's DDL)
       // serializes each row; RCFile.Writer.append copies the returned

@@ -70,13 +70,30 @@ class SequenceFileDataSource extends TableProvider with DataSourceRegister {
       if (partitioning.nonEmpty) PartLayout.partColNames(partitioning)
       else Option(properties.get("partitions")).toSeq
         .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-    SeqTable(p, schema, partCols)
+    SeqTable(p, schema, partCols,
+      Option(properties.get("compress.codec")).map("compress.codec" -> _)
+        .toMap ++
+      Option(properties.get("compress.type")).map("compress.type" -> _))
   }
 }
 
 object SeqV2Util {
   val SEP = "\u0001"
   val NULL = "\\N"
+
+  /** SequenceFile compression granularity when output compression is on:
+    * a `compress.type` table/writer property wins, then the session's
+    * `mapred(uce)?.output...compress(ion)?.type` SET value, defaulting to
+    * RECORD (SequenceFileOutputFormat.getOutputCompressionType's
+    * default, which the reference's FileSinkOperator consults). */
+  def effectiveCompressType(props: Map[String, String]): String =
+    props.get("compress.type").map(_.trim).filter(_.nonEmpty).getOrElse {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      Seq("mapred.output.compression.type",
+        "mapreduce.output.fileoutputformat.compress.type")
+        .map(k => conf.getConfString(k, "")).find(_.nonEmpty)
+        .getOrElse("RECORD")
+    }.toUpperCase
 
   /** Render micros-of-a-wall-clock LocalDateTime in the reference's
     * LazySimpleSerDe text shape (java.sql.Timestamp.toString: seconds
@@ -182,7 +199,7 @@ object SeqV2Util {
 }
 
 case class SeqTable(path: String, tableSchema: StructType,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
   override def name(): String = s"graft-seq:$path"
@@ -198,7 +215,7 @@ case class SeqTable(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(path, tableSchema, partCols)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SeqWriteBuilder(path, info.schema(), partCols)
+    new SeqWriteBuilder(path, info.schema(), partCols, props)
 }
 
 class SeqScanBuilder(path: String, full: StructType, partCols: Seq[String])
@@ -348,7 +365,8 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String,
   }
 }
 
-class SeqWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
+class SeqWriteBuilder(path: String, schema: StructType, partCols: Seq[String],
+    props: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
   // NONE = plain append; ALL = truncate-and-write; DYNAMIC = replace only
@@ -382,13 +400,16 @@ class SeqWriteBuilder(path: String, schema: StructType, partCols: Seq[String])
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = SeqBatchWrite(path, schema.json,
       partCols, mode, staticSpec,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      TextV2Util.effectiveOutputCodec(props),
+      SeqV2Util.effectiveCompressType(props))
   }
 }
 
 case class SeqBatchWrite(path: String, schemaJson: String,
     partCols: Seq[String], mode: String, staticSpec: Map[String, String],
-    sessionTz: String) extends BatchWrite {
+    sessionTz: String, outputCodec: Option[String] = None,
+    compressType: String = "RECORD") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -403,7 +424,8 @@ case class SeqBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    SeqWriterFactory(path, schemaJson, partCols, sessionTz)
+    SeqWriterFactory(path, schemaJson, partCols, sessionTz, outputCodec,
+      compressType)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
@@ -419,7 +441,9 @@ case class SeqBatchWrite(path: String, schemaJson: String,
 }
 
 case class SeqWriterFactory(path: String, schemaJson: String,
-    partCols: Seq[String], sessionTz: String) extends DataWriterFactory {
+    partCols: Seq[String], sessionTz: String,
+    outputCodec: Option[String] = None, compressType: String = "RECORD")
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // lines carry only the data columns; partition values become the
@@ -446,9 +470,22 @@ case class SeqWriterFactory(path: String, schemaJson: String,
           val dir = if (rel.isEmpty) new Path(path) else new Path(path, rel)
           seq += 1
           val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.seq")
+          // hive.exec.compress.output parity: the container compresses
+          // internally (RECORD or BLOCK, FileSinkOperator via
+          // SequenceFileOutputFormat.getOutputCompressionType) — the file
+          // keeps its name, stays sync-splittable, and readers discover
+          // the codec from the header
+          val compressOpt = outputCodec match {
+            case Some(c) => SequenceFile.Writer.compression(
+              SequenceFile.CompressionType.valueOf(compressType),
+              TextV2Util.newCodec(c, conf))
+            case None => SequenceFile.Writer.compression(
+              SequenceFile.CompressionType.NONE)
+          }
           (SequenceFile.createWriter(conf, SequenceFile.Writer.file(file),
             SequenceFile.Writer.keyClass(classOf[BytesWritable]),
-            SequenceFile.Writer.valueClass(classOf[Text])), file)
+            SequenceFile.Writer.valueClass(classOf[Text]),
+            compressOpt), file)
         })._1
       override def write(row: InternalRow): Unit = {
         val rel =

@@ -30,11 +30,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options (the serde's own property names): `field.delim`,
   * `collection.delim`, `mapkey.delim`, `escape.delim`,
-  * `serialization.null.format`.
+  * `serialization.null.format`; plus `compress.codec` (or session
+  * `SET hive.exec.compress.output=true` [+ codec conf]) for compressed
+  * text OUTPUT, FileSinkOperator-style.
   *
-  * Scale design: one InputPartition per file (gzip-style codecs are
+  * Scale design: uncompressed files split into newline-aligned
+  * byte-range InputPartitions ([[FileSplits]]); gzip-style codecs are
   * supported via the Hadoop codec factory — such files are inherently
-  * unsplittable, exactly as in the reference); LazySimpleSerDe decodes
+  * unsplittable, exactly as in the reference; LazySimpleSerDe decodes
   * fields LAZILY, so unprojected columns are never materialized.
   * Partitioned tables share the Hive `p=v` layout machinery
   * ([[PartLayout]]); `_metadata.file_path` serves the CoW DML engine.
@@ -68,9 +71,48 @@ object TextV2Util {
   def serdeProps(properties: JMap[String, String]): Map[String, String] =
     properties.asScala.toSeq.filter { case (k, _) =>
       Set("field.delim", "collection.delim", "mapkey.delim",
-        "escape.delim", "serialization.null.format")
+        "escape.delim", "serialization.null.format", "compress.codec")
         .contains(k.toLowerCase)
     }.map { case (k, v) => k.toLowerCase -> v }.toMap
+
+  /** Output-compression decision at write-build time — Hive's
+    * FileSinkOperator consults `hive.exec.compress.output` +
+    * `mapred(uce)?.output.compression.codec`
+    * (reference: ql/src/java/.../exec/FileSinkOperator.java,
+    * Utilities.getFileExtension). An explicit `compress.codec` writer
+    * option wins; otherwise the session SET values apply, with Hive's
+    * own default codec (deflate) when only the boolean is set. */
+  def effectiveOutputCodec(props: Map[String, String]): Option[String] = {
+    props.get("compress.codec").map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.equalsIgnoreCase("none")).orElse {
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val on = Seq("hive.exec.compress.output", "mapred.output.compress",
+          "mapreduce.output.fileoutputformat.compress")
+          .exists(k => conf.getConfString(k, "false").equalsIgnoreCase("true"))
+        if (!on) None
+        else Some(Seq("mapred.output.compression.codec",
+          "mapreduce.output.fileoutputformat.compress.codec")
+          .map(k => conf.getConfString(k, "")).find(_.nonEmpty)
+          .getOrElse("deflate"))
+      }
+  }
+
+  /** Resolve a codec by Hadoop class name or short alias and instantiate
+    * it against `conf` (pure-Java codecs only — zlib/gzip/bzip2 need no
+    * native libs). */
+  def newCodec(name: String, conf: Configuration)
+      : org.apache.hadoop.io.compress.CompressionCodec = {
+    val cls = name.toLowerCase match {
+      case "gzip" | "gz" => "org.apache.hadoop.io.compress.GzipCodec"
+      case "deflate" | "zlib" | "default" =>
+        "org.apache.hadoop.io.compress.DefaultCodec"
+      case "bzip2" | "bz2" => "org.apache.hadoop.io.compress.BZip2Codec"
+      case _ => name
+    }
+    org.apache.hadoop.util.ReflectionUtils.newInstance(
+      Class.forName(cls).asSubclass(
+        classOf[org.apache.hadoop.io.compress.CompressionCodec]), conf)
+  }
 
   /** Hive type string, recursive over complex types (TypeInfoUtils
     * grammar) — the serde's `columns.types` property. */
@@ -447,13 +489,15 @@ class TextWriteBuilder(path: String, schema: StructType, partCols: Seq[String],
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = TextBatchWrite(path, schema.json,
       partCols, mode, staticSpec,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, props)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, props,
+      TextV2Util.effectiveOutputCodec(props))
   }
 }
 
 case class TextBatchWrite(path: String, schemaJson: String,
     partCols: Seq[String], mode: String, staticSpec: Map[String, String],
-    sessionTz: String, props: Map[String, String]) extends BatchWrite {
+    sessionTz: String, props: Map[String, String],
+    outputCodec: Option[String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -466,7 +510,7 @@ case class TextBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    TextWriterFactory(path, schemaJson, partCols, sessionTz, props)
+    TextWriterFactory(path, schemaJson, partCols, sessionTz, props, outputCodec)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
@@ -482,8 +526,8 @@ case class TextBatchWrite(path: String, schemaJson: String,
 }
 
 case class TextWriterFactory(path: String, schemaJson: String,
-    partCols: Seq[String], sessionTz: String, props: Map[String, String])
-    extends DataWriterFactory {
+    partCols: Seq[String], sessionTz: String, props: Map[String, String],
+    outputCodec: Option[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val dataIdx = sparkSchema.fields.zipWithIndex
@@ -501,17 +545,24 @@ case class TextWriterFactory(path: String, schemaJson: String,
         dataSchema.fieldNames.toSeq.asJava,
         dataSchema.fields.toSeq.map(f => TextV2Util.javaOI(f.dataType)).asJava)
     val newline = "\n".getBytes("UTF-8")
+    // hive.exec.compress.output parity (FileSinkOperator wraps the text
+    // stream in the configured codec and suffixes the file; the read path
+    // resolves the codec back from the suffix via CompressionCodecFactory)
+    val codec = outputCodec.map(TextV2Util.newCodec(_, conf))
+    val ext = ".txt" + codec.map(_.getDefaultExtension).getOrElse("")
     new DataWriter[InternalRow] {
       private val writers = scala.collection.mutable
-        .LinkedHashMap[String, (org.apache.hadoop.fs.FSDataOutputStream, Path)]()
+        .LinkedHashMap[String, (java.io.OutputStream, Path)]()
       private var seq = 0
-      private def writerFor(rel: String): org.apache.hadoop.fs.FSDataOutputStream =
+      private def writerFor(rel: String): java.io.OutputStream =
         writers.getOrElseUpdate(rel, {
           val dir = if (rel.isEmpty) new Path(path) else new Path(path, rel)
           fs.mkdirs(dir): Unit
           seq += 1
-          val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d.txt")
-          (fs.create(file, false), file)
+          val file = new Path(dir, f"part-$partitionId%05d-$taskId-$uid-$seq%03d$ext")
+          val raw = fs.create(file, false)
+          (codec.map(_.createOutputStream(raw): java.io.OutputStream)
+            .getOrElse(raw), file)
         })._1
       override def write(row: InternalRow): Unit = {
         val rel =

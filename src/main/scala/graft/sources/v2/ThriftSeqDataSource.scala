@@ -367,7 +367,9 @@ class ThriftWriteBuilder(path: String, schema: StructType,
         val fs = p.getFileSystem(new Configuration())
         if (doTruncate && fs.exists(p)) fs.delete(p, true): Unit
         fs.mkdirs(p): Unit
-        ThriftWriterFactory(path, schema.json, thriftClass, protocol)
+        ThriftWriterFactory(path, schema.json, thriftClass, protocol,
+          TextV2Util.effectiveOutputCodec(Map.empty),
+          SeqV2Util.effectiveCompressType(Map.empty))
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -376,7 +378,9 @@ class ThriftWriteBuilder(path: String, schema: StructType,
 }
 
 case class ThriftWriterFactory(path: String, schemaJson: String,
-    thriftClass: String, protocol: String) extends DataWriterFactory {
+    thriftClass: String, protocol: String,
+    outputCodec: Option[String] = None, compressType: String = "RECORD")
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -386,7 +390,14 @@ case class ThriftWriterFactory(path: String, schemaJson: String,
     val writer = SequenceFile.createWriter(conf,
       SequenceFile.Writer.file(file),
       SequenceFile.Writer.keyClass(classOf[BytesWritable]),
-      SequenceFile.Writer.valueClass(classOf[BytesWritable]))
+      SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+      outputCodec match {
+        case Some(c) => SequenceFile.Writer.compression(
+          SequenceFile.CompressionType.valueOf(compressType),
+          TextV2Util.newCodec(c, conf))
+        case None => SequenceFile.Writer.compression(
+          SequenceFile.CompressionType.NONE)
+      })
     val emptyKey = new BytesWritable(Array.emptyByteArray)
     new DataWriter[InternalRow] {
       override def write(row: InternalRow): Unit = {
