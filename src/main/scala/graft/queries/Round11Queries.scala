@@ -87,6 +87,76 @@ object Round11Queries {
                      COALESCE(sum(v.val), 0) AS sample_sum,
                      COALESCE(max(abs(v.val)), 0) AS max_abs
               FROM d LEFT JOIN v ON d.doc_id = v.doc_id
-              GROUP BY d.doc_id, d.ch, d.rate, d.nvals"""))
+              GROUP BY d.doc_id, d.ch, d.rate, d.nvals""")),
+
+    // ---- t18: per-domain document cap — keep the top-3 docs per source
+    //      by quality (distinct-token ratio, doc_id tiebreak), the
+    //      "no domain dominates the corpus" guard a crawl pipeline runs
+    //      before mixing. The window partitions by SOURCE, so work
+    //      scales with per-domain data, never the corpus; a
+    //      pathologically hot domain is the one place a bounded-heap
+    //      aggregate would replace it. ----
+    Q("t18_domain_cap", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .withColumn("quality",
+          round(size(array_distinct(split(col("text"), " "))) /
+            size(split(col("text"), " ")).cast("double"), 4))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"), col("quality"), col("rn"))
+    },
+      Some("""WITH q AS (
+                SELECT source, doc_id,
+                       round(CAST(len(list_distinct(string_split(text,' ')))
+                             AS DOUBLE) / len(string_split(text,' ')), 4)
+                         AS quality
+                FROM documents),
+              r AS (
+                SELECT source, doc_id, quality,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY quality DESC, doc_id) AS rn
+                FROM q)
+              SELECT source, doc_id, quality, rn FROM r WHERE rn <= 3""")),
+
+    // ---- t19: mixture balancing to the smallest source — downsample
+    //      every source to the minimum source's token count
+    //      (rate_s = min_total / total_s), each doc kept by the same
+    //      overflow-safe multiplicative hash as t11, so the sample is
+    //      reproducible with zero extra state. Plan shape: one 20-row
+    //      aggregate, a broadcast of the per-source rates back onto the
+    //      corpus, a narrow filter — no window, no corpus shuffle. ----
+    Q("t19_mixture_sample", (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      val totals = docs.groupBy("source")
+        .agg(sum("ntok").as("total"))
+      val rates = totals
+        .crossJoin(broadcast(totals.agg(min("total").as("mn"))))
+        .select(col("source"),
+          least(lit(1.0), col("mn").cast("double") / col("total"))
+            .as("rate"))
+      docs.join(broadcast(rates), "source")
+        .withColumn("u",
+          ((col("doc_id") % lit(1048576L)) * lit(489905L) % lit(1048576L))
+            / lit(1048576.0))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+    },
+      Some("""WITH tok AS (
+                SELECT doc_id, source,
+                       len(string_split(text,' ')) AS ntok
+                FROM documents),
+              tot AS (SELECT source, sum(ntok) AS total
+                      FROM tok GROUP BY source),
+              m AS (SELECT min(total) AS mn FROM tot),
+              r AS (SELECT source,
+                           least(1.0, CAST(mn AS DOUBLE) / total) AS rate
+                    FROM tot, m)
+              SELECT tok.doc_id, tok.source, round(r.rate, 6) AS rate
+              FROM tok JOIN r USING (source)
+              WHERE (tok.doc_id % 1048576 * 489905 % 1048576) / 1048576.0
+                    < r.rate"""))
   )
 }

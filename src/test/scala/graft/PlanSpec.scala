@@ -38,6 +38,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("event_type"))
   }
 
+  test("t18: domain cap windows by source, never a single partition") {
+    val p = plan("t18_domain_cap")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("SinglePartition"),
+      "domain cap must partition its window by source:\n" + p.take(1500))
+  }
+
+  test("t19: mixture rates broadcast back onto the corpus") {
+    val p = plan("t19_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast, not shuffle the corpus:\n" +
+        p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("s03: candidate bound is pushed to the embeddings scan") {
     assert(plan("s03_embed_neardup").contains("LessThan(vec_id,200)"))
   }
