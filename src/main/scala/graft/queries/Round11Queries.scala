@@ -157,6 +157,92 @@ object Round11Queries {
               SELECT tok.doc_id, tok.source, round(r.rate, 6) AS rate
               FROM tok JOIN r USING (source)
               WHERE (tok.doc_id % 1048576 * 489905 % 1048576) / 1048576.0
-                    < r.rate"""))
+                    < r.rate""")),
+
+    // ---- t20: corpus-adaptive boilerplate removal — drop every token
+    //      whose DOCUMENT frequency exceeds 80% of the corpus (the
+    //      data-driven analogue of CCNet's duplicated-line stripping),
+    //      preserving token order, and report how many were removed.
+    //      The stop set is bounded by construction (≤ 1/0.8 tokens can
+    //      each appear in >80% of docs... in practice a handful), so the
+    //      anti-join broadcasts; reassembly is a per-document
+    //      collect+sort, bounded by doc length, never corpus-sized. ----
+    Q("t20_boilerplate_strip", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val stop = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("dfreq"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .filter(col("dfreq") > col("n") * 0.8).select("w")
+      val kept = toks.join(broadcast(stop), Seq("w"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w"))).as("scrubbed"),
+          count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+          (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    },
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM documents),
+              tok AS (SELECT doc_id,
+                             unnest(range(len(string_split(text,' ')))) AS pos,
+                             unnest(string_split(text,' ')) AS w
+                      FROM documents),
+              dfq AS (SELECT w, count(DISTINCT doc_id) AS dfreq
+                      FROM tok GROUP BY w),
+              stop AS (SELECT w FROM dfq, n WHERE dfreq > cnt * 0.8),
+              kept AS (SELECT doc_id, pos, w FROM tok
+                       WHERE w NOT IN (SELECT w FROM stop)),
+              reb AS (SELECT doc_id,
+                             string_agg(w, ' ' ORDER BY pos) AS scrubbed,
+                             count(*) AS n_kept
+                      FROM kept GROUP BY doc_id)
+              SELECT d.doc_id,
+                     COALESCE(reb.scrubbed, '') AS scrubbed,
+                     len(string_split(d.text,' ')) - COALESCE(reb.n_kept, 0)
+                       AS n_removed
+              FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""")),
+
+    // ---- t21: classifier-based quality scoring — a linear model over
+    //      hashing-trick token features (the fasttext-style quality
+    //      filter a pipeline runs per document). Bucket = md5-prefix mod
+    //      1024, weight = a deterministic integer per bucket in
+    //      [-1000,1000]; the per-doc weight SUM stays in integer space
+    //      (exact under any evaluation order — a double accumulation
+    //      would make the oracle order-sensitive), divided once at the
+    //      end. Purely per-row after the broadcast-free map: one
+    //      codegen'd higher-order fold, zero shuffle. ----
+    Q("t21_quality_classifier", (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val wsum = aggregate(toks, lit(0L), (acc, w) =>
+        acc + (conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 1024L)
+          * 2654435761L % 2001L - 1000L)
+      t(s, d, "documents")
+        .withColumn("score",
+          round(wsum / (size(toks) * 1000.0), 5))
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0.02).as("keep"))
+    },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(lower(text),' ')) AS w
+                FROM documents),
+              b AS (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 6))::BIGINT % 1024
+                             AS bkt
+                    FROM tok),
+              sc AS (SELECT doc_id,
+                            sum(bkt * 2654435761 % 2001 - 1000) AS ws,
+                            count(*) AS ntok
+                     FROM b GROUP BY doc_id)
+              SELECT doc_id,
+                     round(ws / (ntok * 1000.0), 5) AS score,
+                     round(ws / (ntok * 1000.0), 5) > 0.02 AS keep
+              FROM sc"""))
   )
 }

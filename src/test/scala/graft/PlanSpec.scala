@@ -45,6 +45,21 @@ class PlanSpec extends SparkSpec {
       "domain cap must partition its window by source:\n" + p.take(1500))
   }
 
+  test("t20: the stop-set anti-join broadcasts; no global window") {
+    val p = plan("t20_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "stop-set must broadcast onto the token stream:\n" + p.take(1500))
+    // the only SinglePartition allowed is the one-row corpus count that
+    // feeds the DF threshold — never a Window or a corpus-wide sort
+    assert(!p.contains("Window") && !p.contains("SortExec"), p.take(1500))
+  }
+
+  test("t21: classifier scoring is a pure per-row map — no exchange") {
+    val p = plan("t21_quality_classifier")
+    assert(!p.contains("Exchange"),
+      "per-doc scoring must not shuffle:\n" + p.take(1500))
+  }
+
   test("t19: mixture rates broadcast back onto the corpus") {
     val p = plan("t19_mixture_sample")
     assert(p.contains("BroadcastHashJoin"),
