@@ -243,6 +243,42 @@ object Round11Queries {
               SELECT doc_id,
                      round(ws / (ntok * 1000.0), 5) AS score,
                      round(ws / (ntok * 1000.0), 5) > 0.02 AS keep
-              FROM sc"""))
+              FROM sc""")),
+
+    // ---- m07: image-level dedup from DECODED PIXELS — every document's
+    //      payload (content-addressed: one synthesis per distinct
+    //      pattern, joined back per doc) is pixel-decoded, and documents
+    //      pair when their decoded signatures (dims + channel means +
+    //      gray sum) coincide. The signature join is hash-partitioned
+    //      equality — blocked, never all-pairs. The oracle predicts the
+    //      pair set purely from the generator's closed form (doc_id mod
+    //      60), so a decoder that collapses or splits signatures breaks
+    //      the row set, not just a value. ----
+    Q("m07_image_dedup", (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 60).as("pat"))
+      val patMedia = Multimodal.synthPng(s,
+          docs.select(col("pat").as("doc_id")).distinct())
+        .withColumnRenamed("doc_id", "pat")
+      val docMedia = docs.join(patMedia, "pat")
+        .select(col("doc_id"), col("payload"))
+      val sig = Multimodal.decodePixelStats(s, docMedia).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("gray_sum"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+      val a = sig.as("a"); val b = sig.as("b")
+      a.join(b,
+          col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.gray_sum") === col("b.gray_sum") &&
+          col("a.mean_r") === col("b.mean_r") &&
+          col("a.mean_g") === col("b.mean_g") &&
+          col("a.mean_b") === col("b.mean_b") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    },
+      Some("""SELECT a.doc_id AS da, b.doc_id AS db
+             FROM documents a JOIN documents b
+               ON a.doc_id % 60 = b.doc_id % 60 AND a.doc_id < b.doc_id
+             WHERE a.doc_id < 300 AND b.doc_id < 300"""))
   )
 }
