@@ -277,4 +277,46 @@ object EventStreams {
           next
       }
   }
+
+  case class IngestedDoc(doc_id: Long, fp: String, quality: Double)
+
+  /** Streaming corpus ingestion — the continuous-crawl front door of the
+    * batch pipeline suite: a document stream is quality-gated (distinct-
+    * token ratio, the t02/t11 scorer) and deduplicated against EVERY
+    * previously admitted fingerprint, not just a watermark window: the
+    * first arrival of a fingerprint is admitted exactly once, later
+    * copies are dropped forever — `dropDuplicatesWithinWatermark` cannot
+    * express unbounded first-wins, so this is flatMapGroupsWithState
+    * with one Boolean per admitted fingerprint.
+    *
+    * Scale: state is 16 bytes of md5 key + a Boolean per DISTINCT
+    * admitted document, hash-partitioned across executors — the same
+    * budget a batch exact-dedup's shuffle would use, amortized over the
+    * stream's lifetime (with RocksDB state store off-heaping it in
+    * production). Within a micro-batch the winner is the smallest
+    * doc_id, so replays are deterministic.
+    */
+  def corpusIngest(spark: SparkSession, docs: DataFrame,
+                   minQuality: Double = 0.5): Dataset[IngestedDoc] = {
+    import spark.implicits._
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("quality",
+        size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " ")).cast("double"))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id").cast("long"), col("fp"), col("quality"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[(Long, String, Double)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._1)
+            Iterator.single(IngestedDoc(first._1, fp, first._3))
+          }
+      }
+  }
 }

@@ -210,4 +210,37 @@ class StreamingSpec extends SparkSpec {
       .filter(col("a.n") =!= col("b.n")).count()
     assert(joined == 0)
   }
+
+  test("streaming corpus ingest admits each fingerprint exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = EventStreams.corpusIngest(spark,
+      mem.toDF().toDF("doc_id", "text"), 0.5)
+    val q = out.toDF().writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two admissible docs + a low-quality one (distinct-token
+      // ratio 1/6 < 0.5) that the gate must drop
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "one two three four"),
+        (3L, "spam spam spam spam spam spam"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of doc 1 (different id, must be
+      // refused), a new doc, and an intra-batch duplicate pair where the
+      // SMALLER doc_id must win
+      mem.addData((10L, "alpha beta gamma delta"), (11L, "five six seven"),
+        (13L, "eight nine ten"), (12L, "eight nine ten"))
+      q.processAllAvailable()
+      // batch 3: same content again, including a case+whitespace variant
+      // that must normalize onto batch 1's fingerprint
+      mem.addData((20L, "five six seven"), (21L, "ALPHA  beta gamma delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ingest_out").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 12L),
+      rows.mkString(";"))
+    assert(rows.map(_.getString(1)).distinct.length == 4)
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
 }
