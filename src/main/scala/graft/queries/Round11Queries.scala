@@ -279,6 +279,29 @@ object Round11Queries {
       Some("""SELECT a.doc_id AS da, b.doc_id AS db
              FROM documents a JOIN documents b
                ON a.doc_id % 60 = b.doc_id % 60 AND a.doc_id < b.doc_id
-             WHERE a.doc_id < 300 AND b.doc_id < 300"""))
+             WHERE a.doc_id < 300 AND b.doc_id < 300""")),
+
+    // ---- t22: deterministic train/val/test split — 90/5/5 by the same
+    //      overflow-safe multiplicative doc hash as t11/t19, so
+    //      membership is a pure function of doc_id (stable across runs,
+    //      machines, and re-partitions — the property an eval split must
+    //      have). Zero shuffle for the assignment; the summary aggregate
+    //      verifies the proportions AND the exact membership hash. ----
+    Q("t22_train_test_split", (s, d) =>
+      t(s, d, "documents")
+        .withColumn("u",
+          ((col("doc_id") % lit(1048576L)) * lit(489905L) % lit(1048576L))
+            / lit(1048576.0))
+        .withColumn("split",
+          when(col("u") < 0.9, "train")
+            .when(col("u") < 0.95, "val").otherwise("test"))
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+                CASE WHEN (doc_id % 1048576 * 489905 % 1048576) / 1048576.0
+                          < 0.9 THEN 'train'
+                     WHEN (doc_id % 1048576 * 489905 % 1048576) / 1048576.0
+                          < 0.95 THEN 'val'
+                     ELSE 'test' END AS split
+             FROM documents"""))
   )
 }

@@ -375,6 +375,28 @@ class Round11Spec extends SparkSpec {
     d("DROP TABLE r11_rcc"); d("DROP TABLE r11_seqc")
   }
 
+  test("CoW DML works on tables whose files were written compressed") {
+    val d = Engine.ddl(spark, _: String)
+    val dir = tools.Tmp.dir("r11_cow_comp")
+    d("DROP TABLE IF EXISTS r11_cowc")
+    d(s"""CREATE TABLE r11_cowc (k INT, v STRING)
+          STORED AS SEQUENCEFILE LOCATION '$dir'""")
+    d("SET hive.exec.compress.output=true")
+    try d("INSERT INTO r11_cowc SELECT id, concat('v', id) FROM range(100)")
+    finally d("SET hive.exec.compress.output=false")
+    // the UPDATE rewrites affected files through the same writer with
+    // compression now OFF — mixed compressed/plain files must coexist
+    d("UPDATE r11_cowc SET v = 'patched' WHERE k % 10 = 3")
+    val rows = d("SELECT count(*), sum(k) FROM r11_cowc").head
+    assert(rows.getLong(0) == 100 && rows.getLong(1) == 4950, rows.toString)
+    assert(d("SELECT count(*) FROM r11_cowc WHERE v = 'patched'")
+      .head.getLong(0) == 10)
+    // DELETE over the mixed layout too
+    d("DELETE FROM r11_cowc WHERE k < 20")
+    assert(d("SELECT count(*) FROM r11_cowc").head.getLong(0) == 80)
+    d("DROP TABLE r11_cowc")
+  }
+
   // ---- EXCHANGE PARTITION refuses a value-equal partition at a graft dest
 
   test("EXCHANGE PARTITION refuses moving hr=1 onto a graft dest holding hr=01") {
