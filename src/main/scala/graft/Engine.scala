@@ -382,7 +382,7 @@ object Engine {
   private val createFunRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
   private val dropFunRe =
-    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val loadDataRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =
@@ -1596,8 +1596,57 @@ object Engine {
     * (graft-avro/graft-seq) writes, which reject LEGACY outright, keep
     * their normal path, and unrelated statements keep strict checking.
     */
+  /** Hive dynamic-partition INSERT guards (SemanticAnalyzer
+    * validatePartSpec / ErrorMsg 10096/10094/10095, clientnegative
+    * dyn_part1–4.q), evaluated from the session confs each statement:
+    *   - `hive.exec.dynamic.partition=false` refuses any dynamic column;
+    *   - `hive.exec.dynamic.partition.mode=strict` requires >=1 static
+    *     column in the PARTITION clause (the engine's default stays
+    *     nonstrict — Spark parity);
+    *   - a static column may never FOLLOW a dynamic one (the directory
+    *     tree can't nest a constant under a varying parent);
+    *   - `hive.exec.max.dynamic.partitions`, when explicitly set, caps
+    *     the distinct dynamic tuples the SELECT produces — counted with
+    *     a limit(max+1) probe so the guard never scans past the cap.
+    */
+  private def dynPartGuards(spark: SparkSession, stmt: String): Unit =
+    stmt match {
+      case insertBranchRe(_, tbl, part, select) if part != null &&
+          part.split(",").exists(!_.contains("=")) =>
+        val kvs = part.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val dynIdx = kvs.indexWhere(!_.contains("="))
+        if (!spark.conf.get("hive.exec.dynamic.partition", "true").trim
+            .equalsIgnoreCase("true"))
+          sys.error("Dynamic partition is disabled " +
+            "(hive.exec.dynamic.partition=false): " +
+            s"INSERT into $tbl PARTITION ($part)")
+        if (spark.conf.get("hive.exec.dynamic.partition.mode", "nonstrict")
+            .trim.equalsIgnoreCase("strict") && dynIdx == 0)
+          sys.error("Dynamic partition strict mode requires at least one " +
+            "static partition column " +
+            "(set hive.exec.dynamic.partition.mode=nonstrict): " +
+            s"INSERT into $tbl PARTITION ($part)")
+        kvs.drop(dynIdx).find(_.contains("=")).foreach(k =>
+          sys.error(s"Dynamic partition cannot be the parent of a static " +
+            s"partition: ${k.trim} follows a dynamic column in " +
+            s"PARTITION ($part)"))
+        spark.conf.getOption("hive.exec.max.dynamic.partitions")
+          .map(_.trim.toInt).foreach { max =>
+          val dynCols = kvs.drop(dynIdx).length
+          val out = spark.sql(select)
+          val tail = out.columns.takeRight(dynCols).toSeq
+          val n = out.select(tail.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().limit(max + 1).count()
+          if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
+            s"would create at least $n partitions, which is more than " +
+            s"hive.exec.max.dynamic.partitions=$max")
+        }
+      case _ => ()
+    }
+
   private def insertWithHiveCasts(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
+    dynPartGuards(spark, stmt)
     def run(): org.apache.spark.sql.DataFrame =
       try spark.sql(stmt)
       catch {
@@ -3063,9 +3112,14 @@ object Engine {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, jarUdfBuilder(cls).get, "scala_udf")
         spark.emptyDataFrame
-      case dropFunRe(name) =>
-        spark.sessionState.functionRegistry.dropFunction(
+      case dropFunRe(ifExists, name) =>
+        val dropped = spark.sessionState.functionRegistry.dropFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name.split('.').last))
+        // FunctionTask parity (drop_func_nonexistent.q): without IF EXISTS,
+        // dropping an unregistered function is an error, not a no-op
+        if (!dropped && ifExists == null)
+          sys.error(s"Cannot drop function $name: it is not registered " +
+            "(use DROP FUNCTION IF EXISTS to ignore)")
         spark.emptyDataFrame
       case loadDataRe(inpath, over, table, part) =>
         loadData(spark, inpath, over != null, table, Option(part))

@@ -408,4 +408,55 @@ object Dedup {
       .select("doc_id").distinct()
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** Exact duplicate-SPAN removal (the "ExactSubstr" dedup of Lee et al.,
+    * Deduplicating Training Data Makes Language Models Better, 2022):
+    * every n-token window that occurs more than once in the corpus is
+    * removed from every occurrence EXCEPT the globally-first one
+    * (min (doc_id, pos)), overlapping windows merging into maximal spans.
+    * Unlike document-level dedup (d01–d09) this rewrites the documents:
+    * boilerplate shared across otherwise-distinct pages is cut while the
+    * unique prose survives.
+    *
+    * Scale design: occurrences carry 8-byte gram hashes, never token
+    * strings; the canonical occurrence is ONE hash-aggregate keyed by
+    * gram (min over a (doc_id,pos) struct — no window over the corpus);
+    * removal indices fan out ×n but collapse in a per-doc aggregate
+    * bounded by document length; the rebuild is a narrow higher-order
+    * `filter` over the token array. Two shuffles total (by gram, by doc).
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
+    import graft.tools.Checkpoints
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // position-stamped window hashes; docs shorter than n emit none
+    val occ = Checkpoints.local(ws.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $n))))"
+      )).as(Seq("pos", "gram"))))
+    // the one surviving occurrence per duplicated gram
+    val canon = occ.groupBy("gram").agg(
+      count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("df") >= 2)
+    val rm = occ.join(canon, "gram")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    // covered token indices, merged per doc (overlap dissolves in the set)
+    val drop = rm
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("i"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("dropIdx"))
+    ws.join(drop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        // size(NULL) is -1 under the engine's legacy (Hive) sizeOfNull —
+        // branch on the null, don't coalesce the sentinel
+        when(col("dropIdx").isNull, lit(0L))
+          .otherwise(size(col("dropIdx")).cast("long")).as("n_removed"),
+        concat_ws(" ", expr(
+          "filter(ws, (t, i) -> dropIdx IS NULL OR NOT array_contains(dropIdx, i))"
+        )).as("clean_text"))
+  }
 }

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Hive strict-mode query guards (`hive.mapred.mode=strict`, plus the
+  * per-check `hive.strict.checks.*` toggles of later Hive lines):
+  *
+  *   - `orderby.no.limit` — a global ORDER BY with no LIMIT is refused
+  *     (reference: clientnegative/strict_orderby.q; a total sort of an
+  *     unbounded result funnels the full table through one reducer).
+  *   - `cartesian.product` — a join with no condition is refused
+  *     (strict_join.q / input4.q).
+  *   - `no.partition.filter` — scanning a partitioned table with no
+  *     filter on any of its partition columns is refused
+  *     (strict_pruning.q / input_part0_neg.q; an unpruned scan of a
+  *     100 TB partitioned table is almost always a mistake).
+  *
+  * All checks default OFF (Spark parity — the engine's default session
+  * mode is nonstrict); `SET hive.mapred.mode=strict` turns all three on,
+  * and each `hive.strict.checks.<name>=true|false` overrides
+  * individually, matching HiveConf's pairing of the legacy mode with the
+  * fine-grained flags.
+  *
+  * Implemented as an analyzer CHECK rule (injectCheckRule): it inspects
+  * the analyzed plan and throws, never rewrites, so it costs nothing
+  * unless the confs are set.
+  */
+object StrictChecks {
+
+  private def enabled(session: SparkSession, name: String): Boolean = {
+    val strict =
+      session.conf.get("hive.mapred.mode", "nonstrict").trim
+        .equalsIgnoreCase("strict")
+    session.conf.getOption(s"hive.strict.checks.$name")
+      .map(_.trim.equalsIgnoreCase("true")).getOrElse(strict)
+  }
+
+  def apply(session: SparkSession): LogicalPlan => Unit = plan => {
+    // fast exit on the common (nonstrict, no overrides) path
+    val orderBy = enabled(session, "orderby.no.limit")
+    val cartesian = enabled(session, "cartesian.product")
+    val pruning = enabled(session, "no.partition.filter")
+    if (orderBy || cartesian || pruning) {
+      if (orderBy) checkOrderBy(plan)
+      if (cartesian) checkCartesian(plan)
+      if (pruning) checkPruning(plan)
+    }
+  }
+
+  /** A global Sort with no Limit above it anywhere. Sorts under a Limit
+    * (the TopN shape) and per-partition sorts (SORT BY) pass. */
+  private def checkOrderBy(plan: LogicalPlan): Unit = {
+    def walk(p: LogicalPlan, underLimit: Boolean): Unit = p match {
+      case GlobalLimit(_, child) => walk(child, underLimit = true)
+      case s @ Sort(_, true, _, _) =>
+        if (!underLimit) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            ("In strict mode, if ORDER BY is specified, LIMIT must also " +
+              "be specified (set hive.strict.checks.orderby.no.limit to " +
+              "false to disable)")))
+        s.children.foreach(walk(_, underLimit = false))
+      // a Limit guards only its own query block: a subquery below a
+      // Join/Union/Aggregate starts a fresh block
+      case other =>
+        val reset = other match {
+          case _: Join | _: Union | _: Aggregate | _: SubqueryAlias => false
+          case _ => underLimit
+        }
+        other.children.foreach(walk(_, reset))
+        other.subqueries.foreach(walk(_, underLimit = false))
+    }
+    walk(plan, underLimit = false)
+  }
+
+  private def checkCartesian(plan: LogicalPlan): Unit =
+    plan.foreach {
+      case j @ Join(_, _, Inner | Cross, None, _) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            ("In strict mode, cartesian product is not allowed (a join " +
+              "with no condition; set hive.strict.checks.cartesian.product " +
+              s"to false to disable): ${j.simpleString(1)}")))
+      case _ =>
+    }
+
+  /** Every partitioned leaf relation must have at least one filter over
+    * one of its partition columns somewhere in the plan. Matches file
+    * relations (path or catalog parquet/orc), catalog Hive tables, and
+    * graft DSv2 relations (whose partition columns surface through the
+    * Table's partitioning transforms). */
+  private def checkPruning(plan: LogicalPlan): Unit = {
+    // the check applies to SCANS: an INSERT's target relation is not a
+    // read, so recurse only into the query side of write commands
+    plan match {
+      case i: InsertIntoStatement => return checkPruning(i.query)
+      case w: V2WriteCommand      => return checkPruning(w.query)
+      case _ => ()
+    }
+    // a bare relation lookup (SubqueryAlias over a leaf) is not a query:
+    // Spark analyzes one internally for every catalog refreshTable — only
+    // plans with an actual operator over the scan are checked
+    def bareLookup(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, child) => bareLookup(child)
+      case l if l.children.isEmpty => true
+      case _ => false
+    }
+    if (bareLookup(plan)) return
+    // all attributes referenced by any Filter condition in the plan
+    val filtered = AttributeSet(plan.collect {
+      case Filter(cond, _) => cond.references.toSeq
+    }.flatten)
+    def fail(name: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          (s"In strict mode, no partition predicate found for partitioned " +
+            s"table $name (set hive.strict.checks.no.partition.filter to " +
+            "false to disable)")))
+    def partAttrs(partNames: Seq[String], output: Seq[Attribute]): Seq[Attribute] =
+      output.filter(a => partNames.exists(_.equalsIgnoreCase(a.name)))
+    plan.foreach {
+      case r: LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        val fs = r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        val parts = fs.partitionSchema.fieldNames.toSeq
+        if (parts.nonEmpty &&
+          !partAttrs(parts, r.output).exists(filtered.contains))
+          fail(r.catalogTable.map(_.identifier.unquotedString)
+            .getOrElse(fs.location.rootPaths.mkString(",")))
+      case h: HiveTableRelation if h.partitionCols.nonEmpty =>
+        if (!h.partitionCols.map(_.name)
+          .flatMap(n => partAttrs(Seq(n), h.output))
+          .exists(filtered.contains))
+          fail(h.tableMeta.identifier.unquotedString)
+      case v: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        val parts = v.table.partitioning().toSeq.flatMap(_.references())
+          .flatMap(_.fieldNames().headOption)
+        if (parts.nonEmpty &&
+          !partAttrs(parts, v.output).exists(filtered.contains))
+          fail(v.table.name())
+      case _ =>
+    }
+  }
+}

@@ -302,6 +302,94 @@ object Round11Queries {
                      WHEN (doc_id % 1048576 * 489905 % 1048576) / 1048576.0
                           < 0.95 THEN 'val'
                      ELSE 'test' END AS split
-             FROM documents"""))
+             FROM documents""")),
+
+    // ---- t23: exact duplicate-SPAN removal (Lee et al. 2022 ExactSubstr)
+    //      — every 8-token window occurring >1 time in the corpus is cut
+    //      from all but its globally-first occurrence, overlapping windows
+    //      merging into maximal spans; documents are REWRITTEN, not
+    //      dropped. Two shuffles (gram agg, per-doc merge), 8-byte gram
+    //      hashes end-to-end; the oracle re-derives the same spans from
+    //      the gram STRINGS, so a single off-by-one in windowing,
+    //      canonical choice, or token reassembly breaks the hash. ----
+    Q("t23_span_dedup", (s, d) =>
+      graft.operators.Dedup.removeDuplicateSpans(t(s, d, "documents"), 8),
+      Some("""WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              occ AS (
+                SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+                FROM ws, UNNEST(range(0, len(w) - 7)) AS u(i)),
+              rk AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gram
+                         ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY gram) AS df
+                FROM occ),
+              rm AS (SELECT doc_id, pos FROM rk WHERE df >= 2 AND rn > 1),
+              dropi AS (
+                SELECT DISTINCT doc_id, i FROM (
+                  SELECT doc_id, unnest(range(pos, pos + 8)) AS i FROM rm)),
+              toks AS (
+                SELECT doc_id, i, w[i+1] AS tok
+                FROM ws, UNNEST(range(0, len(w))) AS u(i)),
+              kept AS (
+                SELECT t.doc_id, t.i, t.tok
+                FROM toks t LEFT JOIN dropi d
+                  ON t.doc_id = d.doc_id AND t.i = d.i
+                WHERE d.doc_id IS NULL),
+              agg AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id),
+              nd AS (
+                SELECT doc_id, count(*) AS n_removed FROM dropi GROUP BY doc_id)
+              SELECT ws.doc_id, len(ws.w) AS n_tokens,
+                     coalesce(nd.n_removed, 0) AS n_removed,
+                     coalesce(agg.clean_text, '') AS clean_text
+              FROM ws LEFT JOIN nd USING (doc_id) LEFT JOIN agg USING (doc_id)""")),
+
+    // ---- t24: corpus-level bigram novelty — the share of a document's
+    //      bigram occurrences that appear in NO other document (a cheap
+    //      n-gram-LM quality signal in the CCNet spirit: templated/spammy
+    //      docs score near 0, unique prose near 1). All-integer counting
+    //      plus ONE division, so the result is bit-exact across engines
+    //      (no float summation order anywhere). One gram aggregate + one
+    //      join back; grams travel as 8-byte hashes. ----
+    Q("t24_bigram_novelty", (s, d) => {
+      val occ = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> xxhash64(concat_ws(' ', slice(ws, i+1, 2))))"
+        )).as("gram"))
+      val perDoc = occ.groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+      val total = perDoc.groupBy("gram")
+        .agg(sum("c").as("tot"))
+      perDoc.join(total, "gram")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          sum(when(col("c") === col("tot"), col("c")).otherwise(lit(0L)))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_bigrams"), 6)
+            .as("novelty"))
+    },
+      Some("""WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              occ AS (
+                SELECT doc_id, w[i+1] || ' ' || w[i+2] AS gram
+                FROM ws, UNNEST(range(0, len(w) - 1)) AS u(i)
+                WHERE len(w) >= 2),
+              pd AS (
+                SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+              tot AS (
+                SELECT gram, sum(c) AS tot FROM pd GROUP BY 1)
+              SELECT pd.doc_id,
+                     sum(pd.c) AS n_bigrams,
+                     sum(CASE WHEN pd.c = tot.tot THEN pd.c ELSE 0 END) AS n_novel,
+                     round(CAST(sum(CASE WHEN pd.c = tot.tot THEN pd.c ELSE 0 END)
+                           AS DOUBLE) / sum(pd.c), 6) AS novelty
+              FROM pd JOIN tot USING (gram)
+              GROUP BY pd.doc_id"""))
   )
 }

@@ -44,12 +44,27 @@ class NegativeGoldenSpec extends SparkSpec {
           .map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
         assert(markers.nonEmpty,
           s"$name must declare an -- ERROR-CONTAINS: directive")
+        // a failing script dies mid-way, so any SET it ran (strict mode,
+        // dynamic-partition confs) would leak into every later test on the
+        // shared session — snapshot and restore the runtime conf around it
+        val before = spark.conf.getAll
         val thrown =
           try {
             Engine.script(spark, sf, text,
               vars = Map("NEGTMP" -> tools.Tmp.dir(s"neg_$name"))).collect()
             None
           } catch { case t: Throwable => Some(t) }
+          finally {
+            spark.conf.getAll.foreach { case (k, v) =>
+              before.get(k) match {
+                case Some(old) if old != v =>
+                  try spark.conf.set(k, old) catch { case _: Exception => () }
+                case None =>
+                  try spark.conf.unset(k) catch { case _: Exception => () }
+                case _ => ()
+              }
+            }
+          }
         assert(thrown.nonEmpty,
           s"$name completed — the statement must be refused")
         val msg = chain(thrown.get).toLowerCase

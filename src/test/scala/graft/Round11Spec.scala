@@ -487,4 +487,128 @@ class Round11Spec extends SparkSpec {
       operators.Multimodal.aHash(c.feature) == -1L)
     assert(hb != 0L)
   }
+
+  // ---- hive.mapred.mode=strict / hive.strict.checks.* query guards -------
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val before = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("strict checks are OFF by default and refuse under strict mode") {
+    Tables.views(spark, sf, "nation", "region")
+    // nonstrict (default): all three shapes pass
+    assert(spark.sql("SELECT n_name FROM nation ORDER BY n_name").count() > 0)
+    assert(spark.sql("SELECT * FROM nation JOIN region").count() > 0)
+    withConfs("hive.mapred.mode" -> "strict") {
+      val e1 = intercept[Exception](
+        spark.sql("SELECT n_name FROM nation ORDER BY n_name").collect())
+      assert(e1.getMessage.contains("LIMIT must also be specified"))
+      // the TopN shape stays legal
+      assert(spark.sql(
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT 3").count() == 3)
+      val e2 = intercept[Exception](
+        spark.sql("SELECT * FROM nation JOIN region").collect())
+      assert(e2.getMessage.contains("cartesian product is not allowed"))
+      // a conditioned join is fine
+      assert(spark.sql("""SELECT * FROM nation n JOIN region r
+        ON n.n_regionkey = r.r_regionkey""").count() > 0)
+    }
+  }
+
+  test("hive.strict.checks.* toggles override the legacy mode per check") {
+    Tables.views(spark, sf, "nation", "region")
+    withConfs("hive.mapred.mode" -> "strict",
+      "hive.strict.checks.cartesian.product" -> "false") {
+      // cartesian explicitly re-allowed; orderby still strict
+      assert(spark.sql("SELECT * FROM nation JOIN region").count() > 0)
+      intercept[Exception](
+        spark.sql("SELECT n_name FROM nation ORDER BY n_name").collect())
+    }
+    withConfs("hive.strict.checks.no.partition.filter" -> "true") {
+      val base = tools.Tmp.dir("r11_strictp")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_strictp")
+      spark.sql(s"""CREATE TABLE graft_tmp.r11_strictp (v INT)
+        USING parquet PARTITIONED BY (ds STRING) LOCATION '$base'""")
+      spark.sql(
+        "INSERT INTO graft_tmp.r11_strictp PARTITION (ds='a') VALUES (1)")
+      val e = intercept[Exception](
+        spark.sql("SELECT count(1) FROM graft_tmp.r11_strictp").collect())
+      assert(e.getMessage.contains("no partition predicate"), e.getMessage)
+      // a partition filter anywhere in the plan clears it
+      assert(spark.sql("""SELECT count(1) FROM graft_tmp.r11_strictp
+        WHERE ds = 'a'""").collect()(0).getLong(0) == 1L)
+      // unpartitioned tables are never flagged
+      assert(spark.sql("SELECT count(1) FROM nation").count() == 1)
+      spark.sql("DROP TABLE graft_tmp.r11_strictp")
+    }
+  }
+
+  test("strict pruning fires on partitioned graft DSv2 tables too") {
+    withConfs("hive.strict.checks.no.partition.filter" -> "true") {
+      val base = tools.Tmp.dir("r11_strictg")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_strictg")
+      spark.sql(s"""CREATE TABLE graft_tmp.r11_strictg (v INT)
+        USING `graft-seq` PARTITIONED BY (p STRING) LOCATION '$base'""")
+      spark.sql(
+        "INSERT INTO graft_tmp.r11_strictg PARTITION (p='x') VALUES (1)")
+      val e = intercept[Exception](
+        spark.sql("SELECT count(1) FROM graft_tmp.r11_strictg").collect())
+      assert(e.getMessage.contains("no partition predicate"), e.getMessage)
+      assert(spark.sql("""SELECT count(1) FROM graft_tmp.r11_strictg
+        WHERE p = 'x'""").collect()(0).getLong(0) == 1L)
+      spark.sql("DROP TABLE graft_tmp.r11_strictg")
+    }
+  }
+
+  // ---- dynamic-partition INSERT guards ------------------------------------
+
+  test("dyn-part guards: ordering, strict mode, disabled, and the cap") {
+    Tables.views(spark, sf, "nation")
+    val base = tools.Tmp.dir("r11_dynguard")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_dyng")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_dyng (a STRING)
+      USING parquet PARTITIONED BY (p STRING, q STRING) LOCATION '$base'""")
+    // static after dynamic: refused regardless of mode
+    val e0 = intercept[Exception](Engine.sql(spark, sf,
+      """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p, q='1')
+         SELECT n_name, CAST(n_regionkey AS STRING) FROM nation"""))
+    assert(e0.getMessage.contains("cannot be the parent of a static"))
+    // hybrid static-then-dynamic stays legal (the a16 shape)
+    Engine.sql(spark, sf,
+      """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p='s', q)
+         SELECT n_name, CAST(n_regionkey AS STRING) FROM nation""")
+    assert(spark.table("graft_tmp.r11_dyng").count() > 0)
+    withConfs("hive.exec.dynamic.partition.mode" -> "strict") {
+      val e = intercept[Exception](Engine.sql(spark, sf,
+        """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p, q)
+           SELECT n_name, 'a', CAST(n_regionkey AS STRING) FROM nation"""))
+      assert(e.getMessage.contains("at least one static partition"))
+    }
+    withConfs("hive.exec.dynamic.partition" -> "false") {
+      val e = intercept[Exception](Engine.sql(spark, sf,
+        """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p='s', q)
+           SELECT n_name, CAST(n_regionkey AS STRING) FROM nation"""))
+      assert(e.getMessage.contains("Dynamic partition is disabled"))
+    }
+    withConfs("hive.exec.max.dynamic.partitions" -> "2") {
+      val e = intercept[Exception](Engine.sql(spark, sf,
+        """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p='s', q)
+           SELECT n_name, CAST(n_nationkey AS STRING) FROM nation"""))
+      assert(e.getMessage.contains("hive.exec.max.dynamic.partitions"))
+      // at or under the cap: proceeds (5 regions > 2, 1 constant <= 2)
+      Engine.sql(spark, sf,
+        """INSERT OVERWRITE TABLE graft_tmp.r11_dyng PARTITION (p='s', q)
+           SELECT n_name, 'one' FROM nation""")
+    }
+    spark.sql("DROP TABLE graft_tmp.r11_dyng")
+  }
 }
