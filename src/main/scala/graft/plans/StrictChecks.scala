@@ -19,6 +19,11 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   *     filter on any of its partition columns is refused
   *     (strict_pruning.q / input_part0_neg.q; an unpruned scan of a
   *     100 TB partitioned table is almost always a mistake).
+  *   - `type.safety` — comparing a bigint with a string or a double is
+  *     refused (compare_string_bigint.q / compare_double_bigint.q;
+  *     reference ExprNodeGenericFuncDesc.java:213-229, ErrorMsg
+  *     10123/10124: the compare goes through DOUBLE, which silently
+  *     rounds longs beyond 2^53).
   *
   * All checks default OFF (Spark parity — the engine's default session
   * mode is nonstrict); `SET hive.mapred.mode=strict` turns all three on,
@@ -45,11 +50,48 @@ object StrictChecks {
     val orderBy = enabled(session, "orderby.no.limit")
     val cartesian = enabled(session, "cartesian.product")
     val pruning = enabled(session, "no.partition.filter")
-    if (orderBy || cartesian || pruning) {
+    val typeSafety = enabled(session, "type.safety")
+    if (orderBy || cartesian || pruning || typeSafety) {
       if (orderBy) checkOrderBy(plan)
       if (cartesian) checkCartesian(plan)
       if (pruning) checkPruning(plan)
+      if (typeSafety) checkTypeSafety(plan)
     }
+  }
+
+  /** The reference refuses bigint↔string and bigint↔double comparisons in
+    * strict mode (the compare coerces both sides to double — longs above
+    * 2^53 round). Hive checks the DECLARED operand types, i.e. after
+    * user-written casts but before implicit coercion
+    * (ExprNodeGenericFuncDesc.newInstance runs on the pre-coercion
+    * children), so this strips only analysis-inserted casts (no
+    * USER_SPECIFIED_CAST tag — both plain coercion and the engine's
+    * CompareViaDouble rewrite) to recover each side's declared type. */
+  private def checkTypeSafety(plan: LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def declared(e: Expression): DataType = e match {
+      case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        declared(c.child)
+      case other => other.dataType
+    }
+    def bad(a: DataType, b: DataType): Option[String] = (a, b) match {
+      case (LongType, StringType) | (StringType, LongType) => Some("strings")
+      case (LongType, DoubleType) | (DoubleType, LongType) => Some("doubles")
+      case _ => None
+    }
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case cmp: BinaryComparison =>
+        bad(declared(cmp.left), declared(cmp.right)).foreach(kind =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              (s"In strict mode, comparing bigints and $kind is not " +
+                "allowed, it may result in a loss of precision. If you " +
+                "really want to perform the operation, set " +
+                "hive.mapred.mode=nonstrict"))))
+      case _ =>
+    }))
   }
 
   /** A global Sort with no Limit above it anywhere. Sorts under a Limit

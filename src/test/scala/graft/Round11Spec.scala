@@ -611,4 +611,31 @@ class Round11Spec extends SparkSpec {
     }
     spark.sql("DROP TABLE graft_tmp.r11_dyng")
   }
+
+  // ---- strict type-safety (ErrorMsg 10123/10124) --------------------------
+
+  test("strict mode refuses bigint-vs-string and bigint-vs-double compares") {
+    Tables.views(spark, sf, "orders")
+    // default nonstrict: both shapes run (Hive only WARNs)
+    assert(spark.sql(
+      "SELECT count(1) FROM orders WHERE o_orderkey = '1'").count() == 1)
+    withConfs("hive.mapred.mode" -> "strict") {
+      val e1 = intercept[Exception](spark.sql(
+        "SELECT * FROM orders WHERE CAST(1 AS BIGINT) = '1'").collect())
+      assert(e1.getMessage.contains("comparing bigints and strings"),
+        e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "SELECT * FROM orders WHERE o_orderkey = o_totalprice").collect())
+      assert(e2.getMessage.contains("comparing bigints and doubles"),
+        e2.getMessage)
+      // bigint vs int literal coerces long-to-long — stays legal
+      assert(spark.sql(
+        "SELECT count(1) FROM orders WHERE o_orderkey = 1").count() == 1)
+      // the fine-grained toggle re-allows under the legacy mode
+      withConfs("hive.strict.checks.type.safety" -> "false") {
+        assert(spark.sql(
+          "SELECT count(1) FROM orders WHERE o_orderkey = '1'").count() == 1)
+      }
+    }
+  }
 }
