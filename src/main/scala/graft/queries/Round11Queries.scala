@@ -304,6 +304,58 @@ object Round11Queries {
                      ELSE 'test' END AS split
              FROM documents""")),
 
+    // ---- t25: deterministic corpus shuffle + balanced sharding — the
+    //      dataloader permutation: shard = pmod(xxhash64(doc_id), 8),
+    //      position within shard = rank in hash order. Being a pure
+    //      function of doc_id, the permutation is stable across runs and
+    //      cluster sizes (resumable training). Scale: the per-shard rank
+    //      is NOT a window over shard (8 partitions x 12.5 TB each at
+    //      100 TB) — GlobalRank range-partitions the (shard, h) order
+    //      across ALL partitions and converts local row numbers via an
+    //      8-row offset join, so every stage stays fully parallel. The
+    //      oracle recomputes the exact xxhash64 via the gx_ macro
+    //      library — one flipped hash bit reorders the permutation and
+    //      breaks the hash compare. ----
+    Q("t25_shuffle_shard", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)).cast("int"))
+      val rn = graft.operators.GlobalRank.rowNumber(docs,
+        Seq(col("shard"), col("h"), col("doc_id")), "rn")
+      // 8-row shard histogram -> cumulative start offsets, computed
+      // driver-side (metadata-sized, the same bounded-collect discipline
+      // as GlobalRank's own per-partition counts — a window over the
+      // 8 rows would plan an empty partitionSpec and trip the bench's
+      // global-window guard); counting over rn reuses GlobalRank's
+      // materialized range layout instead of re-scanning the source;
+      // pos = global rank - shard start
+      val counts = rn.groupBy("shard").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offs = counts.map { case (sh, c) => val o = acc; acc += c; (sh, o) }
+      val offDf = broadcast(offs.toSeq.toDF("shard", "off"))
+      rn.join(offDf, "shard")
+        .select(col("doc_id"), col("shard"),
+          (col("rn") - col("off")).as("pos"))
+    },
+      Some(XxhOracle.macros + """
+        WITH h0 AS (SELECT doc_id,
+               gx_wstep(gx_a64(42, 2870177450012600269),
+                        gx_unsigned(doc_id)) AS h FROM documents),
+        h1 AS (SELECT doc_id,
+               gx_m64(xor(h, h >> 33), 14029467366897019727) AS h FROM h0),
+        h2 AS (SELECT doc_id,
+               gx_m64(xor(h, h >> 29), 1609587929392839161) AS h FROM h1),
+        h3 AS (SELECT doc_id, gx_signed(xor(h, h >> 32)) AS h FROM h2),
+        s AS (SELECT doc_id, h,
+               CAST(((h % 8) + 8) % 8 AS INT) AS shard FROM h3)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM s""")),
+
     // ---- t23: exact duplicate-SPAN removal (Lee et al. 2022 ExactSubstr)
     //      — every 8-token window occurring >1 time in the corpus is cut
     //      from all but its globally-first occurrence, overlapping windows
