@@ -1644,9 +1644,83 @@ object Engine {
       case _ => ()
     }
 
+  /** Post-INSERT small-file auto-merge (reference: hive.merge.mapfiles /
+    * hive.merge.mapredfiles, ConditionalTask + ConditionalResolverMergeFiles
+    * — when the job's average output file size is below
+    * `hive.merge.smallfiles.avgsize` a follow-up merge job rewrites the
+    * job's output into ~`hive.merge.size.per.task`-sized files before
+    * MoveTask publishes). Opt-in here (Spark parity default: no merge):
+    * any of the hive.merge.{mapfiles,mapredfiles,sparkfiles} keys
+    * explicitly SET true enables it. Only the files the statement itself
+    * wrote are merged (before/after directory diff — metadata-sized), per
+    * directory, so an incremental append to a 100 TB table merges only
+    * its own output and never rewrites pre-existing files.
+    */
+  private def listDataFiles(spark: SparkSession, loc: String)
+      : Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val b = Map.newBuilder[String, Long]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          b += st.getPath.toUri.toString -> st.getLen
+      }
+      b.result()
+    }
+  }
+
+  private def smallFileMergeSnapshot(spark: SparkSession, stmt: String)
+      : Option[(String, Map[String, Long])] = {
+    val on = Seq("hive.merge.mapfiles", "hive.merge.mapredfiles",
+      "hive.merge.sparkfiles", "hive.merge.tezfiles").exists(k =>
+      spark.conf.getOption(k).exists(_.trim.equalsIgnoreCase("true")))
+    if (!on) None
+    else stmt match {
+      case insertTargetRe(tbl) =>
+        // a temp-view or path-less target has no location: merge is a no-op
+        try Some(tbl -> listDataFiles(spark, tableLocation(spark, tbl)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  private def autoMergeSmallFiles(spark: SparkSession, tbl: String,
+      before: Map[String, Long]): Unit = {
+    val avgSize = spark.conf.getOption("hive.merge.smallfiles.avgsize")
+      .map(_.trim.toLong).getOrElse(16000000L)
+    val perTask = spark.conf.getOption("hive.merge.size.per.task")
+      .map(_.trim.toLong).getOrElse(256000000L)
+    val after = listDataFiles(spark, tableLocation(spark, tbl))
+    val fresh = after.filter { case (f, _) => !before.contains(f) }
+    if (fresh.isEmpty) return
+    var merged = false
+    // per-directory decision, as the reference resolves per partition
+    fresh.groupBy { case (f, _) => f.substring(0, f.lastIndexOf('/')) }
+      .foreach { case (dir, fl) =>
+        val total = fl.values.sum
+        val n = math.max(1, math.ceil(total.toDouble / perTask).toInt)
+        if (fl.size > n && total / fl.size < avgSize) {
+          operators.Acid.mergeFiles(spark, dir, fl.keys.toSeq, n,
+            format = tableFormat(spark, tbl),
+            schema = tableDataSchema(spark, tbl),
+            options = tableDmlOptions(spark, tbl))
+          merged = true
+        }
+      }
+    if (merged)
+      try { spark.sql(s"REFRESH TABLE $tbl"): Unit }
+      catch { case _: Exception => () }
+  }
+
   private def insertWithHiveCasts(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
     dynPartGuards(spark, stmt)
+    val mergeSnap = smallFileMergeSnapshot(spark, stmt)
     def run(): org.apache.spark.sql.DataFrame =
       try spark.sql(stmt)
       catch {
@@ -1672,7 +1746,7 @@ object Engine {
           }
           res
       }
-    try run()
+    val out = try run()
     catch {
       // Hive allows INSERT OVERWRITE of a table that the query also reads
       // (MoveTask stages the result before the move — union22.q rebuilds a
@@ -1703,6 +1777,9 @@ object Engine {
           case _ => throw e
         }
     }
+    mergeSnap.foreach { case (tbl, before) =>
+      autoMergeSmallFiles(spark, tbl, before) }
+    out
   }
 
   /** Multi-insert SQL text — `FROM src INSERT OVERWRITE TABLE t1 SELECT ...

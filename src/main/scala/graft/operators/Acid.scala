@@ -170,6 +170,34 @@ object Acid {
       options = options)
   }
 
+  /** Merge a SPECIFIC set of files under `path` into `numFiles` — the
+    * post-INSERT small-file merge (reference: hive.merge.mapfiles'
+    * ConditionalTask merge job, which rewrites only the files the current
+    * job produced). Unlike [[compact]], pre-existing files in the
+    * directory are never read or rewritten, so an incremental append to a
+    * 100 TB table merges only its own output. The file-identity filter
+    * rides `_metadata.file_path`, which Spark prunes at the scan. */
+  def mergeFiles(spark: SparkSession, path: String, files: Seq[String],
+                 numFiles: Int, format: String = "parquet",
+                 schema: StructType = null,
+                 options: Map[String, String] = Map.empty): Unit = {
+    if (files.isEmpty) return
+    val df = load(spark, path, format, schema, options = options)
+    // _metadata.file_path spells the URI "file:///p" where a FileSystem
+    // listing yields "file:/p" — match every spelling so the IN list
+    // still prunes at the scan (a normalizing regexp on the column would
+    // defeat file pruning and read the whole directory)
+    val variants = files.flatMap { f =>
+      val bare = f.replaceFirst("^[a-zA-Z][\\w+.-]*:/+", "/")
+      Seq(f, bare, "file:" + bare, "file://" + bare, "file:///" +
+        bare.stripPrefix("/"))
+    }.distinct
+    val picked = df.withColumn(FILE, col("_metadata.file_path"))
+      .filter(col(FILE).isin(variants: _*)).drop(FILE)
+    swapIn(spark, path, files, picked.repartition(numFiles), format,
+      options = options)
+  }
+
   private def load(spark: SparkSession, path: String, format: String,
                    schema: StructType,
                    partitionCols: Seq[String] = Nil,

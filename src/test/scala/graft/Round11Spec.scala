@@ -638,4 +638,78 @@ class Round11Spec extends SparkSpec {
       }
     }
   }
+
+  // ---- hive.merge.* small-file auto-merge after INSERT ---------------------
+
+  test("hive.merge.mapfiles merges only the statement's own output files") {
+    val base = tools.Tmp.dir("r11_automerge")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_am")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_am (v INT)
+      USING parquet LOCATION '$base'""")
+    def files: Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          b += st.getPath.toUri.toString
+      }
+      b.result()
+    }
+    // default: no merge — an 8-partition insert leaves 8 files
+    Engine.sql(spark, sf, """INSERT INTO graft_tmp.r11_am
+      SELECT /*+ REPARTITION(8) */ CAST(id AS INT) FROM range(100)""")
+    val first = files
+    assert(first.size == 8, s"expected 8 unmerged files, got ${first.size}")
+    // opt-in: the second insert's 8 outputs merge to 1; the first
+    // insert's files are untouched (same names on disk)
+    withConfs("hive.merge.mapfiles" -> "true") {
+      Engine.sql(spark, sf, """INSERT INTO graft_tmp.r11_am
+        SELECT /*+ REPARTITION(8) */ CAST(id AS INT) + 100 FROM range(100)""")
+    }
+    val second = files
+    assert(first.subsetOf(second), "pre-existing files were rewritten")
+    assert(second.size == first.size + 1,
+      s"expected ${first.size + 1} files after merge, got ${second.size}")
+    assert(spark.table("graft_tmp.r11_am").count() == 200)
+    assert(spark.sql("SELECT sum(v) FROM graft_tmp.r11_am")
+      .collect()(0).getLong(0) == (0 until 200).sum.toLong)
+    // above the avgsize threshold: no merge (files stay as written)
+    withConfs("hive.merge.mapfiles" -> "true",
+      "hive.merge.smallfiles.avgsize" -> "1") {
+      Engine.sql(spark, sf, """INSERT INTO graft_tmp.r11_am
+        SELECT /*+ REPARTITION(4) */ CAST(id AS INT) FROM range(10)""")
+    }
+    assert(files.size == second.size + 4, "merge fired above the threshold")
+    spark.sql("DROP TABLE graft_tmp.r11_am")
+  }
+
+  test("hive.merge merges per partition directory on dynamic inserts") {
+    val base = tools.Tmp.dir("r11_automerge_p")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_amp")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_amp (v INT)
+      USING parquet PARTITIONED BY (p STRING) LOCATION '$base'""")
+    withConfs("hive.merge.mapfiles" -> "true") {
+      Engine.sql(spark, sf, """INSERT OVERWRITE TABLE graft_tmp.r11_amp
+        PARTITION (p)
+        SELECT /*+ REPARTITION(6) */ CAST(id AS INT),
+               CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(60)""")
+    }
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("a", "b").foreach { pv =>
+      val dir = new org.apache.hadoop.fs.Path(p, s"p=$pv")
+      val n = fs.listStatus(dir).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      assert(n == 1, s"partition p=$pv has $n files, expected 1 merged")
+    }
+    assert(spark.table("graft_tmp.r11_amp").count() == 60)
+    spark.sql("DROP TABLE graft_tmp.r11_amp")
+  }
 }
