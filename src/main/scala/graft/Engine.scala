@@ -394,6 +394,55 @@ object Engine {
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val deleteAllRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*;?\s*""".r
+  // SET statements whose Hive key has a direct Spark execution
+  // equivalent: Hive scripts steer the ENGINE with these (reducer count,
+  // mapjoin auto-conversion), so recording the key without applying the
+  // knob would silently ignore the user's intent. Everything else a
+  // script SETs stays an inert session conf (g259). "Restore" (-1 /
+  // re-enable) puts back the value the SESSION had before the first
+  // bridge write — conf.unset would fall to Spark's stock defaults (200
+  // partitions, 10 MB), not the engine's configured ones.
+  private val setBridgeRe =
+    """(?is)\s*SET\s+([\w.]+)\s*=\s*(\S+)\s*;?\s*""".r
+  private val bridgeSaved =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def bridgeSet(s: SparkSession, key: String, value: String): Unit = {
+    bridgeSaved.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .putIfAbsent(key, s.conf.get(key)): Unit
+    s.conf.set(key, value)
+  }
+  private def bridgeRestore(s: SparkSession, key: String): Unit =
+    Option(bridgeSaved.get(s)).flatMap(m => Option(m.get(key)))
+      .foreach(orig => s.conf.set(key, orig))
+  private val confBridge: Map[String, (SparkSession, String) => Unit] = {
+    val reduceTasks = (s: SparkSession, v: String) => {
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        sys.error(s"mapred.reduce.tasks expects an integer, got '$v'") }
+      if (n > 0) bridgeSet(s, "spark.sql.shuffle.partitions", n.toString)
+      else bridgeRestore(s, "spark.sql.shuffle.partitions")
+    }
+    Map(
+      // reference: HiveConf HADOOPNUMREDUCERS; -1 = let the engine decide
+      "mapred.reduce.tasks" -> reduceTasks,
+      "mapreduce.job.reduces" -> reduceTasks,
+      // reference: HiveConf.java hive.auto.convert.join (mapjoin
+      // auto-conversion) — Spark's equivalent is the broadcast threshold
+      "hive.auto.convert.join" -> ((s: SparkSession, v: String) =>
+        if (v.equalsIgnoreCase("true"))
+          bridgeRestore(s, "spark.sql.autoBroadcastJoinThreshold")
+        else bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", "-1")),
+      // the small-table size bound for auto-conversion
+      "hive.auto.convert.join.noconditionaltask.size" ->
+        ((s: SparkSession, v: String) =>
+          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
+      "hive.mapjoin.smalltable.filesize" ->
+        ((s: SparkSession, v: String) =>
+          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)))
+  }
+
   // ALTER TABLE t [PARTITION (...)] CONCATENATE — DDLSemanticAnalyzer's
   // merge-small-files task (exec/DDLTask mergeFiles); routed to the CoW
   // compactor over the table's (or partition's) directory
@@ -2894,6 +2943,12 @@ object Engine {
       case None => ()
     }
     stmt0 match {
+      case setBridgeRe(k, v) if confBridge.contains(k.toLowerCase) =>
+        // record the Hive key (SHOW CONF / later reads see it), then
+        // apply the Spark-equivalent execution knob
+        spark.conf.set(k, v.trim)
+        confBridge(k.toLowerCase)(spark, v.trim)
+        return spark.emptyDataFrame
       case touchRe(table, _) =>
         // validate the table exists (Hive's TOUCH errors on a bad name),
         // then no-op — there are no hooks to fire here

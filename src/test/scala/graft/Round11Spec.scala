@@ -639,6 +639,37 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- Hive execution-conf bridge ------------------------------------------
+
+  test("SET mapred.reduce.tasks / hive.auto.convert.join steer the engine") {
+    Tables.views(spark, sf, "nation", "region")
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    def joinPlan: String = spark.sql(
+      """SELECT * FROM nation n JOIN region r
+         ON n.n_regionkey = r.r_regionkey""")
+      .queryExecution.sparkPlan.toString
+    try {
+      Engine.sql(spark, sf, "SET mapred.reduce.tasks=7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      assert(spark.conf.get("mapred.reduce.tasks") == "7")
+      // -1 = engine decides: back to the session default
+      Engine.sql(spark, sf, "SET mapred.reduce.tasks=-1")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == origShuffle)
+      assert(joinPlan.contains("BroadcastHashJoin"))
+      Engine.sql(spark, sf, "SET hive.auto.convert.join=false")
+      assert(!joinPlan.contains("BroadcastHashJoin"),
+        "mapjoin auto-conversion still broadcasting after disable")
+      Engine.sql(spark, sf, "SET hive.auto.convert.join=true")
+      assert(joinPlan.contains("BroadcastHashJoin"))
+      // unmapped hive.* keys stay inert session confs (g259)
+      Engine.sql(spark, sf, "SET hive.map.aggr=true")
+      assert(spark.conf.get("hive.map.aggr") == "true")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   // ---- hive.merge.* small-file auto-merge after INSERT ---------------------
 
   test("hive.merge.mapfiles merges only the statement's own output files") {
