@@ -1828,6 +1828,19 @@ object Engine {
     }
     mergeSnap.foreach { case (tbl, before) =>
       autoMergeSmallFiles(spark, tbl, before) }
+    // hive.stats.autogather (HiveConf.java:1184, default true there —
+    // opt-in here, Spark parity): Hive gathers basic table stats as part
+    // of every INSERT's job; the Spark equivalent is an ANALYZE after the
+    // write, so the refreshed rowCount/sizeInBytes feed broadcast and
+    // CBO decisions without a manual ANALYZE
+    if (spark.conf.getOption("hive.stats.autogather")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      stmt match {
+        case insertTargetRe(tbl) =>
+          try { spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS"): Unit }
+          catch { case _: Exception => () } // temp-view target etc.
+        case _ => ()
+      }
     out
   }
 

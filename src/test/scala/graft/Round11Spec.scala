@@ -670,6 +670,26 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("hive.stats.autogather refreshes catalog stats after INSERT") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_ag")
+    spark.sql("CREATE TABLE graft_tmp.r11_ag (v INT) USING parquet")
+    def rowCount: Option[BigInt] =
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.r11_ag"))
+        .stats.flatMap(_.rowCount)
+    // default off: INSERT leaves no rowCount stat
+    Engine.sql(spark, sf,
+      "INSERT INTO graft_tmp.r11_ag SELECT CAST(id AS INT) FROM range(10)")
+    assert(rowCount.isEmpty)
+    withConfs("hive.stats.autogather" -> "true") {
+      Engine.sql(spark, sf,
+        "INSERT INTO graft_tmp.r11_ag SELECT CAST(id AS INT) FROM range(10)")
+      assert(rowCount.contains(BigInt(20)), s"stats not gathered: $rowCount")
+    }
+    spark.sql("DROP TABLE graft_tmp.r11_ag")
+  }
+
   // ---- hive.merge.* small-file auto-merge after INSERT ---------------------
 
   test("hive.merge.mapfiles merges only the statement's own output files") {
