@@ -118,4 +118,44 @@ class PlanSpec extends SparkSpec {
       .filter(col("pk") % 4 === 1).agg(sum("v")).collect()(0).getLong(0)
     assert(q.collect()(0).getLong(0) == expect)
   }
+
+  test("selective dim join injects a runtime bloom filter into the fact side") {
+    // The non-partitioned sibling of DPP: when the join key is NOT the
+    // partition column, Spark's runtime-filter rule can still push a
+    // bloom filter of the (filtered) dim keys into the fact scan —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~matching slice. Thresholds are lowered to
+    // fixture scale (the estimator's defaults ask for a 10 GB
+    // application side); the assertion is the mechanism, the sizing
+    // rides the same confs in production.
+    import org.apache.spark.sql.functions._
+    val dir = tools.Tmp.dir("plan_bloom")
+    spark.range(400000).select(
+        (col("id") % 1000).as("v"), (col("id") % 5000).as("fk"))
+      .write.mode("overwrite").parquet(dir + "/fact")
+    spark.range(5000).select(col("id").as("fk"), (col("id") % 50).as("attr"))
+      .write.mode("overwrite").parquet(dir + "/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force the shuffle-join path so the runtime filter pays off
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(dir + "/fact")
+      val dim = spark.read.parquet(dir + "/dim").filter(col("attr") === 7)
+      val q = fact.join(dim, "fk").agg(sum("v"))
+      val p = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("bloomfilter"),
+        "no runtime bloom filter on the fact scan:\n" + p.take(1500))
+      val expect = spark.read.parquet(dir + "/fact")
+        .filter(col("fk") % 50 === 7).agg(sum("v")).collect()(0).getLong(0)
+      assert(q.collect()(0).getLong(0) == expect)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
