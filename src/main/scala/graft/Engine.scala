@@ -1996,7 +1996,20 @@ object Engine {
                        table: String, partSpec: Option[String]): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val tableLoc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    // Hive's strict.checks.bucketing (default TRUE in the strict-checks
+    // line): LOAD is a raw file move, which cannot assign bucket ids —
+    // Spark reads the bucket id from the writer's file naming, so a
+    // loaded foreign file makes every bucketed read (SMB joins, bucket
+    // TABLESAMPLE) silently wrong. Refused by default, not opt-in.
+    if (meta.bucketSpec.isDefined &&
+        spark.conf.get("hive.strict.checks.bucketing", "true").trim
+          .equalsIgnoreCase("true"))
+      sys.error(s"LOAD DATA into bucketed table $table is not supported: " +
+        "a file move cannot preserve the bucket layout. Load into an " +
+        "intermediate table and INSERT ... SELECT (or set " +
+        "hive.strict.checks.bucketing=false to force)")
+    val tableLoc = new Path(meta.location)
     val dst = partSpec match {
       case Some(spec) =>
         val sub = spec.split(",").map { kv =>
