@@ -106,6 +106,15 @@ object Soak {
       // soak for the durable-checkpoint mode
       Op("d09_cluster_resolve", s =>
         graft.operators.Dedup.resolveByCluster(docs(s)).count()),
+      // span dedup (t23): token-prefixed shards share no 8-gram, so the
+      // N× corpus is N independent copies — gram-aggregate + per-doc
+      // merge shuffles should grow ~linearly, never pairwise. The probe
+      // aggregates n_removed, NOT count(): a bare count lets Catalyst
+      // eliminate the unique-key left join and the whole gram pipeline
+      // with it (measured 0 shuffle — the optimizer at work)
+      Op("t23_span_dedup", s =>
+        graft.operators.Dedup.removeDuplicateSpans(docs(s), 8)
+          .agg(sum(col("n_removed"))).collect()(0).getLong(0)),
       Op("s04_neardup_ivf", s => {
         // Embedding shards get a cyclic DIMENSION rotation (shard 0 =
         // identity): within-shard cosine structure is exactly the 1×
