@@ -429,11 +429,22 @@ object Engine {
       "mapred.reduce.tasks" -> reduceTasks,
       "mapreduce.job.reduces" -> reduceTasks,
       // reference: HiveConf.java hive.auto.convert.join (mapjoin
-      // auto-conversion) — Spark's equivalent is the broadcast threshold
+      // auto-conversion) — Spark's equivalent is the broadcast threshold.
+      // Re-enabling keeps an explicitly-SET size bound (the two confs are
+      // independent in Hive: turning conversion back on uses the
+      // configured size, not the pre-script default)
       "hive.auto.convert.join" -> ((s: SparkSession, v: String) =>
-        if (v.equalsIgnoreCase("true"))
-          bridgeRestore(s, "spark.sql.autoBroadcastJoinThreshold")
-        else bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", "-1")),
+        if (v.equalsIgnoreCase("true")) {
+          val sized = Seq("hive.auto.convert.join.noconditionaltask.size",
+            "hive.mapjoin.smalltable.filesize")
+            .flatMap(k => s.conf.getOption(k)).headOption
+          sized match {
+            case Some(bytes) =>
+              bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", bytes)
+            case None =>
+              bridgeRestore(s, "spark.sql.autoBroadcastJoinThreshold")
+          }
+        } else bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", "-1")),
       // the small-table size bound for auto-conversion
       "hive.auto.convert.join.noconditionaltask.size" ->
         ((s: SparkSession, v: String) =>
@@ -1657,12 +1668,20 @@ object Engine {
     *   - `hive.exec.max.dynamic.partitions`, when explicitly set, caps
     *     the distinct dynamic tuples the SELECT produces — counted with
     *     a limit(max+1) probe so the guard never scans past the cap.
+    *     COST/SEMANTICS CAVEAT: the probe evaluates the SELECT once
+    *     before the write (the reference counts inside the write job and
+    *     kills it mid-flight — not expressible over Spark's committer
+    *     without claiming partial-output cleanup we can't guarantee), so
+    *     an explicitly-set cap doubles the statement's read cost, and a
+    *     nondeterministic SELECT (rand()) may count a different sample
+    *     than the insert writes.
     */
   private def dynPartGuards(spark: SparkSession, stmt: String): Unit =
     stmt match {
       case insertBranchRe(_, tbl, part, select) if part != null &&
-          part.split(",").exists(!_.contains("=")) =>
-        val kvs = part.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          splitPartSpec(part).exists(!_.contains("=")) =>
+        // quote-aware split: PARTITION (p='a,b') is static, not dynamic
+        val kvs = splitPartSpec(part)
         val dynIdx = kvs.indexWhere(!_.contains("="))
         if (!spark.conf.get("hive.exec.dynamic.partition", "true").trim
             .equalsIgnoreCase("true"))
@@ -1732,19 +1751,63 @@ object Engine {
     else stmt match {
       case insertTargetRe(tbl) =>
         // a temp-view or path-less target has no location: merge is a no-op
-        try Some(tbl -> listDataFiles(spark, tableLocation(spark, tbl)))
-        catch { case _: Exception => None }
+        try {
+          // bucketed targets are NEVER merged: repartition(n) would strip
+          // the bucket-id file naming Spark derives bucket membership
+          // from — the same invariant loadData enforces; Hive's
+          // ConditionalResolverMergeFiles likewise skips bucketed outputs
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          if (meta.bucketSpec.isDefined) None
+          else Some(tbl -> listDataFiles(spark, mergeScope(spark, tbl, stmt)))
+        } catch { case _: Exception => None }
       case _ => None
     }
   }
 
+  /** Split a PARTITION (...) clause body on commas OUTSIDE single quotes:
+    * PARTITION (p='a,b', q) is one static column with a comma in its
+    * value plus one dynamic column, not three entries. */
+  private[graft] def splitPartSpec(part: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    part.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Listing scope for the auto-merge diff: a fully-STATIC PARTITION spec
+    * confines the statement's output to one directory, so both listings
+    * cover just that subtree instead of the whole table — an append into
+    * one partition of a million-file table lists that partition only.
+    * Dynamic or absent specs fall back to the table root. */
+  private def mergeScope(spark: SparkSession, tbl: String,
+      stmt: String): String = {
+    val root = tableLocation(spark, tbl)
+    stmt match {
+      case insertBranchRe(_, _, part, _) if part != null &&
+          splitPartSpec(part).forall(_.contains("=")) =>
+        val sub = splitPartSpec(part).map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+        }.mkString("/")
+        root.stripSuffix("/") + "/" + sub
+      case _ => root
+    }
+  }
+
   private def autoMergeSmallFiles(spark: SparkSession, tbl: String,
-      before: Map[String, Long]): Unit = {
+      stmt: String, before: Map[String, Long]): Unit = {
     val avgSize = spark.conf.getOption("hive.merge.smallfiles.avgsize")
       .map(_.trim.toLong).getOrElse(16000000L)
     val perTask = spark.conf.getOption("hive.merge.size.per.task")
       .map(_.trim.toLong).getOrElse(256000000L)
-    val after = listDataFiles(spark, tableLocation(spark, tbl))
+    val after = listDataFiles(spark, mergeScope(spark, tbl, stmt))
     val fresh = after.filter { case (f, _) => !before.contains(f) }
     if (fresh.isEmpty) return
     var merged = false
@@ -1827,12 +1890,17 @@ object Engine {
         }
     }
     mergeSnap.foreach { case (tbl, before) =>
-      autoMergeSmallFiles(spark, tbl, before) }
+      autoMergeSmallFiles(spark, tbl, stmt, before) }
     // hive.stats.autogather (HiveConf.java:1184, default true there —
     // opt-in here, Spark parity): Hive gathers basic table stats as part
     // of every INSERT's job; the Spark equivalent is an ANALYZE after the
     // write, so the refreshed rowCount/sizeInBytes feed broadcast and
-    // CBO decisions without a manual ANALYZE
+    // CBO decisions without a manual ANALYZE. COST CAVEAT (why opt-in,
+    // not default-on like Hive): the reference reads its counts from the
+    // write job's own counters at O(job) cost, while ANALYZE rescans the
+    // table — O(table) per statement. Suitable for rebuild-style
+    // pipelines; a high-frequency small-append workload should ANALYZE
+    // on its own cadence instead.
     if (spark.conf.getOption("hive.stats.autogather")
         .exists(_.trim.equalsIgnoreCase("true")))
       stmt match {

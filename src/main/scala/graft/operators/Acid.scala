@@ -85,7 +85,8 @@ object Acid {
                 schema: StructType = null,
                 setPostJoin: Map[String, String] = Map.empty,
                 partitionCols: Seq[String] = Nil,
-                options: Map[String, String] = Map.empty): Unit = {
+                options: Map[String, String] = Map.empty): Unit =
+      graft.plans.StrictChecks.suspended(spark) {
     val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -162,13 +163,14 @@ object Acid {
     */
   def compact(spark: SparkSession, path: String, numFiles: Int,
               format: String = "parquet", schema: StructType = null,
-              options: Map[String, String] = Map.empty): Unit = {
-    val df = load(spark, path, format, schema, options = options)
-    val all = df.withColumn(FILE, col("_metadata.file_path"))
-      .select(FILE).distinct().collect().map(_.getString(0))
-    swapIn(spark, path, all, df.repartition(numFiles), format,
-      options = options)
-  }
+              options: Map[String, String] = Map.empty): Unit =
+    graft.plans.StrictChecks.suspended(spark) {
+      val df = load(spark, path, format, schema, options = options)
+      val all = df.withColumn(FILE, col("_metadata.file_path"))
+        .select(FILE).distinct().collect().map(_.getString(0))
+      swapIn(spark, path, all, df.repartition(numFiles), format,
+        options = options)
+    }
 
   /** Merge a SPECIFIC set of files under `path` into `numFiles` — the
     * post-INSERT small-file merge (reference: hive.merge.mapfiles'
@@ -180,22 +182,36 @@ object Acid {
   def mergeFiles(spark: SparkSession, path: String, files: Seq[String],
                  numFiles: Int, format: String = "parquet",
                  schema: StructType = null,
-                 options: Map[String, String] = Map.empty): Unit = {
-    if (files.isEmpty) return
+                 options: Map[String, String] = Map.empty): Unit =
+    graft.plans.StrictChecks.suspended(spark) {
+    if (files.isEmpty) ()
+    else {
     val df = load(spark, path, format, schema, options = options)
     // _metadata.file_path spells the URI "file:///p" where a FileSystem
     // listing yields "file:/p" — match every spelling so the IN list
     // still prunes at the scan (a normalizing regexp on the column would
     // defeat file pruning and read the whole directory)
-    val variants = files.flatMap { f =>
-      val bare = f.replaceFirst("^[a-zA-Z][\\w+.-]*:/+", "/")
-      Seq(f, bare, "file:" + bare, "file://" + bare, "file:///" +
-        bare.stripPrefix("/"))
-    }.distinct
-    val picked = df.withColumn(FILE, col("_metadata.file_path"))
-      .filter(col(FILE).isin(variants: _*)).drop(FILE)
-    swapIn(spark, path, files, picked.repartition(numFiles), format,
-      options = options)
+    def bare(f: String) = f.replaceFirst("^[a-zA-Z][\\w+.-]*:/+", "/")
+    val variantOf: Map[String, String] = files.flatMap { f =>
+      val b = bare(f)
+      Seq(f, b, "file:" + b, "file://" + b, "file:///" + b.stripPrefix("/"))
+        .map(_ -> f)
+    }.toMap
+    val withFile = df.withColumn(FILE, col("_metadata.file_path"))
+      .filter(col(FILE).isin(variantOf.keys.toSeq: _*))
+    // Delete ONLY files whose rows were actually picked up: if a
+    // spelling this table's source uses isn't among the variants (e.g.
+    // an object-store URI with authority qualification), those files
+    // stay on disk unmerged rather than being deleted with their rows
+    // absent from the rewrite — a mismatch degrades to a no-op, never to
+    // silent data loss. One extra metadata-sized aggregate on the
+    // already-pruned scan.
+    val matched = withFile.select(FILE).distinct().collect()
+      .map(_.getString(0)).flatMap(variantOf.get).distinct
+    if (matched.nonEmpty)
+      swapIn(spark, path, matched.toSeq, withFile.drop(FILE)
+        .repartition(numFiles), format, options = options)
+    }
   }
 
   private def load(spark: SparkSession, path: String, format: String,
@@ -211,7 +227,8 @@ object Acid {
                       identityKept: Boolean, set: Map[String, Column],
                       format: String, schema: StructType = null,
                       partitionCols: Seq[String] = Nil,
-                      options: Map[String, String] = Map.empty): Unit = {
+                      options: Map[String, String] = Map.empty): Unit =
+      graft.plans.StrictChecks.suspended(spark) {
     val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))

@@ -36,6 +36,10 @@ object ExportImport {
   def exportTable(df: DataFrame, dir: String,
                   partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // EXPORT is a maintenance task: the reference never subjects it to
+    // strict query checks (an unfiltered scan of the exported table is
+    // the point), so the staging write runs with them suspended
+    graft.plans.StrictChecks.suspended(spark) {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir + "/data")
@@ -43,6 +47,7 @@ object ExportImport {
       s"""{"format":"parquet","schema_ddl":${ujsonStr(df.schema.toDDL)},"partitions":${ujsonStr(partitionBy.mkString(","))}}"""
     val out = fs(spark, dir).create(new Path(dir, "_metadata"), true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** IMPORT: recreate the exported table as catalog table `table` at

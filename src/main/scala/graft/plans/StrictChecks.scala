@@ -45,19 +45,37 @@ object StrictChecks {
       .map(_.trim.equalsIgnoreCase("true")).getOrElse(strict)
   }
 
-  def apply(session: SparkSession): LogicalPlan => Unit = plan => {
-    // fast exit on the common (nonstrict, no overrides) path
-    val orderBy = enabled(session, "orderby.no.limit")
-    val cartesian = enabled(session, "cartesian.product")
-    val pruning = enabled(session, "no.partition.filter")
-    val typeSafety = enabled(session, "type.safety")
-    if (orderBy || cartesian || pruning || typeSafety) {
-      if (orderBy) checkOrderBy(plan)
-      if (cartesian) checkCartesian(plan)
-      if (pruning) checkPruning(plan)
-      if (typeSafety) checkTypeSafety(plan)
+  private val SuspendKey = "spark.graft.strictChecks.suspend"
+
+  /** Engine-internal maintenance reads (CoW rewrites, compaction/merge,
+    * EXPORT staging) are tasks, not user queries — the reference's strict
+    * checks live in the query SemanticAnalyzer and never block DDL or
+    * maintenance jobs, so e.g. ALTER TABLE ... PARTITION (...) CONCATENATE
+    * must not be refused for scanning its own partition unfiltered. */
+  def suspended[T](session: SparkSession)(body: => T): T = {
+    val prev = session.conf.getOption(SuspendKey)
+    session.conf.set(SuspendKey, "true")
+    try body
+    finally prev match {
+      case Some(v) => session.conf.set(SuspendKey, v)
+      case None    => session.conf.unset(SuspendKey)
     }
   }
+
+  def apply(session: SparkSession): LogicalPlan => Unit = plan =>
+    if (!session.conf.getOption(SuspendKey).exists(_ == "true")) {
+      // fast exit on the common (nonstrict, no overrides) path
+      val orderBy = enabled(session, "orderby.no.limit")
+      val cartesian = enabled(session, "cartesian.product")
+      val pruning = enabled(session, "no.partition.filter")
+      val typeSafety = enabled(session, "type.safety")
+      if (orderBy || cartesian || pruning || typeSafety) {
+        if (orderBy) checkOrderBy(plan)
+        if (cartesian) checkCartesian(plan)
+        if (pruning) checkPruning(plan)
+        if (typeSafety) checkTypeSafety(plan)
+      }
+    }
 
   /** The reference refuses bigint↔string and bigint↔double comparisons in
     * strict mode (the compare coerces both sides to double — longs above
@@ -154,10 +172,32 @@ object StrictChecks {
       case _ => false
     }
     if (bareLookup(plan)) return
-    // all attributes referenced by any Filter condition in the plan
-    val filtered = AttributeSet(plan.collect {
+    // attributes referenced by any predicate: Filter conditions AND join
+    // conditions (the reference's check runs after predicate pushdown, so
+    // `JOIN ... ON t.ds='x' AND t.k=d.k` prunes — the ds conjunct lives
+    // in Join.condition at analysis time, never in a Filter)
+    val directRefs = plan.collect {
       case Filter(cond, _) => cond.references.toSeq
-    }.flatten)
+      case Join(_, _, _, Some(cond), _) => cond.references.toSeq
+    }.flatten
+    // expand through Project aliases so `WHERE d='1'` over
+    // `(SELECT ds AS d ...)` counts as a predicate on ds (alias chains
+    // resolved to a fixpoint)
+    val aliasRefs = plan.collect {
+      case p: Project => p.projectList.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          a.exprId -> a.child.references
+      }
+    }.flatten.toMap
+    var filtered = AttributeSet(directRefs)
+    var grew = true
+    while (grew) {
+      val expanded = filtered ++
+        AttributeSet(filtered.toSeq.flatMap(a => aliasRefs.get(a.exprId))
+          .flatMap(_.toSeq))
+      grew = expanded.size > filtered.size
+      filtered = expanded
+    }
     def fail(name: String): Nothing =
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "USER_RAISED_EXCEPTION",

@@ -739,6 +739,95 @@ class Round11Spec extends SparkSpec {
     spark.sql("DROP TABLE graft_tmp.r11_am")
   }
 
+  test("auto-merge never touches bucketed tables (bucket-id file naming)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_amb")
+    spark.sql("""CREATE TABLE graft_tmp.r11_amb (k INT, v INT)
+      USING parquet CLUSTERED BY (k) INTO 4 BUCKETS""")
+    withConfs("hive.merge.mapfiles" -> "true") {
+      Engine.sql(spark, sf, """INSERT INTO graft_tmp.r11_amb
+        SELECT CAST(id % 16 AS INT), CAST(id AS INT) FROM range(100)""")
+    }
+    // a merge would have rewritten the bucket files into cow-* names and
+    // broken bucket-id derivation; the table must still read and keep
+    // its 4 bucket files
+    assert(spark.table("graft_tmp.r11_amb").count() == 100)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.r11_amb"))
+      .location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(names.forall(_.startsWith("part-")),
+      s"bucket files rewritten: ${names.mkString(",")}")
+    spark.sql("DROP TABLE graft_tmp.r11_amb")
+  }
+
+  test("a quoted comma in a static partition value is not a dynamic column") {
+    val base = tools.Tmp.dir("r11_dyncomma")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_dync")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_dync (a STRING)
+      USING parquet PARTITIONED BY (p STRING) LOCATION '$base'""")
+    withConfs("hive.exec.dynamic.partition" -> "false") {
+      // fully static: must pass even with dynamic partitions disabled
+      Engine.sql(spark, sf, """INSERT OVERWRITE TABLE graft_tmp.r11_dync
+        PARTITION (p='a,b') SELECT n_name FROM nation""")
+    }
+    assert(spark.sql(
+      "SELECT count(1) FROM graft_tmp.r11_dync WHERE p = 'a,b'")
+      .collect()(0).getLong(0) > 0)
+    spark.sql("DROP TABLE graft_tmp.r11_dync")
+  }
+
+  test("strict pruning accepts join-ON predicates, aliases, and maintenance") {
+    Tables.views(spark, sf, "nation")
+    val base = tools.Tmp.dir("r11_strictp2")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_sp2")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_sp2 (v INT)
+      USING parquet PARTITIONED BY (ds STRING) LOCATION '$base'""")
+    spark.sql("INSERT INTO graft_tmp.r11_sp2 PARTITION (ds='a') VALUES (1)")
+    spark.sql("INSERT INTO graft_tmp.r11_sp2 PARTITION (ds='b') VALUES (2)")
+    withConfs("hive.strict.checks.no.partition.filter" -> "true") {
+      // partition predicate in the JOIN condition, not a Filter
+      assert(spark.sql("""SELECT count(1) FROM graft_tmp.r11_sp2 t
+        JOIN nation n ON t.ds = 'a' AND t.v = n.n_nationkey""").count() == 1)
+      // predicate over a renaming subquery alias
+      assert(spark.sql("""SELECT count(1) FROM
+        (SELECT ds AS d, v FROM graft_tmp.r11_sp2) q
+        WHERE q.d = 'a'""").count() == 1)
+      // maintenance DDL is a task, not a query: CONCATENATE must run
+      Engine.sql(spark, sf,
+        "ALTER TABLE graft_tmp.r11_sp2 PARTITION (ds='a') CONCATENATE")
+      // and the unfiltered scan is still refused
+      intercept[Exception](
+        spark.sql("SELECT count(1) FROM graft_tmp.r11_sp2").collect())
+    }
+    spark.sql("DROP TABLE graft_tmp.r11_sp2")
+  }
+
+  test("re-enabling auto.convert.join keeps an explicit size bound") {
+    val orig = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Engine.sql(spark, sf,
+        "SET hive.auto.convert.join.noconditionaltask.size=12345678")
+      Engine.sql(spark, sf, "SET hive.auto.convert.join=false")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      Engine.sql(spark, sf, "SET hive.auto.convert.join=true")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        == "12345678", "explicit size bound lost on re-enable")
+    } finally {
+      orig match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.conf.unset("hive.auto.convert.join.noconditionaltask.size")
+      spark.conf.unset("hive.auto.convert.join")
+    }
+  }
+
   test("hive.merge merges per partition directory on dynamic inserts") {
     val base = tools.Tmp.dir("r11_automerge_p")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
