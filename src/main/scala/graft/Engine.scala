@@ -451,7 +451,16 @@ object Engine {
           bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
       "hive.mapjoin.smalltable.filesize" ->
         ((s: SparkSession, v: String) =>
-          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)))
+          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
+      // runtime skew mitigation: Hive's conditional skew-join task maps
+      // onto AQE's skew-join split (on by default in both engines)
+      "hive.optimize.skewjoin" -> ((s: SparkSession, v: String) =>
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled",
+          v.equalsIgnoreCase("true").toString)),
+      // cost-based optimizer toggle
+      "hive.cbo.enable" -> ((s: SparkSession, v: String) =>
+        s.conf.set("spark.sql.cbo.enabled",
+          v.equalsIgnoreCase("true").toString)))
   }
 
   // ALTER TABLE t [PARTITION (...)] CONCATENATE — DDLSemanticAnalyzer's

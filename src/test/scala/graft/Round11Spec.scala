@@ -664,6 +664,14 @@ class Round11Spec extends SparkSpec {
       // unmapped hive.* keys stay inert session confs (g259)
       Engine.sql(spark, sf, "SET hive.map.aggr=true")
       assert(spark.conf.get("hive.map.aggr") == "true")
+      // skew-join and CBO toggles
+      Engine.sql(spark, sf, "SET hive.optimize.skewjoin=false")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "false")
+      Engine.sql(spark, sf, "SET hive.optimize.skewjoin=true")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      Engine.sql(spark, sf, "SET hive.cbo.enable=true")
+      assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+      spark.conf.unset("spark.sql.cbo.enabled")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
