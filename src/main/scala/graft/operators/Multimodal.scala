@@ -468,6 +468,42 @@ object Multimodal {
       }
   }
 
+  case class AudioQuality(doc_id: Long, n_values: Long, sum_sq: Long,
+      n_silent: Long)
+
+  /** Audio quality gates over the decoded PCM: total signal power
+    * (sum of squares — exact integers, so the gate is bit-exact across
+    * engines; no transcendental dB math on the comparison path) and the
+    * silent-sample count under `silenceThreshold` — the inputs to the
+    * two standard corpus filters (drop near-silent clips, drop clipped /
+    * overdriven clips). Narrow per-partition map, one pass per payload. */
+  def decodeAudioQuality(spark: SparkSession, media: DataFrame,
+      silenceThreshold: Int = 512): Dataset[AudioQuality] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, b) =>
+          val hdr = parseWav(b)
+          val dataOff = findDataChunk(b)
+          (hdr, dataOff) match {
+            case (Some((_, _, bits, _)), Some((off, len))) if bits == 16 =>
+              val n = math.min(len, b.length.toLong - off) / 2
+              var (sumSq, silent) = (0L, 0L)
+              var k = 0
+              while (k < n) {
+                val v = ((b(off + 2 * k) & 0xFF) |
+                  (b(off + 2 * k + 1) << 8)).toShort.toLong
+                sumSq += v * v
+                if (math.abs(v) < silenceThreshold) silent += 1
+                k += 1
+              }
+              AudioQuality(id, n, sumSq, silent)
+            case _ => AudioQuality(id, -1L, 0L, 0L)
+          }
+        }
+      }
+  }
+
   /** (offset, declared length) of the RIFF data chunk's payload. */
   private def findDataChunk(b: Array[Byte]): Option[(Int, Long)] = {
     if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF") return None

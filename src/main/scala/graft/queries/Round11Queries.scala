@@ -89,6 +89,51 @@ object Round11Queries {
               FROM d LEFT JOIN v ON d.doc_id = v.doc_id
               GROUP BY d.doc_id, d.ch, d.rate, d.nvals""")),
 
+    // ---- m08: audio quality gates from the decoded PCM — signal power
+    //      (sum of squares) and silence ratio, the inputs to the two
+    //      standard corpus filters (near-silent clips out, clipped clips
+    //      out). All-integer aggregates + one correctly-rounded division,
+    //      so the oracle compare is bit-exact (no transcendental dB math
+    //      on the gate path). ----
+    Q("m08_audio_quality", (s, d) => {
+      val media = Multimodal.synthWavPcm(s,
+        t(s, d, "documents").filter(col("doc_id") < 300))
+      Multimodal.decodeAudioQuality(s, media).toDF()
+        .select(col("doc_id"), col("n_values"), col("sum_sq"),
+          col("n_silent"),
+          when(col("n_values") > 0, round(
+            col("n_silent").cast("double") / col("n_values"), 6))
+            .otherwise(lit(0.0)).as("silence_ratio"),
+          when(col("n_values") > 0, round(
+            col("sum_sq").cast("double") / col("n_values"), 4))
+            .otherwise(lit(0.0)).as("mean_square"))
+    },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       (doc_id % 100) * 10 * (1 + doc_id % 2) AS nvals
+                FROM documents WHERE doc_id < 300),
+              s AS (
+                SELECT d.doc_id, unnest(range(0, d.nvals)) AS k FROM d),
+              v AS (
+                SELECT s.doc_id,
+                       ((s.k * (s.doc_id + 3)) % 65536) - 32768 AS val
+                FROM s),
+              agg AS (
+                SELECT doc_id, sum(val * val) AS sum_sq,
+                       sum(CASE WHEN abs(val) < 512 THEN 1 ELSE 0 END)
+                         AS n_silent
+                FROM v GROUP BY doc_id)
+              SELECT d.doc_id, CAST(d.nvals AS BIGINT) AS n_values,
+                     COALESCE(agg.sum_sq, 0) AS sum_sq,
+                     COALESCE(agg.n_silent, 0) AS n_silent,
+                     CASE WHEN d.nvals > 0 THEN round(
+                       CAST(COALESCE(agg.n_silent, 0) AS DOUBLE) / d.nvals, 6)
+                       ELSE 0.0 END AS silence_ratio,
+                     CASE WHEN d.nvals > 0 THEN round(
+                       CAST(COALESCE(agg.sum_sq, 0) AS DOUBLE) / d.nvals, 4)
+                       ELSE 0.0 END AS mean_square
+              FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""")),
+
     // ---- t18: per-domain document cap — keep the top-3 docs per source
     //      by quality (distinct-token ratio, doc_id tiebreak), the
     //      "no domain dominates the corpus" guard a crawl pipeline runs
