@@ -3047,10 +3047,11 @@ object Engine {
     }
     stmt0 match {
       case setBridgeRe(k, v) if confBridge.contains(k.toLowerCase) =>
-        // record the Hive key (SHOW CONF / later reads see it), then
-        // apply the Spark-equivalent execution knob
-        spark.conf.set(k, v.trim)
+        // apply the Spark-equivalent execution knob first (it validates
+        // the value — a failed SET must leave no state behind), then
+        // record the Hive key so SHOW CONF / later reads see it
         confBridge(k.toLowerCase)(spark, v.trim)
+        spark.conf.set(k, v.trim)
         return spark.emptyDataFrame
       case touchRe(table, _) =>
         // validate the table exists (Hive's TOUCH errors on a bad name),
