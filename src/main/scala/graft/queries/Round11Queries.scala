@@ -401,6 +401,50 @@ object Round11Queries {
                  ORDER BY h, doc_id) AS BIGINT) AS pos
         FROM s""")),
 
+    // ---- t26: exact token-budget fill per domain — greedy selection in
+    //      deterministic hash order until each source's token budget
+    //      (2000) is filled: the mixture step when a training run needs
+    //      exactly-N tokens per domain (t19's rate sampling hits the
+    //      budget only in expectation). Window partitions by SOURCE
+    //      (bounded cardinality, the t18 discipline) — work scales with
+    //      per-domain data, never the corpus; selection order is
+    //      xxhash64(doc_id), so the fill is reproducible across runs and
+    //      cluster sizes and the oracle re-derives it bit-exactly. ----
+    Q("t26_token_budget_fill", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("h", xxhash64(col("doc_id")))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("cum_before",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .filter(col("cum_before") < lit(2000L))
+        .select("source", "doc_id", "n_tokens")
+    },
+      Some(XxhOracle.macros + """
+        WITH h0 AS (SELECT doc_id,
+               gx_wstep(gx_a64(42, 2870177450012600269),
+                        gx_unsigned(doc_id)) AS h FROM documents),
+        h1 AS (SELECT doc_id,
+               gx_m64(xor(h, h >> 33), 14029467366897019727) AS h FROM h0),
+        h2 AS (SELECT doc_id,
+               gx_m64(xor(h, h >> 29), 1609587929392839161) AS h FROM h1),
+        h3 AS (SELECT doc_id, gx_signed(xor(h, h >> 32)) AS h FROM h2),
+        tok AS (SELECT source, doc_id,
+                       len(string_split(text, ' ')) AS n FROM documents),
+        j AS (SELECT tok.source, tok.doc_id, tok.n, h3.h
+              FROM tok JOIN h3 USING (doc_id)),
+        c AS (SELECT source, doc_id, n,
+                COALESCE(sum(n) OVER (PARTITION BY source
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cb
+              FROM j)
+        SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens
+        FROM c WHERE cb < 2000""")),
+
     // ---- t23: exact duplicate-SPAN removal (Lee et al. 2022 ExactSubstr)
     //      — every 8-token window occurring >1 time in the corpus is cut
     //      from all but its globally-first occurrence, overlapping windows
