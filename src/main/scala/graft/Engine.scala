@@ -403,7 +403,7 @@ object Engine {
   // bridge write — conf.unset would fall to Spark's stock defaults (200
   // partitions, 10 MB), not the engine's configured ones.
   private val setBridgeRe =
-    """(?is)\s*SET\s+([\w.]+)\s*=\s*(\S+)\s*;?\s*""".r
+    """(?is)\s*SET\s+([\w.]+)\s*=\s*([^\s;]+)\s*;?\s*""".r
   private val bridgeSaved =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -434,7 +434,7 @@ object Engine {
       // independent in Hive: turning conversion back on uses the
       // configured size, not the pre-script default)
       "hive.auto.convert.join" -> ((s: SparkSession, v: String) =>
-        if (v.equalsIgnoreCase("true")) {
+        if (parseBool("hive.auto.convert.join", v)) {
           val sized = Seq("hive.auto.convert.join.noconditionaltask.size",
             "hive.mapjoin.smalltable.filesize")
             .flatMap(k => s.conf.getOption(k)).headOption
@@ -445,23 +445,36 @@ object Engine {
               bridgeRestore(s, "spark.sql.autoBroadcastJoinThreshold")
           }
         } else bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", "-1")),
-      // the small-table size bound for auto-conversion
+      // the small-table size bound for auto-conversion. INERT while
+      // auto-conversion is disabled (Hive's size confs do nothing when
+      // hive.auto.convert.join=false — setting one must not silently
+      // re-enable the broadcast the user just turned off); the =true
+      // handler above picks the recorded size up on re-enable.
       "hive.auto.convert.join.noconditionaltask.size" ->
         ((s: SparkSession, v: String) =>
-          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
+          if (!s.conf.get("hive.auto.convert.join", "true")
+              .equalsIgnoreCase("false"))
+            bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
       "hive.mapjoin.smalltable.filesize" ->
         ((s: SparkSession, v: String) =>
-          bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
+          if (!s.conf.get("hive.auto.convert.join", "true")
+              .equalsIgnoreCase("false"))
+            bridgeSet(s, "spark.sql.autoBroadcastJoinThreshold", v)),
       // runtime skew mitigation: Hive's conditional skew-join task maps
       // onto AQE's skew-join split (on by default in both engines)
       "hive.optimize.skewjoin" -> ((s: SparkSession, v: String) =>
-        s.conf.set("spark.sql.adaptive.skewJoin.enabled",
-          v.equalsIgnoreCase("true").toString)),
+        bridgeSet(s, "spark.sql.adaptive.skewJoin.enabled",
+          parseBool("hive.optimize.skewjoin", v).toString)),
       // cost-based optimizer toggle
       "hive.cbo.enable" -> ((s: SparkSession, v: String) =>
-        s.conf.set("spark.sql.cbo.enabled",
-          v.equalsIgnoreCase("true").toString)))
+        bridgeSet(s, "spark.sql.cbo.enabled",
+          parseBool("hive.cbo.enable", v).toString)))
   }
+
+  private def parseBool(key: String, v: String): Boolean =
+    if (v.equalsIgnoreCase("true")) true
+    else if (v.equalsIgnoreCase("false")) false
+    else sys.error(s"$key expects true or false, got '$v'")
 
   // ALTER TABLE t [PARTITION (...)] CONCATENATE — DDLSemanticAnalyzer's
   // merge-small-files task (exec/DDLTask mergeFiles); routed to the CoW
@@ -1735,7 +1748,11 @@ object Engine {
     */
   private def listDataFiles(spark: SparkSession, loc: String)
       : Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(loc)
+    // `loc` is URI-spelled (CatalogTable.location / mergeScope): the
+    // URI constructor decodes one escape round, yielding the directory's
+    // literal on-disk name (p=a%253Ab -> p=a%3Ab); the string
+    // constructor would keep the raw spelling and miss the directory
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(loc))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
     else {
@@ -1781,10 +1798,18 @@ object Engine {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQuote = false
-    part.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ',' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < part.length) {
+      part(i) match {
+        // a backslash escapes the next char (PARTITION (p='a\'b,c')) —
+        // same convention as splitStatements
+        case '\\' if i + 1 < part.length =>
+          cur += '\\'; cur += part(i + 1); i += 1
+        case '\'' => inQuote = !inQuote; cur += '\''
+        case ',' if !inQuote => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
     }
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
@@ -1801,9 +1826,23 @@ object Engine {
     stmt match {
       case insertBranchRe(_, _, part, _) if part != null &&
           splitPartSpec(part).forall(_.contains("=")) =>
+        // directory names use the DECLARED column case and Spark's path
+        // escaping — PARTITION (P='a:b') lands in p=a%3Ab, so the scoped
+        // listing must spell it the same way or the diff sees nothing
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val declared = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+          .partitionColumnNames
         val sub = splitPartSpec(part).map { kv =>
-          val Array(k, v) = kv.split("=", 2).map(_.trim)
-          s"$k=${v.stripPrefix("'").stripSuffix("'")}"
+          val Array(k0, v) = kv.split("=", 2).map(_.trim)
+          val k = declared.find(_.equalsIgnoreCase(k0)).getOrElse(k0)
+          // escapePathName gives the directory's LITERAL name (a%3Ab);
+          // the scope string feeds new Path(str), which decodes one
+          // round of %-escapes — so emit the URI spelling (a%253Ab),
+          // the same convention FileStatus.toUri / _metadata use
+          (ExternalCatalogUtils.escapePathName(k) + "=" +
+            ExternalCatalogUtils.escapePathName(
+              v.stripPrefix("'").stripSuffix("'"))).replace("%", "%25")
         }.mkString("/")
         root.stripSuffix("/") + "/" + sub
       case _ => root
@@ -1914,8 +1953,12 @@ object Engine {
         .exists(_.trim.equalsIgnoreCase("true")))
       stmt match {
         case insertTargetRe(tbl) =>
-          try { spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS"): Unit }
-          catch { case _: Exception => () } // temp-view target etc.
+          // stats gathering is a maintenance task: it must work under
+          // strict mode too (Hive's autogather reads job counters, never
+          // a checked query), so the internal count runs suspended
+          try graft.plans.StrictChecks.suspended(spark) {
+            spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS"): Unit
+          } catch { case _: Exception => () } // temp-view target etc.
         case _ => ()
       }
     out

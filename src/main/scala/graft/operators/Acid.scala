@@ -186,7 +186,13 @@ object Acid {
     graft.plans.StrictChecks.suspended(spark) {
     if (files.isEmpty) ()
     else {
-    val df = load(spark, path, format, schema, options = options)
+    // `path` arrives URI-spelled (FileStatus.toUri / _metadata: an
+    // escaped partition value reads "p=a%253Ab"); spark.read and
+    // swapIn's directory ops need the once-decoded LITERAL name
+    // ("p=a%3Ab" — the real directory) — the URI constructor decodes
+    // exactly one round
+    val lit = new org.apache.hadoop.fs.Path(new java.net.URI(path)).toString
+    val df = load(spark, lit, format, schema, options = options)
     // _metadata.file_path spells the URI "file:///p" where a FileSystem
     // listing yields "file:/p" — match every spelling so the IN list
     // still prunes at the scan (a normalizing regexp on the column would
@@ -209,7 +215,7 @@ object Acid {
     val matched = withFile.select(FILE).distinct().collect()
       .map(_.getString(0)).flatMap(variantOf.get).distinct
     if (matched.nonEmpty)
-      swapIn(spark, path, matched.toSeq, withFile.drop(FILE)
+      swapIn(spark, lit, matched.toSeq, withFile.drop(FILE)
         .repartition(numFiles), format, options = options)
     }
   }

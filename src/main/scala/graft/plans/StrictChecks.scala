@@ -172,13 +172,25 @@ object StrictChecks {
       case _ => false
     }
     if (bareLookup(plan)) return
-    // attributes referenced by any predicate: Filter conditions AND join
-    // conditions (the reference's check runs after predicate pushdown, so
-    // `JOIN ... ON t.ds='x' AND t.k=d.k` prunes — the ds conjunct lives
-    // in Join.condition at analysis time, never in a Filter)
+    // attributes referenced by any predicate: Filter conditions AND the
+    // PUSHABLE conjuncts of join conditions (the reference's check runs
+    // after predicate pushdown, so `JOIN ... ON t.ds='x' AND t.k=d.k`
+    // prunes via the ds conjunct — but a bare equi-join `t.ds = o.ds`
+    // prunes nothing and must NOT satisfy the check: only single-side
+    // conjuncts, i.e. those referencing attributes of one relation,
+    // push down as filters)
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
     val directRefs = plan.collect {
       case Filter(cond, _) => cond.references.toSeq
-      case Join(_, _, _, Some(cond), _) => cond.references.toSeq
+      case Join(left, right, _, Some(cond), _) =>
+        conjuncts(cond).filter { c =>
+          val refs = c.references
+          refs.subsetOf(left.outputSet) || refs.subsetOf(right.outputSet)
+        }.flatMap(_.references.toSeq)
     }.flatten
     // expand through Project aliases so `WHERE d='1'` over
     // `(SELECT ds AS d ...)` counts as a predicate on ds (alias chains

@@ -812,6 +812,12 @@ class Round11Spec extends SparkSpec {
       // and the unfiltered scan is still refused
       intercept[Exception](
         spark.sql("SELECT count(1) FROM graft_tmp.r11_sp2").collect())
+      // a BARE equi-join on the partition column prunes nothing and is
+      // also refused (only single-side pushable conjuncts count)
+      val e2 = intercept[Exception](spark.sql(
+        """SELECT count(1) FROM graft_tmp.r11_sp2 a
+           JOIN graft_tmp.r11_sp2 b ON a.ds = b.ds""").collect())
+      assert(e2.getMessage.contains("no partition predicate"))
     }
     spark.sql("DROP TABLE graft_tmp.r11_sp2")
   }
@@ -823,17 +829,55 @@ class Round11Spec extends SparkSpec {
         "SET hive.auto.convert.join.noconditionaltask.size=12345678")
       Engine.sql(spark, sf, "SET hive.auto.convert.join=false")
       assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      // size confs are INERT while conversion is disabled (Hive parity):
+      // setting one must not silently re-enable the broadcast
+      Engine.sql(spark, sf, "SET hive.mapjoin.smalltable.filesize=999")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
       Engine.sql(spark, sf, "SET hive.auto.convert.join=true")
       assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         == "12345678", "explicit size bound lost on re-enable")
+      // a trailing semicolon reaches the same handler (Engine.sql path)
+      Engine.sql(spark, sf, "SET mapred.reduce.tasks=9;")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "9")
+      Engine.sql(spark, sf, "SET mapred.reduce.tasks=-1")
+      // boolean bridges validate their value
+      val eb = intercept[Exception](
+        Engine.sql(spark, sf, "SET hive.cbo.enable=maybe"))
+      assert(eb.getMessage.contains("expects true or false"))
     } finally {
       orig match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
         case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
       spark.conf.unset("hive.auto.convert.join.noconditionaltask.size")
+      spark.conf.unset("hive.mapjoin.smalltable.filesize")
       spark.conf.unset("hive.auto.convert.join")
     }
+  }
+
+  test("auto-merge scope spells escaped partition values the way Spark does") {
+    val base = tools.Tmp.dir("r11_amesc")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r11_ame")
+    spark.sql(s"""CREATE TABLE graft_tmp.r11_ame (v INT)
+      USING parquet PARTITIONED BY (p STRING) LOCATION '$base'""")
+    withConfs("hive.merge.mapfiles" -> "true") {
+      // a colon must be escaped to %3A in the directory name; the scoped
+      // listing has to find it or the merge silently no-ops
+      Engine.sql(spark, sf, """INSERT INTO graft_tmp.r11_ame
+        PARTITION (P='a:b')
+        SELECT /*+ REPARTITION(4) */ CAST(id AS INT) FROM range(40)""")
+    }
+    val dir = new org.apache.hadoop.fs.Path(base, "p=a%3Ab")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(dir).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    assert(n == 1, s"expected 1 merged file in p=a%3Ab, got $n")
+    assert(spark.sql(
+      "SELECT count(1) FROM graft_tmp.r11_ame WHERE p = 'a:b'")
+      .collect()(0).getLong(0) == 40)
+    spark.sql("DROP TABLE graft_tmp.r11_ame")
   }
 
   test("hive.merge merges per partition directory on dynamic inserts") {
