@@ -2129,6 +2129,26 @@ object Engine {
         "a file move cannot preserve the bucket layout. Load into an " +
         "intermediate table and INSERT ... SELECT (or set " +
         "hive.strict.checks.bucketing=false to force)")
+    // LOAD is a blind file move, so a format mismatch surfaces only at
+    // the NEXT read as corruption — validate the incoming files' magic
+    // bytes against the table's declared format up front, as the
+    // reference does (clientnegative/load_wrong_fileformat.q: loading a
+    // text file into a SEQUENCEFILE table is refused)
+    val expectMagic: Option[(String, Array[Byte] => Boolean)] =
+      tableFormat(spark, table) match {
+        case "parquet" => Some("parquet" -> (b => b.length >= 4 &&
+          b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
+        case "orc" => Some("ORC" -> (b => b.length >= 3 &&
+          b(0) == 'O' && b(1) == 'R' && b(2) == 'C'))
+        case "avro" | "graft-avro" => Some("Avro" -> (b => b.length >= 4 &&
+          b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1))
+        case "graft-seq" => Some("SequenceFile" -> (b => b.length >= 3 &&
+          b(0) == 'S' && b(1) == 'E' && b(2) == 'Q'))
+        case "graft-rcfile" => Some("RCFile" -> (b => b.length >= 3 &&
+          ((b(0) == 'R' && b(1) == 'C' && b(2) == 'F') ||
+           (b(0) == 'S' && b(1) == 'E' && b(2) == 'Q'))))
+        case _ => None // text/csv/json accept any bytes
+      }
     val tableLoc = new Path(meta.location)
     val dst = partSpec match {
       case Some(spec) =>
@@ -2142,15 +2162,28 @@ object Engine {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new Path(inpath).getFileSystem(conf)
     val dstFs = dst.getFileSystem(conf)
-    dstFs.mkdirs(dst)
-    if (overwrite)
-      dstFs.listStatus(dst).filter(_.isFile).foreach(st => dstFs.delete(st.getPath, false))
     val src = new Path(inpath)
     val files =
       if (srcFs.getFileStatus(src).isDirectory)
         srcFs.listStatus(src).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
           .map(_.getPath)
       else Array(src)
+    // magic-byte validation BEFORE any destructive step (the OVERWRITE
+    // delete below must never run for a load that is about to be refused)
+    expectMagic.foreach { case (fmtName, ok) =>
+      files.foreach { f =>
+        val in = srcFs.open(f)
+        val head = new Array[Byte](4)
+        val n = try in.read(head, 0, 4) finally in.close()
+        if (n < 4 || !ok(head))
+          sys.error(s"Wrong file format: ${f.getName} is not a $fmtName " +
+            s"file, but table $table is stored as $fmtName (reference " +
+            "LOAD semantics validate the file format before the move)")
+      }
+    }
+    dstFs.mkdirs(dst)
+    if (overwrite)
+      dstFs.listStatus(dst).filter(_.isFile).foreach(st => dstFs.delete(st.getPath, false))
     files.foreach(f => FileUtil.copy(srcFs, f, dstFs, new Path(dst, f.getName), false, conf))
     // graft DSv2 tables scan the directory layout directly (no catalog
     // partition list) and reject MSCK as v2 tables
