@@ -1751,8 +1751,12 @@ object Engine {
     // `loc` is URI-spelled (CatalogTable.location / mergeScope): the
     // URI constructor decodes one escape round, yielding the directory's
     // literal on-disk name (p=a%253Ab -> p=a%3Ab); the string
-    // constructor would keep the raw spelling and miss the directory
-    val p = new org.apache.hadoop.fs.Path(new java.net.URI(loc))
+    // constructor would keep the raw spelling and miss the directory.
+    // Characters escapePathName leaves raw (a space) make the string an
+    // invalid URI — fall back to the plain Path, which handles them.
+    val p = try new org.apache.hadoop.fs.Path(new java.net.URI(loc))
+      catch { case _: java.net.URISyntaxException =>
+        new org.apache.hadoop.fs.Path(loc) }
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
     else {
@@ -1815,6 +1819,31 @@ object Engine {
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Strip one round of backslash escapes from a SQL single-quoted
+    * value: PARTITION (p='a\'b') carries the literal a'b. */
+  private def unescapeSqlValue(s: String): String =
+    s.replaceAll("""\\(.)""", "$1")
+
+  /** On-disk partition SUBPATH for a static spec — declared column case
+    * plus Spark/Hive path escaping, in the LITERAL spelling (the real
+    * directory name, e.g. p=a%3Ab for value a:b). Shared by LOAD's
+    * destination and the auto-merge scope so every writer/reader of the
+    * layout spells directories identically. */
+  private def partSubdirLiteral(spark: SparkSession, table: String,
+      spec: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val declared = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .partitionColumnNames
+    splitPartSpec(spec).map { kv =>
+      val Array(k0, v0) = kv.split("=", 2).map(_.trim)
+      val k = declared.find(_.equalsIgnoreCase(k0)).getOrElse(k0)
+      ExternalCatalogUtils.escapePathName(k) + "=" +
+        ExternalCatalogUtils.escapePathName(
+          unescapeSqlValue(v0.stripPrefix("'").stripSuffix("'")))
+    }.mkString("/")
+  }
+
   /** Listing scope for the auto-merge diff: a fully-STATIC PARTITION spec
     * confines the statement's output to one directory, so both listings
     * cover just that subtree instead of the whole table — an append into
@@ -1828,22 +1857,12 @@ object Engine {
           splitPartSpec(part).forall(_.contains("=")) =>
         // directory names use the DECLARED column case and Spark's path
         // escaping — PARTITION (P='a:b') lands in p=a%3Ab, so the scoped
-        // listing must spell it the same way or the diff sees nothing
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val declared = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
-          .partitionColumnNames
-        val sub = splitPartSpec(part).map { kv =>
-          val Array(k0, v) = kv.split("=", 2).map(_.trim)
-          val k = declared.find(_.equalsIgnoreCase(k0)).getOrElse(k0)
-          // escapePathName gives the directory's LITERAL name (a%3Ab);
-          // the scope string feeds new Path(str), which decodes one
-          // round of %-escapes — so emit the URI spelling (a%253Ab),
-          // the same convention FileStatus.toUri / _metadata use
-          (ExternalCatalogUtils.escapePathName(k) + "=" +
-            ExternalCatalogUtils.escapePathName(
-              v.stripPrefix("'").stripSuffix("'"))).replace("%", "%25")
-        }.mkString("/")
+        // listing must spell it the same way or the diff sees nothing.
+        // partSubdirLiteral gives the LITERAL name; the scope string
+        // feeds new Path(str), which decodes one round of %-escapes —
+        // so emit the URI spelling (a%253Ab), the same convention
+        // FileStatus.toUri / _metadata use
+        val sub = partSubdirLiteral(spark, tbl, part).replace("%", "%25")
         root.stripSuffix("/") + "/" + sub
       case _ => root
     }
@@ -2135,7 +2154,8 @@ object Engine {
     // reference does (clientnegative/load_wrong_fileformat.q: loading a
     // text file into a SEQUENCEFILE table is refused)
     val expectMagic: Option[(String, Array[Byte] => Boolean)] =
-      tableFormat(spark, table) match {
+      meta.provider.map(_.toLowerCase).filterNot(_ == "hive")
+        .getOrElse("parquet") match {
         case "parquet" => Some("parquet" -> (b => b.length >= 4 &&
           b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
         case "orc" => Some("ORC" -> (b => b.length >= 3 &&
@@ -2150,13 +2170,13 @@ object Engine {
         case _ => None // text/csv/json accept any bytes
       }
     val tableLoc = new Path(meta.location)
+    // the destination subdir must spell values the way INSERT does
+    // (declared column case, path escaping, quote-aware split) — a raw
+    // spelling would create a SECOND directory for the same logical
+    // partition next to the escaped one INSERT writes
     val dst = partSpec match {
       case Some(spec) =>
-        val sub = spec.split(",").map { kv =>
-          val Array(k, v) = kv.split("=", 2).map(_.trim)
-          s"$k=${v.stripPrefix("'").stripSuffix("'")}"
-        }.mkString("/")
-        new Path(tableLoc, sub)
+        new Path(tableLoc, partSubdirLiteral(spark, table, spec))
       case None => tableLoc
     }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -2174,7 +2194,16 @@ object Engine {
       files.foreach { f =>
         val in = srcFs.open(f)
         val head = new Array[Byte](4)
-        val n = try in.read(head, 0, 4) finally in.close()
+        // read() may legally return short — loop to 4 bytes or EOF
+        val n = try {
+          var got = 0
+          var r = 0
+          while (got < 4 && r >= 0) {
+            r = in.read(head, got, 4 - got)
+            if (r > 0) got += r
+          }
+          got
+        } finally in.close()
         if (n < 4 || !ok(head))
           sys.error(s"Wrong file format: ${f.getName} is not a $fmtName " +
             s"file, but table $table is stored as $fmtName (reference " +

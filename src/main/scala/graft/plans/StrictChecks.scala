@@ -176,20 +176,51 @@ object StrictChecks {
     // PUSHABLE conjuncts of join conditions (the reference's check runs
     // after predicate pushdown, so `JOIN ... ON t.ds='x' AND t.k=d.k`
     // prunes via the ds conjunct — but a bare equi-join `t.ds = o.ds`
-    // prunes nothing and must NOT satisfy the check: only single-side
-    // conjuncts, i.e. those referencing attributes of one relation,
-    // push down as filters)
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    // prunes nothing and must NOT satisfy the check). Pushability is
+    // join-type aware: an ON conjunct filters a side only when that side
+    // is not null-preserved (a LEFT JOIN's left-side ON predicate scans
+    // every left partition regardless).
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans._
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def pushableSide(jt: JoinType, side: String): Boolean = jt match {
+      case Inner | Cross | LeftSemi => true
+      case RightOuter => side == "left"
+      case LeftOuter | LeftAnti => side == "right"
+      case _ => false // FullOuter and friends: nothing pushes
+    }
+    // equi-join equivalence edges (Inner/semi only — constraint
+    // propagation does not hold onto a preserved outer side): a filter
+    // on d.ds transfers to t.ds through t.ds = d.ds, the common
+    // filter-via-dimension shape Hive accepts
+    val equivEdges = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.spark.sql.catalyst.expressions.Attribute,
+              org.apache.spark.sql.catalyst.expressions.Attribute)]
     val directRefs = plan.collect {
       case Filter(cond, _) => cond.references.toSeq
-      case Join(left, right, _, Some(cond), _) =>
-        conjuncts(cond).filter { c =>
+      case Join(left, right, jt, Some(cond), _) =>
+        val cs = conjuncts(cond)
+        def attrOf(e: Expression)
+            : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
+          e match {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              Some(a)
+            case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+              attrOf(c.child) // casts (user or coercion) keep equivalence
+            case _ => None
+          }
+        if (jt == Inner || jt == Cross || jt == LeftSemi) cs.foreach {
+          case EqualTo(l, r) =>
+            for (a <- attrOf(l); b <- attrOf(r)) equivEdges += ((a, b))
+          case _ => ()
+        }
+        cs.filter { c =>
           val refs = c.references
-          refs.subsetOf(left.outputSet) || refs.subsetOf(right.outputSet)
+          (refs.subsetOf(left.outputSet) && pushableSide(jt, "left")) ||
+          (refs.subsetOf(right.outputSet) && pushableSide(jt, "right"))
         }.flatMap(_.references.toSeq)
     }.flatten
     // expand through Project aliases so `WHERE d='1'` over
@@ -204,9 +235,13 @@ object StrictChecks {
     var filtered = AttributeSet(directRefs)
     var grew = true
     while (grew) {
-      val expanded = filtered ++
-        AttributeSet(filtered.toSeq.flatMap(a => aliasRefs.get(a.exprId))
-          .flatMap(_.toSeq))
+      val viaAlias = filtered.toSeq.flatMap(a => aliasRefs.get(a.exprId))
+        .flatMap(_.toSeq)
+      val viaEquiv = equivEdges.flatMap { case (a, b) =>
+        (if (filtered.contains(a)) Seq(b) else Nil) ++
+          (if (filtered.contains(b)) Seq(a) else Nil)
+      }
+      val expanded = filtered ++ AttributeSet(viaAlias ++ viaEquiv)
       grew = expanded.size > filtered.size
       filtered = expanded
     }

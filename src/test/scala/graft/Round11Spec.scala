@@ -818,6 +818,20 @@ class Round11Spec extends SparkSpec {
         """SELECT count(1) FROM graft_tmp.r11_sp2 a
            JOIN graft_tmp.r11_sp2 b ON a.ds = b.ds""").collect())
       assert(e2.getMessage.contains("no partition predicate"))
+      // but filter-via-dimension DOES count: the dim filter transfers to
+      // the fact's partition column through the equi-join (constant
+      // propagation — the shape Hive accepts)
+      assert(spark.sql(
+        """SELECT count(1) FROM graft_tmp.r11_sp2 t
+           JOIN nation n ON t.ds = CAST(n.n_name AS STRING)
+           WHERE n.n_name = 'a'""").count() == 1)
+      // an ON predicate on the PRESERVED side of a LEFT JOIN does not
+      // filter that side's scan — still refused
+      val e3 = intercept[Exception](spark.sql(
+        """SELECT count(1) FROM graft_tmp.r11_sp2 t
+           LEFT JOIN nation n ON t.ds = 'a' AND t.v = n.n_nationkey""")
+        .collect())
+      assert(e3.getMessage.contains("no partition predicate"))
     }
     spark.sql("DROP TABLE graft_tmp.r11_sp2")
   }
