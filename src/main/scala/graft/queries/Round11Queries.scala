@@ -445,6 +445,49 @@ object Round11Queries {
         SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens
         FROM c WHERE cb < 2000""")),
 
+    // ---- t27: corpus snapshot diff — classify every document across two
+    //      corpus versions as added / removed / changed / unchanged (the
+    //      incremental-retraining primitive: which documents need
+    //      re-embedding, which training shards are dirty). Snapshot B is
+    //      derived deterministically from the fixture (drop %11, edit %7,
+    //      add 20 re-keyed docs) so the gate needs no second table; the
+    //      compare ships 16-byte md5 content hashes through ONE full
+    //      outer join on doc_id — never the text itself (at 100 TB the
+    //      shuffle carries hashes, not documents). ----
+    Q("t27_snapshot_diff", (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+      val b0 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val badd = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val b = b0.unionAll(badd)
+        .select(col("doc_id"), md5(col("text")).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") === col("hb"), "unchanged")
+            .otherwise("changed").as("status"))
+    },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        b0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+               FROM documents WHERE doc_id % 11 <> 0),
+        badd AS (SELECT doc_id + 1000000 AS doc_id, text
+                 FROM documents WHERE doc_id < 20),
+        b AS (SELECT doc_id, md5(text) AS hb
+              FROM (SELECT * FROM b0 UNION ALL SELECT * FROM badd))
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN ha = hb THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""")),
+
     // ---- t23: exact duplicate-SPAN removal (Lee et al. 2022 ExactSubstr)
     //      — every 8-token window occurring >1 time in the corpus is cut
     //      from all but its globally-first occurrence, overlapping windows
