@@ -1753,10 +1753,16 @@ object Engine {
     // literal on-disk name (p=a%253Ab -> p=a%3Ab); the string
     // constructor would keep the raw spelling and miss the directory.
     // Characters escapePathName leaves raw (a space) make the string an
-    // invalid URI — fall back to the plain Path, which handles them.
+    // invalid URI — fall back to a manual one-round %XX decode so a
+    // value with BOTH a space and an escaped char ("a:b c" ->
+    // "p=a%253Ab c" in scope spelling) still resolves to the literal
+    // directory; URLDecoder is wrong here (it would eat '+').
     val p = try new org.apache.hadoop.fs.Path(new java.net.URI(loc))
       catch { case _: java.net.URISyntaxException =>
-        new org.apache.hadoop.fs.Path(loc) }
+        val dec = """%([0-9A-Fa-f]{2})""".r.replaceAllIn(loc, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(m.group(1), 16).toChar.toString))
+        new org.apache.hadoop.fs.Path(dec) }
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
     else {
@@ -1819,10 +1825,10 @@ object Engine {
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Strip one round of backslash escapes from a SQL single-quoted
-    * value: PARTITION (p='a\'b') carries the literal a'b. */
+  /** Strip one round of SQL quote escapes from a single-quoted value:
+    * PARTITION (p='a\'b') and (p='a''b') both carry the literal a'b. */
   private def unescapeSqlValue(s: String): String =
-    s.replaceAll("""\\(.)""", "$1")
+    s.replace("''", "'").replaceAll("""\\(.)""", "$1")
 
   /** On-disk partition SUBPATH for a static spec — declared column case
     * plus Spark/Hive path escaping, in the LITERAL spelling (the real
@@ -2185,8 +2191,13 @@ object Engine {
     val src = new Path(inpath)
     val files =
       if (srcFs.getFileStatus(src).isDirectory)
-        srcFs.listStatus(src).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-          .map(_.getPath)
+        srcFs.listStatus(src).filter { st =>
+          val n = st.getPath.getName
+          // skip hidden/committer files (".crc", "_SUCCESS") like every
+          // other listing in the engine — a dot-file must neither be
+          // format-validated nor loaded
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath)
       else Array(src)
     // magic-byte validation BEFORE any destructive step (the OVERWRITE
     // delete below must never run for a load that is about to be refused)

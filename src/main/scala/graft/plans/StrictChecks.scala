@@ -199,28 +199,46 @@ object StrictChecks {
     val equivEdges = scala.collection.mutable.ArrayBuffer
       .empty[(org.apache.spark.sql.catalyst.expressions.Attribute,
               org.apache.spark.sql.catalyst.expressions.Attribute)]
+    def attrOf(e: Expression)
+        : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      e match {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          Some(a)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          attrOf(c.child) // casts (user or coercion) keep equivalence
+        case _ => None
+      }
+    // a pure attribute=attribute comparison NEVER prunes by itself —
+    // whether it appears in ON or in WHERE (`FROM a, b WHERE a.ds=b.ds`
+    // is the same plan shape) — it only TRANSFERS a filter from one
+    // column to the other, so it contributes an equivalence edge, not a
+    // direct reference
+    def attrEq(c: Expression)
+        : Option[(org.apache.spark.sql.catalyst.expressions.Attribute,
+                  org.apache.spark.sql.catalyst.expressions.Attribute)] =
+      c match {
+        case EqualTo(l, r) =>
+          for (a <- attrOf(l); b <- attrOf(r)) yield (a, b)
+        case _ => None
+      }
     val directRefs = plan.collect {
-      case Filter(cond, _) => cond.references.toSeq
+      case Filter(cond, _) =>
+        conjuncts(cond).flatMap { c =>
+          attrEq(c) match {
+            case Some(edge) => equivEdges += edge; Nil
+            case None => c.references.toSeq
+          }
+        }
       case Join(left, right, jt, Some(cond), _) =>
         val cs = conjuncts(cond)
-        def attrOf(e: Expression)
-            : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
-          e match {
-            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
-              Some(a)
-            case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-              attrOf(c.child) // casts (user or coercion) keep equivalence
-            case _ => None
-          }
-        if (jt == Inner || jt == Cross || jt == LeftSemi) cs.foreach {
-          case EqualTo(l, r) =>
-            for (a <- attrOf(l); b <- attrOf(r)) equivEdges += ((a, b))
-          case _ => ()
-        }
+        if (jt == Inner || jt == Cross || jt == LeftSemi)
+          cs.foreach(c => attrEq(c).foreach(equivEdges += _))
         cs.filter { c =>
-          val refs = c.references
-          (refs.subsetOf(left.outputSet) && pushableSide(jt, "left")) ||
-          (refs.subsetOf(right.outputSet) && pushableSide(jt, "right"))
+          attrEq(c).isEmpty && {
+            val refs = c.references
+            (refs.subsetOf(left.outputSet) && pushableSide(jt, "left")) ||
+            (refs.subsetOf(right.outputSet) && pushableSide(jt, "right"))
+          }
         }.flatMap(_.references.toSeq)
     }.flatten
     // expand through Project aliases so `WHERE d='1'` over

@@ -456,7 +456,11 @@ object Round11Queries {
     //      shuffle carries hashes, not documents). ----
     Q("t27_snapshot_diff", (s, d) => {
       val docs = t(s, d, "documents")
-      val a = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+      // presence rides explicit flags, not hash nullness: md5(NULL) is
+      // NULL, so a NULL-text document would otherwise misclassify; the
+      // hash compare is null-safe (<=>) for the same reason
+      val a = docs.select(col("doc_id"), md5(col("text")).as("ha"),
+        lit(true).as("in_a"))
       val b0 = docs.filter(col("doc_id") % 11 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
@@ -464,12 +468,13 @@ object Round11Queries {
       val badd = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val b = b0.unionAll(badd)
-        .select(col("doc_id"), md5(col("text")).as("hb"))
+        .select(col("doc_id"), md5(col("text")).as("hb"),
+          lit(true).as("in_b"))
       a.join(b, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("ha").isNull, "added")
-            .when(col("hb").isNull, "removed")
-            .when(col("ha") === col("hb"), "unchanged")
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(col("ha") <=> col("hb"), "unchanged")
             .otherwise("changed").as("status"))
     },
       Some("""WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
@@ -484,7 +489,7 @@ object Round11Queries {
         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b.doc_id IS NULL THEN 'removed'
-                    WHEN ha = hb THEN 'unchanged'
+                    WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""")),
 
