@@ -832,6 +832,12 @@ class Round11Spec extends SparkSpec {
            LEFT JOIN nation n ON t.ds = 'a' AND t.v = n.n_nationkey""")
         .collect())
       assert(e3.getMessage.contains("no partition predicate"))
+      // the WHERE-spelled bare equi-join is the same plan shape and is
+      // refused identically (attr=attr never prunes by itself)
+      val e4 = intercept[Exception](spark.sql(
+        """SELECT count(1) FROM graft_tmp.r11_sp2 a, graft_tmp.r11_sp2 b
+           WHERE a.ds = b.ds""").collect())
+      assert(e4.getMessage.contains("no partition predicate"))
     }
     spark.sql("DROP TABLE graft_tmp.r11_sp2")
   }
