@@ -41,7 +41,8 @@ object Round11Queries {
                 FROM documents WHERE doc_id < 200),
               thumb AS (
                 SELECT d.doc_id,
-                       sum(((i * d.w) // 8 + (j * d.h) // 8 + d.b) // 3) AS gray_sum
+                       CAST(sum(((i * d.w) // 8 + (j * d.h) // 8 + d.b) // 3)
+                            AS BIGINT) AS gray_sum
                 FROM d,
                      (SELECT unnest(range(0, 8)) AS i) ii,
                      (SELECT unnest(range(0, 8)) AS j) jj
@@ -84,8 +85,8 @@ object Round11Queries {
               SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
                      CAST(d.rate AS BIGINT) AS sample_rate,
                      CAST(d.nvals AS BIGINT) AS n_values,
-                     COALESCE(sum(v.val), 0) AS sample_sum,
-                     COALESCE(max(abs(v.val)), 0) AS max_abs
+                     CAST(COALESCE(sum(v.val), 0) AS BIGINT) AS sample_sum,
+                     CAST(COALESCE(max(abs(v.val)), 0) AS BIGINT) AS max_abs
               FROM d LEFT JOIN v ON d.doc_id = v.doc_id
               GROUP BY d.doc_id, d.ch, d.rate, d.nvals""")),
 
@@ -124,8 +125,8 @@ object Round11Queries {
                          AS n_silent
                 FROM v GROUP BY doc_id)
               SELECT d.doc_id, CAST(d.nvals AS BIGINT) AS n_values,
-                     COALESCE(agg.sum_sq, 0) AS sum_sq,
-                     COALESCE(agg.n_silent, 0) AS n_silent,
+                     CAST(COALESCE(agg.sum_sq, 0) AS BIGINT) AS sum_sq,
+                     CAST(COALESCE(agg.n_silent, 0) AS BIGINT) AS n_silent,
                      CASE WHEN d.nvals > 0 THEN round(
                        CAST(COALESCE(agg.n_silent, 0) AS DOUBLE) / d.nvals, 6)
                        ELSE 0.0 END AS silence_ratio,
@@ -574,8 +575,9 @@ object Round11Queries {
               tot AS (
                 SELECT gram, sum(c) AS tot FROM pd GROUP BY 1)
               SELECT pd.doc_id,
-                     sum(pd.c) AS n_bigrams,
-                     sum(CASE WHEN pd.c = tot.tot THEN pd.c ELSE 0 END) AS n_novel,
+                     CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+                     CAST(sum(CASE WHEN pd.c = tot.tot THEN pd.c ELSE 0 END)
+                          AS BIGINT) AS n_novel,
                      round(CAST(sum(CASE WHEN pd.c = tot.tot THEN pd.c ELSE 0 END)
                            AS DOUBLE) / sum(pd.c), 6) AS novelty
               FROM pd JOIN tot USING (gram)
