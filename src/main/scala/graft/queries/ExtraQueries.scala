@@ -222,13 +222,30 @@ object ExtraQueries {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
              TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag""")),
 
-    // ---- histogram_numeric (Hive UDAF; bin placement engine-specific) ----
+    // ---- histogram_numeric (Hive UDAF, GenericUDAFHistogramNumeric.java;
+    //      bin PLACEMENT is engine-specific, but the NC sketch's exact
+    //      invariants are not: bin count = requested N, Σ heights = row
+    //      count (merges only ever sum weights), centroids inside
+    //      [min,max] and strictly increasing, every height positive.
+    //      Bounded oracle (q62/q97 pattern): emit the exact statistics
+    //      plus invariant booleans; oracle supplies exact + TRUE. ----
     Q("q63_histogram", (s, d) =>
       t(s, d, "lineitem")
-        .agg(expr("histogram_numeric(l_quantity, 5)").as("h"))
-        .select(explode(col("h")).as("bin"))
-        .select(col("bin.x").as("x"), col("bin.y").as("y")),
-      None),
+        .agg(expr("histogram_numeric(l_quantity, 5)").as("h"),
+          count(lit(1)).as("n_rows"),
+          min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+        .select(
+          size(col("h")).cast("long").as("n_bins"),
+          col("n_rows"),
+          expr("CAST(round(aggregate(h, 0D, (acc, b) -> acc + b.y)) AS BIGINT)")
+            .as("sum_heights"),
+          expr("forall(h, b -> b.x >= mn AND b.x <= mx)").as("in_range"),
+          expr("forall(sequence(0, size(h)-2), i -> h[i].x < h[i+1].x)")
+            .as("monotone"),
+          expr("forall(h, b -> b.y > 0)").as("positive")),
+      Some("""SELECT CAST(5 AS BIGINT) AS n_bins, count(*) AS n_rows,
+             count(*) AS sum_heights, TRUE AS in_range, TRUE AS monotone,
+             TRUE AS positive FROM lineitem""")),
 
     // ---- custom ngrams UDAF (top-k bigrams; same oracle as q44) ----
     Q("q64_ngrams_udaf", (s, d) =>

@@ -60,14 +60,62 @@ object Round2Queries {
              WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4""")),
 
     // ---- ANN with TRAINED centroids: Lloyd k-means (distributed assign +
-    //      per-dimension mean) feeds the same IVF probe path. Rows-only:
-    //      float summation order makes trained centroids bit-unstable,
-    //      which is inherent to distributed k-means, so no hash oracle. ----
+    //      per-dimension mean) feeds the same IVF probe path. Float
+    //      summation order makes the centroid BITS engine-specific, but
+    //      the algorithm's exact invariants are not — bounded oracle
+    //      (q62/q97 pattern): (a) exactly k centroids, every one with the
+    //      corpus dimensionality; (b) every centroid coordinate inside the
+    //      corpus's per-dimension [min,max] (a mean can't escape its
+    //      inputs); (c) assignment consistency — each point's rank-1
+    //      centroid (window path) carries the max cosine over all k
+    //      (hash-agg path), two independent plans agreeing; (d) IVF probe
+    //      with trained centroids reaches ≥0.8 recall@5 vs exact brute
+    //      force. Oracle supplies the exact counts + TRUE. ----
     Q("s05_ann_kmeans", (s, d) => {
       val e = Similarity.prep(Tables.t(s, d, "embeddings")).filter(col("vec_id") < 300)
       val cents = Similarity.kmeansCentroids(e, k = 8, iters = 3)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), cents, k = 5, nProbe = 3)
-    }, None),
+      val c = broadcast(cents.select(col("vec_id").as("c_id"), col("emb").as("c_emb")))
+      val shape = cents.agg(count(lit(1)).as("n_centroids"),
+        (min(size(col("emb"))) === max(size(col("emb")))).as("c_dims_eq"),
+        min(size(col("emb"))).as("c_dim"))
+      val corpusDim = e.agg(min(size(col("emb"))).as("e_dim"),
+        count(lit(1)).as("n_assigned"))
+      // per-dimension corpus bounds vs every centroid coordinate
+      val bounds = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+      val inSpan = cents
+        .select(posexplode(col("emb")).as(Seq("dim", "cv")))
+        .join(bounds, "dim")
+        .agg(coalesce(every(col("cv") >= col("lo") - lit(1e-9) &&
+          col("cv") <= col("hi") + lit(1e-9)), lit(false)).as("in_span"))
+      // assignment consistency: window rank-1 vs hash-agg max must agree
+      val sims = e.crossJoin(c)
+        .withColumn("csim", Similarity.cosine("emb", "c_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
+      val best = sims.withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("csim").as("best_sim"))
+      val maxes = sims.groupBy("vec_id").agg(max("csim").as("max_sim"))
+      val nearest = best.join(maxes, "vec_id")
+        .agg(coalesce(every(col("best_sim") >= col("max_sim")), lit(false))
+          .as("all_nearest"))
+      val q = e.filter(col("vec_id") < 5)
+      val hits = Similarity.ivfTopK(e, q, cents, k = 5, nProbe = 3)
+        .select("q_id", "neighbor_id")
+        .join(Similarity.bruteForceTopK(e, q, k = 5).select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      shape.crossJoin(corpusDim).crossJoin(inSpan).crossJoin(nearest).crossJoin(hits)
+        .select(col("n_centroids"), col("n_assigned"),
+          (col("c_dims_eq") && col("c_dim") === col("e_dim")).as("dims_ok"),
+          col("in_span"), col("all_nearest"),
+          (col("n_hits") >= 20).as("recall_ok"))
+    },
+      Some("""SELECT CAST(8 AS BIGINT) AS n_centroids,
+             (SELECT count(*) FROM embeddings WHERE vec_id < 300) AS n_assigned,
+             TRUE AS dims_ok, TRUE AS in_span, TRUE AS all_nearest,
+             TRUE AS recall_ok""")),
 
     // ---- copy-on-write UPDATE (reference: UpdateDeleteSemanticAnalyzer
     //      rewrite-as-insert; here: rewrite only the affected files) ----
