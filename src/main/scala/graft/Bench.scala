@@ -60,8 +60,12 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val stealRetries = sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "3").toInt
-    // a min this far above the committed quiet time is "suspect"...
-    val suspectRatio = 3.0
+    // a min this far above the committed quiet time is "suspect". The bar
+    // is max(2x, ref+0.4s) — the additive floor keeps sub-100ms queries
+    // from tripping on scheduler jitter, while the 2x ratio keeps fast
+    // queries from drifting un-annotated under a pure-ratio bar (r11:
+    // q124 at 2.55x its 0.357s quiet time slipped under the old flat 3x)
+    def suspectBar(ref: Double): Double = math.max(2.0 * ref, ref + 0.4)
     // ...but only when the host visibly stole cycles during the timing
     val stealGate = 0.5
     // focused adjudication runs (PERF.md protocol): comma-separated names
@@ -121,14 +125,14 @@ object Bench {
       val ref = refTimes.getOrElse(name, -1.0)
       var attempts = 0
       while (attempts < stealRetries && ref > 0.02 && !failedQueries.contains(name) &&
-          best > suspectRatio * ref && qSteal > stealGate) {
+          best > suspectBar(ref) && qSteal > stealGate) {
         attempts += 1
         retriedQueries += name
         val s0 = stealSec()
         best = math.min(best, timeOnce())
         qSteal = { val s = stealSec(); if (s < 0 || s0 < 0) qSteal else s - s0 }
       }
-      if (ref > 0.02 && best > suspectRatio * ref) suspectQueries += name: Unit
+      if (ref > 0.02 && best > suspectBar(ref)) suspectQueries += name: Unit
       querySteal(name) = qSteal
       name -> best
     }
@@ -159,7 +163,8 @@ object Bench {
     val gw = globalWindowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fq = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rq = retriedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // queries still >3x their committed quiet-host time after retries;
+    // queries still above max(2x, +0.4s) of their committed quiet-host
+    // time after retries;
     // their per-query steal (below / in BENCH_RESULT.json) says whether
     // the residual is contention or a real regression
     val sq = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
