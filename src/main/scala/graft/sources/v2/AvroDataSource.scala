@@ -80,7 +80,7 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
 object AvroV2Util {
   def inferSchema(dir: String): StructType = {
-    val conf = new Configuration()
+    val conf = FileSplits.hadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val files = fs.globStatus(new Path(root, "*.avro"))
@@ -95,7 +95,7 @@ object AvroV2Util {
 
   def listFiles(dir: String): Seq[String] = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(FileSplits.hadoopConf())
     Option(fs.globStatus(new Path(root, "*.avro"))).toSeq.flatten
       .map(_.getPath.toString).sorted
   }
@@ -263,7 +263,7 @@ case class AvroScan(path: String, required: StructType,
       else {
         val root = new Path(path)
         PartLayout.listPartitionedFilesWithLen(root,
-          root.getFileSystem(new Configuration()), partCols, _.endsWith(".avro"),
+          root.getFileSystem(FileSplits.hadoopConf()), partCols, _.endsWith(".avro"),
           spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(required, partCols)))
       }
     listed.flatMap { case (f, len, spec) =>
@@ -274,7 +274,7 @@ case class AvroScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.json, partCols)
+    AvroReaderFactory(required.json, partCols, FileSplits.confOverlay())
 }
 
 /** One byte-range of one Avro container file ((0, Long.MaxValue) = the
@@ -283,7 +283,9 @@ case class AvroFilePartition(file: String, partSpec: Map[String, String],
     start: Long = 0L, length: Long = Long.MaxValue) extends InputPartition
 
 case class AvroReaderFactory(requiredJson: String,
-    partCols: Seq[String]) extends PartitionReaderFactory {
+    partCols: Seq[String],
+    confOverlay: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
     val file = p.file
@@ -305,7 +307,7 @@ case class AvroReaderFactory(requiredJson: String,
     // writer schema is set from the file header by DataFileReader;
     // the expected (reader) schema is the pruned one
     val reader = new DataFileReader[GenericRecord](
-      new FsInput(new Path(file), new Configuration()),
+      new FsInput(new Path(file), FileSplits.buildConf(confOverlay)),
       new GenericDatumReader[GenericRecord](null, readerSchema))
     // sync-aligned byte range (Avro's own Hadoop reader convention):
     // seek to the first block sync after `start`, stop once past `end`
@@ -402,7 +404,7 @@ case class AvroBatchWrite(path: String, schemaJson: String,
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FileSplits.hadoopConf())
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
@@ -413,12 +415,12 @@ case class AvroBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    AvroWriterFactory(path, schemaJson, partCols)
+    AvroWriterFactory(path, schemaJson, partCols, FileSplits.confOverlay())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(FileSplits.hadoopConf())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
         msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
@@ -429,7 +431,8 @@ case class AvroBatchWrite(path: String, schemaJson: String,
 }
 
 case class AvroWriterFactory(path: String, schemaJson: String,
-    partCols: Seq[String]) extends DataWriterFactory {
+    partCols: Seq[String],
+    confOverlay: Map[String, String] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // container records carry only the data columns; partition values
@@ -442,7 +445,7 @@ case class AvroWriterFactory(path: String, schemaJson: String,
     // uuid guards against (partitionId, taskId) reuse across separate
     // append jobs — fs.create(overwrite) would silently clobber otherwise
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     val fs = new Path(path).getFileSystem(conf)
     new DataWriter[InternalRow] {
       // one open container per touched partition (dynamic-insert shape)

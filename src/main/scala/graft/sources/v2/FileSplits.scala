@@ -27,6 +27,38 @@ object FileSplits {
   def targetBytes: Long =
     org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
 
+  /** The session-faithful Hadoop conf for driver-side planning/listing.
+    * A bare `new Configuration()` drops every `spark.hadoop.*` setting —
+    * S3A credentials, custom FS impls — so split planning would fail on
+    * object stores where the rest of the engine works. Falls back to a
+    * default conf only when no session is active (unit-test contexts). */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Executor-side readers can't see the SparkSession; capture the
+    * session Hadoop conf at planning time as a plain serializable map
+    * (diffed against defaults so only real settings travel) and rebuild
+    * an equivalent conf inside the reader. Catches both launch-time
+    * `--conf spark.hadoop.*` and runtime `spark.conf.set` entries. */
+  def confOverlay(): Map[String, String] =
+    org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+      import scala.jdk.CollectionConverters._
+      val session = s.sessionState.newHadoopConf()
+      val defaults = new Configuration()
+      session.iterator().asScala
+        .map(e => e.getKey -> e.getValue)
+        .filter { case (k, v) => defaults.get(k) != v }
+        .toMap
+    }.getOrElse(Map.empty)
+
+  def buildConf(overlay: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    overlay.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private val unsplittableSuffixes =
     Seq(".gz", ".gzip", ".bz2", ".deflate", ".zst", ".lz4", ".snappy")
 
@@ -59,7 +91,7 @@ object FileSplits {
   /** Flat-directory listing with lengths (the split planner's input). */
   def listFilesWithLen(dir: String): Seq[(String, Long)] = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hadoopConf())
     Option(fs.listStatus(root)).toSeq.flatten
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))

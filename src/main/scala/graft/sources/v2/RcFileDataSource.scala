@@ -78,8 +78,9 @@ object RcV2Util {
     * keys): read.all=false + the explicit id list means skipped columns'
     * buffers are never decompressed. An EMPTY id list (count(*)) still
     * iterates rows — row counts live in the group key headers. */
-  def projectionConf(ids: Seq[Int]): Configuration = {
-    val conf = new Configuration()
+  def projectionConf(ids: Seq[Int],
+      overlay: Map[String, String] = Map.empty): Configuration = {
+    val conf = FileSplits.buildConf(overlay)
     conf.setBoolean("hive.io.file.read.all.columns", false)
     conf.set("hive.io.file.readcolumn.ids", ids.mkString(","))
     conf
@@ -208,7 +209,7 @@ object RcV2Util {
     val files = SeqV2Util.listFiles(dir)
     require(files.nonEmpty, s"no files under $dir")
     val p = new Path(files.head)
-    val conf = new Configuration()
+    val conf = FileSplits.hadoopConf()
     val r = new RCFile.Reader(p.getFileSystem(conf), p, conf)
     val n = try {
       Option(r.getMetadataValueOf(
@@ -285,7 +286,7 @@ case class RcScan(path: String, full: StructType, required: StructType,
       else {
         val root = new Path(path)
         PartLayout.listPartitionedFilesWithLen(root,
-          root.getFileSystem(new Configuration()), partCols, _ => true,
+          root.getFileSystem(FileSplits.hadoopConf()), partCols, _ => true,
           spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
       }
     listed.flatMap { case (f, len, spec) =>
@@ -296,11 +297,13 @@ case class RcScan(path: String, full: StructType, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     RcReaderFactory(full.json, required.json, partCols,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, serde,
+      FileSplits.confOverlay())
 }
 
 case class RcReaderFactory(fullJson: String, requiredJson: String,
-    partCols: Seq[String], sessionTz: String, serde: String)
+    partCols: Seq[String], sessionTz: String, serde: String,
+    confOverlay: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqFilePartition]
@@ -325,7 +328,8 @@ case class RcReaderFactory(fullJson: String, requiredJson: String,
     val metaRow = FileMetadataColumn.rowFor(file)
     // storage-level pruning: only the projected stored-column ids are
     // decompressed by the container reader
-    val conf = RcV2Util.projectionConf(fieldPos.filter(_ >= 0).sorted.toSeq)
+    val conf = RcV2Util.projectionConf(
+      fieldPos.filter(_ >= 0).sorted.toSeq, confOverlay)
     val fsPath = new Path(file)
     val reader = new RCFile.Reader(fsPath.getFileSystem(conf), fsPath, conf)
     // sync-aligned byte range (RCFileRecordReader convention): seek to
@@ -415,7 +419,7 @@ case class RcBatchWrite(path: String, schemaJson: String,
     outputCodec: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FileSplits.hadoopConf())
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
@@ -426,12 +430,12 @@ case class RcBatchWrite(path: String, schemaJson: String,
     }
     fs.mkdirs(p): Unit
     RcWriterFactory(path, schemaJson, partCols, sessionTz, serde,
-      outputCodec)
+      outputCodec, FileSplits.confOverlay())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(FileSplits.hadoopConf())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
         msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
@@ -443,7 +447,8 @@ case class RcBatchWrite(path: String, schemaJson: String,
 
 case class RcWriterFactory(path: String, schemaJson: String,
     partCols: Seq[String], sessionTz: String, serde: String,
-    outputCodec: Option[String] = None)
+    outputCodec: Option[String] = None,
+    confOverlay: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -456,7 +461,7 @@ case class RcWriterFactory(path: String, schemaJson: String,
     val uid = java.util.UUID.randomUUID().toString.take(8)
     // the container requires the column count up front (it sizes the
     // per-group column buffers — RCFile.Writer's row-group machinery)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, dataIdx.length)
     val fs = new Path(path).getFileSystem(conf)
     new DataWriter[InternalRow] {

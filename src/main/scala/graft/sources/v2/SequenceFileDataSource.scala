@@ -113,7 +113,7 @@ object SeqV2Util {
 
   def listFiles(dir: String): Seq[String] = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(FileSplits.hadoopConf())
     Option(fs.listStatus(root)).toSeq.flatten
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -126,7 +126,7 @@ object SeqV2Util {
   def inferSchema(dir: String): StructType = {
     val files = listFiles(dir)
     require(files.nonEmpty, s"no files under $dir")
-    val r = new SequenceFile.Reader(new Configuration(),
+    val r = new SequenceFile.Reader(FileSplits.hadoopConf(),
       SequenceFile.Reader.file(new Path(files.head)))
     val (k, v) = (new BytesWritable(), new Text())
     val n = try { if (r.next(k, v)) v.toString.split(SEP, -1).length else 1 }
@@ -283,7 +283,7 @@ case class SeqScan(path: String, full: StructType, required: StructType,
       else {
         val root = new Path(path)
         PartLayout.listPartitionedFilesWithLen(root,
-          root.getFileSystem(new Configuration()), partCols, _ => true,
+          root.getFileSystem(FileSplits.hadoopConf()), partCols, _ => true,
           spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
       }
     listed.flatMap { case (f, len, spec) =>
@@ -294,7 +294,8 @@ case class SeqScan(path: String, full: StructType, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SeqReaderFactory(full.json, required.json, partCols,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      FileSplits.confOverlay())
 }
 
 /** One byte-range of one container file. `start`/`length` bound the
@@ -304,7 +305,9 @@ case class SeqFilePartition(file: String, partSpec: Map[String, String],
     start: Long = 0L, length: Long = Long.MaxValue) extends InputPartition
 
 case class SeqReaderFactory(fullJson: String, requiredJson: String,
-    partCols: Seq[String], sessionTz: String) extends PartitionReaderFactory {
+    partCols: Seq[String], sessionTz: String,
+    confOverlay: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqFilePartition]
     val file = p.file
@@ -328,7 +331,7 @@ case class SeqReaderFactory(fullJson: String, requiredJson: String,
       p.partSpec.get(c).map(v => PartLayout.castValue(v,
         full(full.fieldIndex(c)).dataType)).orNull).toArray
     val metaRow = FileMetadataColumn.rowFor(file)
-    val reader = new SequenceFile.Reader(new Configuration(),
+    val reader = new SequenceFile.Reader(FileSplits.buildConf(confOverlay),
       SequenceFile.Reader.file(new Path(file)))
     // sync-aligned byte range (SequenceFileRecordReader convention): seek
     // to the first sync after `start`; a record read from a position at or
@@ -412,7 +415,7 @@ case class SeqBatchWrite(path: String, schemaJson: String,
     compressType: String = "RECORD") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FileSplits.hadoopConf())
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
@@ -425,12 +428,12 @@ case class SeqBatchWrite(path: String, schemaJson: String,
     }
     fs.mkdirs(p): Unit
     SeqWriterFactory(path, schemaJson, partCols, sessionTz, outputCodec,
-      compressType)
+      compressType, FileSplits.confOverlay())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(FileSplits.hadoopConf())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
         msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
@@ -442,7 +445,8 @@ case class SeqBatchWrite(path: String, schemaJson: String,
 
 case class SeqWriterFactory(path: String, schemaJson: String,
     partCols: Seq[String], sessionTz: String,
-    outputCodec: Option[String] = None, compressType: String = "RECORD")
+    outputCodec: Option[String] = None, compressType: String = "RECORD",
+    confOverlay: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -456,7 +460,7 @@ case class SeqWriterFactory(path: String, schemaJson: String,
       sparkSchema.fieldIndex(c) -> sparkSchema(sparkSchema.fieldIndex(c)).dataType)
     val zone = java.time.ZoneId.of(sessionTz)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     val fs = new Path(path).getFileSystem(conf)
     val emptyKey = new BytesWritable(Array.emptyByteArray)
     new DataWriter[InternalRow] {

@@ -278,7 +278,7 @@ object TextV2Util {
     val files = SeqV2Util.listFiles(dir)
     require(files.nonEmpty, s"no files under $dir")
     val p = new Path(files.head)
-    val conf = new Configuration()
+    val conf = FileSplits.hadoopConf()
     val in = openMaybeCompressed(p, conf)
     val lr = new org.apache.hadoop.util.LineReader(in)
     val line = new Text()
@@ -364,7 +364,7 @@ case class TextScan(path: String, full: StructType, required: StructType,
       else {
         val root = new Path(path)
         PartLayout.listPartitionedFilesWithLen(root,
-          root.getFileSystem(new Configuration()), partCols, _ => true,
+          root.getFileSystem(FileSplits.hadoopConf()), partCols, _ => true,
           spec => PartPrune.accepts(prune, spec, PartLayout.partTypes(full, partCols)))
       }
     listed.flatMap { case (f, len, spec) =>
@@ -375,11 +375,13 @@ case class TextScan(path: String, full: StructType, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     TextReaderFactory(full.json, required.json, partCols,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, props)
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, props,
+      FileSplits.confOverlay())
 }
 
 case class TextReaderFactory(fullJson: String, requiredJson: String,
-    partCols: Seq[String], sessionTz: String, props: Map[String, String])
+    partCols: Seq[String], sessionTz: String, props: Map[String, String],
+    confOverlay: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqFilePartition]
@@ -398,7 +400,7 @@ case class TextReaderFactory(fullJson: String, requiredJson: String,
       p.partSpec.get(c).map(v => PartLayout.castValue(v,
         full(full.fieldIndex(c)).dataType)).orNull).toArray
     val metaRow = FileMetadataColumn.rowFor(p.file)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     val serde = TextV2Util.newSerde(
       StructType(dataFields.toSeq.map(_.copy())), props)
     val soi = serde.getObjectInspector
@@ -500,7 +502,7 @@ case class TextBatchWrite(path: String, schemaJson: String,
     outputCodec: Option[String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FileSplits.hadoopConf())
     mode match {
       case "ALL" => if (fs.exists(p)) fs.delete(p, true): Unit
       case "STATIC" =>
@@ -510,12 +512,13 @@ case class TextBatchWrite(path: String, schemaJson: String,
       case _ => ()
     }
     fs.mkdirs(p): Unit
-    TextWriterFactory(path, schemaJson, partCols, sessionTz, props, outputCodec)
+    TextWriterFactory(path, schemaJson, partCols, sessionTz, props,
+      outputCodec, FileSplits.confOverlay())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "DYNAMIC") {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(FileSplits.hadoopConf())
       val msgs = messages.toSeq.collect { case m: PartWriteMessage => m }
       PartLayout.commitDynamicOverwrite(p, fs,
         msgs.flatMap(_.partDirs).toSet, msgs.flatMap(_.files).toSet,
@@ -527,7 +530,8 @@ case class TextBatchWrite(path: String, schemaJson: String,
 
 case class TextWriterFactory(path: String, schemaJson: String,
     partCols: Seq[String], sessionTz: String, props: Map[String, String],
-    outputCodec: Option[String]) extends DataWriterFactory {
+    outputCodec: Option[String],
+    confOverlay: Map[String, String] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val sparkSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val dataIdx = sparkSchema.fields.zipWithIndex
@@ -536,7 +540,7 @@ case class TextWriterFactory(path: String, schemaJson: String,
       sparkSchema.fieldIndex(c) -> sparkSchema(sparkSchema.fieldIndex(c)).dataType)
     val zone = java.time.ZoneId.of(sessionTz)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     val fs = new Path(path).getFileSystem(conf)
     val dataSchema = StructType(dataIdx.toSeq.map(i => sparkSchema.fields(i)))
     val serde = TextV2Util.newSerde(dataSchema, props)

@@ -309,11 +309,14 @@ case class ThriftScan(path: String, full: StructType, required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    ThriftReaderFactory(required.json, thriftClass, protocol)
+    ThriftReaderFactory(required.json, thriftClass, protocol,
+      FileSplits.confOverlay())
 }
 
 case class ThriftReaderFactory(requiredJson: String,
-    thriftClass: String, protocol: String) extends PartitionReaderFactory {
+    thriftClass: String, protocol: String,
+    confOverlay: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[SeqFilePartition]
     val file = part.file
@@ -323,12 +326,12 @@ case class ThriftReaderFactory(requiredJson: String,
     val fieldPos = ThriftBridge.fieldIndexes(thriftClass,
       required.fields.map(_.name).toSeq)
     val deser = new TDeserializer(ThriftBridge.protocolFactory(protocol))
-    val reader = new SequenceFile.Reader(new Configuration(),
+    val reader = new SequenceFile.Reader(FileSplits.buildConf(confOverlay),
       SequenceFile.Reader.file(new Path(file)))
     // the fixture layout is SequenceFile<BytesWritable, BytesWritable>
     // (ThriftByteStreamTypedSerDe: record bytes in the VALUE)
     val key = org.apache.hadoop.util.ReflectionUtils.newInstance(
-      reader.getKeyClass, new Configuration())
+      reader.getKeyClass, FileSplits.buildConf(confOverlay))
       .asInstanceOf[org.apache.hadoop.io.Writable]
     val value = new BytesWritable()
     // sync-aligned byte range (SequenceFileRecordReader convention)
@@ -364,12 +367,13 @@ class ThriftWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         val p = new Path(path)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(FileSplits.hadoopConf())
         if (doTruncate && fs.exists(p)) fs.delete(p, true): Unit
         fs.mkdirs(p): Unit
         ThriftWriterFactory(path, schema.json, thriftClass, protocol,
           TextV2Util.effectiveOutputCodec(Map.empty),
-          SeqV2Util.effectiveCompressType(Map.empty))
+          SeqV2Util.effectiveCompressType(Map.empty),
+          FileSplits.confOverlay())
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -379,12 +383,13 @@ class ThriftWriteBuilder(path: String, schema: StructType,
 
 case class ThriftWriterFactory(path: String, schemaJson: String,
     thriftClass: String, protocol: String,
-    outputCodec: Option[String] = None, compressType: String = "RECORD")
+    outputCodec: Option[String] = None, compressType: String = "RECORD",
+    confOverlay: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val conf = new Configuration()
+    val conf = FileSplits.buildConf(confOverlay)
     val file = new Path(path, f"part-$partitionId%05d-$taskId-$uid.seq")
     val ser = new TSerializer(ThriftBridge.protocolFactory(protocol))
     val writer = SequenceFile.createWriter(conf,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 gates: session-faithful Hadoop conf in the DSv2 sources'
+  * split planning and executor reader/writer paths (the r11 advisor
+  * finding — a bare `new Configuration()` drops spark.hadoop.* settings,
+  * so S3A credentials / custom FS impls configured on the session would
+  * be invisible exactly where split planning lists files).
+  *
+  * Launch-time `--conf spark.hadoop.foo=v` lands in
+  * sparkContext.hadoopConfiguration (SparkHadoopUtil strips the prefix);
+  * sessionState.newHadoopConf() layers the session on top. The tests set
+  * the key there — the same place a real deployment's S3A credentials
+  * live — and assert the planning/overlay paths see it where a bare
+  * `new Configuration()` would not.
+  */
+class Round12Spec extends SparkSpec {
+
+  test("spark.hadoop.* launch conf is visible to the split-listing path") {
+    spark.sparkContext.hadoopConfiguration.set("graft.test.fsconf", "visible-r12")
+    try {
+      assert(new org.apache.hadoop.conf.Configuration().get("graft.test.fsconf") == null,
+        "test key must not come from site files")
+      val planned = sources.v2.FileSplits.hadoopConf()
+      assert(planned.get("graft.test.fsconf") == "visible-r12",
+        s"listing conf dropped the session entry: ${planned.get("graft.test.fsconf")}")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.fsconf")
+  }
+
+  test("conf overlay captures session entries and rebuilds them for executors") {
+    spark.sparkContext.hadoopConfiguration.set("graft.test.overlay", "travels-r12")
+    try {
+      val overlay = sources.v2.FileSplits.confOverlay()
+      assert(overlay.get("graft.test.overlay").contains("travels-r12"),
+        s"overlay missing session entry: ${overlay.keys.filter(_.startsWith("graft")).toList}")
+      // what a reader on an executor would reconstruct
+      val rebuilt = sources.v2.FileSplits.buildConf(overlay)
+      assert(rebuilt.get("graft.test.overlay") == "travels-r12")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.overlay")
+  }
+
+  // ---- CREATE TEMPORARY TABLE session-end auto-drop (g332 parity) ------
+
+  test("TEMPORARY tables are dropped at session end; plain tables survive") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_temp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_plain")
+    Engine.ddl(spark,
+      "CREATE TEMPORARY TABLE graft_tmp.r12_temp (k INT) USING PARQUET")
+    Engine.ddl(spark,
+      "CREATE TABLE graft_tmp.r12_plain (k INT) USING PARQUET")
+    spark.sql("INSERT INTO graft_tmp.r12_temp VALUES (1)")
+    assert(spark.table("graft_tmp.r12_temp").count() == 1)
+    // what the session-end listener runs (the listener itself only fires
+    // on context stop, which a shared-JVM suite can't do)
+    Engine.dropTempTables(spark)
+    assert(!spark.catalog.tableExists("graft_tmp.r12_temp"),
+      "TEMPORARY table must be gone after session close")
+    assert(spark.catalog.tableExists("graft_tmp.r12_plain"),
+      "plain table must survive session close")
+    // idempotent: a second close (listener + explicit stop) is a no-op
+    Engine.dropTempTables(spark)
+    spark.sql("DROP TABLE graft_tmp.r12_plain")
+  }
+
+  test("listFilesWithLen lists through the session conf (round-trip sanity)") {
+    // behavioral pin: the planning path still lists correctly with the
+    // session conf in place of a bare default conf
+    val dir = tools.Tmp.dir("r12_split_list")
+    spark.range(10).select(col("id").cast("string").as("c0"))
+      .write.format("graft-seq").mode("overwrite").save(dir)
+    val listed = sources.v2.FileSplits.listFilesWithLen(dir)
+    assert(listed.nonEmpty && listed.forall(_._2 > 0), listed.toString)
+    // and the table still reads whole
+    assert(spark.read.format("graft-seq")
+      .schema("c0 STRING").load(dir).count() == 10)
+  }
+}
