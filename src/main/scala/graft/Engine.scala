@@ -708,11 +708,47 @@ object Engine {
     """(?is)\s*ALTER\s+TABLE\s+[\w.`]+\s*(?:PARTITION\s*\([^)]*\)\s*)?SET\s+SERDE(?:PROPERTIES)?\b.*""".r
   // CREATE TEMPORARY TABLE — session-scoped real tables
   // (SessionHiveMetaStoreClient); Spark's parser rejects the TEMPORARY
-  // keyword on tables, so it strips to a plain CREATE TABLE: the script
-  // runs, INSERT/SELECT work; session-end auto-drop is not provided
-  // (documented in COVERAGE.md).
+  // keyword on tables, so it strips to a plain CREATE TABLE — and the
+  // stripped name is REGISTERED for session-end auto-drop (a listener on
+  // the session's context drops every registered temp table when the
+  // context stops, completing the Hive session-scope parity).
   private val tempTableRe =
     """(?is)(\s*CREATE\s+)TEMPORARY\s+(TABLE\b.*)""".r
+  private val tempTableNameRe =
+    """(?is)\s*CREATE\s+TEMPORARY\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+).*""".r
+  private val tempTables =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** Drop every TEMPORARY table registered on `s` (idempotent; catalog
+    * API directly — no SQL execution, safe during context shutdown). */
+  def dropTempTables(s: SparkSession): Unit = {
+    val set = tempTables.get(s)
+    if (set != null) {
+      val names = set.synchronized {
+        val ns = new java.util.ArrayList[String](set); set.clear(); ns }
+      names.forEach { name =>
+        try s.sessionState.catalog.dropTable(
+          s.sessionState.sqlParser.parseTableIdentifier(name),
+          ignoreIfNotExists = true, purge = true)
+        catch { case e: Throwable =>
+          System.err.println(s"[graft] temp-table auto-drop $name: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  private def registerTempTable(s: SparkSession, rawName: String): Unit = {
+    val set = tempTables.computeIfAbsent(s, sess => {
+      sess.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          dropTempTables(sess)
+      })
+      java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
+    })
+    set.add(rawName.replace("`", "")): Unit
+  }
   private val viewPartRe =
     ("""(?is)(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
       """[\w.`]+\s*(?:\([^)]*\))?\s*)PARTITIONED\s+ON\s*\([^)]*\)\s*(AS\s+.*)""").r
@@ -3101,9 +3137,15 @@ object Engine {
     }
     // Hive temp tables: strip TEMPORARY (CREATE TEMPORARY VIEW/FUNCTION/
     // MACRO are untouched — the regex requires TABLE) before the legacy
-    // format-clause rewrite sees the statement
+    // format-clause rewrite sees the statement; the name is registered so
+    // session end drops it (Hive session-scope semantics)
     val stmtT0 = stmt0 match {
-      case tempTableRe(pre, rest) => pre + rest
+      case tempTableRe(pre, rest) =>
+        stmt0 match {
+          case tempTableNameRe(name) => registerTempTable(spark, name)
+          case _ => ()
+        }
+        pre + rest
       case s => s
     }
     // partitioned views (create_view_partitioned.q): PARTITIONED ON is
