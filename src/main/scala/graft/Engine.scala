@@ -1760,12 +1760,26 @@ object Engine {
           .map(_.trim.toInt).foreach { max =>
           val dynCols = kvs.drop(dynIdx).length
           val out = spark.sql(select)
-          val tail = out.columns.takeRight(dynCols).toSeq
-          val n = out.select(tail.map(org.apache.spark.sql.functions.col): _*)
-            .distinct().limit(max + 1).count()
-          if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
-            s"would create at least $n partitions, which is more than " +
-            s"hive.exec.max.dynamic.partitions=$max")
+          // the probe runs the SELECT once more than the write (cost
+          // caveat in COVERAGE.md); with nondeterministic expressions
+          // (rand(), current_timestamp) its partition count is not the
+          // write's — skip the guard rather than admit/refuse on a
+          // DIFFERENT answer than what will be written
+          val deterministic = out.queryExecution.analyzed.find(
+            _.expressions.exists(e => e.exists(x => !x.deterministic))).isEmpty
+          if (!deterministic)
+            System.err.println(s"[graft] hive.exec.max.dynamic.partitions " +
+              s"guard skipped for INSERT into $tbl: the SELECT is " +
+              "nondeterministic, a pre-write probe would count different " +
+              "partitions than the write itself")
+          else {
+            val tail = out.columns.takeRight(dynCols).toSeq
+            val n = out.select(tail.map(org.apache.spark.sql.functions.col): _*)
+              .distinct().limit(max + 1).count()
+            if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
+              s"would create at least $n partitions, which is more than " +
+              s"hive.exec.max.dynamic.partitions=$max")
+          }
         }
       case _ => ()
     }
@@ -2195,9 +2209,23 @@ object Engine {
     // bytes against the table's declared format up front, as the
     // reference does (clientnegative/load_wrong_fileformat.q: loading a
     // text file into a SEQUENCEFILE table is refused)
+    // a provider of "hive" (or none) says nothing about the storage
+    // format — the table may be text/sequencefile/orc; resolve the real
+    // format from CatalogTable.storage's input format, and skip
+    // validation entirely when it can't be determined (never guess
+    // parquet and refuse a valid load)
+    val declaredFormat: String = meta.provider.map(_.toLowerCase) match {
+      case Some(p) if p != "hive" => p
+      case _ => meta.storage.inputFormat.map(_.toLowerCase).collect {
+          case f if f.contains("sequencefile") => "graft-seq"
+          case f if f.contains("rcfile") => "graft-rcfile"
+          case f if f.contains("orc") => "orc"
+          case f if f.contains("parquet") => "parquet"
+          case f if f.contains("avro") => "avro"
+        }.getOrElse("unknown")
+    }
     val expectMagic: Option[(String, Array[Byte] => Boolean)] =
-      meta.provider.map(_.toLowerCase).filterNot(_ == "hive")
-        .getOrElse("parquet") match {
+      declaredFormat match {
         case "parquet" => Some("parquet" -> (b => b.length >= 4 &&
           b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
         case "orc" => Some("ORC" -> (b => b.length >= 3 &&

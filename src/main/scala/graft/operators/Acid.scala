@@ -214,6 +214,14 @@ object Acid {
     // already-pruned scan.
     val matched = withFile.select(FILE).distinct().collect()
       .map(_.getString(0)).flatMap(variantOf.get).distinct
+    // safe, but must be OBSERVABLE: on a filesystem whose file_path
+    // spelling has no variant here (object-store authority forms), the
+    // merge would otherwise degrade to a permanent silent no-op
+    if (matched.length < files.distinct.length)
+      System.err.println(s"[graft] merge: ${files.distinct.length - matched.length} " +
+        s"of ${files.distinct.length} files under $lit did not match any " +
+        "_metadata.file_path spelling variant and stay unmerged " +
+        "(URI-spelling mismatch; harmless but worth a look)")
     if (matched.nonEmpty)
       swapIn(spark, lit, matched.toSeq, withFile.drop(FILE)
         .repartition(numFiles), format, options = options)

@@ -45,25 +45,30 @@ object StrictChecks {
       .map(_.trim.equalsIgnoreCase("true")).getOrElse(strict)
   }
 
-  private val SuspendKey = "spark.graft.strictChecks.suspend"
+  // Thread-scoped (NOT a session conf): analysis runs on the calling
+  // thread, and a session-wide flag would let a concurrent user query on
+  // the same SparkSession silently bypass every strict guard while a
+  // maintenance task holds checks suspended. Inheritable so a body that
+  // hands work to a child thread stays suspended; a depth counter so
+  // nested maintenance (compaction inside CoW) unwinds correctly.
+  private val suspendDepth = new InheritableThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
 
   /** Engine-internal maintenance reads (CoW rewrites, compaction/merge,
     * EXPORT staging) are tasks, not user queries — the reference's strict
     * checks live in the query SemanticAnalyzer and never block DDL or
     * maintenance jobs, so e.g. ALTER TABLE ... PARTITION (...) CONCATENATE
-    * must not be refused for scanning its own partition unfiltered. */
+    * must not be refused for scanning its own partition unfiltered.
+    * (`session` kept for call-site symmetry; suspension is per-thread.) */
   def suspended[T](session: SparkSession)(body: => T): T = {
-    val prev = session.conf.getOption(SuspendKey)
-    session.conf.set(SuspendKey, "true")
+    suspendDepth.set(suspendDepth.get + 1)
     try body
-    finally prev match {
-      case Some(v) => session.conf.set(SuspendKey, v)
-      case None    => session.conf.unset(SuspendKey)
-    }
+    finally suspendDepth.set(suspendDepth.get - 1)
   }
 
   def apply(session: SparkSession): LogicalPlan => Unit = plan =>
-    if (!session.conf.getOption(SuspendKey).exists(_ == "true")) {
+    if (suspendDepth.get == 0) {
       // fast exit on the common (nonstrict, no overrides) path
       val orderBy = enabled(session, "orderby.no.limit")
       val cartesian = enabled(session, "cartesian.product")

@@ -64,6 +64,33 @@ class Round12Spec extends SparkSpec {
     spark.sql("DROP TABLE graft_tmp.r12_plain")
   }
 
+  // ---- strict-check suspension is per-thread (r11 advisor) -------------
+
+  test("strict-check suspension on one thread does not bypass another") {
+    spark.conf.set("hive.mapred.mode", "strict")
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => plans.StrictChecks.suspended(spark) {
+        entered.countDown(); release.await()
+      })
+      t.start(); entered.await()
+      try {
+        // a concurrent user query must STILL be refused while the
+        // maintenance thread holds checks suspended
+        val e = intercept[Exception] {
+          Engine.sql(spark, sf, "SELECT * FROM nation ORDER BY n_name").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("strict"), e.getMessage)
+      } finally { release.countDown(); t.join() }
+      // and this thread (never suspended) is also still guarded
+      val e2 = intercept[Exception] {
+        Engine.sql(spark, sf, "SELECT * FROM nation ORDER BY n_name").collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("strict"), e2.getMessage)
+    } finally spark.conf.unset("hive.mapred.mode")
+  }
+
   test("listFilesWithLen lists through the session conf (round-trip sanity)") {
     // behavioral pin: the planning path still lists correctly with the
     // session conf in place of a bare default conf
