@@ -1528,6 +1528,7 @@ object Engine {
       .replaceAll("(?i)^INTO\\s+", "").split("\\s+").toSeq
       .filterNot(_.equalsIgnoreCase("AS"))
     val table = headToks.head
+    requireNoHetero(spark, table, "MERGE")
     val tAlias = headToks.lift(1).getOrElse(table.split('.').last)
 
     // USING <table|(subquery)> [AS] [alias]
@@ -1885,6 +1886,80 @@ object Engine {
     * directory name, e.g. p=a%3Ab for value a:b). Shared by LOAD's
     * destination and the auto-merge scope so every writer/reader of the
     * layout spells directories identically. */
+  /** STORED AS keyword -> datasource provider (bare name; SQL sites
+    * backtick-quote it). Shared by table-wide and per-partition
+    * SET FILEFORMAT and CREATE-side STORED AS rewrites. */
+  private def fileFormatProvider(fmt: String, hasComplex: Boolean): String =
+    fmt.toUpperCase match {
+      case "TEXTFILE" if hasComplex => "graft-text"
+      case "TEXTFILE" => "csv"
+      case "PARQUET"  => "parquet"
+      case "ORC"      => "orc"
+      case "AVRO"     => "graft-avro"
+      case "JSONFILE" => "json"
+      case "SEQUENCEFILE" => "graft-seq"
+      case "RCFILE"   => "graft-rcfile"
+      case o => throw new IllegalArgumentException(
+        s"SET FILEFORMAT $o has no datasource mapping")
+    }
+
+  /** Whole-table DML cannot run over a table whose partitions diverge in
+    * format (the CoW machinery reads/rewrites one provider) — refuse
+    * loudly instead of corrupting the diverged partition at rewrite. */
+  private def requireNoHetero(spark: SparkSession, table: String,
+      op: String): Unit =
+    if (graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty)
+      sys.error(s"$op is not supported on $table while partitions carry " +
+        "heterogeneous file formats (per-partition SET FILEFORMAT); " +
+        "unify with ALTER TABLE ... SET FILEFORMAT first")
+
+  /** INSERT routing for heterogeneous-format tables: a fully-static spec
+    * aimed at a diverged partition becomes a path write in that
+    * partition's own format; dynamic/absent specs are refused (rows could
+    * land in a diverged directory in the wrong format). Returns Some when
+    * the statement was fully handled here. */
+  private def heteroInsertRoute(spark: SparkSession, stmt: String)
+      : Option[org.apache.spark.sql.DataFrame] = stmt match {
+    case insertBranchRe(mode, tbl, part, select)
+        if graft.plans.HeteroPartitions.entriesOf(spark, tbl).nonEmpty =>
+      val entries = graft.plans.HeteroPartitions.entriesOf(spark, tbl)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+      val partCols = meta.partitionColumnNames
+      val kvs = Option(part).map(splitPartSpec).getOrElse(Nil)
+      val fullyStatic = kvs.nonEmpty && kvs.forall(_.contains("=")) &&
+        kvs.length == partCols.length
+      if (!fullyStatic)
+        sys.error(s"INSERT into $tbl requires a fully-static PARTITION " +
+          "spec while partitions carry heterogeneous file formats " +
+          "(a dynamic write could land base-format rows in a diverged " +
+          "partition directory)")
+      val specPath = partSubdirLiteral(spark, tbl, part)
+      entries.find(_._1 == specPath).map { case (_, prov) =>
+        val dir = meta.location.toString.stripSuffix("/") + "/" + specPath
+        val dataFields = meta.schema.fields
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+        val df = spark.sql(select)
+        require(df.columns.length == dataFields.length,
+          s"INSERT into $tbl PARTITION ($part): expected " +
+            s"${dataFields.length} data columns, got ${df.columns.length}")
+        val cast = df.select(df.columns.zip(dataFields).map { case (c, f) =>
+          org.apache.spark.sql.functions.col(s"`$c`")
+            .cast(f.dataType).as(f.name) }.toSeq: _*)
+        cast.write.format(prov)
+          .options(graft.plans.HeteroPartitions.providerOptions(prov))
+          .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+          .save(dir)
+        spark.sql(s"REFRESH TABLE $tbl")
+        spark.emptyDataFrame
+      } // non-diverged static partition: None -> the normal insert path
+    case insertTargetRe(tbl)
+        if graft.plans.HeteroPartitions.entriesOf(spark, tbl).nonEmpty =>
+      sys.error(s"INSERT into $tbl requires the PARTITION (...) SELECT " +
+        "form while partitions carry heterogeneous file formats")
+    case _ => None
+  }
+
   private def partSubdirLiteral(spark: SparkSession, table: String,
       spec: String): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1953,6 +2028,11 @@ object Engine {
   }
 
   private def insertWithHiveCasts(spark: SparkSession,
+      stmt: String): org.apache.spark.sql.DataFrame =
+    heteroInsertRoute(spark, stmt).getOrElse(
+      insertWithHiveCasts0(spark, stmt))
+
+  private def insertWithHiveCasts0(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
     dynPartGuards(spark, stmt)
     val mergeSnap = smallFileMergeSnapshot(spark, stmt)
@@ -2214,7 +2294,7 @@ object Engine {
     // format from CatalogTable.storage's input format, and skip
     // validation entirely when it can't be determined (never guess
     // parquet and refuse a valid load)
-    val declaredFormat: String = meta.provider.map(_.toLowerCase) match {
+    val baseFormat: String = meta.provider.map(_.toLowerCase) match {
       case Some(p) if p != "hive" => p
       case _ => meta.storage.inputFormat.map(_.toLowerCase).collect {
           case f if f.contains("sequencefile") => "graft-seq"
@@ -2224,6 +2304,12 @@ object Engine {
           case f if f.contains("avro") => "avro"
         }.getOrElse("unknown")
     }
+    // a load aimed at a format-diverged partition validates against THAT
+    // partition's format, not the table-wide one
+    val declaredFormat: String = partSpec.flatMap { spec =>
+      graft.plans.HeteroPartitions.entriesOf(spark, table)
+        .find(_._1 == partSubdirLiteral(spark, table, spec)).map(_._2)
+    }.getOrElse(baseFormat)
     val expectMagic: Option[(String, Array[Byte] => Boolean)] =
       declaredFormat match {
         case "parquet" => Some("parquet" -> (b => b.length >= 4 &&
@@ -3403,9 +3489,53 @@ object Engine {
         spark.sql("DROP TEMPORARY FUNCTION " +
           (if (ifEx != null) "IF EXISTS " else "") + name)
         spark.emptyDataFrame
+      case setFileFormatRe(table, part, fmt) if part != null =>
+        // per-partition divergence (DDLTask.alterTableFileFormat with a
+        // partition spec): recorded as a table property; the injected
+        // HeteroPartitions.Reads rule unions per-format scans on read,
+        // and the insert/LOAD paths write the partition's own format.
+        // Hive parity: the ALTER does NOT rewrite existing data — the
+        // standard workflow reloads the partition right after.
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val baseProv = meta.provider.map(_.toLowerCase)
+          .filterNot(_ == "hive").getOrElse("parquet")
+        require(Set("parquet", "orc", "csv", "json").contains(baseProv),
+          s"per-partition SET FILEFORMAT requires a v1 datasource base " +
+            s"table; $table uses $baseProv")
+        require(meta.partitionColumnNames.nonEmpty,
+          s"$table is not partitioned")
+        val kvs = splitPartSpec(part)
+        require(kvs.forall(_.contains("=")) &&
+            kvs.length == meta.partitionColumnNames.length,
+          s"PARTITION ($part) must name every partition column with a value")
+        val specPath = partSubdirLiteral(spark, table, part)
+        val dir = new org.apache.hadoop.fs.Path(
+          meta.location.toString.stripSuffix("/") + "/" + specPath)
+        require(dir.getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(dir),
+          s"partition ($part) does not exist on $table")
+        val hasComplexP = meta.schema.fields.exists(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        val newProv = fileFormatProvider(fmt, hasComplexP)
+        val prevEntries = graft.plans.HeteroPartitions.parse(meta.properties)
+          .filterNot(_._1 == specPath)
+        val updated =
+          if (newProv == baseProv) prevEntries
+          else prevEntries :+ (specPath -> newProv)
+        val key = graft.plans.HeteroPartitions.PropKey
+        if (updated.isEmpty)
+          spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('$key')")
+        else
+          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = " +
+            s"'${graft.plans.HeteroPartitions.encode(updated)}')")
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
       case setFileFormatRe(table, part, fmt) =>
-        require(part == null, s"per-partition SET FILEFORMAT is not " +
-          s"supported: a datasource table carries one format table-wide")
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
         // a complex-typed schema exceeds the csv datasource: the TEXTFILE
@@ -3417,19 +3547,8 @@ object Engine {
                _: org.apache.spark.sql.types.StructType => true
           case _ => false
         })
-        val provider = fmt.toUpperCase match {
-          case "TEXTFILE" if hasComplex => "`graft-text`"
-          case "TEXTFILE" => "csv"
-          case "PARQUET"  => "parquet"
-          case "ORC"      => "orc"
-          case "AVRO"     => "`graft-avro`"
-          case "JSONFILE" => "json"
-          case "SEQUENCEFILE" => "`graft-seq`"
-          case "RCFILE"   => "`graft-rcfile`"
-          case o => throw new IllegalArgumentException(
-            s"SET FILEFORMAT $o has no datasource mapping")
-        }
-        val opts = if (provider == "csv")
+        val provider = "`" + fileFormatProvider(fmt, hasComplex) + "`"
+        val opts = if (provider == "`csv`")
           " OPTIONS (sep = '\u0001', nullValue = '\\\\N')" else ""
         val partBy = if (meta.partitionColumnNames.nonEmpty)
           meta.partitionColumnNames.mkString(" PARTITIONED BY (", ", ", ")")
@@ -3572,6 +3691,7 @@ object Engine {
         sqlMerge(spark, s)
         spark.emptyDataFrame
       case updateRe(table, setClause, cond) =>
+        requireNoHetero(spark, table, "UPDATE")
         val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -3591,6 +3711,7 @@ object Engine {
       // no-WHERE forms (legal HiveQL: rewrite/drop every row) — ordered
       // after the WHERE forms, whose regexes are strictly more specific
       case updateAllRe(table, setClause) =>
+        requireNoHetero(spark, table, "UPDATE")
         val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -3605,6 +3726,7 @@ object Engine {
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
+        requireNoHetero(spark, table, "DELETE")
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table),
           tableDmlSchema(spark, table), tableDmlPartCols(spark, table),
@@ -3612,6 +3734,7 @@ object Engine {
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case deleteAllRe(table) =>
+        requireNoHetero(spark, table, "DELETE")
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), tableFormat(spark, table),
           tableDmlSchema(spark, table), tableDmlPartCols(spark, table),

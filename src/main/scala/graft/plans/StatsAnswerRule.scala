@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => StatsAnswerRule(session))
     // Hive comparison/cast semantics (see HiveSemantics.scala)
+    e.injectResolutionRule(session => HeteroPartitions.Reads(session))
     e.injectResolutionRule(_ => HiveSemantics.CompareViaDouble)
     e.injectResolutionRule(_ => HiveSemantics.StringBooleanCast)
     e.injectResolutionRule(_ => HiveSemantics.BinaryCastGuard)

@@ -33,3 +33,19 @@ object GraftColumnBridge {
   def toExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 }
+
+/** Accessor for the `private[sql]` session catalog plugin. graft's
+  * heterogeneous-partition read rule builds path-scoped DSv2 scans whose
+  * relations carry no catalog/identifier; Catalog.refreshTable's cache
+  * invalidation calls `.catalog.get`/`.identifier.get` on every
+  * DataSourceV2Relation it walks, so the rule re-attaches the owning
+  * table's catalog + identifier through this bridge.
+  */
+object GraftCatalogBridge {
+  def sessionCatalogPlugin(spark: SparkSession)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin = spark match {
+    case c: classic.SparkSession => c.sessionState.catalogManager.v2SessionCatalog
+    case other => throw new IllegalStateException(
+      s"no session catalog plugin for ${other.getClass}")
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-partition SET FILEFORMAT (DDLTask.alterTableFileFormat with a
+  * partition spec) — the last DDL parity refusal, now a real feature:
+  * diverged partitions are recorded in a table property, reads union
+  * per-format scans, static INSERTs into a diverged partition write its
+  * own format, dynamic writes and whole-table DML refuse loudly.
+  */
+class HeteroPartitionSpec extends SparkSpec {
+
+  private def mkTable(name: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, s"DROP TABLE IF EXISTS graft_tmp.$name")
+    spark.sql(s"""CREATE TABLE graft_tmp.$name (v STRING, n INT)
+      USING PARQUET PARTITIONED BY (p STRING)""")
+    spark.sql(s"""INSERT INTO graft_tmp.$name
+      VALUES ('a1', 1, 'old'), ('a2', 2, 'old'), ('b1', 3, 'new')""")
+  }
+
+  test("ALTER PARTITION SET FILEFORMAT + reload: union read sees both formats") {
+    mkTable("het1")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het1 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    // Hive workflow: the ALTER does not rewrite — reload the partition
+    // in its new format (routed write must produce graft-seq files)
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het1
+      PARTITION (p='old') SELECT v, n FROM graft_tmp.het1 WHERE p = 'new'""")
+    Engine.ddl(spark, """INSERT INTO graft_tmp.het1
+      PARTITION (p='old') SELECT 'x9', 9""")
+    val rows = spark.table("graft_tmp.het1")
+      .select("v", "n", "p").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set(("b1", 3, "old"), ("x9", 9, "old"), ("b1", 3, "new")),
+      rows.toString)
+    // the diverged directory holds graft-seq containers, not parquet
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.het1"))
+      .location.toString
+    val dir = new org.apache.hadoop.fs.Path(loc + "/p=old")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val data = fs.listStatus(dir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(data.nonEmpty)
+    data.foreach { st =>
+      val in = fs.open(st.getPath)
+      val head = new Array[Byte](3); in.readFully(head); in.close()
+      assert(new String(head, "ISO-8859-1") == "SEQ",
+        s"${st.getPath} is not a SequenceFile")
+    }
+    // base partition still reads, filters prune into the union
+    assert(spark.table("graft_tmp.het1").filter(col("p") === "new").count() == 1)
+    assert(spark.table("graft_tmp.het1").filter(col("p") === "old").count() == 2)
+  }
+
+  test("dynamic INSERT and whole-table DML refuse on a hetero table") {
+    mkTable("het2")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het2 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    val e1 = intercept[Exception] {
+      Engine.ddl(spark, """INSERT INTO graft_tmp.het2
+        PARTITION (p) SELECT v, n, p FROM graft_tmp.het2""")
+    }
+    assert(e1.getMessage.contains("fully-static"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Engine.ddl(spark, "DELETE FROM graft_tmp.het2 WHERE n = 1")
+    }
+    assert(e2.getMessage.contains("heterogeneous"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Engine.ddl(spark, "UPDATE graft_tmp.het2 SET v = 'z' WHERE n = 1")
+    }
+    assert(e3.getMessage.contains("heterogeneous"), e3.getMessage)
+  }
+
+  test("static INSERT into a NON-diverged partition stays on the normal path") {
+    mkTable("het3")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het3 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT INTO graft_tmp.het3
+      PARTITION (p='new') SELECT 'c4', 4""")
+    assert(spark.table("graft_tmp.het3").filter(col("p") === "new").count() == 2)
+  }
+
+  test("ALTER back to the base format clears the divergence") {
+    mkTable("het4")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het4 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het4").nonEmpty)
+    // reload in seq, then flip the partition back to parquet and reload
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het4
+      PARTITION (p='old') SELECT 'r1', 7""")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het4 PARTITION (p='old') SET FILEFORMAT PARQUET")
+    assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het4").isEmpty)
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het4
+      PARTITION (p='old') SELECT 'r2', 8""")
+    val rows = spark.table("graft_tmp.het4").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("r2", "old"), ("b1", "new")), rows.toString)
+  }
+
+  test("per-partition ALTER validates: missing partition, non-v1 base") {
+    mkTable("het5")
+    val e1 = intercept[Exception] {
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.het5 PARTITION (p='nope') SET FILEFORMAT ORC")
+    }
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.het5s")
+    spark.sql("""CREATE TABLE graft_tmp.het5s (v STRING, p STRING)
+      USING `graft-seq` PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO graft_tmp.het5s VALUES ('a', 'x')")
+    val e2 = intercept[Exception] {
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.het5s PARTITION (p='x') SET FILEFORMAT PARQUET")
+    }
+    assert(e2.getMessage.contains("v1 datasource"), e2.getMessage)
+  }
+
+  test("LOAD DATA into a diverged partition validates that partition's magic") {
+    mkTable("het6")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het6 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    // Hive parity: the ALTER leaves the old-format files in place; the
+    // workflow reloads the partition before reading it (a mixed-format
+    // directory fails to read in Hive too)
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het6
+      PARTITION (p='old') SELECT 'w0', 10""")
+    // stage a one-file graft-seq payload and LOAD it into the partition
+    val stage = tools.Tmp.dir("het6_stage")
+    spark.createDataFrame(Seq(("s1", 11))).toDF("v", "n")
+      .coalesce(1).write.format("graft-seq").mode("overwrite").save(stage)
+    Engine.ddl(spark,
+      s"LOAD DATA LOCAL INPATH '$stage' INTO TABLE graft_tmp.het6 PARTITION (p='old')")
+    val got = spark.table("graft_tmp.het6")
+      .filter(col("p") === "old" && col("v") === "s1").count()
+    assert(got == 1)
+    // and a parquet payload into the seq partition is refused up front
+    val bad = tools.Tmp.dir("het6_bad")
+    spark.createDataFrame(Seq(("p1", 12))).toDF("v", "n")
+      .coalesce(1).write.mode("overwrite").parquet(bad)
+    val e = intercept[Exception] {
+      Engine.ddl(spark,
+        s"LOAD DATA LOCAL INPATH '$bad' INTO TABLE graft_tmp.het6 PARTITION (p='old')")
+    }
+    assert(e.getMessage.contains("Wrong file format"), e.getMessage)
+  }
+}
