@@ -118,6 +118,25 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(e2.getMessage.contains("v1 datasource"), e2.getMessage)
   }
 
+  test("diverged directories are pruned out of the base scan's listing") {
+    mkTable("het7")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het7 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het7
+      PARTITION (p='old') SELECT 'q1', 1""")
+    val plan = spark.table("graft_tmp.het7").queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, plan.toString)
+    // the parquet base scan must LIST only non-diverged partitions — at
+    // 100 TB, a scan that lists (let alone reads) the diverged dirs
+    // would also fail outright on the foreign-format files
+    scans.foreach { s =>
+      val loc = s.metadata.getOrElse("Location", "")
+      assert(!loc.contains("p=old"), loc)
+    }
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
