@@ -137,6 +137,41 @@ class HeteroPartitionSpec extends SparkSpec {
     }
   }
 
+  test("two partitions diverged to DIFFERENT formats read as one table") {
+    mkTable("het8")
+    spark.sql("INSERT INTO graft_tmp.het8 VALUES ('c1', 5, 'mid')")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het8 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het8 PARTITION (p='mid') SET FILEFORMAT RCFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het8
+      PARTITION (p='old') SELECT 's1', 1""")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het8
+      PARTITION (p='mid') SELECT 'r1', 2""")
+    val rows = spark.table("graft_tmp.het8").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("s1", "old"), ("r1", "mid"), ("b1", "new")), rows.toString)
+  }
+
+  test("table-wide SET FILEFORMAT unifies a hetero table through the union") {
+    mkTable("het9")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het9 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het9
+      PARTITION (p='old') SELECT 's1', 1""")
+    // the CTAS swap's SELECT * reads through the union, so the rewrite
+    // carries BOTH formats' rows into the new uniform table and the
+    // divergence property does not survive
+    Engine.ddl(spark, "ALTER TABLE graft_tmp.het9 SET FILEFORMAT ORC")
+    assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het9").isEmpty)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.het9"))
+    assert(meta.provider.exists(_.equalsIgnoreCase("orc")), meta.provider)
+    val rows = spark.table("graft_tmp.het9").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("s1", "old"), ("b1", "new")), rows.toString)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
