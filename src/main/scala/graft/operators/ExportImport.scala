@@ -70,6 +70,15 @@ object ExportImport {
     val schema = StructType.fromDDL(ddl)
     val parts = metaField(meta, "partitions", required = false)
       .split(",").filter(_.nonEmpty).toSeq
+    // IMPORT into an EXISTING table (ImportSemanticAnalyzer
+    // checkTable): the existing table's column schema and partitioning
+    // must match the export descriptor — a mismatch is refused
+    // (exim_03/04/05_noncompat_*); a match APPENDS the exported files
+    // into the existing table's own location (Hive IMPORT semantics),
+    // never into the caller-supplied fresh location.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (spark.sessionState.catalog.tableExists(ident))
+      return importIntoExisting(spark, f, dir, table, ident, schema, parts)
     // byte copy of the data files (CopyTask semantics — no rewrite):
     // partition dirs copy recursively, preserving the layout. The
     // DESTINATION resolves its own FileSystem — source and target may live
@@ -100,6 +109,60 @@ object ExportImport {
       if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (", ", ", ")")
     spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet$partClause LOCATION '$location'")
     if (parts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.table(table)
+  }
+
+  /** Validate-and-append leg of IMPORT (existing destination). Column
+    * names/types and partition columns must equal the descriptor's
+    * (case-insensitive names, exact Catalyst types); files byte-copy
+    * into the EXISTING location with an import-unique prefix so repeated
+    * imports never collide, partition dirs merging by name. */
+  private def importIntoExisting(spark: SparkSession, f: FileSystem,
+      dir: String, table: String,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      schema: StructType, parts: Seq[String]): DataFrame = {
+    val em = spark.sessionState.catalog.getTableMetadata(ident)
+    // the export data files are parquet (exportTable's snapshot format) —
+    // appending them under a table of another provider would corrupt it
+    val eProv = em.provider.map(_.toLowerCase).getOrElse("parquet")
+    if (eProv != "parquet")
+      sys.error(s"IMPORT into existing table $table: table format $eProv " +
+        "does not match the export data format parquet")
+    val ePartCols = em.partitionColumnNames
+    val eData = em.schema.filterNot(fd => ePartCols.contains(fd.name))
+    def sig(s: Seq[org.apache.spark.sql.types.StructField]) =
+      s.map(fd => fd.name.toLowerCase -> fd.dataType)
+    val dParts =
+      if (parts.isEmpty) new StructType()
+      else StructType.fromDDL(parts.mkString(", "))
+    if (sig(eData) != sig(schema.fields.toSeq))
+      sys.error(s"IMPORT into existing table $table: column schema does " +
+        s"not match the export (table: ${eData.map(_.toDDL).mkString(", ")}; " +
+        s"export: ${schema.toDDL})")
+    if (sig(em.schema.filter(fd => ePartCols.contains(fd.name)))
+        != sig(dParts.fields.toSeq))
+      sys.error(s"IMPORT into existing table $table: partition columns do " +
+        s"not match the export (table: ${ePartCols.mkString(", ")}; " +
+        s"export: ${dParts.fieldNames.mkString(", ")})")
+    val target = new Path(em.location)
+    val tfs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    def copyInto(srcDir: Path, dst: Path): Unit = {
+      tfs.mkdirs(dst)
+      Option(f.listStatus(srcDir)).toSeq.flatten.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n != "_temporary" && !n.startsWith(".spark-staging") &&
+              !n.startsWith(".hive-staging"))
+            copyInto(st.getPath, new Path(dst, n))
+        } else if (!n.startsWith("_") && !n.startsWith("."))
+          FileUtil.copy(f, st.getPath, tfs, new Path(dst, s"imp-$uid-$n"),
+            false, spark.sparkContext.hadoopConfiguration): Unit
+      }
+    }
+    copyInto(new Path(dir, "data"), target)
+    if (ePartCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"REFRESH TABLE $table")
     spark.table(table)
   }
 

@@ -91,6 +91,44 @@ class Round12Spec extends SparkSpec {
     } finally spark.conf.unset("hive.mapred.mode")
   }
 
+  // ---- IMPORT into an existing table (ImportSemanticAnalyzer parity) ---
+
+  test("IMPORT into an existing compatible table appends; repeat import too") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exsrc")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exdst")
+    spark.sql("CREATE TABLE graft_tmp.r12_exsrc (k INT, v STRING) USING PARQUET")
+    spark.sql("INSERT INTO graft_tmp.r12_exsrc VALUES (1, 'a'), (2, 'b')")
+    val exp = tools.Tmp.dir("r12_exim") + "/exp"
+    Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r12_exsrc TO '$exp'")
+    spark.sql("CREATE TABLE graft_tmp.r12_exdst (k INT, v STRING) USING PARQUET")
+    spark.sql("INSERT INTO graft_tmp.r12_exdst VALUES (9, 'z')")
+    Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst FROM '$exp'")
+    assert(spark.table("graft_tmp.r12_exdst").count() == 3)
+    // a second import appends again (uuid-prefixed copies never collide)
+    Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst FROM '$exp'")
+    assert(spark.table("graft_tmp.r12_exdst").count() == 5)
+    val ks = spark.table("graft_tmp.r12_exdst").groupBy("k").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(ks == Map(1 -> 2L, 2 -> 2L, 9 -> 1L), ks.toString)
+  }
+
+  test("IMPORT refuses an existing table of a different provider") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exsrc2")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exdst2")
+    spark.sql("CREATE TABLE graft_tmp.r12_exsrc2 (k STRING) USING PARQUET")
+    spark.sql("INSERT INTO graft_tmp.r12_exsrc2 VALUES ('x')")
+    val exp = tools.Tmp.dir("r12_exim2") + "/exp"
+    Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r12_exsrc2 TO '$exp'")
+    spark.sql("CREATE TABLE graft_tmp.r12_exdst2 (k STRING) USING `graft-seq`")
+    val e = intercept[Exception] {
+      Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst2 FROM '$exp'")
+    }
+    assert(e.getMessage.contains("does not match the export data format"),
+      e.getMessage)
+  }
+
   test("listFilesWithLen lists through the session conf (round-trip sanity)") {
     // behavioral pin: the planning path still lists correctly with the
     // session conf in place of a bare default conf
