@@ -28,7 +28,8 @@ object Registry {
       queries.Round7Queries.all ++
       queries.Round8Queries.all ++
       queries.Round10Queries.all ++
-      queries.Round11Queries.all
+      queries.Round11Queries.all ++
+      queries.Round12Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

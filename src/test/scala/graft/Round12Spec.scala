@@ -129,6 +129,34 @@ class Round12Spec extends SparkSpec {
       e.getMessage)
   }
 
+  // ---- MP4 box walk robustness (m09/m10 operator) ----------------------
+
+  test("video box walk survives corrupt payloads instead of throwing") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),                       // too short
+      (2L, "XXXXYYYY-not-an-mp4-payload".getBytes("US-ASCII")),
+      (3L, Array[Byte](0, 0, 0, 0, 'f', 't', 'y', 'p')), // size<8: stop
+      (4L, operators.Multimodal.mp4Bytes(4L).take(40))   // truncated tree
+    ).toDF("doc_id", "payload")
+    val metas = operators.Multimodal.decodeVideoMeta(spark, junk)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas.size == 4)
+    // nothing parseable claims to be a valid container
+    assert(metas.values.forall(!_.sizes_ok), metas.toString)
+    assert(operators.Multimodal.sampleVideoFrames(spark, junk, 4).count() == 0)
+  }
+
+  test("mp4 synth round-trips through the box walk (unit closed forms)") {
+    import spark.implicits._
+    val media = Seq((7L, operators.Multimodal.mp4Bytes(7L))).toDF("doc_id", "payload")
+    val m = operators.Multimodal.decodeVideoMeta(spark, media).collect().head
+    assert(m.duration_ms == 500 + (7 % 97) * 40)
+    assert(m.n_tracks == 1 + 7 % 3)
+    assert(m.frame_size == 16 + 7 % 17 && m.n_frames == 10 + 7 % 50)
+    assert(m.sizes_ok && m.mdat_bytes == m.frame_size * m.n_frames)
+  }
+
   test("listFilesWithLen lists through the session conf (round-trip sanity)") {
     // behavioral pin: the planning path still lists correctly with the
     // session conf in place of a bare default conf
