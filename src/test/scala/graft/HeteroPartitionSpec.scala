@@ -199,5 +199,11 @@ class HeteroPartitionSpec extends SparkSpec {
         s"LOAD DATA LOCAL INPATH '$bad' INTO TABLE graft_tmp.het6 PARTITION (p='old')")
     }
     assert(e.getMessage.contains("Wrong file format"), e.getMessage)
+    // OVERWRITE leg: replaces the partition's files with the staged seq
+    Engine.ddl(spark,
+      s"LOAD DATA LOCAL INPATH '$stage' OVERWRITE INTO TABLE graft_tmp.het6 PARTITION (p='old')")
+    val after = spark.table("graft_tmp.het6").filter(col("p") === "old")
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(after == Set("s1"), after.toString)
   }
 }
