@@ -172,6 +172,35 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(rows == Set(("s1", "old"), ("b1", "new")), rows.toString)
   }
 
+  test("hetero divergence on a two-column, non-string partition key") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.het10")
+    spark.sql("""CREATE TABLE graft_tmp.het10 (v STRING, dt STRING, hr INT)
+      USING PARQUET PARTITIONED BY (dt, hr)""")
+    spark.sql("""INSERT INTO graft_tmp.het10
+      VALUES ('a', 'd1', 1), ('b', 'd1', 2), ('c', 'd2', 1)""")
+    Engine.ddl(spark, """ALTER TABLE graft_tmp.het10
+      PARTITION (dt='d1', hr=2) SET FILEFORMAT SEQUENCEFILE""")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het10
+      PARTITION (dt='d1', hr=2) SELECT 'b2'""")
+    val rows = spark.table("graft_tmp.het10").select("v", "dt", "hr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("a", "d1", 1), ("b2", "d1", 2), ("c", "d2", 1)),
+      rows.toString)
+    // sibling (dt='d1', hr=1) stays on the base path and still reads;
+    // the INT partition value round-trips through the literal cast
+    assert(spark.table("graft_tmp.het10")
+      .filter(col("dt") === "d1" && col("hr") === 1).count() == 1)
+    assert(spark.table("graft_tmp.het10").filter(col("hr") === 2)
+      .select("v").collect().map(_.getString(0)).toSet == Set("b2"))
+    // a PARTIAL spec is refused (every partition column must be named)
+    val e = intercept[Exception] {
+      Engine.ddl(spark, """ALTER TABLE graft_tmp.het10
+        PARTITION (dt='d1') SET FILEFORMAT RCFILE""")
+    }
+    assert(e.getMessage.contains("every partition column"), e.getMessage)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
