@@ -3515,6 +3515,30 @@ object Engine {
         require(dir.getFileSystem(spark.sessionState.newHadoopConf())
             .exists(dir),
           s"partition ($part) does not exist on $table")
+        // the union read derives the partition directory from the table
+        // location + standard layout; a partition REGISTERED at a custom
+        // location (ADD PARTITION ... LOCATION) would silently read the
+        // wrong (empty) directory — refuse loudly instead
+        try {
+          val spec = kvs.map { kv =>
+            val Array(k, v) = kv.split("=", 2).map(_.trim)
+            val declared = meta.partitionColumnNames
+              .find(_.equalsIgnoreCase(k)).getOrElse(k)
+            declared -> unescapeSqlValue(v.stripPrefix("'").stripSuffix("'"))
+          }.toMap
+          val catLoc = spark.sessionState.catalog.getPartition(
+            spark.sessionState.sqlParser.parseTableIdentifier(table), spec)
+            .location.toString.stripSuffix("/")
+          require(catLoc == dir.toString.stripSuffix("/") ||
+              new org.apache.hadoop.fs.Path(catLoc) == dir,
+            s"partition ($part) of $table lives at a custom location " +
+              s"($catLoc); per-partition SET FILEFORMAT requires the " +
+              "standard <table>/<spec> layout")
+        } catch {
+          case e: IllegalArgumentException => throw e
+          case _: Exception => () // partition untracked in catalog: the
+          // directory IS the layout (graft-style), already validated above
+        }
         val hasComplexP = meta.schema.fields.exists(f => f.dataType match {
           case _: org.apache.spark.sql.types.ArrayType |
                _: org.apache.spark.sql.types.MapType |

@@ -201,6 +201,30 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("every partition column"), e.getMessage)
   }
 
+  test("custom-located partitions refuse per-partition SET FILEFORMAT") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.het11")
+    spark.sql("""CREATE TABLE graft_tmp.het11 (v STRING, p STRING)
+      USING PARQUET PARTITIONED BY (p)""")
+    val custom = tools.Tmp.dir("het11_custom")
+    spark.sql(s"""ALTER TABLE graft_tmp.het11
+      ADD PARTITION (p='ext') LOCATION '$custom'""")
+    spark.sql("INSERT INTO graft_tmp.het11 PARTITION (p='ext') VALUES ('x')")
+    // a standard-layout directory of the same spelling must not fool the
+    // guard: create it so the existence check passes, then expect the
+    // location check to refuse
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.het11"))
+      .location.toString
+    val std = new org.apache.hadoop.fs.Path(loc + "/p=ext")
+    std.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(std)
+    val e = intercept[Exception] {
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.het11 PARTITION (p='ext') SET FILEFORMAT SEQUENCEFILE")
+    }
+    assert(e.getMessage.contains("custom location"), e.getMessage)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
