@@ -3657,7 +3657,12 @@ object Engine {
         }.toMap
         val exists = spark.sessionState.catalog
           .listPartitions(ident, Some(specMap)).nonEmpty
-        if (exists) spark.emptyDataFrame else spark.sql(prefix + " " + rest)
+        // through the full insert route (NOT a bare spark.sql): the
+        // rewritten statement must still see the dyn-part guards, the
+        // Hive-cast retry, small-file merge/autogather, and the
+        // heterogeneous-partition write routing
+        if (exists) spark.emptyDataFrame
+        else insertWithHiveCasts(spark, prefix + " " + rest)
       case createFunRe(name, cls) if functionClasses.contains(cls) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, functionClasses(cls), "scala_udf")
