@@ -1906,6 +1906,33 @@ object Engine {
   /** Whole-table DML cannot run over a table whose partitions diverge in
     * format (the CoW machinery reads/rewrites one provider) — refuse
     * loudly instead of corrupting the diverged partition at rewrite. */
+  /** Format/schema/options a maintenance rewrite (COMPACT/CONCATENATE)
+    * must use for `part` of `table` — a format-diverged partition
+    * rewrites in ITS OWN format, never the table-wide one (a base-format
+    * rewrite of a diverged directory would corrupt it at the next read). */
+  private def maintenanceTarget(spark: SparkSession, table: String,
+      part: Option[String])
+      : (String, org.apache.spark.sql.types.StructType, Map[String, String]) = {
+    val hetero = part.flatMap { spec =>
+      graft.plans.HeteroPartitions.entriesOf(spark, table)
+        .find(_._1 == partSubdirLiteral(spark, table, spec)).map(_._2)
+    }
+    hetero match {
+      case Some(prov) =>
+        val m = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val dataSchema =
+          if (Set("graft-seq", "graft-rcfile", "graft-text").contains(prov))
+            org.apache.spark.sql.types.StructType(m.schema.filterNot(f =>
+              m.partitionColumnNames.contains(f.name)))
+          else null
+        (prov, dataSchema, graft.plans.HeteroPartitions.providerOptions(prov))
+      case None =>
+        (tableFormat(spark, table), tableDataSchema(spark, table),
+          tableDmlOptions(spark, table))
+    }
+  }
+
   private def requireNoHetero(spark: SparkSession, table: String,
       op: String): Unit =
     if (graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty)
@@ -3826,10 +3853,9 @@ object Engine {
               s"You must specify a partition to compact for partitioned tables ($table)")
             tableLocation(spark, table)
         }
+        val (cFmt, cSchema, cOpts) = maintenanceTarget(spark, table, Option(part))
         operators.Acid.compact(spark, dir, numFiles = 1,
-          format = tableFormat(spark, table),
-          schema = tableDataSchema(spark, table),
-          options = tableDmlOptions(spark, table))
+          format = cFmt, schema = cSchema, options = cOpts)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
@@ -3850,10 +3876,9 @@ object Engine {
               s"$table is partitioned: CONCATENATE needs a PARTITION spec")
             tableLocation(spark, table)
         }
+        val (nFmt, nSchema, nOpts) = maintenanceTarget(spark, table, Option(part))
         operators.Acid.compact(spark, dir, numFiles = 1,
-          format = tableFormat(spark, table),
-          schema = tableDataSchema(spark, table),
-          options = tableDmlOptions(spark, table))
+          format = nFmt, schema = nSchema, options = nOpts)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case exportRe(table, dir) =>

@@ -225,6 +225,34 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("custom location"), e.getMessage)
   }
 
+  test("COMPACT of a diverged partition rewrites in ITS format, not the table's") {
+    mkTable("het12")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het12 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    // several small seq files, then compact the partition
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het12
+      PARTITION (p='old') SELECT 's1', 1""")
+    Engine.ddl(spark, """INSERT INTO graft_tmp.het12
+      PARTITION (p='old') SELECT 's2', 2""")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het12 PARTITION (p='old') COMPACT 'major'")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.het12"))
+      .location.toString
+    val dir = new org.apache.hadoop.fs.Path(loc + "/p=old")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val data = fs.listStatus(dir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(data.length == 1, data.map(_.getPath.getName).mkString(","))
+    val in = fs.open(data.head.getPath)
+    val head = new Array[Byte](3); in.readFully(head); in.close()
+    assert(new String(head, "ISO-8859-1") == "SEQ",
+      "compaction must rewrite the diverged partition as SequenceFile")
+    val rows = spark.table("graft_tmp.het12").filter(col("p") === "old")
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(rows == Set("s1", "s2"), rows.toString)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
