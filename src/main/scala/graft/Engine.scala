@@ -1070,6 +1070,12 @@ object Engine {
       dest.partitionColumnNames.map(_.toLowerCase) ==
         src.partitionColumnNames.map(_.toLowerCase),
       s"EXCHANGE PARTITION: $destName and $srcName have different schemas")
+    // files move verbatim, so a format-diverged partition on EITHER side
+    // could land foreign-format files under the other table's provider
+    require(graft.plans.HeteroPartitions.entriesOf(spark, destName).isEmpty &&
+        graft.plans.HeteroPartitions.entriesOf(spark, srcName).isEmpty,
+      s"EXCHANGE PARTITION: $destName/$srcName carry heterogeneous " +
+        "partition file formats; unify with ALTER TABLE ... SET FILEFORMAT first")
     val destProv = dest.provider.filterNot(_.equalsIgnoreCase("hive"))
       .map(_.toLowerCase).getOrElse("parquet")
     val srcProv = src.provider.filterNot(_.equalsIgnoreCase("hive"))

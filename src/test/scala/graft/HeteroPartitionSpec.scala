@@ -253,6 +253,18 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(rows == Set("s1", "s2"), rows.toString)
   }
 
+  test("EXCHANGE PARTITION refuses hetero tables on either side") {
+    mkTable("het13a")
+    mkTable("het13b")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het13a PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    val e = intercept[Exception] {
+      Engine.ddl(spark, """ALTER TABLE graft_tmp.het13b
+        EXCHANGE PARTITION (p='old') WITH TABLE graft_tmp.het13a""")
+    }
+    assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
