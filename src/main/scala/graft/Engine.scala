@@ -1939,6 +1939,30 @@ object Engine {
     }
   }
 
+  /** Remove hetero entries whose partition directory no longer exists
+    * (after DROP PARTITION): a stale entry would make a LATER
+    * ADD PARTITION of the same spec resurrect the old format divergence
+    * and silently misread the fresh base-format files. */
+  private def pruneHeteroEntries(spark: SparkSession, table: String): Unit = {
+    val entries = graft.plans.HeteroPartitions.entriesOf(spark, table)
+    if (entries.nonEmpty) {
+      val loc = tableLocation(spark, table).stripSuffix("/")
+      val conf = spark.sessionState.newHadoopConf()
+      val live = entries.filter { case (spec, _) =>
+        val p = new org.apache.hadoop.fs.Path(loc + "/" + spec)
+        try p.getFileSystem(conf).exists(p) catch { case _: Exception => true }
+      }
+      if (live.size != entries.size) {
+        val key = graft.plans.HeteroPartitions.PropKey
+        if (live.isEmpty)
+          spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('$key')")
+        else spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = " +
+          s"'${graft.plans.HeteroPartitions.encode(live)}')")
+        spark.sql(s"REFRESH TABLE $table")
+      }
+    }
+  }
+
   private def requireNoHetero(spark: SparkSession, table: String,
       op: String): Unit =
     if (graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty)
@@ -3745,7 +3769,15 @@ object Engine {
       case dropPartFilterRe(table, ifEx, specText, _)
           if "<>!".exists(specText.contains(_)) =>
         dropPartitionsByFilter(spark, table, ifEx != null, specText)
+        pruneHeteroEntries(spark, table)
         spark.emptyDataFrame
+      // exact-spec drops stay on Spark's native command, but a hetero
+      // table must afterwards prune entries whose directory vanished
+      case dropPartFilterRe(table, _, _, _)
+          if graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty =>
+        val out = spark.sql(stmt)
+        pruneHeteroEntries(spark, table)
+        out
       // row-level DML SQL text → the copy-on-write engine
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's
       // files; Spark's own parser rejects UPDATE/DELETE on parquet tables)

@@ -265,6 +265,23 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("heterogeneous"), e.getMessage)
   }
 
+  test("DROP PARTITION prunes the divergence; re-ADD starts clean") {
+    mkTable("het14")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het14 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het14
+      PARTITION (p='old') SELECT 's1', 1""")
+    assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het14").nonEmpty)
+    Engine.ddl(spark, "ALTER TABLE graft_tmp.het14 DROP PARTITION (p='old')")
+    assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het14").isEmpty,
+      "stale hetero entry must be pruned with its partition")
+    // a re-added partition of the same spec is plain base format again
+    spark.sql("INSERT INTO graft_tmp.het14 PARTITION (p='old') VALUES ('fresh', 9)")
+    val rows = spark.table("graft_tmp.het14").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("fresh", "old"), ("b1", "new")), rows.toString)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
