@@ -543,6 +543,13 @@ object Engine {
   private val importRe =
     """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
 
+  // ALTER TABLE t PARTITION (a) RENAME TO PARTITION (b): native in
+  // Spark, but on a heterogeneous-format table the divergence entry must
+  // MOVE with the partition or the renamed directory's foreign-format
+  // files would be read with the base provider
+  private val renamePartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\)\s+RENAME\s+TO\s+PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
+
   // DROP PARTITION with comparison filters (c>='US', d<'2') — the
   // reference's drop-by-filter form; Spark's parser only accepts exact
   // `=` specs, so the filtered form is intercepted and expanded
@@ -3777,6 +3784,22 @@ object Engine {
           if graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty =>
         val out = spark.sql(stmt)
         pruneHeteroEntries(spark, table)
+        out
+      // partition rename on a hetero table: move the divergence entry
+      // with the partition (the files keep their format through a rename)
+      case renamePartRe(table, fromSpec, toSpec)
+          if graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty =>
+        val fromPath = partSubdirLiteral(spark, table, fromSpec)
+        val out = spark.sql(stmt)
+        val entries = graft.plans.HeteroPartitions.entriesOf(spark, table)
+        entries.find(_._1 == fromPath).foreach { case (_, prov) =>
+          val toPath = partSubdirLiteral(spark, table, toSpec)
+          val moved = entries.filterNot(_._1 == fromPath) :+ (toPath -> prov)
+          val key = graft.plans.HeteroPartitions.PropKey
+          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = " +
+            s"'${graft.plans.HeteroPartitions.encode(moved)}')")
+          spark.sql(s"REFRESH TABLE $table")
+        }
         out
       // row-level DML SQL text → the copy-on-write engine
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's

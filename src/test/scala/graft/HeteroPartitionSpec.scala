@@ -282,6 +282,22 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(rows == Set(("fresh", "old"), ("b1", "new")), rows.toString)
   }
 
+  test("RENAME PARTITION carries the divergence entry with it") {
+    mkTable("het15")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het15 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het15
+      PARTITION (p='old') SELECT 's1', 1""")
+    Engine.ddl(spark, """ALTER TABLE graft_tmp.het15
+      PARTITION (p='old') RENAME TO PARTITION (p='older')""")
+    val entries = plans.HeteroPartitions.entriesOf(spark, "graft_tmp.het15")
+    assert(entries.map(_._1) == Seq("p=older"), entries.toString)
+    // the renamed seq partition still reads in its own format
+    val rows = spark.table("graft_tmp.het15").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("s1", "older"), ("b1", "new")), rows.toString)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
