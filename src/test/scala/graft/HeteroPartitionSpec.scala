@@ -298,6 +298,20 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(rows == Set(("s1", "older"), ("b1", "new")), rows.toString)
   }
 
+  test("RENAME TABLE keeps the divergence (entries are location-relative)") {
+    mkTable("het16")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het16 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het16
+      PARTITION (p='old') SELECT 's1', 1""")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.het16r")
+    spark.sql("ALTER TABLE graft_tmp.het16 RENAME TO graft_tmp.het16r")
+    val rows = spark.table("graft_tmp.het16r").select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("s1", "old"), ("b1", "new")), rows.toString)
+    spark.sql("DROP TABLE graft_tmp.het16r")
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
