@@ -116,52 +116,81 @@ object HeteroPartitions {
       val base: LogicalPlan = Filter(Not(divergedPreds.reduce(Or)), lr)
       val dataSchema = StructType(
         cat.schema.filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name))))
-      val extras: Seq[LogicalPlan] = entries.map { case (spec, prov) =>
-        val dir = cat.location.toString.stripSuffix("/") + "/" + spec
-        val pairs = specPairs(spec).map { case (k, v) => k.toLowerCase -> v }.toMap
-        val exists = try {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(session.sessionState.newHadoopConf()).exists(p)
-        } catch { case _: Exception => false }
-        if (!exists) LocalRelation(lr.output.map(_.newInstance()))
-        else {
-          import org.apache.spark.sql.functions.{col, lit}
-          val df = session.read.format(prov).options(providerOptions(prov))
-            .schema(dataSchema).load(dir)
-          // relation column order, partition values as typed literals
-          val cols = lr.output.map { a =>
-            pairs.get(a.name.toLowerCase) match {
-              case Some(v) =>
-                val c = if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-                  lit(null) else lit(v)
-                c.cast(a.dataType).as(a.name)
-              case None => col(a.name)
+      val loc = cat.location.toString.stripSuffix("/")
+      def dirExists(dir: String): Boolean = try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(session.sessionState.newHadoopConf()).exists(p)
+      } catch { case _: Exception => false }
+      // REFRESH TABLE walks the analyzed plan and calls .catalogTable.get
+      // on every LogicalRelation (and .catalog.get/.identifier.get on
+      // every DataSourceV2Relation) — a bare path-based relation would
+      // NPE there. Attach the owning table's metadata with the hetero
+      // property STRIPPED (so this rule never re-expands the branch) /
+      // its catalog + identifier.
+      def patched(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+        df.queryExecution.analyzed.transform {
+          case plr: LogicalRelation if plr.catalogTable.isEmpty =>
+            val p = plr.copy(catalogTable =
+              Some(cat.copy(properties = cat.properties - PropKey)))
+            p.setTagValue(expanded, true)
+            p
+          case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              if v2.catalog.isEmpty || v2.identifier.isEmpty =>
+            v2.copy(
+              catalog = Some(org.apache.spark.sql.GraftCatalogBridge
+                .sessionCatalogPlugin(session)),
+              identifier = Some(
+                org.apache.spark.sql.connector.catalog.Identifier.of(
+                  Array(cat.identifier.database.getOrElse("default")),
+                  cat.identifier.table)))
+        }
+      import org.apache.spark.sql.functions.{col, lit}
+      // Plan size must NOT grow with the number of diverged partitions —
+      // a migrating warehouse can hold THOUSANDS of old-format partitions
+      // and a per-partition Union branch would explode the plan. v1
+      // providers group into ONE basePath scan per FORMAT: Spark recovers
+      // the partition columns from the directory names (declared types via
+      // the full schema), so partition-filter predicates still prune
+      // inside the branch. DSv2 graft providers (no multi-path basePath
+      // contract) keep one branch per partition with literal re-attach.
+      val v1Providers = Set("parquet", "orc", "csv", "json")
+      val partSchema = StructType(
+        cat.schema.filter(f => partCols.exists(_.equalsIgnoreCase(f.name))))
+      val extras: Seq[LogicalPlan] = entries.groupBy(_._2).toSeq
+        .sortBy(_._1).flatMap { case (prov, specs) =>
+          if (v1Providers(prov)) {
+            val dirs = specs.map(_._1).map(s => loc + "/" + s).filter(dirExists)
+            if (dirs.isEmpty)
+              Seq(LocalRelation(lr.output.map(_.newInstance())): LogicalPlan)
+            else {
+              val df = session.read.format(prov).options(providerOptions(prov))
+                .option("basePath", loc)
+                .schema(StructType(dataSchema.fields ++ partSchema.fields))
+                .load(dirs: _*)
+              Seq(patched(df.select(lr.output.map(a => col(a.name)): _*)))
+            }
+          } else specs.map { case (spec, _) =>
+            val dir = loc + "/" + spec
+            val pairs = specPairs(spec).map { case (k, v) => k.toLowerCase -> v }.toMap
+            if (!dirExists(dir))
+              LocalRelation(lr.output.map(_.newInstance())): LogicalPlan
+            else {
+              val df = session.read.format(prov).options(providerOptions(prov))
+                .schema(dataSchema).load(dir)
+              // relation column order, partition values as typed literals
+              val cols = lr.output.map { a =>
+                pairs.get(a.name.toLowerCase) match {
+                  case Some(v) =>
+                    val c = if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+                      lit(null) else lit(v)
+                    c.cast(a.dataType).as(a.name)
+                  case None => col(a.name)
+                }
+              }
+              patched(df.select(cols: _*))
             }
           }
-          // REFRESH TABLE walks the analyzed plan and calls
-          // .catalogTable.get on every LogicalRelation (and
-          // .catalog.get/.identifier.get on every DataSourceV2Relation) —
-          // a bare path-based relation would NPE there. Attach the owning
-          // table's metadata with the hetero property STRIPPED (so this
-          // rule never re-expands the branch) / its catalog + identifier.
-          df.select(cols: _*).queryExecution.analyzed.transform {
-            case plr: LogicalRelation if plr.catalogTable.isEmpty =>
-              val p = plr.copy(catalogTable =
-                Some(cat.copy(properties = cat.properties - PropKey)))
-              p.setTagValue(expanded, true)
-              p
-            case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-                if v2.catalog.isEmpty || v2.identifier.isEmpty =>
-              v2.copy(
-                catalog = Some(org.apache.spark.sql.GraftCatalogBridge
-                  .sessionCatalogPlugin(session)),
-                identifier = Some(
-                  org.apache.spark.sql.connector.catalog.Identifier.of(
-                    Array(cat.identifier.database.getOrElse("default")),
-                    cat.identifier.table)))
-          }
         }
-      }
       // union exposes the FIRST child's (the base relation's) attribute
       // ids, so references in the surrounding plan stay resolved
       Union(base +: extras)

@@ -312,6 +312,40 @@ class HeteroPartitionSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tmp.het16r")
   }
 
+  test("many v1-format diverged partitions collapse into ONE scan branch") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.het17")
+    spark.sql("""CREATE TABLE graft_tmp.het17 (v STRING, p STRING)
+      USING PARQUET PARTITIONED BY (p)""")
+    val parts = (0 until 6).map(i => s"d$i")
+    parts.foreach(p => spark.sql(
+      s"INSERT INTO graft_tmp.het17 PARTITION (p='$p') VALUES ('x$p')"))
+    spark.sql("INSERT INTO graft_tmp.het17 PARTITION (p='keep') VALUES ('base')")
+    // diverge ALL six to ORC and reload each
+    parts.foreach { p =>
+      Engine.ddl(spark,
+        s"ALTER TABLE graft_tmp.het17 PARTITION (p='$p') SET FILEFORMAT ORC")
+      Engine.ddl(spark, s"""INSERT OVERWRITE TABLE graft_tmp.het17
+        PARTITION (p='$p') SELECT 'o$p'""")
+    }
+    val df = spark.table("graft_tmp.het17")
+    // plan-size pin: 6 diverged partitions of ONE format = exactly 2
+    // file scans total (base parquet + one grouped orc basePath scan) —
+    // the property that keeps a thousand-partition migration planar
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length == 2, s"expected 2 scans, got ${scans.length}:\n" +
+      df.queryExecution.executedPlan)
+    // partition columns recovered from the directory names
+    val rows = df.select("v", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = parts.map(p => (s"o$p", p)).toSet + (("base", "keep"))
+    assert(rows == expect, rows.toString)
+    // and a partition filter prunes INSIDE the grouped branch
+    assert(df.filter(col("p") === "d3").collect()
+      .map(_.getString(0)).toSet == Set("od3"))
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
