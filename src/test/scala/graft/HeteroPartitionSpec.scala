@@ -346,6 +346,31 @@ class HeteroPartitionSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("od3"))
   }
 
+  test("TEXTFILE divergence round-trips through the csv options") {
+    mkTable("het18")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het18 PARTITION (p='old') SET FILEFORMAT TEXTFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.het18
+      PARTITION (p='old') SELECT 't1', 42""")
+    val rows = spark.table("graft_tmp.het18").select("v", "n", "p").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set(("t1", 42, "old"), ("b1", 3, "new")), rows.toString)
+    // the partition's files are Hive-delimited text, not parquet
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.het18"))
+      .location.toString
+    val dir = new org.apache.hadoop.fs.Path(loc + "/p=old")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val data = fs.listStatus(dir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(data.nonEmpty)
+    val in = fs.open(data.head.getPath)
+    val buf = new Array[Byte](16)
+    val n = in.read(buf); in.close()
+    val text = new String(buf, 0, n, "UTF-8")
+    assert(text.startsWith("t142"), text.replace('', '|'))
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
