@@ -554,6 +554,16 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Like [[synthMp4]] but with the CONTENT derived from `id % mod`:
+    * every `mod`-th document carries byte-identical frames, the
+    * duplicate-upload shape video dedup (m11) runs against. */
+  def synthMp4Dups(spark: SparkSession, docs: DataFrame, mod: Long): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id, mp4Bytes(id % mod))
+    }.toDF("doc_id", "payload")
+  }
+
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
       ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)

@@ -59,6 +59,29 @@ object Round12Queries {
               SELECT b.doc_id, CAST(b.k AS BIGINT) AS frame_idx,
                      CAST(sum((b.k * 31 + b.j * 7 + b.doc_id) % 256)
                           AS BIGINT) AS frame_sum
-              FROM b GROUP BY b.doc_id, b.k"""))
+              FROM b GROUP BY b.doc_id, b.k""")),
+
+    // ---- m11: video-level dedup from DECODED frame content (the video
+    //      face of m07's image dedup) — every frame of every candidate is
+    //      read out of the real mdat+stsz layout, the per-video signature
+    //      is the xxhash64 of the ordered frame checksums, and duplicate
+    //      signatures keep only the globally-first doc_id. The dup fixture
+    //      synthesizes content from doc_id mod 100, so the keeper set is
+    //      a closed form; the join is a signature equi-join (blocked,
+    //      never all-pairs — the 100 TB shape). ----
+    Q("m11_video_dedup", (s, d) => {
+      val media = Multimodal.synthMp4Dups(s,
+        t(s, d, "documents").filter(col("doc_id") < 400), mod = 100)
+      val sigs = Multimodal.sampleVideoFrames(s, media, stride = 1).toDF()
+        .groupBy("doc_id")
+        .agg(xxhash64(concat_ws(",",
+          sort_array(collect_list(struct(col("frame_idx"), col("frame_sum"))))
+            .cast("array<string>")))
+          .as("sig"))
+      val keep = sigs.groupBy("sig").agg(min("doc_id").as("doc_id"))
+      keep.select(col("doc_id")).orderBy("doc_id")
+    },
+      Some("""SELECT doc_id FROM documents
+             WHERE doc_id < 100 ORDER BY doc_id"""))
   )
 }
