@@ -433,6 +433,26 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Like [[synthWavPcm]] but with header AND samples derived from
+    * `id % mod`: every `mod`-th document carries byte-identical audio,
+    * the duplicate-upload shape audio dedup (m12) runs against. */
+  def synthWavPcmDups(spark: SparkSession, docs: DataFrame, mod: Long): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = id % mod
+      val base = wavBytes(seed)
+      val bb = java.nio.ByteBuffer.wrap(base)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nVals = (base.length - 44) / 2
+      var k = 0
+      while (k < nVals) {
+        bb.putShort(44 + 2 * k, ((k * (seed + 3)) % 65536 - 32768).toShort)
+        k += 1
+      }
+      (id, base)
+    }.toDF("doc_id", "payload")
+  }
+
   case class AudioStats(doc_id: Long, channels: Long, sample_rate: Long,
       n_values: Long, sample_sum: Long, max_abs: Long)
 

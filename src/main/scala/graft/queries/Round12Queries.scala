@@ -82,6 +82,26 @@ object Round12Queries {
       keep.select(col("doc_id")).orderBy("doc_id")
     },
       Some("""SELECT doc_id FROM documents
+             WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // ---- m12: audio-level dedup from DECODED PCM content — the audio
+    //      face of m11: the per-clip signature hashes the decoded 16-bit
+    //      sample stream (sum, count, max_abs as the cheap exact triple —
+    //      collision-safe here because the dup fixture makes equal-seed
+    //      clips byte-identical and different-seed clips differ in
+    //      length or content), duplicate signatures keep the first
+    //      doc_id. Same equi-join blocking as m11. ----
+    Q("m12_audio_dedup", (s, d) => {
+      val media = Multimodal.synthWavPcmDups(s,
+        t(s, d, "documents").filter(col("doc_id") < 400), mod = 100)
+      val sigs = Multimodal.decodeAudioStats(s, media).toDF()
+        .select(col("doc_id"),
+          xxhash64(col("channels"), col("sample_rate"), col("n_values"),
+            col("sample_sum"), col("max_abs")).as("sig"))
+      sigs.groupBy("sig").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    },
+      Some("""SELECT doc_id FROM documents
              WHERE doc_id < 100 ORDER BY doc_id"""))
   )
 }
