@@ -543,6 +543,12 @@ object Engine {
   private val importRe =
     """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
 
+  // DESCRIBE FORMATTED/EXTENDED t PARTITION (spec): native in Spark, but
+  // Hive shows the PARTITION's own storage — append the diverged format
+  // row when the spec names a heterogeneous-format partition
+  private val descFmtPartRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:FORMATTED|EXTENDED)\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
+
   // ALTER TABLE t PARTITION (a) RENAME TO PARTITION (b): native in
   // Spark, but on a heterogeneous-format table the divergence entry must
   // MOVE with the partition or the renamed directory's foreign-format
@@ -3785,6 +3791,19 @@ object Engine {
         val out = spark.sql(stmt)
         pruneHeteroEntries(spark, table)
         out
+      // describe of a diverged partition: append its own format row
+      // (DDLTask.describeTable shows the partition's storage in Hive)
+      case descFmtPartRe(table, part)
+          if graft.plans.HeteroPartitions.entriesOf(spark, table)
+            .exists(_._1 == partSubdirLiteral(spark, table, part)) =>
+        val prov = graft.plans.HeteroPartitions.entriesOf(spark, table)
+          .find(_._1 == partSubdirLiteral(spark, table, part)).get._2
+        val native = spark.sql(stmt)
+        native.union(spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row("Partition Format", prov,
+              "per-partition SET FILEFORMAT")),
+          native.schema))
       // partition rename on a hetero table: move the divergence entry
       // with the partition (the files keep their format through a rename)
       case renamePartRe(table, fromSpec, toSpec)

@@ -371,6 +371,21 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(text.startsWith("t142"), text.replace('', '|'))
   }
 
+  test("DESCRIBE FORMATTED of a diverged partition shows its own format") {
+    mkTable("het19")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het19 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    val rows = Engine.ddl(spark,
+      "DESCRIBE FORMATTED graft_tmp.het19 PARTITION (p='old')").collect()
+    val fmt = rows.find(_.getString(0) == "Partition Format")
+    assert(fmt.exists(_.getString(1) == "graft-seq"),
+      rows.map(_.toString).mkString("\n"))
+    // a NON-diverged partition describes without the extra row
+    val rows2 = Engine.ddl(spark,
+      "DESCRIBE FORMATTED graft_tmp.het19 PARTITION (p='new')").collect()
+    assert(!rows2.exists(_.getString(0) == "Partition Format"))
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
