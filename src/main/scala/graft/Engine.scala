@@ -1372,8 +1372,17 @@ object Engine {
           }.mkString("/"))
         case None => tblLoc
       }
+      // a format-diverged partition reports ITS OWN format (the property
+      // partition_wise_fileformat.q's SHOW TABLE EXTENDED checks in Hive)
+      val effProvider = part.flatMap { spec =>
+        try graft.plans.HeteroPartitions
+          .entriesOf(spark, s"$dbName.${id.table}")
+          .find(_._1 == partSubdirLiteral(spark, s"$dbName.${id.table}", spec))
+          .map(_._2)
+        catch { case _: Exception => None }
+      }.orElse(m.provider.map(_.toLowerCase.replace("`", "")))
       val (inFmt, outFmt) =
-        m.provider.map(_.toLowerCase.replace("`", "")).getOrElse("parquet") match {
+        effProvider.getOrElse("parquet") match {
           case "orc" =>
             ("org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
               "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")

@@ -386,6 +386,21 @@ class HeteroPartitionSpec extends SparkSpec {
     assert(!rows2.exists(_.getString(0) == "Partition Format"))
   }
 
+  test("SHOW TABLE EXTENDED on a diverged partition reports its own format") {
+    mkTable("het20")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.het20 PARTITION (p='old') SET FILEFORMAT SEQUENCEFILE")
+    val txt = Engine.ddl(spark, """SHOW TABLE EXTENDED IN graft_tmp
+      LIKE 'het20' PARTITION (p='old')""").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(txt.contains("inputformat:org.apache.hadoop.mapred.SequenceFileInputFormat"),
+      txt)
+    val txt2 = Engine.ddl(spark, """SHOW TABLE EXTENDED IN graft_tmp
+      LIKE 'het20' PARTITION (p='new')""").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(txt2.contains("MapredParquetInputFormat"), txt2)
+  }
+
   test("LOAD DATA into a diverged partition validates that partition's magic") {
     mkTable("het6")
     Engine.ddl(spark,
