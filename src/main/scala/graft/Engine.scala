@@ -760,7 +760,14 @@ object Engine {
       })
       java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
     })
-    set.add(rawName.replace("`", "")): Unit
+    // qualify NOW: an unqualified name resolved at session END would land
+    // in whatever database is current THEN (a USE between CREATE and stop
+    // would drop the wrong table or miss the right one)
+    val name = rawName.replace("`", "")
+    val qualified =
+      if (name.contains(".")) name
+      else s.sessionState.catalog.getCurrentDatabase + "." + name
+    set.add(qualified): Unit
   }
   private val viewPartRe =
     ("""(?is)(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +

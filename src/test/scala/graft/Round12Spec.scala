@@ -64,6 +64,22 @@ class Round12Spec extends SparkSpec {
     spark.sql("DROP TABLE graft_tmp.r12_plain")
   }
 
+  test("temp-table auto-drop resolves unqualified names at CREATE time") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp2")
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql("USE graft_tmp")
+      Engine.ddl(spark, "DROP TABLE IF EXISTS r12_tmpq")
+      Engine.ddl(spark, "CREATE TEMPORARY TABLE r12_tmpq (k INT) USING PARQUET")
+      // a USE between CREATE and session end must not retarget the drop
+      spark.sql("USE graft_tmp2")
+      Engine.dropTempTables(spark)
+      assert(!spark.catalog.tableExists("graft_tmp.r12_tmpq"),
+        "temp table must drop from the database it was created in")
+    } finally spark.sql(s"USE $prevDb")
+  }
+
   // ---- strict-check suspension is per-thread (r11 advisor) -------------
 
   test("strict-check suspension on one thread does not bypass another") {
