@@ -380,7 +380,45 @@ object Engine {
   }
 
   private val createFunRe =
-    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'\s*(?:USING\s+(.+?))?\s*;?\s*""".r
+  // one USING resource: JAR|FILE|ARCHIVE '<uri>' (FunctionSemanticAnalyzer
+  // .getResourceList — parse/FunctionSemanticAnalyzer.java:131-156)
+  private val funResourceRe = """(?i)(JAR|FILE|ARCHIVE)\s+'([^']+)'""".r
+
+  /** Ship a CREATE FUNCTION statement's USING resources into the session
+    * (FunctionTask.addFunctionResources): ADD JAR extends the session and
+    * executor classloaders, so the named class becomes loadable exactly
+    * like the reference's resource-loading step. Idempotent (re-ADDing a
+    * jar is a no-op); a missing file fails the CREATE, matching the
+    * reference's loud resource error. */
+  private def shipFunctionResources(spark: SparkSession, resText: String): Unit =
+    if (resText != null) {
+      val resources = funResourceRe.findAllMatchIn(resText).toSeq
+      require(resources.nonEmpty,
+        s"CREATE FUNCTION ... USING: cannot parse resource list: $resText")
+      resources.foreach { m =>
+        val kind = m.group(1).toUpperCase
+        val uri = m.group(2)
+        kind match {
+          case "JAR" => spark.sql(s"ADD JAR '$uri'")
+          case "FILE" => spark.sql(s"ADD FILE '$uri'")
+          case "ARCHIVE" => spark.sql(s"ADD ARCHIVE '$uri'")
+        }
+      }
+    }
+
+  /** Third-party Hive UDF classes (GenericUDF subclasses, or legacy UDF
+    * via Hive's GenericUDFBridge) resolve onto the adapter expression —
+    * the FunctionTask class→builder step for classes this engine has no
+    * native Catalyst builder for. Not cached: the builder closes over the
+    * function NAME (the bridge reflects evaluate() overloads under it),
+    * and a later ADD JAR may replace the class. */
+  private def hiveUdfBuilder(funcName: String, cls: String): Option[Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (graft.functions.HiveUdfAdapter.supports(cls))
+      Some(exprs => graft.functions.HiveGenericUdfExpr(funcName, cls, exprs))
+    else None
   private val dropFunRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val loadDataRe =
@@ -751,22 +789,27 @@ object Engine {
     }
   }
 
-  private def registerTempTable(s: SparkSession, rawName: String): Unit = {
+  /** Register a (pre-qualified) temp-table name for session-end drop.
+    * The cleanup listener holds the session via a WeakReference: a strong
+    * capture would defeat the WeakHashMap keying — the listener bus pins
+    * the closure, the closure pins the session, and in a multi-session
+    * application every session (and its temp tables) would then live
+    * until application end. With the weak reference, a session that is
+    * closed and collected before the application ends simply skips the
+    * drop (its catalog is gone with it; the managed files are inside the
+    * per-run warehouse dir). */
+  private def registerTempTable(s: SparkSession, qualified: String): Unit = {
     val set = tempTables.computeIfAbsent(s, sess => {
+      val ref = new java.lang.ref.WeakReference(sess)
       sess.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          dropTempTables(sess)
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val sx = ref.get()
+          if (sx != null) dropTempTables(sx)
+        }
       })
       java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
     })
-    // qualify NOW: an unqualified name resolved at session END would land
-    // in whatever database is current THEN (a USE between CREATE and stop
-    // would drop the wrong table or miss the right one)
-    val name = rawName.replace("`", "")
-    val qualified =
-      if (name.contains(".")) name
-      else s.sessionState.catalog.getCurrentDatabase + "." + name
     set.add(qualified): Unit
   }
   private val viewPartRe =
@@ -1968,18 +2011,37 @@ object Engine {
     }
   }
 
-  /** Remove hetero entries whose partition directory no longer exists
-    * (after DROP PARTITION): a stale entry would make a LATER
-    * ADD PARTITION of the same spec resurrect the old format divergence
-    * and silently misread the fresh base-format files. */
+  /** Remove hetero entries whose partition no longer exists (after DROP
+    * PARTITION): a stale entry would make a LATER ADD PARTITION of the
+    * same spec resurrect the old format divergence and silently misread
+    * the fresh base-format files. Liveness is the CATALOG's partition
+    * list when the table tracks partitions there — DROP PARTITION on an
+    * EXTERNAL table removes the catalog entry but keeps the files, so a
+    * directory-existence check alone would keep serving the dropped
+    * partition's rows forever. Directory existence remains a second
+    * condition (a catalog entry whose files vanished reads nothing). */
   private def pruneHeteroEntries(spark: SparkSession, table: String): Unit = {
     val entries = graft.plans.HeteroPartitions.entriesOf(spark, table)
     if (entries.nonEmpty) {
       val loc = tableLocation(spark, table).stripSuffix("/")
       val conf = spark.sessionState.newHadoopConf()
+      // catalog view: the set of live partition locations (relative specs
+      // resolve under the table location, matching entry encoding). None
+      // when partition metadata is untracked (directory-is-layout tables)
+      // — then the filesystem check is the only authority, as before.
+      val catalogLive: Option[Set[String]] =
+        try {
+          val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+          Some(spark.sessionState.catalog.listPartitions(ident)
+            .map(p => new org.apache.hadoop.fs.Path(p.location)
+              .toString.stripSuffix("/")).toSet)
+        } catch { case _: Exception => None }
       val live = entries.filter { case (spec, _) =>
         val p = new org.apache.hadoop.fs.Path(loc + "/" + spec)
-        try p.getFileSystem(conf).exists(p) catch { case _: Exception => true }
+        val dirOk =
+          try p.getFileSystem(conf).exists(p) catch { case _: Exception => true }
+        val catOk = catalogLive.forall(_.contains(p.toString.stripSuffix("/")))
+        dirOk && catOk
       }
       if (live.size != entries.size) {
         val key = graft.plans.HeteroPartitions.PropKey
@@ -3320,32 +3382,65 @@ object Engine {
         s"${m.group(1)} USING $provider$optsSql${m.group(3)}")
     })
 
+  /** Drop the comment-only prefix lines of a .q-style statement (the
+    * splitter keeps them attached); Spark's parser skips them, but the
+    * statement-shape regexes here anchor at the text start — both must
+    * see the same statement. */
+  private def stripLeadingComments(stmt0x: String): String = {
+    val lines = stmt0x.linesIterator.toSeq
+    val idx = lines.indexWhere { l =>
+      val t = l.trim; t.nonEmpty && !t.startsWith("--")
+    }
+    if (idx <= 0) stmt0x else lines.drop(idx).mkString("\n")
+  }
+
   /** Run one statement, intercepting function DDL (result: empty frame,
     * like a DDL command). Everything else goes to Spark SQL unchanged.
+    *
+    * CREATE TEMPORARY TABLE session-end registration lives HERE, around
+    * the execution, not inside the rewrite: registering at rewrite time
+    * would leave the name registered when the CREATE fails (a permanent
+    * table of the same name already exists) or no-ops (IF NOT EXISTS) —
+    * and session end would then PURGE a permanent table the statement
+    * never created. Register only a table that did not exist before the
+    * statement and does exist after it.
     */
   def ddl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
-    // a .q-style statement often carries leading `-- comment` lines (the
-    // splitter keeps them attached); Spark's parser skips them, but the
-    // statement-shape regexes here anchor at the text start — drop the
-    // comment-only prefix lines so both see the same statement
-    val stmt0 = {
-      val lines = stmt0x.linesIterator.toSeq
-      val idx = lines.indexWhere { l =>
-        val t = l.trim; t.nonEmpty && !t.startsWith("--")
+    val pendingTemp: Option[String] =
+      stripLeadingComments(stmt0x) match {
+        case tempTableNameRe(name) =>
+          // qualify NOW: an unqualified name resolved at session END would
+          // land in whatever database is current THEN (a USE between
+          // CREATE and stop would drop the wrong table or miss the right one)
+          val n = name.replace("`", "")
+          val qualified =
+            if (n.contains(".")) n
+            else spark.sessionState.catalog.getCurrentDatabase + "." + n
+          val ident = spark.sessionState.sqlParser.parseTableIdentifier(qualified)
+          val preExists =
+            try spark.sessionState.catalog.tableExists(ident)
+            catch { case _: Exception => true } // unparseable/odd name: don't risk a drop
+          if (preExists) None else Some(qualified)
+        case _ => None
       }
-      if (idx <= 0) stmt0x else lines.drop(idx).mkString("\n")
+    val out = ddlImpl(spark, stmt0x)
+    pendingTemp.foreach { q =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(q)
+      if (spark.sessionState.catalog.tableExists(ident))
+        registerTempTable(spark, q)
     }
+    out
+  }
+
+  private def ddlImpl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
+    val stmt0 = stripLeadingComments(stmt0x)
     // Hive temp tables: strip TEMPORARY (CREATE TEMPORARY VIEW/FUNCTION/
     // MACRO are untouched — the regex requires TABLE) before the legacy
-    // format-clause rewrite sees the statement; the name is registered so
-    // session end drops it (Hive session-scope semantics)
+    // format-clause rewrite sees the statement; registration for
+    // session-end drop happens in the `ddl` wrapper AFTER the statement
+    // succeeds (Hive session-scope semantics)
     val stmtT0 = stmt0 match {
-      case tempTableRe(pre, rest) =>
-        stmt0 match {
-          case tempTableNameRe(name) => registerTempTable(spark, name)
-          case _ => ()
-        }
-        pre + rest
+      case tempTableRe(pre, rest) => pre + rest
       case s => s
     }
     // partitioned views (create_view_partitioned.q): PARTITIONED ON is
@@ -3749,16 +3844,22 @@ object Engine {
         // heterogeneous-partition write routing
         if (exists) spark.emptyDataFrame
         else insertWithHiveCasts(spark, prefix + " " + rest)
-      case createFunRe(name, cls) if functionClasses.contains(cls) =>
+      case createFunRe(name, cls, res) if functionClasses.contains(cls) =>
+        shipFunctionResources(spark, res)
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, functionClasses(cls), "scala_udf")
         spark.emptyDataFrame
       // a class NOT in the builtin catalog but loadable from the session
-      // classloader (e.g. after ADD JAR — mapjoin_addjar.q's runtime-
-      // loading surface) that implements the Java UDF0..22 interfaces:
-      // resolve it to a ScalaUDF builder, the reference's FunctionTask
-      // class-to-builder step for user jars
-      case createFunRe(name, cls) if {
+      // classloader (after ADD JAR, or shipped right here by the
+      // statement's own USING JAR clause — mapjoin_addjar.q's
+      // runtime-loading surface) that implements the Java UDF0..22
+      // interfaces: resolve it to a ScalaUDF builder, the reference's
+      // FunctionTask class-to-builder step for user jars
+      case createFunRe(name, cls, res) if {
+        // resources ship INSIDE the guard: the class can only load after
+        // its jar joins the session classloader, and the next branch's
+        // guard (the Hive-UDF adapter probe) needs it shipped too
+        shipFunctionResources(spark, res)
         // re-registration must re-resolve: a later ADD JAR may carry a
         // MODIFIED class (changed arity/signature) under the same name,
         // and a forever-cached builder would keep serving the stale shape
@@ -3767,6 +3868,18 @@ object Engine {
       } =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name.split('.').last, jarUdfBuilder(cls).get, "scala_udf")
+        spark.emptyDataFrame
+      // a third-party Hive UDF class (GenericUDF, or legacy UDF through
+      // GenericUDFBridge): execute through the adapter expression. The
+      // jar was already shipped by the previous branch's guard. Classes
+      // that are loadable but none of the UDF shapes fall through to
+      // Spark's native CREATE FUNCTION (whose CANNOT_LOAD_FUNCTION_CLASS
+      // error is the pinned negative shape).
+      case createFunRe(name, cls, _)
+          if hiveUdfBuilder(name.split('.').last, cls).isDefined =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name.split('.').last,
+          hiveUdfBuilder(name.split('.').last, cls).get, "scala_udf")
         spark.emptyDataFrame
       case dropFunRe(ifExists, name) =>
         val dropped = spark.sessionState.functionRegistry.dropFunction(

@@ -1,0 +1,347 @@
+package graft.functions
+
+import org.apache.hadoop.hive.common.`type`.{HiveChar, HiveDecimal, HiveVarchar}
+import org.apache.hadoop.hive.ql.exec.UDF
+import org.apache.hadoop.hive.ql.udf.UDFType
+import org.apache.hadoop.hive.ql.udf.generic.{GenericUDF, GenericUDFBridge}
+import org.apache.hadoop.hive.serde2.io.{ByteWritable, DateWritable, DoubleWritable, HiveDecimalWritable, ShortWritable, TimestampWritable}
+import org.apache.hadoop.hive.serde2.objectinspector._
+import org.apache.hadoop.hive.serde2.objectinspector.primitive.{PrimitiveObjectInspectorFactory => POIF}
+import org.apache.hadoop.hive.serde2.typeinfo.{DecimalTypeInfo, TypeInfoFactory}
+import org.apache.hadoop.io.{BooleanWritable, BytesWritable, FloatWritable, IntWritable, LongWritable, Text}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, DateTimeUtils, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Executes an arbitrary third-party Hive UDF — a `GenericUDF` subclass,
+  * or a legacy `UDF` through Hive's own `GenericUDFBridge` — as a
+  * Catalyst expression. This is the reference's FunctionTask resolution
+  * step for user jars (`ql/exec/FunctionTask.java:164-166` resolves the
+  * class, `parse/FunctionSemanticAnalyzer.java:134` carries the USING
+  * JAR resources, `udf/generic/GenericUDF.java:46` defines the
+  * initialize/evaluate-over-ObjectInspectors contract this adapter
+  * drives): the last common migration blocker for a warehouse whose
+  * scripts register their own UDF classes.
+  *
+  * Only the class NAME and the child expressions serialize; the UDF
+  * instance and its ObjectInspectors re-initialize lazily per JVM from
+  * the context classloader, which ADD JAR / USING JAR extends on the
+  * driver and every executor — the same late-binding contract as
+  * Engine.JarUdfCall. Values cross the boundary in Hive's writable form
+  * (Text/IntWritable/...), the representation Hive's own runtime feeds
+  * UDFs, so third-party code that pattern-matches on writables (common
+  * in the wild) works; foldable arguments are presented as
+  * ConstantObjectInspectors, which many GenericUDFs require for
+  * pattern/format parameters.
+  *
+  * Deliberately eval-mode (CodegenFallback): an arbitrary reflective UDF
+  * cannot be code-generated, and the reference executes these
+  * row-per-row through ObjectInspectors anyway — per-row cost parity,
+  * while everything AROUND the call stays whole-stage-generated.
+  */
+case class HiveGenericUdfExpr(funcName: String, udfClassName: String,
+    children: Seq[Expression]) extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def prettyName: String = funcName
+
+  @transient private lazy val udf: GenericUDF =
+    HiveUdfAdapter.instantiate(funcName, udfClassName)
+
+  @transient private lazy val argOIs: Array[ObjectInspector] =
+    children.map { c =>
+      if (c.foldable)
+        HiveUdfAdapter.constantInspector(c.dataType, c.eval(InternalRow.empty))
+      else HiveUdfAdapter.inspectorFor(c.dataType)
+    }.toArray
+
+  @transient private lazy val outputOI: ObjectInspector = udf.initialize(argOIs)
+
+  // initialize() runs on the driver during analysis (dataType is needed
+  // to resolve the plan) and once more per executor JVM (transient lazy)
+  // — both from the same child types and constants, so the shapes agree.
+  override def dataType: DataType = HiveUdfAdapter.catalystType(outputOI)
+
+  override lazy val deterministic: Boolean = {
+    val ann = HiveUdfAdapter.loadClass(udfClassName)
+      .getAnnotation(classOf[UDFType])
+    (ann == null || ann.deterministic()) && children.forall(_.deterministic)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val args = new Array[GenericUDF.DeferredObject](children.length)
+    var i = 0
+    while (i < children.length) {
+      args(i) = new GenericUDF.DeferredJavaObject(
+        HiveUdfAdapter.toHive(children(i).eval(input), children(i).dataType))
+      i += 1
+    }
+    HiveUdfAdapter.fromHive(udf.evaluate(args), outputOI)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object HiveUdfAdapter {
+
+  private[graft] def loadClass(name: String): Class[_] =
+    Class.forName(name, true,
+      Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader))
+
+  /** Can this class execute through the adapter at all? (The Engine's
+    * CREATE FUNCTION resolution probe — must not throw on non-UDFs.) */
+  def supports(className: String): Boolean =
+    try {
+      val c = loadClass(className)
+      classOf[GenericUDF].isAssignableFrom(c) ||
+        classOf[UDF].isAssignableFrom(c)
+    } catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  /** FunctionTask.getUdfClass + FunctionRegistry.registerTemporaryUDF:
+    * a GenericUDF instantiates directly; a legacy UDF wraps in Hive's
+    * own GenericUDFBridge (which reflects the right evaluate() overload
+    * per argument types — exactly what the reference runtime does). */
+  def instantiate(funcName: String, className: String): GenericUDF = {
+    val c = loadClass(className)
+    if (classOf[GenericUDF].isAssignableFrom(c))
+      c.getDeclaredConstructor().newInstance().asInstanceOf[GenericUDF]
+    else if (classOf[UDF].isAssignableFrom(c))
+      new GenericUDFBridge(funcName, false, className)
+    else sys.error(
+      s"FAILED: Class $className does not implement UDF, GenericUDF, or UDAF")
+  }
+
+  // ---- Catalyst DataType -> ObjectInspector (writable flavor) ----------
+
+  def inspectorFor(dt: DataType): ObjectInspector = dt match {
+    case StringType => POIF.writableStringObjectInspector
+    case IntegerType => POIF.writableIntObjectInspector
+    case LongType => POIF.writableLongObjectInspector
+    case ShortType => POIF.writableShortObjectInspector
+    case ByteType => POIF.writableByteObjectInspector
+    case BooleanType => POIF.writableBooleanObjectInspector
+    case FloatType => POIF.writableFloatObjectInspector
+    case DoubleType => POIF.writableDoubleObjectInspector
+    case BinaryType => POIF.writableBinaryObjectInspector
+    case DateType => POIF.writableDateObjectInspector
+    case TimestampType => POIF.writableTimestampObjectInspector
+    case d: DecimalType => POIF.getPrimitiveWritableObjectInspector(
+      TypeInfoFactory.getDecimalTypeInfo(d.precision, d.scale))
+    case NullType => POIF.writableVoidObjectInspector
+    case ArrayType(et, _) =>
+      ObjectInspectorFactory.getStandardListObjectInspector(inspectorFor(et))
+    case MapType(kt, vt, _) =>
+      ObjectInspectorFactory.getStandardMapObjectInspector(
+        inspectorFor(kt), inspectorFor(vt))
+    case st: StructType =>
+      ObjectInspectorFactory.getStandardStructObjectInspector(
+        st.fieldNames.toSeq.asJava,
+        st.fields.map(f => inspectorFor(f.dataType)).toSeq.asJava)
+    case other => sys.error(
+      s"graft: no Hive ObjectInspector mapping for argument type $other")
+  }
+
+  /** Foldable arguments present as ConstantObjectInspectors — GenericUDFs
+    * routinely require this for pattern/format/size parameters
+    * (`initialize` casts the OI and reads the value up front). */
+  def constantInspector(dt: DataType, value: Any): ObjectInspector = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | FloatType | DoubleType | BinaryType | DateType |
+         TimestampType | NullType =>
+      POIF.getPrimitiveWritableConstantObjectInspector(
+        primitiveTypeInfo(dt), toHive(value, dt))
+    case d: DecimalType =>
+      POIF.getPrimitiveWritableConstantObjectInspector(
+        TypeInfoFactory.getDecimalTypeInfo(d.precision, d.scale),
+        toHive(value, dt))
+    case ArrayType(et, _) =>
+      val vs = if (value == null) null
+        else {
+          val a = value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new java.util.ArrayList[AnyRef](a.numElements())
+          var i = 0
+          while (i < a.numElements()) {
+            out.add(toHive(a.get(i, et), et)); i += 1
+          }
+          out
+        }
+      ObjectInspectorFactory.getStandardConstantListObjectInspector(
+        inspectorFor(et), vs)
+    case _ => inspectorFor(dt) // struct/map constants: plain OI suffices
+  }
+
+  private def primitiveTypeInfo(dt: DataType) = dt match {
+    case StringType => TypeInfoFactory.stringTypeInfo
+    case IntegerType => TypeInfoFactory.intTypeInfo
+    case LongType => TypeInfoFactory.longTypeInfo
+    case ShortType => TypeInfoFactory.shortTypeInfo
+    case ByteType => TypeInfoFactory.byteTypeInfo
+    case BooleanType => TypeInfoFactory.booleanTypeInfo
+    case FloatType => TypeInfoFactory.floatTypeInfo
+    case DoubleType => TypeInfoFactory.doubleTypeInfo
+    case BinaryType => TypeInfoFactory.binaryTypeInfo
+    case DateType => TypeInfoFactory.dateTypeInfo
+    case TimestampType => TypeInfoFactory.timestampTypeInfo
+    case NullType => TypeInfoFactory.voidTypeInfo
+    case other => sys.error(s"graft: not a Hive primitive: $other")
+  }
+
+  // ---- Catalyst internal value -> Hive writable object -----------------
+
+  def toHive(v: Any, dt: DataType): AnyRef =
+    if (v == null) null
+    else dt match {
+      case StringType => new Text(v.asInstanceOf[UTF8String].getBytes)
+      case IntegerType => new IntWritable(v.asInstanceOf[Int])
+      case LongType => new LongWritable(v.asInstanceOf[Long])
+      case ShortType => new ShortWritable(v.asInstanceOf[Short])
+      case ByteType => new ByteWritable(v.asInstanceOf[Byte])
+      case BooleanType => new BooleanWritable(v.asInstanceOf[Boolean])
+      case FloatType => new FloatWritable(v.asInstanceOf[Float])
+      case DoubleType => new DoubleWritable(v.asInstanceOf[Double])
+      case BinaryType => new BytesWritable(v.asInstanceOf[Array[Byte]])
+      case DateType => new DateWritable(v.asInstanceOf[Int])
+      case TimestampType => new TimestampWritable(
+        DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]))
+      case _: DecimalType => new HiveDecimalWritable(
+        HiveDecimal.create(
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
+      case NullType => null
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val out = new java.util.ArrayList[AnyRef](a.numElements())
+        var i = 0
+        while (i < a.numElements()) { out.add(toHive(a.get(i, et), et)); i += 1 }
+        out
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val out = new java.util.LinkedHashMap[AnyRef, AnyRef](m.numElements())
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          out.put(toHive(ks.get(i, kt), kt), toHive(vs.get(i, vt), vt)); i += 1
+        }
+        out
+      case st: StructType =>
+        val r = v.asInstanceOf[InternalRow]
+        val out = new java.util.ArrayList[AnyRef](st.length)
+        var i = 0
+        while (i < st.length) {
+          out.add(toHive(r.get(i, st.fields(i).dataType), st.fields(i).dataType))
+          i += 1
+        }
+        out
+      case other => sys.error(s"graft: cannot pass $other to a Hive UDF")
+    }
+
+  // ---- UDF result -> Catalyst internal value (through the OUTPUT OI) ---
+
+  def fromHive(v: Any, oi: ObjectInspector): Any =
+    if (v == null) null
+    else oi match {
+      case poi: PrimitiveObjectInspector =>
+        poi.getPrimitiveJavaObject(v) match {
+          case null => null
+          case s: String => UTF8String.fromString(s)
+          case c: HiveChar => UTF8String.fromString(c.getValue)
+          case c: HiveVarchar => UTF8String.fromString(c.getValue)
+          case d: HiveDecimal =>
+            val (p, s) = poi.getTypeInfo match {
+              case ti: DecimalTypeInfo => (ti.precision(), ti.scale())
+              case _ => (DecimalType.SYSTEM_DEFAULT.precision,
+                DecimalType.SYSTEM_DEFAULT.scale)
+            }
+            val dec = Decimal(d.bigDecimalValue())
+            if (dec.changePrecision(p, s)) dec else null
+          case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case b: Array[Byte] => b
+          case other => other // boxed numeric/boolean primitives pass through
+        }
+      case loi: ListObjectInspector =>
+        val l = loi.getList(v)
+        if (l == null) null
+        else {
+          val out = new Array[Any](l.size())
+          var i = 0
+          while (i < l.size()) {
+            out(i) = fromHive(l.get(i), loi.getListElementObjectInspector)
+            i += 1
+          }
+          new GenericArrayData(out)
+        }
+      case moi: MapObjectInspector =>
+        val m = moi.getMap(v)
+        if (m == null) null
+        else {
+          val ks = new Array[Any](m.size()); val vs = new Array[Any](m.size())
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            ks(i) = fromHive(e.getKey, moi.getMapKeyObjectInspector)
+            vs(i) = fromHive(e.getValue, moi.getMapValueObjectInspector)
+            i += 1
+          }
+          ArrayBasedMapData(ks, vs)
+        }
+      case soi: StructObjectInspector =>
+        val fields = soi.getAllStructFieldRefs
+        val out = new Array[Any](fields.size())
+        var i = 0
+        while (i < fields.size()) {
+          val f = fields.get(i)
+          out(i) = fromHive(soi.getStructFieldData(v, f), f.getFieldObjectInspector)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+      case other => sys.error(
+        s"graft: unsupported Hive UDF output inspector ${other.getClass.getName}")
+    }
+
+  // ---- output ObjectInspector -> Catalyst DataType ----------------------
+
+  def catalystType(oi: ObjectInspector): DataType = oi match {
+    case poi: PrimitiveObjectInspector =>
+      import PrimitiveObjectInspector.PrimitiveCategory._
+      poi.getPrimitiveCategory match {
+        case STRING | CHAR | VARCHAR => StringType
+        case INT => IntegerType
+        case LONG => LongType
+        case SHORT => ShortType
+        case BYTE => ByteType
+        case BOOLEAN => BooleanType
+        case FLOAT => FloatType
+        case DOUBLE => DoubleType
+        case BINARY => BinaryType
+        case DATE => DateType
+        case TIMESTAMP => TimestampType
+        case DECIMAL => poi.getTypeInfo match {
+          case ti: DecimalTypeInfo => DecimalType(ti.precision(), ti.scale())
+          case _ => DecimalType.SYSTEM_DEFAULT
+        }
+        case VOID => NullType
+        case other => sys.error(
+          s"graft: unsupported Hive UDF output primitive $other")
+      }
+    case loi: ListObjectInspector =>
+      ArrayType(catalystType(loi.getListElementObjectInspector))
+    case moi: MapObjectInspector =>
+      MapType(catalystType(moi.getMapKeyObjectInspector),
+        catalystType(moi.getMapValueObjectInspector))
+    case soi: StructObjectInspector =>
+      StructType(soi.getAllStructFieldRefs.asScala.map(f =>
+        StructField(f.getFieldName,
+          catalystType(f.getFieldObjectInspector))).toArray)
+    case other => sys.error(
+      s"graft: unsupported Hive UDF output inspector ${other.getClass.getName}")
+  }
+}

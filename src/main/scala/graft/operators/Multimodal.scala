@@ -634,18 +634,28 @@ object Multimodal {
   private val containerBoxes = Set("moov", "trak", "mdia", "minf", "stbl")
 
   /** Generic box walk: (type, payloadStart, payloadLen) in document
-    * order, recursing into container boxes. Corrupt sizes stop the walk
-    * instead of throwing (decode emits -1 dims, m01 convention). */
+    * order, recursing into container boxes. Handles all three ISO-BMFF
+    * size encodings (ISO 14496-12 §4.2): a plain 32-bit size, size==1
+    * (64-bit largesize after the type — real-world mdat boxes over 4 GiB
+    * use this), and size==0 (box extends to the end of the enclosing
+    * range). Size arithmetic stays in Long so a 32-bit-unsigned size
+    * can't truncate negative; corrupt sizes stop the walk instead of
+    * throwing (decode emits -1 dims, m01 convention). */
   private def walkBoxes(b: Array[Byte], from: Int, until: Int,
       out: scala.collection.mutable.ArrayBuffer[(String, Int, Int)]): Unit = {
     var off = from
     while (off + 8 <= until) {
-      val size = ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
-        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+      val size32 = beAt(b, off)
       val typ = new String(b, off + 4, 4, "US-ASCII")
-      if (size < 8 || off + size > until) return
-      out += ((typ, off + 8, (size - 8).toInt))
-      if (containerBoxes(typ)) walkBoxes(b, off + 8, off + size.toInt, out)
+      val (size, hdr) =
+        if (size32 == 1L) {
+          if (off + 16 > until) return
+          ((beAt(b, off + 8) << 32) | beAt(b, off + 12), 16)
+        } else if (size32 == 0L) ((until - off).toLong, 8)
+        else (size32, 8)
+      if (size < hdr || off + size > until) return
+      out += ((typ, off + hdr, (size - hdr).toInt))
+      if (containerBoxes(typ)) walkBoxes(b, off + hdr, off + size.toInt, out)
       off += size.toInt
     }
   }

@@ -48,11 +48,17 @@ object StrictChecks {
   // Thread-scoped (NOT a session conf): analysis runs on the calling
   // thread, and a session-wide flag would let a concurrent user query on
   // the same SparkSession silently bypass every strict guard while a
-  // maintenance task holds checks suspended. Inheritable so a body that
-  // hands work to a child thread stays suspended; a depth counter so
-  // nested maintenance (compaction inside CoW) unwinds correctly.
+  // maintenance task holds checks suspended. A depth counter so nested
+  // maintenance (compaction inside CoW) unwinds correctly. Child threads
+  // deliberately start UNSUSPENDED (childValue = 0): a pool thread
+  // created while a maintenance block holds depth>=1 would otherwise
+  // inherit the suspension at creation with nothing ever decrementing it
+  // — strict checks permanently and silently disabled on that thread.
+  // Fail-closed is the right default: maintenance bodies analyze on the
+  // calling thread, so losing inheritance costs nothing in practice.
   private val suspendDepth = new InheritableThreadLocal[Integer] {
     override def initialValue(): Integer = 0
+    override def childValue(parent: Integer): Integer = 0
   }
 
   /** Engine-internal maintenance reads (CoW rewrites, compaction/merge,
