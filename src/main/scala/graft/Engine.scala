@@ -399,6 +399,14 @@ object Engine {
       resources.foreach { m =>
         val kind = m.group(1).toUpperCase
         val uri = m.group(2)
+        // the reference fails the CREATE on an unreadable resource
+        // (FunctionTask.addFunctionResources → SessionState.add_resource);
+        // ADD JAR alone is not a reliable guard — when the class is
+        // already loadable from an earlier jar, a missing path would
+        // otherwise slip through silently
+        val p = new org.apache.hadoop.fs.Path(uri)
+        require(p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+          s"CREATE FUNCTION ... USING $kind: resource does not exist: $uri")
         kind match {
           case "JAR" => spark.sql(s"ADD JAR '$uri'")
           case "FILE" => spark.sql(s"ADD FILE '$uri'")
@@ -696,12 +704,11 @@ object Engine {
       """|ALTER\s+INDEX\s+[\w`]+\s+ON\s+[\w.`]+(?:\s+PARTITION\s*\([^)]*\))?\s+(?:REBUILD|SET\s+IDXPROPERTIES\s*\(.*\))""" +
       """|SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+[\w.`]+.*)\s*;?\s*""").r
   // ALTER TABLE t [PARTITION(...)] ARCHIVE/UNARCHIVE —
-  // DDLSemanticAnalyzer.java:250-252 (HAR-file packing of partition
-  // dirs, a NameNode-pressure workaround from the HDFS-federation era).
-  // Modern layouts (parquet on object stores) have no analog; accept +
-  // warn no-op so era scripts keep running.
-  private val archiveRe =
-    """(?is)\s*ALTER\s+TABLE\s+[\w.`]+\s+(?:PARTITION\s*\([^)]*\)\s+)?(?:UN)?ARCHIVE\s*(?:PARTITION\s*\([^)]*\)\s*)?;?\s*""".r
+  // DDLSemanticAnalyzer.java:250-252; real semantics minus the HAR
+  // container live in operators/Archive.scala (relocate to a hidden
+  // subtree + write gating + read-back). Both clause orders accepted.
+  private val archiveStmtRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?(UN)?ARCHIVE\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*""".r
   // DELETE FILE[S]/JAR[S]/ARCHIVE[S] <paths> — the CLI's
   // DeleteResourceProcessor: removes resources from the session list so
   // later tasks stop shipping them. Spark cannot un-add a file/jar from
@@ -1803,15 +1810,11 @@ object Engine {
     *   - a static column may never FOLLOW a dynamic one (the directory
     *     tree can't nest a constant under a varying parent);
     *   - `hive.exec.max.dynamic.partitions`, when explicitly set, caps
-    *     the distinct dynamic tuples the SELECT produces — counted with
-    *     a limit(max+1) probe so the guard never scans past the cap.
-    *     COST/SEMANTICS CAVEAT: the probe evaluates the SELECT once
-    *     before the write (the reference counts inside the write job and
-    *     kills it mid-flight — not expressible over Spark's committer
-    *     without claiming partial-output cleanup we can't guarantee), so
-    *     an explicitly-set cap doubles the statement's read cost, and a
-    *     nondeterministic SELECT (rand()) may count a different sample
-    *     than the insert writes.
+    *     the distinct dynamic tuples the statement writes — enforced in
+    *     cappedDynInsert over a ONE-PASS checkpoint staging (the SELECT
+    *     materializes once; the count and the write read the same rows,
+    *     so nondeterministic SELECTs are guarded too, and a tripped cap
+    *     leaves the table untouched).
     */
   private def dynPartGuards(spark: SparkSession, stmt: String): Unit =
     stmt match {
@@ -1835,31 +1838,12 @@ object Engine {
           sys.error(s"Dynamic partition cannot be the parent of a static " +
             s"partition: ${k.trim} follows a dynamic column in " +
             s"PARTITION ($part)"))
-        spark.conf.getOption("hive.exec.max.dynamic.partitions")
-          .map(_.trim.toInt).foreach { max =>
-          val dynCols = kvs.drop(dynIdx).length
-          val out = spark.sql(select)
-          // the probe runs the SELECT once more than the write (cost
-          // caveat in COVERAGE.md); with nondeterministic expressions
-          // (rand(), current_timestamp) its partition count is not the
-          // write's — skip the guard rather than admit/refuse on a
-          // DIFFERENT answer than what will be written
-          val deterministic = out.queryExecution.analyzed.find(
-            _.expressions.exists(e => e.exists(x => !x.deterministic))).isEmpty
-          if (!deterministic)
-            System.err.println(s"[graft] hive.exec.max.dynamic.partitions " +
-              s"guard skipped for INSERT into $tbl: the SELECT is " +
-              "nondeterministic, a pre-write probe would count different " +
-              "partitions than the write itself")
-          else {
-            val tail = out.columns.takeRight(dynCols).toSeq
-            val n = out.select(tail.map(org.apache.spark.sql.functions.col): _*)
-              .distinct().limit(max + 1).count()
-            if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
-              s"would create at least $n partitions, which is more than " +
-              s"hive.exec.max.dynamic.partitions=$max")
-          }
-        }
+        // hive.exec.max.dynamic.partitions enforcement moved to
+        // cappedDynInsert: the SELECT materializes once, the distinct
+        // dynamic tuples are counted on the materialized rows, and the
+        // write runs from the same checkpoint — one pass, nondeterministic
+        // SELECTs included, nothing written when the cap trips
+        ()
       case _ => ()
     }
 
@@ -2054,6 +2038,16 @@ object Engine {
     }
   }
 
+  /** Row-rewriting maintenance (CoW DML) rewrites files wherever the
+    * predicate reaches — with any partition archived, a rewrite could
+    * target the relocated subtree, so refuse until UNARCHIVE (archived
+    * partitions pre-date ACID in the reference too). */
+  private def requireNoArchived(spark: SparkSession, table: String,
+      op: String): Unit =
+    operators.Archive.entriesOf(spark, table).headOption.foreach(e =>
+      sys.error(s"$op is not supported on $table while partitions are " +
+        s"archived ($e); UNARCHIVE first"))
+
   private def requireNoHetero(spark: SparkSession, table: String,
       op: String): Unit =
     if (graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty)
@@ -2175,40 +2169,112 @@ object Engine {
       catch { case _: Exception => () }
   }
 
+  /** Refuse a write aimed at (or overlapping) an archived partition —
+    * the reference's compile-time guard ("Insert conflict with existing
+    * archive", SemanticAnalyzer; clientnegative/archive_insert1.q). A
+    * dynamic or absent spec on a table with ANY archived partition
+    * refuses too: the write could land under an archived prefix. */
+  private def requireNoArchiveConflict(spark: SparkSession, table: String,
+      part: Option[String], op: String): Unit =
+    if (operators.Archive.entriesOf(spark, table).nonEmpty) {
+      val path = part match {
+        case Some(p) if splitPartSpec(p).forall(_.contains("=")) =>
+          operators.Archive.specPath(spark, table, p, requirePrefix = false)
+        case _ => "" // dynamic or whole-table: could touch anything
+      }
+      operators.Archive.conflict(spark, table, path).foreach(e =>
+        sys.error(s"$op conflict with existing archive: $e"))
+    }
+
   private def insertWithHiveCasts(spark: SparkSession,
-      stmt: String): org.apache.spark.sql.DataFrame =
+      stmt: String): org.apache.spark.sql.DataFrame = {
+    // target + static spec for ANY insert form (SELECT or VALUES tail) —
+    // insertBranchRe's SELECT-only tail would drop the PARTITION clause
+    // of a VALUES insert and misread it as a whole-table write
+    val insertTargetPartRe =
+      """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?.*""".r
+    stmt match {
+      case insertTargetPartRe(tbl, part) =>
+        requireNoArchiveConflict(spark, tbl, Option(part), "Insert")
+      case _ => ()
+    }
     heteroInsertRoute(spark, stmt).getOrElse(
       insertWithHiveCasts0(spark, stmt))
+  }
+
+  /** One-pass hive.exec.max.dynamic.partitions enforcement: the SELECT
+    * materializes ONCE through a tracked checkpoint (durable under
+    * spark.graft.checkpointDir — tools/Checkpoints.cut), the distinct
+    * dynamic tuples are counted on the materialized rows, and only then
+    * does the write run FROM the checkpoint. Nothing touches the table
+    * when the cap trips (clean rollback), nondeterministic SELECTs are
+    * now guarded too (the count and the write see the same rows), and
+    * the old pre-write probe's double SELECT execution is gone — at
+    * 100 TB the staging pass costs one executor-disk materialization,
+    * the same scratch-dir shape the reference's FileSinkOperator uses.
+    * Returns None when the statement has no explicit cap to enforce. */
+  private val dynCapSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def cappedDynInsert(spark: SparkSession,
+      stmt: String): Option[org.apache.spark.sql.DataFrame] = stmt match {
+    case insertBranchRe(mode, tbl, part, select)
+        if part != null && splitPartSpec(part).exists(!_.contains("=")) &&
+          spark.conf.getOption("hive.exec.max.dynamic.partitions").isDefined &&
+          !select.contains("graft_dyncap_") => // the rewritten stage itself
+      val max = spark.conf.get("hive.exec.max.dynamic.partitions").trim.toInt
+      val kvs = splitPartSpec(part)
+      val dynCols = kvs.count(!_.contains("="))
+      val staged = graft.tools.Checkpoints.cut(spark.sql(select))
+      try {
+        val tail = staged.columns.takeRight(dynCols).toSeq
+        val n = staged.select(tail.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().limit(max + 1).count()
+        if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
+          s"would create at least $n partitions, which is more than " +
+          s"hive.exec.max.dynamic.partitions=$max")
+        val view = s"graft_dyncap_${dynCapSeq.incrementAndGet()}"
+        staged.createOrReplaceTempView(view)
+        try Some(execInsertStmt(spark,
+          s"INSERT $mode TABLE $tbl PARTITION ($part) SELECT * FROM $view"))
+        finally spark.catalog.dropTempView(view)
+      } finally graft.tools.Checkpoints.release(staged)
+    case _ => None
+  }
+
+  /** spark.sql with the Hive implicit-cast retry: on CANNOT_SAFELY_CAST
+    * the statement re-runs on a CLONED session under the LEGACY store
+    * policy so the permissive cast is truly statement-scoped — flipping
+    * the shared session conf would let a concurrently-executing statement
+    * momentarily run with silently-nulling casts. The clone shares the
+    * external catalog (the INSERT lands in the same tables) and snapshots
+    * temp views. */
+  private def execInsertStmt(spark: SparkSession,
+      stmt: String): org.apache.spark.sql.DataFrame =
+    try spark.sql(stmt)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
+        val cloned = org.apache.spark.sql.GraftSessionClone.cloneSession(spark)
+        cloned.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+        val res = cloned.sql(stmt)
+        // the clone invalidated ITS relation cache; refresh the target in
+        // the caller's session too so it doesn't serve a stale file list
+        // (insertTargetRe also covers INSERT INTO t VALUES (...) — the
+        // SELECT-only branch regex would miss the VALUES form)
+        stmt match {
+          case insertTargetRe(target) =>
+            try { spark.sql(s"REFRESH TABLE $target"): Unit }
+            catch { case _: Exception => () }
+          case _ => ()
+        }
+        res
+    }
 
   private def insertWithHiveCasts0(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
     dynPartGuards(spark, stmt)
     val mergeSnap = smallFileMergeSnapshot(spark, stmt)
     def run(): org.apache.spark.sql.DataFrame =
-      try spark.sql(stmt)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
-          // retry on a CLONED session so the permissive policy is truly
-          // statement-scoped: flipping the shared session conf would let a
-          // concurrently-executing statement momentarily run with
-          // silently-nulling casts. The clone shares the external catalog
-          // (the INSERT lands in the same tables) and snapshots temp views.
-          val cloned = org.apache.spark.sql.GraftSessionClone.cloneSession(spark)
-          cloned.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
-          val res = cloned.sql(stmt)
-          // the clone invalidated ITS relation cache; refresh the target in
-          // the caller's session too so it doesn't serve a stale file list
-          // (insertTargetRe also covers INSERT INTO t VALUES (...) — the
-          // SELECT-only branch regex would miss the VALUES form)
-          stmt match {
-            case insertTargetRe(target) =>
-              try { spark.sql(s"REFRESH TABLE $target"): Unit }
-              catch { case _: Exception => () }
-            case _ => ()
-          }
-          res
-      }
+      cappedDynInsert(spark, stmt).getOrElse(execInsertStmt(spark, stmt))
     val out = try run()
     catch {
       // Hive allows INSERT OVERWRITE of a table that the query also reads
@@ -3549,6 +3615,8 @@ object Engine {
         spark.sql(s"REFRESH TABLE $table")
         return spark.emptyDataFrame
       case exchangeRe(destT, specText, srcT) =>
+        requireNoArchiveConflict(spark, destT, Some(specText), "EXCHANGE")
+        requireNoArchiveConflict(spark, srcT, Some(specText), "EXCHANGE")
         exchangePartition(spark, destT, specText, srcT)
         return spark.emptyDataFrame
       // STORED BY '<handler>' — external-system storage handlers
@@ -3582,9 +3650,12 @@ object Engine {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("idx_type",
               org.apache.spark.sql.types.StringType))))
-      case archiveRe() =>
-        System.err.println(s"[graft] ARCHIVE/UNARCHIVE accepted as no-op " +
-          s"(HAR packing has no object-store analog): ${stmt0.trim.takeWhile(_ != '\n')}")
+      case archiveStmtRe(table, specPre, un, specPost) =>
+        val spec = Option(specPre).orElse(Option(specPost)).getOrElse(
+          sys.error("ARCHIVE can only be run on partitions")) // ErrorMsg 10110
+        val t = table.replace("`", "")
+        if (un == null) operators.Archive.archive(spark, t, spec)
+        else operators.Archive.unarchive(spark, t, spec)
         return spark.emptyDataFrame
       case deleteResourceRe(kind, paths) =>
         System.err.println(s"[graft] DELETE ${kind.toUpperCase} accepted as " +
@@ -3891,6 +3962,7 @@ object Engine {
             "(use DROP FUNCTION IF EXISTS to ignore)")
         spark.emptyDataFrame
       case loadDataRe(inpath, over, table, part) =>
+        requireNoArchiveConflict(spark, table, Option(part), "LOAD")
         loadData(spark, inpath, over != null, table, Option(part))
         spark.emptyDataFrame
       // partitioned graft-* tables: partition statements answered from
@@ -3912,13 +3984,17 @@ object Engine {
           if "<>!".exists(specText.contains(_)) =>
         dropPartitionsByFilter(spark, table, ifEx != null, specText)
         pruneHeteroEntries(spark, table)
+        operators.Archive.prune(spark, table)
         spark.emptyDataFrame
       // exact-spec drops stay on Spark's native command, but a hetero
-      // table must afterwards prune entries whose directory vanished
+      // or partially-archived table must afterwards prune entries whose
+      // partition vanished (the reference lets archived partitions drop)
       case dropPartFilterRe(table, _, _, _)
-          if graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty =>
+          if graft.plans.HeteroPartitions.entriesOf(spark, table).nonEmpty ||
+             operators.Archive.entriesOf(spark, table).nonEmpty =>
         val out = spark.sql(stmt)
         pruneHeteroEntries(spark, table)
+        operators.Archive.prune(spark, table)
         out
       // describe of a diverged partition: append its own format row
       // (DDLTask.describeTable shows the partition's storage in Hive)
@@ -3953,10 +4029,13 @@ object Engine {
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's
       // files; Spark's own parser rejects UPDATE/DELETE on parquet tables)
       case s if s.trim.toUpperCase.startsWith("MERGE") =>
+        "(?is)MERGE\\s+INTO\\s+([\\w.]+)".r.findFirstMatchIn(s)
+          .foreach(m => requireNoArchived(spark, m.group(1), "MERGE"))
         sqlMerge(spark, s)
         spark.emptyDataFrame
       case updateRe(table, setClause, cond) =>
         requireNoHetero(spark, table, "UPDATE")
+        requireNoArchived(spark, table, "UPDATE")
         val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -3977,6 +4056,7 @@ object Engine {
       // after the WHERE forms, whose regexes are strictly more specific
       case updateAllRe(table, setClause) =>
         requireNoHetero(spark, table, "UPDATE")
+        requireNoArchived(spark, table, "UPDATE")
         val partCols = tableDmlPartCols(spark, table)
         val set = splitAssignments(setClause).map { a =>
           val Array(k, v) = a.split("=", 2)
@@ -3992,6 +4072,7 @@ object Engine {
         spark.emptyDataFrame
       case deleteRe(table, cond) =>
         requireNoHetero(spark, table, "DELETE")
+        requireNoArchived(spark, table, "DELETE")
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.expr(cond), tableFormat(spark, table),
           tableDmlSchema(spark, table), tableDmlPartCols(spark, table),
@@ -4000,6 +4081,7 @@ object Engine {
         spark.emptyDataFrame
       case deleteAllRe(table) =>
         requireNoHetero(spark, table, "DELETE")
+        requireNoArchived(spark, table, "DELETE")
         operators.Acid.deleteWhere(spark, tableLocation(spark, table),
           org.apache.spark.sql.functions.lit(true), tableFormat(spark, table),
           tableDmlSchema(spark, table), tableDmlPartCols(spark, table),
@@ -4041,6 +4123,7 @@ object Engine {
         sys.error(s"Database $db contains NO_DROP-protected tables/" +
           s"partitions; DISABLE NO_DROP on them before DROP DATABASE CASCADE")
       case compactRe(table, part, kind) =>
+        requireNoArchiveConflict(spark, table, Option(part), "COMPACT")
         require(kind.equalsIgnoreCase("major") || kind.equalsIgnoreCase("minor"),
           s"unknown compaction type '$kind'")
         val dir = Option(part) match {
@@ -4068,6 +4151,7 @@ object Engine {
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case concatenateRe(table, part) =>
+        requireNoArchiveConflict(spark, table, Option(part), "CONCATENATE")
         val partitioned = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
           .partitionColumnNames.nonEmpty

@@ -29,7 +29,8 @@ object Registry {
       queries.Round8Queries.all ++
       queries.Round10Queries.all ++
       queries.Round11Queries.all ++
-      queries.Round12Queries.all
+      queries.Round12Queries.all ++
+      queries.Round13Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.hadoop.hive.common.`type`.{HiveChar, HiveDecimal, HiveVarchar}
 import org.apache.hadoop.hive.ql.exec.UDF
 import org.apache.hadoop.hive.ql.udf.UDFType
-import org.apache.hadoop.hive.ql.udf.generic.{GenericUDF, GenericUDFBridge}
+import org.apache.hadoop.hive.ql.udf.generic.GenericUDF
 import org.apache.hadoop.hive.serde2.io.{ByteWritable, DateWritable, DoubleWritable, HiveDecimalWritable, ShortWritable, TimestampWritable}
 import org.apache.hadoop.hive.serde2.objectinspector._
 import org.apache.hadoop.hive.serde2.objectinspector.primitive.{PrimitiveObjectInspectorFactory => POIF}
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 
 /** Executes an arbitrary third-party Hive UDF — a `GenericUDF` subclass,
-  * or a legacy `UDF` through Hive's own `GenericUDFBridge` — as a
+  * or a legacy `UDF` through a local `GenericUDFBridge` equivalent — as a
   * Catalyst expression. This is the reference's FunctionTask resolution
   * step for user jars (`ql/exec/FunctionTask.java:164-166` resolves the
   * class, `parse/FunctionSemanticAnalyzer.java:134` carries the USING
@@ -106,17 +106,125 @@ object HiveUdfAdapter {
     } catch { case _: ClassNotFoundException | _: LinkageError => false }
 
   /** FunctionTask.getUdfClass + FunctionRegistry.registerTemporaryUDF:
-    * a GenericUDF instantiates directly; a legacy UDF wraps in Hive's
-    * own GenericUDFBridge (which reflects the right evaluate() overload
-    * per argument types — exactly what the reference runtime does). */
+    * a GenericUDF instantiates directly; a legacy UDF wraps in a local
+    * equivalent of Hive's GenericUDFBridge (reflect the right evaluate()
+    * overload per argument types, convert arguments through
+    * ObjectInspectorConverters — the reference runtime's exact contract,
+    * `udf/generic/GenericUDFBridge.java:167`). Hive's own bridge is
+    * unusable here: its method resolver routes through
+    * ql.exec.FunctionRegistry, whose static initializer needs LLAP
+    * classes the hive-exec-CORE artifact deliberately excludes. */
   def instantiate(funcName: String, className: String): GenericUDF = {
     val c = loadClass(className)
     if (classOf[GenericUDF].isAssignableFrom(c))
       c.getDeclaredConstructor().newInstance().asInstanceOf[GenericUDF]
     else if (classOf[UDF].isAssignableFrom(c))
-      new GenericUDFBridge(funcName, false, className)
+      new LegacyUdfBridge(funcName, c)
     else sys.error(
       s"FAILED: Class $className does not implement UDF, GenericUDF, or UDAF")
+  }
+
+  /** Local GenericUDFBridge: runs a legacy `UDF` subclass (the
+    * evaluate()-overload shape) under the GenericUDF contract. Overload
+    * selection scores each candidate per argument — exact primitive
+    * category 2, convertible primitive 1, otherwise rejected — and the
+    * winning method's parameter/return java types choose the
+    * ObjectInspectors; ObjectInspectorConverters then coerces at eval
+    * (so e.g. an INT column feeds a long-parameter overload, Hive's
+    * implicit-conversion behavior). */
+  private class LegacyUdfBridge(funcName: String, udfClass: Class[_])
+      extends GenericUDF {
+    private var instance: AnyRef = _
+    private var method: java.lang.reflect.Method = _
+    private var converters: Array[ObjectInspectorConverters.Converter] = _
+
+    private def oiFor(c: Class[_]): ObjectInspector = c.getName match {
+      case "java.lang.String" => POIF.javaStringObjectInspector
+      case "long" | "java.lang.Long" => POIF.javaLongObjectInspector
+      case "int" | "java.lang.Integer" => POIF.javaIntObjectInspector
+      case "short" | "java.lang.Short" => POIF.javaShortObjectInspector
+      case "byte" | "java.lang.Byte" => POIF.javaByteObjectInspector
+      case "boolean" | "java.lang.Boolean" => POIF.javaBooleanObjectInspector
+      case "float" | "java.lang.Float" => POIF.javaFloatObjectInspector
+      case "double" | "java.lang.Double" => POIF.javaDoubleObjectInspector
+      case "[B" => POIF.javaByteArrayObjectInspector
+      case "java.sql.Date" => POIF.javaDateObjectInspector
+      case "java.sql.Timestamp" => POIF.javaTimestampObjectInspector
+      case "org.apache.hadoop.hive.common.type.HiveDecimal" =>
+        POIF.javaHiveDecimalObjectInspector
+      case "org.apache.hadoop.io.Text" => POIF.writableStringObjectInspector
+      case "org.apache.hadoop.io.IntWritable" => POIF.writableIntObjectInspector
+      case "org.apache.hadoop.io.LongWritable" => POIF.writableLongObjectInspector
+      case "org.apache.hadoop.io.FloatWritable" => POIF.writableFloatObjectInspector
+      case "org.apache.hadoop.io.BooleanWritable" =>
+        POIF.writableBooleanObjectInspector
+      case "org.apache.hadoop.io.BytesWritable" => POIF.writableBinaryObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.DoubleWritable" =>
+        POIF.writableDoubleObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.ShortWritable" =>
+        POIF.writableShortObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.ByteWritable" =>
+        POIF.writableByteObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.HiveDecimalWritable" =>
+        POIF.writableHiveDecimalObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.DateWritable" =>
+        POIF.writableDateObjectInspector
+      case "org.apache.hadoop.hive.serde2.io.TimestampWritable" =>
+        POIF.writableTimestampObjectInspector
+      case other => sys.error(s"FAILED: $funcName (${udfClass.getName}): " +
+        s"unsupported evaluate() parameter/return type $other")
+    }
+
+    private def score(args: Array[ObjectInspector],
+        m: java.lang.reflect.Method): Int = {
+      var total = 0
+      var i = 0
+      while (i < args.length) {
+        val want =
+          try oiFor(m.getParameterTypes()(i))
+          catch { case _: Exception => return -1 }
+        (args(i), want) match {
+          case (a: PrimitiveObjectInspector, w: PrimitiveObjectInspector) =>
+            total += (if (a.getPrimitiveCategory == w.getPrimitiveCategory) 2
+                      else 1) // ObjectInspectorConverters coerces primitives
+          case _ => return -1
+        }
+        i += 1
+      }
+      total
+    }
+
+    override def initialize(args: Array[ObjectInspector]): ObjectInspector = {
+      instance = udfClass.getDeclaredConstructor().newInstance()
+        .asInstanceOf[AnyRef]
+      val scored = udfClass.getMethods.toSeq
+        .filter(m => m.getName == "evaluate" && m.getParameterCount == args.length)
+        .map(m => (score(args, m), m)).filter(_._1 >= 0)
+      if (scored.isEmpty) sys.error(s"FAILED: no matching evaluate() overload " +
+        s"on ${udfClass.getName} for ${args.length} argument(s)")
+      method = scored.maxBy(_._1)._2
+      converters = args.zip(method.getParameterTypes.map(oiFor)).map {
+        case (from, to) => ObjectInspectorConverters.getConverter(from, to)
+      }
+      oiFor(method.getReturnType)
+    }
+
+    override def evaluate(d: Array[GenericUDF.DeferredObject]): AnyRef = {
+      val jargs = new Array[AnyRef](converters.length)
+      var i = 0
+      while (i < converters.length) {
+        val v = converters(i).convert(d(i).get())
+        // a null into a primitive-typed parameter cannot invoke (the
+        // reflective unbox would NPE): legacy Hive returns null, same here
+        if (v == null && method.getParameterTypes()(i).isPrimitive) return null
+        jargs(i) = v.asInstanceOf[AnyRef]
+        i += 1
+      }
+      method.invoke(instance, jargs: _*)
+    }
+
+    override def getDisplayString(children: Array[String]): String =
+      s"$funcName(${children.mkString(", ")})"
   }
 
   // ---- Catalyst DataType -> ObjectInspector (writable flavor) ----------
@@ -339,7 +447,7 @@ object HiveUdfAdapter {
         catalystType(moi.getMapValueObjectInspector))
     case soi: StructObjectInspector =>
       StructType(soi.getAllStructFieldRefs.asScala.map(f =>
-        StructField(f.getFieldName,
+        org.apache.spark.sql.types.StructField(f.getFieldName,
           catalystType(f.getFieldObjectInspector))).toArray)
     case other => sys.error(
       s"graft: unsupported Hive UDF output inspector ${other.getClass.getName}")

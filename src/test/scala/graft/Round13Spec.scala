@@ -169,4 +169,240 @@ class Round13Spec extends SparkSpec {
     val m = operators.Multimodal.decodeVideoMeta(spark, media).collect().head
     assert(m.duration_ms == -1 && !m.sizes_ok, m.toString)
   }
+
+  // ---- third-party Hive UDF execution: CREATE FUNCTION ... USING JAR ---
+
+  private val udfJar = "src/test/resources/jars/graft-hiveudf.jar"
+
+  test("CREATE FUNCTION ... USING JAR runs a third-party GenericUDF (constant-OI arg)") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_repeat_tag AS 'graftjar.RepeatTag' USING JAR '$udfJar'")
+    val rows = spark.sql(
+      """SELECT n_name, r13_repeat_tag(n_name, 2) AS tagged
+         FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey""").collect()
+    rows.foreach { r =>
+      val n = r.getString(0).toUpperCase
+      assert(r.getString(1) == s"$n-$n", r.toString)
+    }
+    // null in, null out (the UDF's own null contract drives)
+    val nul = spark.sql(
+      "SELECT r13_repeat_tag(CAST(NULL AS STRING), 2) AS t").collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("a GenericUDF that REQUIRES a constant arg refuses a column there") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_rt2 AS 'graftjar.RepeatTag' USING JAR '$udfJar'")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT r13_rt2(n_name, n_nationkey) FROM nation LIMIT 1").collect()
+    }
+    assert(exceptionChain(e).toLowerCase.contains("constant"), e.getMessage)
+  }
+
+  test("a legacy UDF runs through GenericUDFBridge with per-type overloads") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_plus_one AS 'graftjar.LegacyPlusOne' USING JAR '$udfJar'")
+    val r = spark.sql(
+      """SELECT r13_plus_one(n_nationkey) AS bumped,
+                r13_plus_one(n_name) AS tagged
+         FROM nation WHERE n_nationkey = 4""").collect().head
+    assert(r.getLong(0) == 5L, r.toString)
+    assert(r.getString(1).endsWith("+1"), r.toString)
+  }
+
+  test("the adapter distributes: third-party UDF over every row of a real scan") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_rt3 AS 'graftjar.RepeatTag' USING JAR '$udfJar'")
+    val n = spark.sql(
+      """SELECT count(*) AS c FROM nation
+         WHERE r13_rt3(n_name, 1) = upper(n_name)""").collect().head.getLong(0)
+    assert(n == spark.sql("SELECT count(*) FROM nation").collect().head.getLong(0))
+  }
+
+  test("CREATE FUNCTION USING JAR with a missing jar fails loudly") {
+    val e = intercept[Exception] {
+      Engine.ddl(spark,
+        "CREATE TEMPORARY FUNCTION r13_missing AS 'graftjar.RepeatTag' USING JAR '/no/such/graft.jar'")
+    }
+    val msg = exceptionChain(e).toLowerCase
+    assert(msg.contains("not") || msg.contains("exist") || msg.contains("fail"), e.getMessage)
+  }
+
+  private def exceptionChain(t: Throwable, depth: Int = 0): String =
+    if (t == null || depth > 8) ""
+    else t.getMessage + " || " + exceptionChain(t.getCause, depth + 1)
+
+  // ---- ARCHIVE / UNARCHIVE real semantics (archive_multi.q contract) ---
+
+  private def archTableLoc(name: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(name)).location)
+      .toUri.getPath
+
+  test("ARCHIVE relocates but reads keep working; UNARCHIVE restores; writes gate") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_arch")
+    spark.sql("""CREATE TABLE graft_tmp.r13_arch (v STRING, ds STRING, hr STRING)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.sql("INSERT INTO graft_tmp.r13_arch PARTITION (ds='d1', hr='h1') VALUES ('a')")
+    spark.sql("INSERT INTO graft_tmp.r13_arch PARTITION (ds='d1', hr='h2') VALUES ('b')")
+    spark.sql("INSERT INTO graft_tmp.r13_arch PARTITION (ds='d2', hr='h1') VALUES ('c')")
+    // gated behind hive.archive.enabled (ErrorMsg 10107)
+    spark.conf.set("hive.archive.enabled", "false")
+    val e0 = intercept[Exception] {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch ARCHIVE PARTITION (ds='d1')")
+    }
+    assert(e0.getMessage.contains("disabled"), e0.getMessage)
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      // a PREFIX spec archives every partition under it
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch ARCHIVE PARTITION (ds='d1')")
+      val loc = archTableLoc("graft_tmp.r13_arch")
+      assert(new java.io.File(loc + "/.graft_archive/ds=d1/hr=h1").exists,
+        "archived files must relocate under .graft_archive")
+      assert(!new java.io.File(loc + "/ds=d1/hr=h1").exists,
+        "the standard layout for an archived partition must be gone")
+      // read-back: archive_multi.q re-selects and expects identical rows
+      assert(spark.table("graft_tmp.r13_arch")
+        .filter("ds = 'd1'").count() == 2)
+      assert(spark.table("graft_tmp.r13_arch").count() == 3)
+      // double archive / overlapping archive refused
+      val e1 = intercept[Exception] {
+        Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch ARCHIVE PARTITION (ds='d1')")
+      }
+      assert(e1.getMessage.contains("already archived"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark,
+          "ALTER TABLE graft_tmp.r13_arch ARCHIVE PARTITION (ds='d1', hr='h1')")
+      }
+      assert(e2.getMessage.contains("already archived"), e2.getMessage)
+      // INSERT into (or under) the archive refuses; elsewhere still works
+      val e3 = intercept[Exception] {
+        Engine.ddl(spark, """INSERT INTO graft_tmp.r13_arch
+          PARTITION (ds='d1', hr='h1') VALUES ('x')""")
+      }
+      assert(e3.getMessage.contains("conflict with existing archive"), e3.getMessage)
+      val e4 = intercept[Exception] { // dynamic insert could land anywhere
+        Engine.ddl(spark,
+          "INSERT INTO graft_tmp.r13_arch SELECT 'y', 'd1', 'h9'")
+      }
+      assert(e4.getMessage.contains("conflict with existing archive"), e4.getMessage)
+      Engine.ddl(spark, """INSERT INTO graft_tmp.r13_arch
+        PARTITION (ds='d2', hr='h1') VALUES ('d')""")
+      assert(spark.table("graft_tmp.r13_arch").filter("ds = 'd2'").count() == 2)
+      // UNARCHIVE must match the archive's granularity
+      val e5 = intercept[Exception] {
+        Engine.ddl(spark,
+          "ALTER TABLE graft_tmp.r13_arch UNARCHIVE PARTITION (ds='d1', hr='h1')")
+      }
+      assert(e5.getMessage.contains("not archived"), e5.getMessage)
+      // UNARCHIVE restores layout, reads, and writes
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch UNARCHIVE PARTITION (ds='d1')")
+      assert(new java.io.File(loc + "/ds=d1/hr=h1").exists)
+      assert(spark.table("graft_tmp.r13_arch").count() == 4)
+      Engine.ddl(spark, """INSERT INTO graft_tmp.r13_arch
+        PARTITION (ds='d1', hr='h1') VALUES ('z')""")
+      assert(spark.table("graft_tmp.r13_arch").count() == 5)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  test("ARCHIVE spec must be a leading prefix of the partition columns") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_arch2")
+    spark.sql("""CREATE TABLE graft_tmp.r13_arch2 (v STRING, ds STRING, hr STRING)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.sql("INSERT INTO graft_tmp.r13_arch2 PARTITION (ds='d1', hr='h1') VALUES ('a')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      // reference ArchiveUtils.java:78-79: (hr) alone cannot archive
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch2 ARCHIVE PARTITION (hr='h1')")
+      }
+      assert(e.getMessage.contains("not the same as"), e.getMessage)
+      // table-level ARCHIVE refused (ErrorMsg 10110)
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch2 ARCHIVE")
+      }
+      assert(e2.getMessage.contains("only be run on partitions"), e2.getMessage)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  // ---- one-pass hive.exec.max.dynamic.partitions enforcement -----------
+
+  test("dynamic-partition cap runs the SELECT once and guards nondeterministic ones") {
+    freshDb()
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_dyncap")
+    spark.sql("""CREATE TABLE graft_tmp.r13_dyncap (a STRING, p STRING)
+      USING parquet PARTITIONED BY (p)""")
+    spark.conf.set("hive.exec.max.dynamic.partitions", "2")
+    try {
+      // over the cap: refused, and NOTHING written (clean rollback — the
+      // old pre-write probe already gave this; the staging keeps it)
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.r13_dyncap
+          PARTITION (p) SELECT n_name, CAST(n_regionkey AS STRING) FROM nation""")
+      }
+      assert(e.getMessage.contains("more than hive.exec.max.dynamic.partitions"),
+        e.getMessage)
+      assert(spark.table("graft_tmp.r13_dyncap").count() == 0,
+        "a tripped cap must leave the table untouched")
+      // ONE-PASS: an accumulator-tagged projection fires once per row;
+      // the r12 pre-write probe executed the SELECT twice (50 here)
+      val acc = spark.sparkContext.longAccumulator("r13_dyncap_rows")
+      spark.udf.register("r13_touch", (s: String) => { acc.add(1); s })
+      Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.r13_dyncap
+        PARTITION (p) SELECT r13_touch(n_name),
+        CAST(n_regionkey % 2 AS STRING) FROM nation""")
+      assert(spark.table("graft_tmp.r13_dyncap").count() == 25)
+      assert(acc.value == 25L,
+        s"cap enforcement must not re-execute the SELECT (ran ${acc.value} rows)")
+      // NONDETERMINISTIC SELECTs are now guarded too (the r12 probe had
+      // to skip them — counting a different sample than the write)
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.r13_dyncap
+          PARTITION (p) SELECT n_name,
+          CAST(CAST(rand() * 1000 AS INT) AS STRING) FROM nation""")
+      }
+      assert(e2.getMessage.contains("more than hive.exec.max.dynamic.partitions"),
+        e2.getMessage)
+      // and a nondeterministic SELECT under the cap writes the exact rows
+      // it counted (both read the one materialized pass)
+      Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.r13_dyncap
+        PARTITION (p) SELECT n_name,
+        CAST(CAST(rand() * 2 AS INT) AS STRING) FROM nation""")
+      assert(spark.table("graft_tmp.r13_dyncap").count() == 25)
+    } finally {
+      spark.conf.unset("hive.exec.max.dynamic.partitions")
+      tools.Checkpoints.sweep()
+    }
+  }
+
+  test("dropping archived partitions prunes the archive entry") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_arch3")
+    spark.sql("""CREATE TABLE graft_tmp.r13_arch3 (v STRING, ds STRING, hr STRING)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.sql("INSERT INTO graft_tmp.r13_arch3 PARTITION (ds='d1', hr='h1') VALUES ('a')")
+    spark.sql("INSERT INTO graft_tmp.r13_arch3 PARTITION (ds='d1', hr='h2') VALUES ('b')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_arch3 ARCHIVE PARTITION (ds='d1')")
+      // dropping ONE covered leaf keeps the entry (hr=h2 still archived)
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r13_arch3 DROP PARTITION (ds='d1', hr='h1')")
+      assert(operators.Archive.entriesOf(spark, "graft_tmp.r13_arch3") == Seq("ds=d1"))
+      assert(spark.table("graft_tmp.r13_arch3").count() == 1)
+      // dropping the last covered leaf prunes it
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r13_arch3 DROP PARTITION (ds='d1', hr='h2')")
+      assert(operators.Archive.entriesOf(spark, "graft_tmp.r13_arch3").isEmpty)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
 }

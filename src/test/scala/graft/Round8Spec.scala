@@ -86,7 +86,7 @@ class Round8Spec extends SparkSpec {
 
   // ---- index / archive statement acceptance -----------------------------
 
-  test("index and archive statements no-op; SHOW INDEX answers empty") {
+  test("index statements no-op; SHOW INDEX answers empty") {
     val d = Engine.ddl(spark, _: String)
     assert(d("CREATE INDEX ix ON TABLE orders (o_orderkey) AS 'COMPACT' WITH DEFERRED REBUILD")
       .collect().isEmpty)
@@ -94,10 +94,17 @@ class Round8Spec extends SparkSpec {
     val shown = d("SHOW INDEXES ON orders")
     assert(shown.columns.contains("idx_name") && shown.count() == 0)
     assert(d("DROP INDEX IF EXISTS ix ON orders").collect().isEmpty)
-    assert(d("ALTER TABLE orders ARCHIVE PARTITION (ds='2026-01-01')")
-      .collect().isEmpty)
-    assert(d("ALTER TABLE orders UNARCHIVE PARTITION (ds='2026-01-01')")
-      .collect().isEmpty)
+    // ARCHIVE stopped being a no-op in round 13 (operators/Archive.scala,
+    // Round13Spec); with archiving disabled (the reference default) the
+    // statement refuses instead of silently accepting. Pin the conf: a
+    // golden script may have enabled it earlier on the shared session.
+    spark.conf.set("hive.archive.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        d("ALTER TABLE orders ARCHIVE PARTITION (ds='2026-01-01')")
+      }
+      assert(e.getMessage.contains("disabled"), e.getMessage)
+    } finally spark.conf.unset("hive.archive.enabled")
   }
 
   // ---- durable checkpoints ----------------------------------------------
