@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wall-clock scale spot-board: the round-12 verdict's "one notch up"
+  * evidence. The ten heaviest bench queries run at sf0.1 and at N×
+  * (default 10×) that scale, and the board reports wall-second ratios —
+  * converting the "would survive 100 TB" claim from soak-counter
+  * evidence (tools/Soak: shuffle-record ratios) to wall-clock evidence.
+  *
+  * Two input shapes:
+  *   - TABLE-level queries (q10/q58/q68/q75/a01) read whole fixture
+  *     tables: a scaled directory is materialized once — facts
+  *     (lineitem/orders/customer) replicated N× with JOIN-CONSISTENT key
+  *     shifts (each shard's orderkey/custkey moves as a unit, so join
+  *     cardinality grows N×, never N²), dimensions kept 1× (nation/
+  *     region/supplier/part stay broadcast-sized at any corpus scale,
+  *     exactly as they would at 100 TB).
+  *   - PIPELINE operators (d06/d08/d11/m11/s05) are corpus-bounded in
+  *     their bench wrappers (doc_id/vec_id < k oracle bounds), so the
+  *     board calls the OPERATORS directly on N× inputs built with the
+  *     Soak sharding (token-prefixed shards: cross-shard jaccard = 0, so
+  *     N× is N independent copies of the 1× problem — the controlled
+  *     experiment for the banding/blocking designs).
+  *
+  * Usage: sbt "runMain graft.tools.ScaleBoard [dstDir]" with
+  * SPARK_GRAFT_SCALE (default 10) and SPARK_GRAFT_CPUS. Prints one
+  * table row per query: name, 1× seconds, N× seconds, ratio. Results
+  * are committed in SCALE.md.
+  */
+object ScaleBoard {
+
+  private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** N× facts with join-consistent key shifts; dims copied 1×. */
+  def buildScaledDir(spark: SparkSession, src: String, dst: String,
+      n: Int): Unit = {
+    val fs = new java.io.File(dst)
+    if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    val shards = spark.range(n.toLong).select(col("id").as("shard"))
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    val OKEY = 10000000L // > max o_orderkey at sf0.1
+    val CKEY = 1000000L  // > max c_custkey at sf0.1
+    write(graft.Tables.t(spark, src, "lineitem").crossJoin(shards)
+      .withColumn("l_orderkey", col("l_orderkey") + col("shard") * OKEY)
+      .drop("shard"), "lineitem")
+    write(graft.Tables.t(spark, src, "orders").crossJoin(shards)
+      .withColumn("o_orderkey", col("o_orderkey") + col("shard") * OKEY)
+      .withColumn("o_custkey", col("o_custkey") + col("shard") * CKEY)
+      .drop("shard"), "orders")
+    write(graft.Tables.t(spark, src, "customer").crossJoin(shards)
+      .withColumn("c_custkey", col("c_custkey") + col("shard") * CKEY)
+      .drop("shard"), "customer")
+    Seq("supplier", "part", "nation", "region", "events", "documents",
+      "embeddings").foreach(t =>
+      write(graft.Tables.t(spark, src, t), t))
+  }
+
+  /** Soak-style N× corpus for the dedup operators (doc_id re-keyed,
+    * tokens shard-prefixed so shards are mutually invisible to LSH). */
+  private def shardDocs(docs: DataFrame, n: Int): DataFrame =
+    Soak.scaleDocs(docs, n)
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Engine.session(s"local[$cpus]", "graft-scale", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[scale] building ${n}x fact tables under $dst")
+    val tBuild = time(buildScaledDir(spark, src, dst, n))
+    println(f"[scale] build done in $tBuild%.1f s")
+
+    // warmup (JIT + codegen + parquet caches + one write)
+    materialize(graft.SparkEntry.queries("q01_agg")(spark, src))
+    spark.range(100).write.mode("overwrite").parquet(Tmp.dir("scale_warm") + "/w")
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def bench(name: String)(one: => Unit)(ten: => Unit): Unit = {
+      val t1 = math.min(time(one), time(one)) // min-of-2, Bench convention
+      Checkpoints.sweep()
+      val tN = time(ten) // single N× run (bounded wall budget)
+      Checkpoints.sweep()
+      rows += ((name, t1, tN))
+      println(f"[scale] $name%-22s 1x=$t1%7.2f s  ${n}x=$tN%7.2f s  ratio=${tN / t1}%5.1f")
+    }
+
+    // ---- table-level queries: same registered fn, scaled directory ----
+    Seq("q75_salted_join", "a01_update_cow", "q58_bucketed_join",
+      "q10_join_multiway", "q68_formats").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      bench(q)(materialize(fn(spark, src)))(materialize(fn(spark, dst)))
+    }
+
+    // ---- pipeline operators on Soak-sharded corpora ----
+    val docs = graft.Tables.t(spark, src, "documents")
+    val d150 = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+    bench("d06_dedup_resolve")(
+      materialize(graft.operators.Dedup.resolve(d150)))(
+      materialize(graft.operators.Dedup.resolve(shardDocs(d150, n))))
+    bench("d08_dedup_cluster")(
+      materialize(graft.operators.Dedup.clusters(
+        graft.operators.Dedup.confirmedPairs(d150))))(
+      materialize(graft.operators.Dedup.clusters(
+        graft.operators.Dedup.confirmedPairs(shardDocs(d150, n)))))
+    val corpus1 = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+    val batch1 = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+    bench("d11_dedup_incremental")(
+      materialize(graft.operators.Dedup.dedupIncrement(corpus1, batch1)))(
+      materialize(graft.operators.Dedup.dedupIncrement(
+        shardDocs(corpus1, n), shardDocs(batch1, n))))
+
+    def videoDedup(ids: DataFrame): DataFrame = {
+      val media = graft.operators.Multimodal.synthMp4Dups(spark, ids, mod = 100)
+      val sigs = graft.operators.Multimodal
+        .sampleVideoFrames(spark, media, stride = 1).toDF()
+        .groupBy("doc_id")
+        .agg(xxhash64(concat_ws(",",
+          sort_array(collect_list(struct(col("frame_idx"), col("frame_sum"))))
+            .cast("array<string>"))).as("sig"))
+      sigs.groupBy("sig").agg(min("doc_id").as("doc_id"))
+    }
+    val vid1 = docs.filter(col("doc_id") < 400).select("doc_id")
+    val vidN = vid1.crossJoin(spark.range(n.toLong).select(col("id").as("shard")))
+      .select((col("doc_id") + col("shard") * 1000000L).as("doc_id"))
+    bench("m11_video_dedup")(materialize(videoDedup(vid1)))(
+      materialize(videoDedup(vidN)))
+
+    val emb = graft.operators.Similarity.prep(
+      graft.Tables.t(spark, src, "embeddings")).filter(col("vec_id") < 300)
+    def embN(k: Int): DataFrame = emb
+      .crossJoin(spark.range(k.toLong).select(col("id").as("shard")))
+      .select((col("vec_id") + col("shard") * 1000L).as("vec_id"), col("emb"))
+    def kmeansRun(e: DataFrame): Unit = {
+      val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8, iters = 3)
+      materialize(graft.operators.Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 5), cents, k = 5, nProbe = 3)): Unit
+    }
+    bench("s05_ann_kmeans")(kmeansRun(emb))(kmeansRun(embN(n)))
+
+    println("\nname\t1x_sec\t%dx_sec\tratio".format(n))
+    rows.foreach { case (q, t1, tN) =>
+      println(f"$q\t$t1%.2f\t$tN%.2f\t${tN / t1}%.1f")
+    }
+    spark.stop()
+  }
+}
