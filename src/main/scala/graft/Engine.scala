@@ -2218,9 +2218,22 @@ object Engine {
       stmt: String): Option[org.apache.spark.sql.DataFrame] = stmt match {
     case insertBranchRe(mode, tbl, part, select)
         if part != null && splitPartSpec(part).exists(!_.contains("=")) &&
-          spark.conf.getOption("hive.exec.max.dynamic.partitions").isDefined &&
+          (spark.conf.getOption("hive.exec.max.dynamic.partitions").isDefined ||
+            spark.conf.getOption("hive.exec.max.dynamic.partitions.pernode")
+              .isDefined) &&
           !select.contains("graft_dyncap_") => // the rewritten stage itself
-      val max = spark.conf.get("hive.exec.max.dynamic.partitions").trim.toInt
+      // pernode caps what one node creates (dyn_part_max_per_node.q) — on
+      // this engine a write is one Spark job over one logical cluster, so
+      // the binding cap is simply the smaller of the two when both are set
+      val total = spark.conf.getOption("hive.exec.max.dynamic.partitions")
+        .map(_.trim.toInt)
+      val perNode = spark.conf
+        .getOption("hive.exec.max.dynamic.partitions.pernode").map(_.trim.toInt)
+      val max = (total.toSeq ++ perNode.toSeq).min
+      val capName =
+        if (perNode.exists(p => total.forall(p <= _)))
+          "hive.exec.max.dynamic.partitions.pernode"
+        else "hive.exec.max.dynamic.partitions"
       val kvs = splitPartSpec(part)
       val dynCols = kvs.count(!_.contains("="))
       val staged = graft.tools.Checkpoints.cut(spark.sql(select))
@@ -2230,7 +2243,7 @@ object Engine {
           .distinct().limit(max + 1).count()
         if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
           s"would create at least $n partitions, which is more than " +
-          s"hive.exec.max.dynamic.partitions=$max")
+          s"$capName=$max")
         val view = s"graft_dyncap_${dynCapSeq.incrementAndGet()}"
         staged.createOrReplaceTempView(view)
         try Some(execInsertStmt(spark,
@@ -3471,7 +3484,92 @@ object Engine {
     * never created. Register only a table that did not exist before the
     * statement and does exist after it.
     */
+  /** Authorization enforcement for one statement (the reference's
+    * Driver.doAuthorization step, active only under
+    * hive.security.authorization.enabled=true — operators/Auth.scala):
+    * writes need the matching privilege on their output table, reads
+    * need Select on every analyzed input. Statements Spark cannot parse
+    * (HiveQL shapes the later rewrite branches own) skip the input walk
+    * — their write-side check still fired from the regexes here. */
+  private def enforceAuthorization(spark: SparkSession, stmt0: String): Unit = {
+    if (!graft.operators.Auth.enforcementEnabled(spark)) return
+    if (graft.operators.Auth.handles(stmt0)) return // GRANT/SHOW/... run free
+    def nameOf(t: String): (String, String) = {
+      val p = t.replace("`", "").split("\\.")
+      if (p.length >= 2) (p(p.length - 2), p.last)
+      else (spark.catalog.currentDatabase, p.last)
+    }
+    val addPartAuthRe =
+      """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b.*""".r
+    val alterAuthRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
+    val dropAuthRe =
+      """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*(?:PURGE\s*)?;?\s*""".r
+    val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
+    val insertAuthRe =
+      """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.`]+).*""".r
+    stmt0 match {
+      case insertAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Insert", db, tb, output = true)
+      case updateRe(t, _, _) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
+      case updateAllRe(t, _) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
+      case deleteRe(t, _) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Delete", db, tb, output = true)
+      case deleteAllRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Delete", db, tb, output = true)
+      case loadDataRe(_, _, t, _) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Insert", db, tb, output = true)
+      // ADD PARTITION needs Create on the TABLE (authorization_fail_2.q)
+      case addPartAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Create", db, tb, output = true)
+      case dropAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Drop", db, tb, output = true)
+      case truncAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
+      case alterAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
+      case _ => ()
+    }
+    // the read side: analyze the QUERY part (a command's inner query is a
+    // constructor field, not a traversed child, so INSERT/CTAS hand their
+    // SELECT tail to the walk directly)
+    val head = stmt0.trim.takeWhile(!_.isWhitespace).toUpperCase
+    val ctasSelRe = """(?is).*?\bAS\s+(SELECT\b.*|WITH\b.*)""".r
+    val queryPart: Option[String] = stmt0 match {
+      case _ if head == "SELECT" || head == "WITH" => Some(stmt0)
+      case insertBranchRe(_, _, _, sel) => Some(sel)
+      case _ if stmt0.trim.toUpperCase
+          .matches("(?s)CREATE\\s+(?:TEMPORARY\\s+)?(?:EXTERNAL\\s+)?TABLE\\b.*\\bAS\\s+(SELECT|WITH)\\b.*") =>
+        stmt0 match { case ctasSelRe(sel) => Some(sel); case _ => None }
+      case _ => None
+    }
+    queryPart.foreach { q =>
+      val inputs =
+        try queryInputTables(spark, q.trim.stripSuffix(";"))
+        catch { case _: Exception => Nil } // HiveQL-only shape: rewrites own it
+      inputs.foreach { n =>
+        val (db, tb) = n.split("@") match {
+          case Array(d, t) => (d, t)
+          case Array(t) => (spark.catalog.currentDatabase, t)
+        }
+        graft.operators.Auth.enforce(spark, "Select", db, tb, output = false)
+      }
+    }
+  }
+
   def ddl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
+    enforceAuthorization(spark, stripLeadingComments(stmt0x))
     val pendingTemp: Option[String] =
       stripLeadingComments(stmt0x) match {
         case tempTableNameRe(name) =>

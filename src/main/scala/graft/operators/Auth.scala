@@ -24,11 +24,15 @@ import scala.jdk.CollectionConverters._
   *  - `public` and `admin` are reserved implicit roles (Hive
   *    SQLStdHiveAccessController): every user holds `public`; neither can
   *    be created or dropped.
-  *  - This is an ACCOUNTING surface, not an enforcement point: like the
-  *    reference with hive.security.authorization.enabled=false (the 1.2
-  *    default), GRANT/REVOKE/SHOW maintain and answer the registry while
-  *    query execution never consults it. Enforcement on Spark belongs to
-  *    the deployment layer, not the engine library.
+  *  - With `hive.security.authorization.enabled=false` (the 1.2 default)
+  *    this is pure ACCOUNTING: GRANT/REVOKE/SHOW maintain and answer the
+  *    registry while query execution never consults it. Setting the conf
+  *    TRUE turns on enforcement (round 13): reads need Select on every
+  *    input, writes the matching output privilege, duplicate grants
+  *    error — the legacy DefaultHiveAuthorizationProvider contract
+  *    (clientnegative/authorization_fail_*.q), wired in
+  *    Engine.enforceAuthorization. `admin` role bypasses; column-level
+  *    grant GRAMMAR is accepted but enforcement is table-granularity.
   */
 object Auth {
 
@@ -58,6 +62,61 @@ object Auth {
 
   private def user(): String = System.getProperty("user.name", "anonymous")
   private def now(): Long = System.currentTimeMillis() / 1000
+
+  // ---- enforcement (hive.security.authorization.enabled=true) -----------
+  // The 1.2 default provider (DefaultHiveAuthorizationProvider,
+  // ql/security/authorization/): when the conf is on, reads need a
+  // Select grant on every input table and writes need the matching
+  // privilege on the output — granted to the USER directly or to a ROLE
+  // the user holds (legacy model: no implicit owner-gets-all; the
+  // creating user is denied too until granted —
+  // clientnegative/authorization_fail_2.q). `admin` role bypasses
+  // (SQLStdHiveAccessController's superuser role). Column-level grants
+  // (select(key)) are accepted by the GRANT grammar but enforcement is
+  // table-granularity — documented simplification.
+
+  def enforcementEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("hive.security.authorization.enabled")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The principals the session user currently holds: USER name plus
+    * active roles (SET ROLE selection, else every granted role) plus the
+    * implicit public role. */
+  private def activePrincipals(st: State): Set[(String, String)] = {
+    val u = user()
+    val roles = st.currentRoles.getOrElse(
+      st.roleGrants.filter(g => g.principalType == "USER" && g.principal == u)
+        .map(_.role.toLowerCase).toSet + "public")
+    roles.map(r => ("ROLE", r)) + (("USER" -> u))
+  }
+
+  def hasPriv(spark: SparkSession, db: String, table: String,
+      priv: String): Boolean = {
+    val st = state(spark)
+    st.synchronized {
+      val ps = activePrincipals(st)
+      ps.contains(("ROLE", "admin")) ||
+        st.privGrants.exists { g =>
+          (g.privilege.equalsIgnoreCase(priv) ||
+            g.privilege.equalsIgnoreCase("ALL")) &&
+            ps.exists(p => p._1 == g.principalType &&
+              p._2.equalsIgnoreCase(g.principal)) &&
+            g.database.equalsIgnoreCase(db) &&
+            (g.table.isEmpty || g.table.equalsIgnoreCase(table))
+        }
+    }
+  }
+
+  /** Refuse when enforcement is on and no grant covers the access —
+    * the reference's exact error text (Driver.doAuthorization →
+    * "Authorization failed:No privilege ... Use SHOW GRANT ..."). */
+  def enforce(spark: SparkSession, priv: String, db: String, table: String,
+      output: Boolean): Unit =
+    if (enforcementEnabled(spark) && !hasPriv(spark, db, table, priv))
+      sys.error(s"Authorization failed:No privilege '$priv' found for " +
+        (if (output) "outputs" else "inputs") +
+        s" { database:$db, table:$table}. " +
+        "Use SHOW GRANT to get more details.")
 
   // ---- statement grammar (Hive 1.2 authorization DDL) -------------------
   private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+`?([\w]+)`?\s*;?\s*""".r
@@ -195,7 +254,16 @@ object Auth {
             s"role $pn does not exist")
           val g = PrivGrant(db, tbl, pn, pt, priv, withGrant != null,
             now(), user())
-          // re-grant refreshes, never duplicates (metastore PK semantics)
+          // with the authorizer ON, a duplicate grant is the metastore's
+          // PK violation surfaced as an error (authorization_fail_1.q:
+          // "CREATE is already granted on table ..."); with it off the
+          // registry keeps refresh semantics (pinned in Round8Spec)
+          val dup = st.privGrants.exists(x => x.database == g.database &&
+            x.table == g.table && x.principal == g.principal &&
+            x.principalType == g.principalType && x.privilege == g.privilege)
+          if (dup && enforcementEnabled(spark))
+            sys.error(s"$priv is already granted on table [$db,$tbl] " +
+              s"by ${user()}")
           st.privGrants.filterInPlace(x => !(x.database == g.database &&
             x.table == g.table && x.principal == g.principal &&
             x.principalType == g.principalType && x.privilege == g.privilege))

@@ -132,18 +132,21 @@ object ExportImport {
     val eData = em.schema.filterNot(fd => ePartCols.contains(fd.name))
     def sig(s: Seq[org.apache.spark.sql.types.StructField]) =
       s.map(fd => fd.name.toLowerCase -> fd.dataType)
-    val dParts =
-      if (parts.isEmpty) new StructType()
-      else StructType.fromDDL(parts.mkString(", "))
-    if (sig(eData) != sig(schema.fields.toSeq))
+    // the descriptor's `partitions` field holds column NAMES; their types
+    // (and the data columns) live in schema_ddl, which covers the FULL
+    // exported schema — split it the same way the table metadata splits
+    val dParts = schema.fields.filter(f =>
+      parts.exists(_.equalsIgnoreCase(f.name))).toSeq
+    val dData = schema.fields.filterNot(f =>
+      parts.exists(_.equalsIgnoreCase(f.name))).toSeq
+    if (sig(eData) != sig(dData))
       sys.error(s"IMPORT into existing table $table: column schema does " +
         s"not match the export (table: ${eData.map(_.toDDL).mkString(", ")}; " +
-        s"export: ${schema.toDDL})")
-    if (sig(em.schema.filter(fd => ePartCols.contains(fd.name)))
-        != sig(dParts.fields.toSeq))
+        s"export: ${dData.map(_.toDDL).mkString(", ")})")
+    if (sig(em.schema.filter(fd => ePartCols.contains(fd.name))) != sig(dParts))
       sys.error(s"IMPORT into existing table $table: partition columns do " +
         s"not match the export (table: ${ePartCols.mkString(", ")}; " +
-        s"export: ${dParts.fieldNames.mkString(", ")})")
+        s"export: ${dParts.map(_.name).mkString(", ")})")
     val target = new Path(em.location)
     val tfs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val uid = java.util.UUID.randomUUID().toString.take(8)

@@ -333,6 +333,71 @@ class Round13Spec extends SparkSpec {
     } finally spark.conf.unset("hive.archive.enabled")
   }
 
+  // ---- IMPORT into an existing PARTITIONED table (latent-bug fix) ------
+
+  test("IMPORT of a partitioned export appends into a compatible existing table") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_imp_src")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_imp_dst")
+    spark.sql("""CREATE TABLE graft_tmp.r13_imp_src (k INT, ds STRING)
+      USING parquet PARTITIONED BY (ds)""")
+    spark.sql("INSERT INTO graft_tmp.r13_imp_src PARTITION (ds='d1') VALUES (1), (2)")
+    val exp = java.nio.file.Files.createTempDirectory("r13_imp").toString + "/e"
+    Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r13_imp_src TO '$exp'")
+    spark.sql("""CREATE TABLE graft_tmp.r13_imp_dst (k INT, ds STRING)
+      USING parquet PARTITIONED BY (ds)""")
+    spark.sql("INSERT INTO graft_tmp.r13_imp_dst PARTITION (ds='d0') VALUES (9)")
+    // pre-fix this threw PARSE_SYNTAX_ERROR: the descriptor's partition
+    // NAMES were parsed as DDL and the full export schema was compared
+    // against data-only columns
+    Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r13_imp_dst FROM '$exp'")
+    val rows = spark.table("graft_tmp.r13_imp_dst")
+      .select("k", "ds").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((9, "d0"), (1, "d1"), (2, "d1")), rows.toString)
+  }
+
+  // ---- authorization ENFORCEMENT (hive.security.authorization.enabled) --
+
+  test("authorization enforcement: grant admits, revoke denies, admin bypasses") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_auth")
+    spark.sql("CREATE TABLE graft_tmp.r13_auth (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r13_auth VALUES (1), (2)")
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try {
+      // no grant: denied with the reference's message shape
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found"), e.getMessage)
+      // grant to the implicit public role (held by every user): admitted
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r13_auth TO ROLE public")
+      assert(Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth").count() == 2)
+      // a Select grant does NOT cover writes
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark, "INSERT INTO graft_tmp.r13_auth VALUES (3)")
+      }
+      assert(e2.getMessage.contains("No privilege 'Insert' found"), e2.getMessage)
+      // ALL covers everything
+      Engine.ddl(spark, "GRANT ALL ON TABLE graft_tmp.r13_auth TO ROLE public")
+      Engine.ddl(spark, "INSERT INTO graft_tmp.r13_auth VALUES (3)")
+      assert(Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth").count() == 3)
+      // revoke closes the door again
+      Engine.ddl(spark, "REVOKE ALL ON TABLE graft_tmp.r13_auth FROM ROLE public")
+      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r13_auth FROM ROLE public")
+      val e3 = intercept[Exception] {
+        Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth")
+      }
+      assert(e3.getMessage.contains("No privilege 'Select' found"), e3.getMessage)
+      // the admin role bypasses enforcement entirely (SQLStd superuser)
+      Engine.ddl(spark,
+        s"GRANT ROLE admin TO USER ${System.getProperty("user.name")}")
+      assert(Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth").count() == 3)
+      Engine.ddl(spark,
+        s"REVOKE ROLE admin FROM USER ${System.getProperty("user.name")}")
+    } finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
   // ---- one-pass hive.exec.max.dynamic.partitions enforcement -----------
 
   test("dynamic-partition cap runs the SELECT once and guards nondeterministic ones") {
