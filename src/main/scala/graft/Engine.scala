@@ -426,6 +426,16 @@ object Engine {
       org.apache.spark.sql.catalyst.expressions.Expression] =
     if (graft.functions.HiveUdfAdapter.supports(cls))
       Some(exprs => graft.functions.HiveGenericUdfExpr(funcName, cls, exprs))
+    else if (graft.functions.HiveUdfAdapter.supportsUdtf(cls))
+      Some(exprs => graft.functions.HiveGenericUdtfExpr(funcName, cls, exprs))
+    // third-party aggregates ride Spark's own HiveUDAFFunction (public
+    // spark-hive API): the TypedImperativeAggregate bridge over the
+    // evaluator's PARTIAL1/FINAL modes — partial results cross the
+    // shuffle exactly like any native partial aggregate
+    else if (graft.functions.HiveUdfAdapter.supportsUdaf(cls))
+      Some(exprs => org.apache.spark.sql.hive.GraftHiveUdafBridge.udaf(
+        funcName, cls, exprs,
+        graft.functions.HiveUdfAdapter.isLegacyUdaf(cls)))
     else None
   private val dropFunRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r

@@ -89,6 +89,79 @@ case class HiveGenericUdfExpr(funcName: String, udfClassName: String,
     copy(children = newChildren)
 }
 
+/** Executes an arbitrary third-party Hive GenericUDTF as a Catalyst
+  * Generator — the LATERAL VIEW / select-list exploder face of the jar
+  * adapter (reference `udf/generic/GenericUDTF.java:37`: initialize
+  * returns the output row's StructObjectInspector, process() forwards
+  * zero or more rows per input through a Collector, close() flushes
+  * after ALL rows — mapped onto Generator.eval/terminate; like the
+  * reference's per-operator close(), terminate fires once per partition
+  * at scale).
+  */
+case class HiveGenericUdtfExpr(funcName: String, udtfClassName: String,
+    children: Seq[Expression])
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  import org.apache.hadoop.hive.ql.udf.generic.GenericUDTF
+
+  @transient private lazy val udtf: GenericUDTF = {
+    val u = HiveUdfAdapter.loadClass(udtfClassName)
+      .getDeclaredConstructor().newInstance().asInstanceOf[GenericUDTF]
+    u.setCollector(collector)
+    u
+  }
+
+  @transient private lazy val collector = new org.apache.hadoop.hive.ql.udf
+      .generic.Collector {
+    override def collect(input: Object): Unit =
+      buffered += HiveUdfAdapter.fromHive(input, outputOI)
+        .asInstanceOf[InternalRow]
+  }
+
+  @transient private lazy val buffered =
+    scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
+  @transient private lazy val outputOI
+      : org.apache.hadoop.hive.serde2.objectinspector.StructObjectInspector = {
+    val argOIs = children.map { c =>
+      if (c.foldable)
+        HiveUdfAdapter.constantInspector(c.dataType, c.eval(InternalRow.empty))
+      else HiveUdfAdapter.inspectorFor(c.dataType)
+    }.toArray
+    udtf.initialize(argOIs)
+  }
+
+  override def elementSchema: StructType =
+    HiveUdfAdapter.catalystType(outputOI).asInstanceOf[StructType]
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    outputOI: Unit // force initialize() before the first process()
+    buffered.clear()
+    val args = new Array[Object](children.length)
+    var i = 0
+    while (i < children.length) {
+      args(i) = HiveUdfAdapter.toHive(children(i).eval(input),
+        children(i).dataType)
+      i += 1
+    }
+    udtf.process(args)
+    // copy out: Catalyst may buffer the returned rows lazily while the
+    // next eval() clears the shared buffer
+    buffered.toIndexedSeq
+  }
+
+  override def terminate(): IterableOnce[InternalRow] = {
+    buffered.clear()
+    udtf.close()
+    buffered.toIndexedSeq
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 object HiveUdfAdapter {
 
   private[graft] def loadClass(name: String): Class[_] =
@@ -96,7 +169,7 @@ object HiveUdfAdapter {
       Option(Thread.currentThread().getContextClassLoader)
         .getOrElse(getClass.getClassLoader))
 
-  /** Can this class execute through the adapter at all? (The Engine's
+  /** Can this class execute through the scalar adapter? (The Engine's
     * CREATE FUNCTION resolution probe — must not throw on non-UDFs.) */
   def supports(className: String): Boolean =
     try {
@@ -104,6 +177,30 @@ object HiveUdfAdapter {
       classOf[GenericUDF].isAssignableFrom(c) ||
         classOf[UDF].isAssignableFrom(c)
     } catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  /** ...and through the table-generating adapter? */
+  def supportsUdtf(className: String): Boolean =
+    try classOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDTF]
+      .isAssignableFrom(loadClass(className))
+    catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  /** ...and as an aggregate? (GenericUDAFResolver subclasses run through
+    * Spark's own HiveUDAFFunction — public API in the spark-hive module,
+    * the exact TypedImperativeAggregate bridge the reference's partial/
+    * final evaluator modes need; legacy UDAF classes set its
+    * isUDAFBridgeRequired flag.) */
+  def supportsUdaf(className: String): Boolean =
+    try {
+      val c = loadClass(className)
+      classOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDAFResolver]
+        .isAssignableFrom(c) ||
+        classOf[org.apache.hadoop.hive.ql.exec.UDAF].isAssignableFrom(c)
+    } catch { case _: ClassNotFoundException | _: LinkageError => false }
+
+  def isLegacyUdaf(className: String): Boolean =
+    try classOf[org.apache.hadoop.hive.ql.exec.UDAF]
+      .isAssignableFrom(loadClass(className))
+    catch { case _: ClassNotFoundException | _: LinkageError => false }
 
   /** FunctionTask.getUdfClass + FunctionRegistry.registerTemporaryUDF:
     * a GenericUDF instantiates directly; a legacy UDF wraps in a local

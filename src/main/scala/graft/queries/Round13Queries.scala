@@ -39,6 +39,33 @@ object Round13Queries {
                      upper(n_name) || '-' || upper(n_name) AS tagged,
                      CAST(n_nationkey + 1 AS BIGINT) AS bumped,
                      n_name || '+1' AS suffixed
-              FROM nation"""))
+              FROM nation""")),
+
+    // ---- q159: the table-generating and aggregate faces of the jar
+    //      surface — a GenericUDTF (process/forward/close as a Catalyst
+    //      Generator) explodes synthetic two-token text, and a
+    //      GenericUDAF (PARTIAL1/FINAL evaluator modes through Spark's
+    //      HiveUDAFFunction bridge) aggregates per token. ----
+    Q("q159_hive_udtf_udaf_jar", (s, d) => {
+      Tables.t(s, d, "nation").createOrReplaceTempView("q159_nation")
+      Engine.ddl(s, "CREATE TEMPORARY FUNCTION q159_tok AS " +
+        s"'graftjar.TokenExplode' USING JAR '$udfJar'")
+      Engine.ddl(s, "CREATE TEMPORARY FUNCTION q159_ss AS " +
+        s"'graftjar.SumSquares' USING JAR '$udfJar'")
+      s.sql("""SELECT t.token, count(*) AS n,
+                      q159_ss(n.n_nationkey) AS ss
+               FROM q159_nation n
+               LATERAL VIEW q159_tok(concat(n.n_name, ' tag', n.n_regionkey)) t
+                 AS token, len
+               WHERE t.token != '__rows'
+               GROUP BY t.token""")
+    },
+      Some("""WITH t AS (
+                SELECT n_nationkey,
+                       unnest([n_name, 'tag' || CAST(n_regionkey AS VARCHAR)]) AS token
+                FROM nation)
+              SELECT token, count(*) AS n,
+                     CAST(sum(CAST(n_nationkey AS DOUBLE) * n_nationkey) AS DOUBLE) AS ss
+              FROM t GROUP BY token"""))
   )
 }

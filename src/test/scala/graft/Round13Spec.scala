@@ -224,6 +224,49 @@ class Round13Spec extends SparkSpec {
     assert(n == spark.sql("SELECT count(*) FROM nation").collect().head.getLong(0))
   }
 
+  test("a third-party GenericUDTF runs as a Generator (LATERAL VIEW + close())") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_tok_explode AS 'graftjar.TokenExplode' USING JAR '$udfJar'")
+    // select-list generator position
+    val rows = spark.sql(
+      """SELECT token, len FROM (SELECT r13_tok_explode('alpha bb c') AS (token, len)) t"""
+    ).collect().map(r => (r.getString(0), r.getInt(1)))
+    // process() forwards the three tokens; close() forwards the final
+    // per-partition total row (the reference's operator-close contract)
+    assert(rows.toSet == Set(("alpha", 5), ("bb", 2), ("c", 1), ("__rows", 3)),
+      rows.mkString(", "))
+    // LATERAL VIEW position over a real scan
+    val lv = spark.sql(
+      """SELECT n.n_name, t.token, t.len
+         FROM nation n LATERAL VIEW r13_tok_explode(n.n_name) t AS token, len
+         WHERE n.n_nationkey < 2 AND t.token != '__rows'""").collect()
+    assert(lv.forall(r => r.getString(1) == r.getString(0) &&
+      r.getInt(2) == r.getString(0).length), lv.mkString(", "))
+  }
+
+  test("a third-party GenericUDAF aggregates through partial/final modes") {
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_sum_squares AS 'graftjar.SumSquares' USING JAR '$udfJar'")
+    val got = spark.sql(
+      """SELECT n_regionkey, r13_sum_squares(n_nationkey) AS ss
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
+    val want = spark.sql(
+      """SELECT n_regionkey,
+                sum(CAST(n_nationkey AS DOUBLE) * n_nationkey) AS ss
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
+    assert(got.sameElements(want),
+      s"got ${got.mkString(",")} want ${want.mkString(",")}")
+    // group-less total (single final merge over all partials)
+    val tot = spark.sql(
+      "SELECT r13_sum_squares(n_nationkey) AS ss FROM nation")
+      .collect().head.getDouble(0)
+    assert(math.abs(tot - want.map(_._2).sum) < 1e-9, tot.toString)
+  }
+
   test("CREATE FUNCTION USING JAR with a missing jar fails loudly") {
     val e = intercept[Exception] {
       Engine.ddl(spark,
