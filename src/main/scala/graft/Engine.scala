@@ -3566,16 +3566,54 @@ object Engine {
     }
     queryPart.foreach { q =>
       val inputs =
-        try queryInputTables(spark, q.trim.stripSuffix(";"))
+        try queryInputColumns(spark, q.trim.stripSuffix(";"))
         catch { case _: Exception => Nil } // HiveQL-only shape: rewrites own it
-      inputs.foreach { n =>
+      inputs.foreach { case (n, cols) =>
         val (db, tb) = n.split("@") match {
           case Array(d, t) => (d, t)
           case Array(t) => (spark.catalog.currentDatabase, t)
         }
-        graft.operators.Auth.enforce(spark, "Select", db, tb, output = false)
+        graft.operators.Auth.enforce(spark, "Select", db, tb,
+          output = false, needed = cols)
       }
     }
+  }
+
+  /** Input tables of a query WITH the columns the plan actually touches
+    * per table (plan-wide referenced attribute ids intersected with each
+    * leaf's output) — the reference's per-column read entities that
+    * column-level grants check against. */
+  private def queryInputColumns(spark: SparkSession,
+      q: String): Seq[(String, Set[String])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
+    val analyzed = analyzeOnly(spark, q).analyzed
+    // leaf relations carry their own output attributes as constructor
+    // fields (LogicalRelation.output), which `expressions` reports —
+    // counting those would mark every column of every table as "used"
+    val refs = analyzed.collect {
+      case n if !n.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
+        n.expressions.flatMap(_.references.map(_.exprId))
+    }.flatten.toSet
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    def add(segs: Seq[String],
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+      val keep = segs.filter(x => x.nonEmpty && x != "spark_catalog")
+      val name = if (keep.length >= 2) keep.takeRight(2).mkString("@")
+        else keep.mkString
+      val used = plan.output.filter(a => refs.contains(a.exprId))
+        .map(_.name).toSet
+      acc.update(name, acc.getOrElse(name, Set.empty) ++ used)
+    }
+    analyzed.foreach {
+      case v: View =>
+        add(v.desc.identifier.database.toSeq :+ v.desc.identifier.table, v)
+      case sa: SubqueryAlias
+          if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) =>
+        add(sa.identifier.qualifier :+ sa.identifier.name, sa)
+      case _ => ()
+    }
+    acc.toSeq
   }
 
   def ddl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {

@@ -31,8 +31,10 @@ import scala.jdk.CollectionConverters._
   *    input, writes the matching output privilege, duplicate grants
   *    error — the legacy DefaultHiveAuthorizationProvider contract
   *    (clientnegative/authorization_fail_*.q), wired in
-  *    Engine.enforceAuthorization. `admin` role bypasses; column-level
-  *    grant GRAMMAR is accepted but enforcement is table-granularity.
+  *    Engine.enforceAuthorization. `admin` role bypasses. Column-level
+  *    grants enforce per column: `select(key)` admits reads touching
+  *    only `key` (the analyzed plan's per-table referenced columns)
+  *    and refuses anything wider — authorization_1.q's contract.
   */
 object Auth {
 
@@ -42,7 +44,8 @@ object Auth {
 
   final case class PrivGrant(database: String, table: String,
       principal: String, principalType: String, privilege: String,
-      grantOption: Boolean, grantTime: Long, grantor: String)
+      grantOption: Boolean, grantTime: Long, grantor: String,
+      columns: Seq[String] = Nil) // empty = whole-table grant
 
   final class State {
     val roles = mutable.LinkedHashSet[String]("public", "admin")
@@ -91,19 +94,48 @@ object Auth {
   }
 
   def hasPriv(spark: SparkSession, db: String, table: String,
-      priv: String): Boolean = {
+      priv: String, needed: Set[String] = Set.empty): Boolean = {
     val st = state(spark)
     st.synchronized {
       val ps = activePrincipals(st)
-      ps.contains(("ROLE", "admin")) ||
-        st.privGrants.exists { g =>
-          (g.privilege.equalsIgnoreCase(priv) ||
-            g.privilege.equalsIgnoreCase("ALL")) &&
-            ps.exists(p => p._1 == g.principalType &&
-              p._2.equalsIgnoreCase(g.principal)) &&
-            g.database.equalsIgnoreCase(db) &&
-            (g.table.isEmpty || g.table.equalsIgnoreCase(table))
-        }
+      if (ps.contains(("ROLE", "admin"))) return true
+      val matching = st.privGrants.filter { g =>
+        (g.privilege.equalsIgnoreCase(priv) ||
+          g.privilege.equalsIgnoreCase("ALL")) &&
+          ps.exists(p => p._1 == g.principalType &&
+            p._2.equalsIgnoreCase(g.principal)) &&
+          g.database.equalsIgnoreCase(db) &&
+          (g.table.isEmpty || g.table.equalsIgnoreCase(table))
+      }
+      // a whole-table grant covers everything; otherwise the union of
+      // column grants must cover every column the access touches
+      // (authorization_1.q: select(key) admits `SELECT key`, refuses
+      // other columns)
+      matching.exists(_.columns.isEmpty) || {
+        val granted = matching.flatMap(_.columns).map(_.toLowerCase).toSet
+        granted.nonEmpty && needed.forall(c => granted.contains(c.toLowerCase))
+      }
+    }
+  }
+
+  /** The first column of `needed` no grant covers (for the reference's
+    * columnName-carrying error text), or None when the failure is
+    * table-level. */
+  def missingColumn(spark: SparkSession, db: String, table: String,
+      priv: String, needed: Set[String]): Option[String] = {
+    val st = state(spark)
+    st.synchronized {
+      val ps = activePrincipals(st)
+      val granted = st.privGrants.filter { g =>
+        (g.privilege.equalsIgnoreCase(priv) ||
+          g.privilege.equalsIgnoreCase("ALL")) &&
+          ps.exists(p => p._1 == g.principalType &&
+            p._2.equalsIgnoreCase(g.principal)) &&
+          g.database.equalsIgnoreCase(db) &&
+          (g.table.isEmpty || g.table.equalsIgnoreCase(table))
+      }.flatMap(_.columns).map(_.toLowerCase).toSet
+      if (granted.isEmpty) None
+      else needed.toSeq.sorted.find(c => !granted.contains(c.toLowerCase))
     }
   }
 
@@ -111,12 +143,15 @@ object Auth {
     * the reference's exact error text (Driver.doAuthorization →
     * "Authorization failed:No privilege ... Use SHOW GRANT ..."). */
   def enforce(spark: SparkSession, priv: String, db: String, table: String,
-      output: Boolean): Unit =
-    if (enforcementEnabled(spark) && !hasPriv(spark, db, table, priv))
+      output: Boolean, needed: Set[String] = Set.empty): Unit =
+    if (enforcementEnabled(spark) && !hasPriv(spark, db, table, priv, needed)) {
+      val colPart = missingColumn(spark, db, table, priv, needed)
+        .map(c => s", columnName:$c").getOrElse("")
       sys.error(s"Authorization failed:No privilege '$priv' found for " +
         (if (output) "outputs" else "inputs") +
-        s" { database:$db, table:$table}. " +
+        s" { database:$db, table:$table$colPart}. " +
         "Use SHOW GRANT to get more details.")
+    }
 
   // ---- statement grammar (Hive 1.2 authorization DDL) -------------------
   private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+`?([\w]+)`?\s*;?\s*""".r
@@ -129,11 +164,13 @@ object Auth {
   private val revokeRoleRe =
     """(?is)\s*REVOKE\s+(?:ADMIN\s+OPTION\s+FOR\s+)?(?:ROLE\s+)?([\w`,\s]+?)\s+FROM\s+(.+?)\s*;?\s*""".r
   private val grantPrivRe =
-    """(?is)\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+TO\s+(.+?)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*""".r
+    """(?is)\s*GRANT\s+([\w,\s()]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+TO\s+(.+?)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*""".r
   private val revokePrivRe =
-    """(?is)\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?([\w,\s]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+FROM\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?([\w,\s()]+?)\s+ON\s+(?:(TABLE|DATABASE)\s+)?`?([\w.]+)`?\s+FROM\s+(.+?)\s*;?\s*""".r
+  // one privilege with an optional column list: select(key, value)
+  private val privItemRe = """(\w+)\s*(?:\(([^)]*)\))?""".r
   private val showGrantRe =
-    """(?is)\s*SHOW\s+GRANT\s*(?:(USER|GROUP|ROLE)\s+`?([\w]+)`?)?\s*(?:ON\s+(?:(ALL)|(?:TABLE\s+)?`?([\w.]+)`?))?\s*;?\s*""".r
+    """(?is)\s*SHOW\s+GRANT\s*(?:(USER|GROUP|ROLE)\s+`?([\w]+)`?)?\s*(?:ON\s+(?:(ALL)|(?:TABLE\s+)?`?([\w.]+)`?\s*(?:\(([\w,\s]*)\))?))?\s*;?\s*""".r
   private val showRoleGrantRe =
     """(?is)\s*SHOW\s+ROLE\s+GRANT\s+(USER|GROUP|ROLE)\s+`?([\w]+)`?\s*;?\s*""".r
   private val showPrincipalsRe =
@@ -247,38 +284,46 @@ object Auth {
       case grantPrivRe(privs, kind, obj, to, withGrant) => st.synchronized {
         val (db, tbl) = splitObj(spark, kind, obj)
         for {
-          priv <- names(privs).map(_.toUpperCase)
+          m <- privItemRe.findAllMatchIn(privs).toSeq
+          priv = m.group(1).toUpperCase
+          cols = Option(m.group(2)).toSeq.flatMap(
+            _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
           (pt, pn) <- principals(to)
         } {
           if (pt == "ROLE") require(st.roles.contains(pn.toLowerCase),
             s"role $pn does not exist")
           val g = PrivGrant(db, tbl, pn, pt, priv, withGrant != null,
-            now(), user())
+            now(), user(), cols)
           // with the authorizer ON, a duplicate grant is the metastore's
           // PK violation surfaced as an error (authorization_fail_1.q:
           // "CREATE is already granted on table ..."); with it off the
           // registry keeps refresh semantics (pinned in Round8Spec)
           val dup = st.privGrants.exists(x => x.database == g.database &&
             x.table == g.table && x.principal == g.principal &&
-            x.principalType == g.principalType && x.privilege == g.privilege)
+            x.principalType == g.principalType && x.privilege == g.privilege &&
+            x.columns == g.columns)
           if (dup && enforcementEnabled(spark))
             sys.error(s"$priv is already granted on table [$db,$tbl] " +
               s"by ${user()}")
           st.privGrants.filterInPlace(x => !(x.database == g.database &&
             x.table == g.table && x.principal == g.principal &&
-            x.principalType == g.principalType && x.privilege == g.privilege))
+            x.principalType == g.principalType && x.privilege == g.privilege &&
+            x.columns == g.columns))
           st.privGrants += g
         }
         spark.emptyDataFrame
       }
       case revokePrivRe(privs, kind, obj, from) => st.synchronized {
         val (db, tbl) = splitObj(spark, kind, obj)
-        val ps = names(privs).map(_.toUpperCase).toSet
-        val all = ps.contains("ALL")
+        val items = privItemRe.findAllMatchIn(privs).toSeq.map(m =>
+          (m.group(1).toUpperCase, Option(m.group(2)).toSeq.flatMap(
+            _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))))
+        val all = items.exists(_._1 == "ALL")
         for ((pt, pn) <- principals(from))
           st.privGrants.filterInPlace(x => !(x.database == db &&
             x.table == tbl && x.principal == pn && x.principalType == pt &&
-            (all || ps.contains(x.privilege))))
+            (all || items.exists { case (pv, cs) =>
+              pv == x.privilege && (cs.isEmpty || cs == x.columns) })))
         spark.emptyDataFrame
       }
       case showRoleGrantRe(pt, pn) => st.synchronized {
@@ -296,14 +341,20 @@ object Auth {
           .map(g => Row(g.principal, g.principalType, g.adminOption,
             g.grantTime, g.grantor)).toSeq)
       }
-      case showGrantRe(pt, pn, all, obj) => st.synchronized {
+      case showGrantRe(pt, pn, all, obj, objCols) => st.synchronized {
         val byPrincipal: PrivGrant => Boolean =
           if (pt == null) _ => true
           else g => g.principalType == pt.toUpperCase && g.principal == pn
+        // `ON TABLE t(key)` filters to grants covering that column:
+        // whole-table grants plus column grants naming it
+        val wantCols = Option(objCols).toSeq.flatMap(
+          _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         val byObj: PrivGrant => Boolean =
           if (obj == null || all != null) _ => true
           else { val (db, tbl) = splitObj(spark, null, obj)
-            g => g.database == db && g.table == tbl }
+            g => g.database == db && g.table == tbl &&
+              (wantCols.isEmpty || g.columns.isEmpty ||
+                wantCols.forall(c => g.columns.map(_.toLowerCase).contains(c))) }
         out(spark, grantSchema,
           st.privGrants.filter(g => byPrincipal(g) && byObj(g))
             .sortBy(g => (g.database, g.table, g.principal, g.privilege))

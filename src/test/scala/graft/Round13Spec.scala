@@ -441,6 +441,42 @@ class Round13Spec extends SparkSpec {
     } finally spark.conf.unset("hive.security.authorization.enabled")
   }
 
+  test("column-level grants admit exactly the granted columns (authorization_1.q)") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_colg")
+    spark.sql("CREATE TABLE graft_tmp.r13_colg (key INT, value STRING) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r13_colg VALUES (1, 'a'), (2, 'b')")
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try {
+      Engine.ddl(spark,
+        "GRANT SELECT(key) ON TABLE graft_tmp.r13_colg TO ROLE public")
+      // reads touching only the granted column pass
+      assert(Engine.ddl(spark,
+        "SELECT key FROM graft_tmp.r13_colg").count() == 2)
+      // ...and an aggregate over it
+      assert(Engine.ddl(spark,
+        "SELECT sum(key) FROM graft_tmp.r13_colg").count() == 1)
+      // a read touching the OTHER column refuses, naming it
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "SELECT key, value FROM graft_tmp.r13_colg")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found") &&
+        e.getMessage.contains("columnName:value"), e.getMessage)
+      // SHOW GRANT filters by column coverage
+      assert(Engine.ddl(spark,
+        "SHOW GRANT ROLE public ON TABLE graft_tmp.r13_colg(key)").count() == 1)
+      assert(Engine.ddl(spark,
+        "SHOW GRANT ROLE public ON TABLE graft_tmp.r13_colg(value)").count() == 0)
+      // column-scoped revoke closes it again
+      Engine.ddl(spark,
+        "REVOKE SELECT(key) ON TABLE graft_tmp.r13_colg FROM ROLE public")
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark, "SELECT key FROM graft_tmp.r13_colg")
+      }
+      assert(e2.getMessage.contains("No privilege 'Select' found"), e2.getMessage)
+    } finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
   // ---- one-pass hive.exec.max.dynamic.partitions enforcement -----------
 
   test("dynamic-partition cap runs the SELECT once and guards nondeterministic ones") {
