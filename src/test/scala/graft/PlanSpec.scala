@@ -158,4 +158,22 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("third-party jar UDAF aggregates partially (map-side combine)") {
+    // the HiveUDAFFunction bridge must behave like any native partial
+    // aggregate at scale: PARTIAL1 buffers cross the shuffle, not rows —
+    // the plan carries partial_<fn> BELOW the exchange and the final
+    // merge above it
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "CREATE TEMPORARY FUNCTION plan_ss AS " +
+      "'graftjar.SumSquares' USING JAR 'src/test/resources/jars/graft-hiveudf.jar'")
+    val q = spark.sql(
+      "SELECT n_regionkey, plan_ss(n_nationkey) AS ss FROM nation GROUP BY n_regionkey")
+    val p = q.queryExecution.executedPlan.toString
+    val partialIdx = p.indexOf("partial_plan_ss")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0, "no partial aggregation for the jar UDAF:\n" + p.take(1500))
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial_ must sit BELOW the exchange (plan prints top-down):\n" + p.take(1500))
+  }
 }
