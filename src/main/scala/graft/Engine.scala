@@ -2032,9 +2032,20 @@ object Engine {
         } catch { case _: Exception => None }
       val live = entries.filter { case (spec, _) =>
         val p = new org.apache.hadoop.fs.Path(loc + "/" + spec)
+        // an ARCHIVED partition relocated under .graft_archive is still
+        // live (reads keep working; UNARCHIVE restores) — both checks
+        // must accept either location or archiving would silently strip
+        // the format divergence
+        val pArch = new org.apache.hadoop.fs.Path(
+          loc + "/.graft_archive/" + spec)
         val dirOk =
-          try p.getFileSystem(conf).exists(p) catch { case _: Exception => true }
-        val catOk = catalogLive.forall(_.contains(p.toString.stripSuffix("/")))
+          try {
+            val fs = p.getFileSystem(conf)
+            fs.exists(p) || fs.exists(pArch)
+          } catch { case _: Exception => true }
+        val catOk = catalogLive.forall(set =>
+          set.contains(p.toString.stripSuffix("/")) ||
+            set.contains(pArch.toString.stripSuffix("/")))
         dirOk && catOk
       }
       if (live.size != entries.size) {
@@ -2196,16 +2207,27 @@ object Engine {
         sys.error(s"$op conflict with existing archive: $e"))
     }
 
+  // target + static spec for ANY insert form (SELECT or VALUES tail) —
+  // insertBranchRe's SELECT-only tail would drop the PARTITION clause
+  // of a VALUES insert and misread it as a whole-table write. Backticks
+  // accepted: a quoted target must not slip past the archive guard.
+  private val insertTargetPartRe =
+    """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?(?!DIRECTORY\b|LOCAL\b)([\w.`]+)\s*(?:PARTITION\s*\(([^)]*)\))?.*""".r
+  private val mergeTargetRe = """(?is)MERGE\s+INTO\s+([\w.`]+)""".r
+  private val truncateTargetRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
+
   private def insertWithHiveCasts(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
-    // target + static spec for ANY insert form (SELECT or VALUES tail) —
-    // insertBranchRe's SELECT-only tail would drop the PARTITION clause
-    // of a VALUES insert and misread it as a whole-table write
-    val insertTargetPartRe =
-      """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?.*""".r
     stmt match {
       case insertTargetPartRe(tbl, part) =>
-        requireNoArchiveConflict(spark, tbl, Option(part), "Insert")
+        requireNoArchiveConflict(spark, tbl.replace("`", ""), Option(part), "Insert")
+      // TRUNCATE clears data at each catalog partition location — with a
+      // partition archived that would destroy the relocated subtree while
+      // the archive entry persists (the reference refuses truncating
+      // archived partitions)
+      case truncateTargetRe(tbl, part) =>
+        requireNoArchiveConflict(spark, tbl.replace("`", ""), Option(part), "TRUNCATE")
       case _ => ()
     }
     heteroInsertRoute(spark, stmt).getOrElse(
@@ -3501,6 +3523,24 @@ object Engine {
     * need Select on every analyzed input. Statements Spark cannot parse
     * (HiveQL shapes the later rewrite branches own) skip the input walk
     * — their write-side check still fired from the regexes here. */
+  // enforcement statement shapes (hoisted: these run per statement)
+  private val addPartAuthRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b.*""".r
+  private val alterAuthRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
+  private val dropAuthRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*(?:PURGE\s*)?;?\s*""".r
+  private val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
+  // negative lookahead: INSERT OVERWRITE [LOCAL] DIRECTORY writes a
+  // filesystem path, not a table — 'DIRECTORY' must not parse as one
+  private val insertAuthRe =
+    """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?(?!DIRECTORY\b|LOCAL\b)([\w.`]+).*""".r
+  // every INSERT branch of a FROM-first multi-insert (genBodyPlan)
+  private val fromFirstBranchAuthRe =
+    """(?i)INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?(?!DIRECTORY\b|LOCAL\b)([\w.`]+)""".r
+  private val fromFirstSourceAuthRe =
+    """(?is)\s*FROM\s+([\w.`]+)\b.*""".r
+  private val ctasSelAuthRe = """(?is).*?\bAS\s+(SELECT\b.*|WITH\b.*)""".r
+
   private def enforceAuthorization(spark: SparkSession, stmt0: String): Unit = {
     if (!graft.operators.Auth.enforcementEnabled(spark)) return
     if (graft.operators.Auth.handles(stmt0)) return // GRANT/SHOW/... run free
@@ -3509,14 +3549,6 @@ object Engine {
       if (p.length >= 2) (p(p.length - 2), p.last)
       else (spark.catalog.currentDatabase, p.last)
     }
-    val addPartAuthRe =
-      """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b.*""".r
-    val alterAuthRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
-    val dropAuthRe =
-      """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*(?:PURGE\s*)?;?\s*""".r
-    val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
-    val insertAuthRe =
-      """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.`]+).*""".r
     stmt0 match {
       case insertAuthRe(t) =>
         val (db, tb) = nameOf(t)
@@ -3549,19 +3581,32 @@ object Engine {
       case alterAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
+      // FROM-first multi-insert: every INSERT branch is a write, and the
+      // shared FROM source (when it names a table, not a subquery) a read
+      case s if s.trim.toUpperCase.startsWith("FROM") &&
+          topLevel(s.trim, "INSERT").nonEmpty =>
+        fromFirstBranchAuthRe.findAllMatchIn(s).foreach { m =>
+          val (db, tb) = nameOf(m.group(1))
+          graft.operators.Auth.enforce(spark, "Insert", db, tb, output = true)
+        }
+        s match {
+          case fromFirstSourceAuthRe(src) =>
+            val (db, tb) = nameOf(src)
+            graft.operators.Auth.enforce(spark, "Select", db, tb, output = false)
+          case _ => ()
+        }
       case _ => ()
     }
     // the read side: analyze the QUERY part (a command's inner query is a
     // constructor field, not a traversed child, so INSERT/CTAS hand their
     // SELECT tail to the walk directly)
     val head = stmt0.trim.takeWhile(!_.isWhitespace).toUpperCase
-    val ctasSelRe = """(?is).*?\bAS\s+(SELECT\b.*|WITH\b.*)""".r
     val queryPart: Option[String] = stmt0 match {
       case _ if head == "SELECT" || head == "WITH" => Some(stmt0)
       case insertBranchRe(_, _, _, sel) => Some(sel)
       case _ if stmt0.trim.toUpperCase
           .matches("(?s)CREATE\\s+(?:TEMPORARY\\s+)?(?:EXTERNAL\\s+)?TABLE\\b.*\\bAS\\s+(SELECT|WITH)\\b.*") =>
-        stmt0 match { case ctasSelRe(sel) => Some(sel); case _ => None }
+        stmt0 match { case ctasSelAuthRe(sel) => Some(sel); case _ => None }
       case _ => None
     }
     queryPart.foreach { q =>
@@ -3646,6 +3691,11 @@ object Engine {
 
   private def ddlImpl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
     val stmt0 = stripLeadingComments(stmt0x)
+    // holder so the jar-UDF CREATE FUNCTION branch resolves once in its
+    // guard and reuses the builder in its body
+    var hiveUdfResolved: Option[Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression] = None
     // Hive temp tables: strip TEMPORARY (CREATE TEMPORARY VIEW/FUNCTION/
     // MACRO are untouched — the regex requires TABLE) before the legacy
     // format-clause rewrite sees the statement; registration for
@@ -4092,11 +4142,14 @@ object Engine {
       // that are loadable but none of the UDF shapes fall through to
       // Spark's native CREATE FUNCTION (whose CANNOT_LOAD_FUNCTION_CLASS
       // error is the pinned negative shape).
-      case createFunRe(name, cls, _)
-          if hiveUdfBuilder(name.split('.').last, cls).isDefined =>
+      case createFunRe(name, cls, _) if {
+        // resolve ONCE (guard + body share through the holder): the probe
+        // class-loads and walks the type hierarchy, no need to pay twice
+        hiveUdfResolved = hiveUdfBuilder(name.split('.').last, cls)
+        hiveUdfResolved.isDefined
+      } =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          name.split('.').last,
-          hiveUdfBuilder(name.split('.').last, cls).get, "scala_udf")
+          name.split('.').last, hiveUdfResolved.get, "scala_udf")
         spark.emptyDataFrame
       case dropFunRe(ifExists, name) =>
         val dropped = spark.sessionState.functionRegistry.dropFunction(
@@ -4175,8 +4228,8 @@ object Engine {
       // (UpdateDeleteSemanticAnalyzer's rewrite, targeting the table's
       // files; Spark's own parser rejects UPDATE/DELETE on parquet tables)
       case s if s.trim.toUpperCase.startsWith("MERGE") =>
-        "(?is)MERGE\\s+INTO\\s+([\\w.]+)".r.findFirstMatchIn(s)
-          .foreach(m => requireNoArchived(spark, m.group(1), "MERGE"))
+        mergeTargetRe.findFirstMatchIn(s).foreach(m =>
+          requireNoArchived(spark, m.group(1).replace("`", ""), "MERGE"))
         sqlMerge(spark, s)
         spark.emptyDataFrame
       case updateRe(table, setClause, cond) =>

@@ -74,6 +74,12 @@ case class HiveGenericUdfExpr(funcName: String, udfClassName: String,
   }
 
   override def eval(input: InternalRow): Any = {
+    // force initialize() before the first evaluate: a deserialized
+    // executor-side instance reaches eval without anything having
+    // touched dataType (interpreted fallback paths), and a stateful
+    // GenericUDF NPEs if evaluate runs first — Spark's own HiveGenericUDF
+    // forces its returnInspector here for the same reason
+    outputOI: Unit
     val args = new Array[GenericUDF.DeferredObject](children.length)
     var i = 0
     while (i < children.length) {
@@ -152,6 +158,11 @@ case class HiveGenericUdtfExpr(funcName: String, udtfClassName: String,
   }
 
   override def terminate(): IterableOnce[InternalRow] = {
+    // an EMPTY partition reaches terminate() without any eval(): close()
+    // must still run on an INITIALIZED instance (the reference's
+    // initialize->process->close contract; count-in-close UDTFs NPE
+    // otherwise)
+    outputOI: Unit
     buffered.clear()
     udtf.close()
     buffered.toIndexedSeq

@@ -116,6 +116,14 @@ object Archive {
     val entries = entriesOf(spark, table)
     require(!entries.exists(e => overlaps(e, path)),
       "Partition(s) already archived") // DDLTask archive's double-archive refusal
+    // a format-diverged partition reads through the PATH-derived hetero
+    // union (plans/HeteroPartitions.Reads), which cannot follow the
+    // relocation — refuse rather than silently serve empty reads
+    val hetero = graft.plans.HeteroPartitions.entriesOf(spark, table)
+    hetero.find(h => overlaps(h._1, path)).foreach(h =>
+      sys.error(s"ARCHIVE is not supported on partitions carrying " +
+        s"heterogeneous file formats (${h._1} diverges via SET FILEFORMAT); " +
+        "unify with ALTER TABLE ... SET FILEFORMAT first"))
     val moved = relocate(spark, table, path, toArchive = true)
     require(moved > 0, "No partition matches the specification")
     writeEntries(spark, table, entries :+ path)

@@ -288,6 +288,7 @@ object Auth {
           priv = m.group(1).toUpperCase
           cols = Option(m.group(2)).toSeq.flatMap(
             _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
+            .sorted // order-insensitive: (key,value) == (value,key)
           (pt, pn) <- principals(to)
         } {
           if (pt == "ROLE") require(st.roles.contains(pn.toLowerCase),
@@ -317,7 +318,8 @@ object Auth {
         val (db, tbl) = splitObj(spark, kind, obj)
         val items = privItemRe.findAllMatchIn(privs).toSeq.map(m =>
           (m.group(1).toUpperCase, Option(m.group(2)).toSeq.flatMap(
-            _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))))
+            _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
+            .sorted))
         val all = items.exists(_._1 == "ALL")
         for ((pt, pn) <- principals(from))
           st.privGrants.filterInPlace(x => !(x.database == db &&

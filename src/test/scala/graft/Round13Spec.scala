@@ -477,6 +477,153 @@ class Round13Spec extends SparkSpec {
     } finally spark.conf.unset("hive.security.authorization.enabled")
   }
 
+  // ---- round-13 self-review regression pins -----------------------------
+
+  test("FROM-first multi-insert is gated by authorization enforcement") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_ff_src")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_ff_dst")
+    spark.sql("CREATE TABLE graft_tmp.r13_ff_src (k INT) USING parquet")
+    spark.sql("CREATE TABLE graft_tmp.r13_ff_dst (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r13_ff_src VALUES (1)")
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try {
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """FROM graft_tmp.r13_ff_src
+          INSERT OVERWRITE TABLE graft_tmp.r13_ff_dst SELECT k""")
+      }
+      assert(e.getMessage.contains("No privilege"), e.getMessage)
+      // grants on both sides open the path
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r13_ff_src TO ROLE public")
+      Engine.ddl(spark, "GRANT INSERT ON TABLE graft_tmp.r13_ff_dst TO ROLE public")
+      Engine.ddl(spark, """FROM graft_tmp.r13_ff_src
+        INSERT OVERWRITE TABLE graft_tmp.r13_ff_dst SELECT k""")
+      assert(spark.table("graft_tmp.r13_ff_dst").count() == 1)
+    } finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
+  test("INSERT OVERWRITE DIRECTORY is not misparsed as a table named DIRECTORY") {
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("r13_dirins").toString
+      // must not refuse with "table:DIRECTORY" — a directory write has no
+      // table output to check
+      Engine.ddl(spark,
+        s"INSERT OVERWRITE DIRECTORY '$dir/out' USING parquet SELECT 1 AS one")
+      assert(spark.read.parquet(s"$dir/out").count() == 1)
+    } finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
+  test("TRUNCATE refuses while partitions are archived") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_trunc")
+    spark.sql("""CREATE TABLE graft_tmp.r13_trunc (v STRING, ds STRING)
+      USING parquet PARTITIONED BY (ds)""")
+    spark.sql("INSERT INTO graft_tmp.r13_trunc PARTITION (ds='d1') VALUES ('a')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_trunc ARCHIVE PARTITION (ds='d1')")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "TRUNCATE TABLE graft_tmp.r13_trunc")
+      }
+      assert(e.getMessage.contains("conflict with existing archive"), e.getMessage)
+      // UNARCHIVE restores truncatability
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_trunc UNARCHIVE PARTITION (ds='d1')")
+      Engine.ddl(spark, "TRUNCATE TABLE graft_tmp.r13_trunc")
+      assert(spark.table("graft_tmp.r13_trunc").count() == 0)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  test("archiving a format-diverged partition refuses; archiving others keeps the divergence") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_harch")
+    spark.sql("""CREATE TABLE graft_tmp.r13_harch (v STRING, p STRING)
+      USING parquet PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO graft_tmp.r13_harch PARTITION (p='seq') VALUES ('s')")
+    spark.sql("INSERT INTO graft_tmp.r13_harch PARTITION (p='plain') VALUES ('x')")
+    spark.sql("INSERT INTO graft_tmp.r13_harch PARTITION (p='drop') VALUES ('d')")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.r13_harch PARTITION (p='seq') SET FILEFORMAT SEQUENCEFILE")
+    Engine.ddl(spark, """INSERT OVERWRITE TABLE graft_tmp.r13_harch
+      PARTITION (p='seq') SELECT 's1'""")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      // archiving the DIVERGED partition refuses: the hetero union read
+      // derives its path from the standard layout and cannot follow the
+      // relocation — silent empty reads would be worse
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_harch ARCHIVE PARTITION (p='seq')")
+      }
+      assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+      // archiving a PLAIN partition of the same table is fine, and an
+      // unrelated DROP PARTITION must not strip the live divergence entry
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_harch ARCHIVE PARTITION (p='plain')")
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_harch DROP PARTITION (p='drop')")
+      assert(plans.HeteroPartitions.entriesOf(spark, "graft_tmp.r13_harch")
+        .map(_._1) == Seq("p=seq"),
+        "unrelated archive + drop stripped the hetero entry")
+      val rows = spark.table("graft_tmp.r13_harch").select("v")
+        .collect().map(_.getString(0)).toSet
+      assert(rows == Set("s1", "x"), rows.toString)
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_harch UNARCHIVE PARTITION (p='plain')")
+      assert(spark.table("graft_tmp.r13_harch").count() == 2)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  test("backticked targets cannot slip past the archive write guard") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_bt")
+    spark.sql("""CREATE TABLE graft_tmp.r13_bt (v STRING, ds STRING)
+      USING parquet PARTITIONED BY (ds)""")
+    spark.sql("INSERT INTO graft_tmp.r13_bt PARTITION (ds='d1') VALUES ('a')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r13_bt ARCHIVE PARTITION (ds='d1')")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """INSERT INTO `graft_tmp`.`r13_bt`
+          PARTITION (ds='d1') VALUES ('x')""")
+      }
+      assert(e.getMessage.contains("conflict with existing archive"), e.getMessage)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  test("column grant and revoke are order-insensitive") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_colord")
+    spark.sql("CREATE TABLE graft_tmp.r13_colord (key INT, value STRING) USING parquet")
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try {
+      Engine.ddl(spark,
+        "GRANT SELECT(key, value) ON TABLE graft_tmp.r13_colord TO ROLE public")
+      // a reordered duplicate is still the metastore PK violation
+      val e = intercept[Exception] {
+        Engine.ddl(spark,
+          "GRANT SELECT(value, key) ON TABLE graft_tmp.r13_colord TO ROLE public")
+      }
+      assert(e.getMessage.contains("already granted"), e.getMessage)
+      // a reordered revoke removes the grant
+      Engine.ddl(spark,
+        "REVOKE SELECT(value, key) ON TABLE graft_tmp.r13_colord FROM ROLE public")
+      val e2 = intercept[Exception] {
+        Engine.ddl(spark, "SELECT key FROM graft_tmp.r13_colord")
+      }
+      assert(e2.getMessage.contains("No privilege 'Select' found"), e2.getMessage)
+    } finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
+  test("a third-party UDTF over an empty partition still runs close() initialized") {
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_tok_empty AS 'graftjar.TokenExplode' USING JAR '$udfJar'")
+    // zero input rows: terminate() fires on partitions that never saw
+    // eval() — pre-fix the UDTF's close() ran before initialize()
+    val rows = spark.sql(
+      """SELECT t.token, t.len
+         FROM (SELECT 'x' AS s) src
+         LATERAL VIEW r13_tok_empty(s) t AS token, len
+         WHERE 1 = 0""").collect()
+    assert(rows.isEmpty)
+  }
+
   // ---- one-pass hive.exec.max.dynamic.partitions enforcement -----------
 
   test("dynamic-partition cap runs the SELECT once and guards nondeterministic ones") {
