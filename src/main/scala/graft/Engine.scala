@@ -788,6 +788,18 @@ object Engine {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
+  /** Explicit session-close hook for multi-session applications: Hive
+    * scopes TEMPORARY tables to the SESSION, and application end (the
+    * listener fallback) is too late when many sessions share one
+    * SparkContext. Drops the session's registered temp tables and
+    * releases its per-session registries so the session object is
+    * immediately collectable. Idempotent. */
+  def closeSession(s: SparkSession): Unit = {
+    dropTempTables(s)
+    tempTables.remove(s)
+    registered.remove(s)
+  }
+
   /** Drop every TEMPORARY table registered on `s` (idempotent; catalog
     * API directly — no SQL execution, safe during context shutdown). */
   def dropTempTables(s: SparkSession): Unit = {

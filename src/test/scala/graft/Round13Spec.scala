@@ -54,6 +54,22 @@ class Round13Spec extends SparkSpec {
     assert(spark.table("graft_tmp.r13_perm2").count() == 2)
   }
 
+  test("Engine.closeSession drops the session's temp tables (Hive session scope)") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_close_t")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_close_p")
+    Engine.ddl(spark,
+      "CREATE TEMPORARY TABLE graft_tmp.r13_close_t (k INT) USING PARQUET")
+    Engine.ddl(spark,
+      "CREATE TABLE graft_tmp.r13_close_p (k INT) USING PARQUET")
+    Engine.closeSession(spark)
+    assert(!spark.catalog.tableExists("graft_tmp.r13_close_t"),
+      "session close must drop the session's temp tables")
+    assert(spark.catalog.tableExists("graft_tmp.r13_close_p"),
+      "session close must not touch permanent tables")
+    Engine.closeSession(spark) // idempotent
+  }
+
   test("a genuinely created IF NOT EXISTS temp table is still dropped") {
     freshDb()
     Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r13_fresh")
