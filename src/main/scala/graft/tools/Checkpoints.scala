@@ -27,40 +27,43 @@ object Checkpoints {
   private def rddOf(cp: DataFrame): Option[RDD[_]] =
     cp.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
 
-  /** Eager localCheckpoint whose backing RDD is tracked for later release. */
-  def local(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    rddOf(cp).foreach(live.add)
-    cp
-  }
-
-  /** Lineage cut for iterative operators: a DURABLE `checkpoint()` under
-    * `spark.graft.checkpointDir` when that conf is set, else a tracked
-    * [[local]] checkpoint.
+  /** Eager checkpoint, DURABLE under `spark.graft.checkpointDir` when
+    * that conf is set, else a tracked localCheckpoint.
     *
     * localCheckpoint stores blocks in executor memory/disk — fine on
     * local[n], but on a 1000-executor cluster a lost executor loses blocks
-    * whose lineage was CUT, failing the job unrecoverably mid-iteration.
-    * Production runs of the iterative operators (Dedup.clusters label
-    * propagation, GlobalRank's materialized range layout) should set
-    * spark.graft.checkpointDir to a durable path (HDFS/object store);
-    * reliable checkpoints survive executor loss and pin no block-manager
-    * storage, so [[release]]/[[sweep]] are safe no-ops on them. Checkpoint
-    * FILES outlive the run unless spark.cleaner.referenceTracking
-    * .cleanCheckpoints=true — point the dir at job-scoped scratch space.
+    * whose lineage was CUT, failing the job unrecoverably. Production
+    * runs should set spark.graft.checkpointDir to a durable path
+    * (HDFS/object store); reliable checkpoints survive executor loss and
+    * pin no block-manager storage, so [[release]]/[[sweep]] are safe
+    * no-ops on them. The conf governs EVERY checkpointing call site —
+    * iterative operators (Dedup.clusters, GlobalRank) and single-query
+    * staging (Engine's self-read INSERT, dynamic-cap staging) alike, so
+    * "durable mode" means the whole engine, not just the loops.
+    * Checkpoint FILES outlive the run unless spark.cleaner
+    * .referenceTracking.cleanCheckpoints=true — point the dir at
+    * job-scoped scratch space.
     */
-  def cut(df: DataFrame): DataFrame = {
+  def local(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir appends a per-context UUID subdir — match on
-        // prefix or every cut() would mint a fresh subdir
+        // prefix or every call would mint a fresh subdir
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
-      case None => local(df)
+      case None =>
+        val cp = df.localCheckpoint()
+        rddOf(cp).foreach(live.add)
+        cp
     }
   }
+
+  /** Lineage cut for iterative operators — same contract as [[local]];
+    * the separate name keeps call-site intent readable (per-iteration
+    * cuts vs one-shot staging). */
+  def cut(df: DataFrame): DataFrame = local(df)
 
   /** Unpersist one checkpointed DataFrame's storage (safe on non-checkpoints
     * and double-release: unpersist is idempotent). Non-blocking — block

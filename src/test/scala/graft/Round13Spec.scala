@@ -493,6 +493,24 @@ class Round13Spec extends SparkSpec {
     } finally spark.conf.unset("hive.security.authorization.enabled")
   }
 
+  test("spark.graft.checkpointDir makes EVERY checkpoint durable, not just cut()") {
+    val dir = java.nio.file.Files.createTempDirectory("r13_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      import spark.implicits._
+      val cp = tools.Checkpoints.local(Seq(1, 2, 3).toDF("v"))
+      assert(cp.count() == 3)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator()
+      var n = 0
+      while (files.hasNext) { files.next(); n += 1 }
+      assert(n > 1, s"Checkpoints.local ignored the durable dir ($dir empty)")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      tools.Checkpoints.sweep()
+    }
+  }
+
   // ---- round-13 self-review regression pins -----------------------------
 
   test("FROM-first multi-insert is gated by authorization enforcement") {
