@@ -283,6 +283,28 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(tot - want.map(_._2).sum) < 1e-9, tot.toString)
   }
 
+  test("complex types cross the adapter: array<int> in, struct out") {
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r13_astats AS 'graftjar.ArrayStats' USING JAR '$udfJar'")
+    val r = spark.sql(
+      """SELECT r13_astats(array(3, 1, 4, 1, 5)) AS s,
+                r13_astats(array(7, CAST(NULL AS INT), 2)).mn AS mn2,
+                r13_astats(CAST(NULL AS ARRAY<INT>)) AS nul""").collect().head
+    val s = r.getStruct(0)
+    assert((s.getInt(0), s.getInt(1), s.getInt(2)) == ((1, 5, 5)), s.toString)
+    assert(r.getInt(1) == 2, r.toString)
+    assert(r.isNullAt(2))
+    // distributed over a real column too (array built per row)
+    Tables.views(spark, sf, "nation")
+    val agg = spark.sql(
+      """SELECT sum(r13_astats(array(n_nationkey, n_regionkey)).mx) AS smax
+         FROM nation""").collect().head.getLong(0)
+    val want = spark.sql(
+      """SELECT sum(CAST(greatest(n_nationkey, n_regionkey) AS BIGINT))
+         FROM nation""").collect().head.getLong(0)
+    assert(agg == want, s"$agg vs $want")
+  }
+
   test("CREATE FUNCTION USING JAR with a missing jar fails loudly") {
     val e = intercept[Exception] {
       Engine.ddl(spark,
