@@ -119,13 +119,19 @@ object Bench {
       val qSteal0 = stealSec()
       var best = (1 to runs).map(_ => timeOnce()).min
       var qSteal = { val s = stealSec(); if (s < 0 || qSteal0 < 0) -1.0 else s - qSteal0 }
-      // contention-retry: min far above the committed quiet-host time AND
-      // visible steal during the timing window → re-time, bounded. Each
-      // retry re-reads steal so a now-quiet host can clear the query.
+      // contention-retry: min far above the committed quiet-host time →
+      // re-time, bounded. The FIRST retry is steal-UNGATED: burst
+      // contention shorter than the /proc/stat sampling window shows
+      // per-query steal ≈ 0 yet still inflates a run (r13: q75 at 3.6x
+      // with steal 0.02 — unexplainable from the artifact alone), so any
+      // row over the bar earns one re-time on its own evidence. Later
+      // retries still require VISIBLE steal, keeping the loop from
+      // grinding on a genuine regression. Each retry re-reads steal so a
+      // now-quiet host can clear the query.
       val ref = refTimes.getOrElse(name, -1.0)
       var attempts = 0
       while (attempts < stealRetries && ref > 0.02 && !failedQueries.contains(name) &&
-          best > suspectBar(ref) && qSteal > stealGate) {
+          best > suspectBar(ref) && (attempts == 0 || qSteal > stealGate)) {
         attempts += 1
         retriedQueries += name
         val s0 = stealSec()

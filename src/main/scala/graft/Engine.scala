@@ -3565,15 +3565,17 @@ object Engine {
       case insertAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Insert", db, tb, output = true)
-      case updateRe(t, _, _) =>
+      case updateRe(t, _, cond) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
+        enforceConditionReads(spark, t, cond)
       case updateAllRe(t, _) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
-      case deleteRe(t, _) =>
+      case deleteRe(t, cond) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Delete", db, tb, output = true)
+        enforceConditionReads(spark, t, cond)
       case deleteAllRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Delete", db, tb, output = true)
@@ -3593,6 +3595,19 @@ object Engine {
       case alterAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
+      // EXPORT TABLE reads the table's FULL contents — a rewrite-owned
+      // read path the analyzed-plan walk below never sees (the statement
+      // doesn't parse as a query), so it needs its own Select case or a
+      // user with no grant at all could still exfiltrate the data
+      case exportRe(t, _) =>
+        val (db, tb) = nameOf(t)
+        val allCols =
+          try spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(t))
+            .schema.map(_.name).toSet
+          catch { case _: Exception => Set.empty[String] }
+        graft.operators.Auth.enforce(spark, "Select", db, tb,
+          output = false, needed = allCols)
       // FROM-first multi-insert: every INSERT branch is a write, and the
       // shared FROM source (when it names a table, not a subquery) a read
       case s if s.trim.toUpperCase.startsWith("FROM") &&
@@ -3636,6 +3651,32 @@ object Engine {
     }
   }
 
+  /** UPDATE/DELETE are rewrite-owned (the statement never reaches the
+    * analyzed-plan walk), but their WHERE clause can read OTHER tables
+    * through subqueries — a read path that must not fail open. Analyze
+    * the condition as a query over the target and Select-check every
+    * input EXCEPT the target itself (the target's access is governed by
+    * the Update/Delete write privilege, as in the reference's legacy
+    * provider where the updated table is a WriteEntity). */
+  private def enforceConditionReads(spark: SparkSession, target: String,
+      cond: String): Unit = {
+    if (!cond.toUpperCase.contains("SELECT")) return // no subquery: no reads
+    val tgt = target.replace("`", "")
+    val tgtName = tgt.split("\\.").last
+    val inputs =
+      try queryInputColumns(spark, s"SELECT 1 FROM $tgt WHERE $cond")
+      catch { case _: Exception => Nil }
+    inputs.foreach { case (n, cols) =>
+      val (db, tb) = n.split("@") match {
+        case Array(d, t) => (d, t)
+        case Array(t) => (spark.catalog.currentDatabase, t)
+      }
+      if (!tb.equalsIgnoreCase(tgtName))
+        graft.operators.Auth.enforce(spark, "Select", db, tb,
+          output = false, needed = cols)
+    }
+  }
+
   /** Input tables of a query WITH the columns the plan actually touches
     * per table (plan-wide referenced attribute ids intersected with each
     * leaf's output) — the reference's per-column read entities that
@@ -3646,8 +3687,11 @@ object Engine {
     val analyzed = analyzeOnly(spark, q).analyzed
     // leaf relations carry their own output attributes as constructor
     // fields (LogicalRelation.output), which `expressions` reports —
-    // counting those would mark every column of every table as "used"
-    val refs = analyzed.collect {
+    // counting those would mark every column of every table as "used".
+    // collectWithSubqueries, not collect: IN/EXISTS/scalar subqueries
+    // hold their plans inside EXPRESSIONS, so a child-only walk would
+    // fail-open the tables a WHERE-subquery reads
+    val refs = analyzed.collectWithSubqueries {
       case n if !n.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
         n.expressions.flatMap(_.references.map(_.exprId))
@@ -3662,13 +3706,27 @@ object Engine {
         .map(_.name).toSet
       acc.update(name, acc.getOrElse(name, Set.empty) ++ used)
     }
-    analyzed.foreach {
+    // only aliases wrapping an ACTUAL stored relation are read entities —
+    // a table-free derived table (`FROM (SELECT 1) t`), aliased VALUES
+    // (LocalRelation), or range() TVF has no table to authorize, and the
+    // reference only emits ReadEntity for real tables/views
+    def isStoredRelation(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+        case _: org.apache.spark.sql.catalyst.catalog.UnresolvedCatalogRelation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+        case _: View => true
+        case _ => false
+      }
+    analyzed.collectWithSubqueries {
       case v: View =>
         add(v.desc.identifier.database.toSeq :+ v.desc.identifier.table, v)
       case sa: SubqueryAlias
-          if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) =>
+          if !sa.child.exists(_.isInstanceOf[SubqueryAlias]) &&
+            sa.child.exists(isStoredRelation) =>
         add(sa.identifier.qualifier :+ sa.identifier.name, sa)
-      case _ => ()
     }
     acc.toSeq
   }

@@ -37,11 +37,20 @@ object Archive {
 
   val PropKey = "graft.archived"
 
+  // Entries join with ';' in the table property, but escapePathName does
+  // not escape ';' — a partition VALUE containing one would split into
+  // bogus entries and corrupt overlap/unarchive bookkeeping. Percent-
+  // encode ';' per entry before joining ('%' itself IS escaped by
+  // escapePathName, so '%3B' cannot occur in a natural escaped path —
+  // the encoding is unambiguous and round-trips).
+  private def encodeEntry(e: String): String = e.replace(";", "%3B")
+  private def decodeEntry(e: String): String = e.replace("%3B", ";")
+
   def entriesOf(spark: SparkSession, table: String): Seq[String] =
     try spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
       .properties.get(PropKey).toSeq
-      .flatMap(_.split(";").toSeq.filter(_.nonEmpty))
+      .flatMap(_.split(";").toSeq.filter(_.nonEmpty).map(decodeEntry))
     catch { case _: Exception => Nil }
 
   private def writeEntries(spark: SparkSession, table: String,
@@ -50,7 +59,8 @@ object Archive {
       spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('$PropKey')")
     else
       spark.sql(
-        s"ALTER TABLE $table SET TBLPROPERTIES ('$PropKey' = '${entries.mkString(";")}')")
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$PropKey' = " +
+          s"'${entries.map(encodeEntry).mkString(";")}')")
     spark.sql(s"REFRESH TABLE $table")
   }
 
@@ -79,18 +89,31 @@ object Archive {
     val declared = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
       .partitionColumnNames
-    val kvs = specText.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+    val kvs0 = specText.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
       require(kv.contains("="), s"PARTITION spec needs key=value, got: $kv")
       val Array(k, v) = kv.split("=", 2).map(_.trim)
       (k, v.stripPrefix("'").stripSuffix("'"))
     }.toSeq
+    // For the ARCHIVE/UNARCHIVE statement itself (requirePrefix), the
+    // reference demands the spec keys match the declared order TEXTUALLY
+    // (ErrorMsg 10125, clientnegative/archive_partspec4.q refuses
+    // (hr, ds) on a (ds, hr) table) — validate kvs0 as given. For the
+    // WRITE-GATE comparison (requirePrefix=false) an INSERT's PARTITION
+    // clause may legally list keys in any order, so the path builds in
+    // DECLARED order or a reversed-order static spec would miss the
+    // overlap and write into the relocated archive subtree.
     if (requirePrefix) {
-      require(kvs.nonEmpty && kvs.length <= declared.length &&
-          kvs.zip(declared).forall { case ((k, _), d) => k.equalsIgnoreCase(d) },
+      require(kvs0.nonEmpty && kvs0.length <= declared.length &&
+          kvs0.zip(declared).forall { case ((k, _), d) => k.equalsIgnoreCase(d) },
         "Partition columns in partition specification are not the same as " +
-          s"that defined in the table schema (a leading prefix of " +
-          s"(${declared.mkString(", ")}) in order is required, got " +
-          s"(${kvs.map(_._1).mkString(", ")}))")
+          s"that defined in the table schema. The names and orders have to " +
+          s"be exactly the same. Partition columns in the table schema " +
+          s"are: (${declared.mkString(", ")}), while the partitions " +
+          s"specified in the query are: (${kvs0.map(_._1).mkString(", ")}).")
+    }
+    val kvs = kvs0.sortBy { case (k, _) =>
+      val i = declared.indexWhere(_.equalsIgnoreCase(k))
+      if (i < 0) Int.MaxValue else i
     }
     kvs.map { case (k, v) =>
       val d = declared.find(_.equalsIgnoreCase(k)).getOrElse(k)

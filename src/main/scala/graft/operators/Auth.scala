@@ -75,8 +75,12 @@ object Auth {
   // creating user is denied too until granted —
   // clientnegative/authorization_fail_2.q). `admin` role bypasses
   // (SQLStdHiveAccessController's superuser role). Column-level grants
-  // (select(key)) are accepted by the GRANT grammar but enforcement is
-  // table-granularity — documented simplification.
+  // (select(key)) are ENFORCED: hasPriv requires the union of a user's
+  // column grants to cover every column the analyzed plan references on
+  // that table (authorization_1.q — select(key) admits `SELECT key`,
+  // refuses other columns; missingColumn supplies the reference's
+  // columnName-carrying error text). Write privileges (Insert/Update/
+  // Delete/...) stay table-level, as in the reference.
 
   def enforcementEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("hive.security.authorization.enabled")

@@ -1,0 +1,261 @@
+package graft
+
+/** Round-14 gates: the r13 advisor findings.
+  *
+  *  - (medium) under hive.security.authorization.enabled, a TABLE-FREE
+  *    derived table (`FROM (SELECT 1) t`), aliased VALUES, or table-free
+  *    CTE body must NOT be treated as a read entity — the reference only
+  *    authorizes real ReadEntity tables.
+  *  - (low) an INSERT whose static PARTITION spec lists keys in reversed
+  *    textual order must still hit the archive write-gate (spec paths
+  *    compare in DECLARED column order).
+  *  - (low) EXPORT TABLE reads the table's full contents and must be
+  *    Select-gated under enforcement; UPDATE/DELETE WHERE-subqueries must
+  *    Select-check the OTHER tables they read.
+  *  - (low) a partition value containing ';' must round-trip through the
+  *    graft.archived table property without splitting into bogus entries.
+  *  - (carry) column-level SELECT grants never admit the write side:
+  *    GRANT select(key) then INSERT must still refuse.
+  */
+class Round14Spec extends SparkSpec {
+
+  private def freshDb(): Unit =
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+
+  private def withAuth(body: => Unit): Unit = {
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    try body
+    finally spark.conf.unset("hive.security.authorization.enabled")
+  }
+
+  // ---- table-free derived tables under enforcement (medium) ------------
+
+  test("enforcement skips table-free derived tables, VALUES, and CTE bodies") {
+    freshDb()
+    withAuth {
+      // no grants held at all — these read no stored table, so they pass
+      assert(Engine.ddl(spark,
+        "SELECT * FROM (SELECT 1 AS a) t").count() == 1)
+      assert(Engine.ddl(spark,
+        "SELECT * FROM (VALUES (1), (2)) v(x)").count() == 2)
+      assert(Engine.ddl(spark,
+        "WITH c AS (SELECT 1 AS a UNION ALL SELECT 2) SELECT * FROM c")
+        .count() == 2)
+      assert(Engine.ddl(spark,
+        "SELECT * FROM range(3)").count() == 3)
+    }
+  }
+
+  test("enforcement still denies a REAL table wrapped in a derived table") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_auth_t")
+    spark.sql("CREATE TABLE graft_tmp.r14_auth_t (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_auth_t VALUES (1)")
+    withAuth {
+      val e = intercept[Exception] {
+        Engine.ddl(spark,
+          "SELECT * FROM (SELECT k FROM graft_tmp.r14_auth_t) t")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found"), e.getMessage)
+      Engine.ddl(spark,
+        "GRANT SELECT ON TABLE graft_tmp.r14_auth_t TO ROLE public")
+      assert(Engine.ddl(spark,
+        "SELECT * FROM (SELECT k FROM graft_tmp.r14_auth_t) t").count() == 1)
+      Engine.ddl(spark,
+        "REVOKE SELECT ON TABLE graft_tmp.r14_auth_t FROM ROLE public")
+    }
+  }
+
+  // ---- EXPORT is Select-gated (low) -------------------------------------
+
+  test("EXPORT TABLE is denied without Select and admitted with it") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_exp")
+    spark.sql("CREATE TABLE graft_tmp.r14_exp (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_exp VALUES (1), (2)")
+    val dir = java.nio.file.Files.createTempDirectory("r14exp").toString
+    new java.io.File(dir).delete() // EXPORT wants a fresh target
+    withAuth {
+      val e = intercept[Exception] {
+        Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r14_exp TO '$dir'")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found"), e.getMessage)
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r14_exp TO ROLE public")
+      Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r14_exp TO '$dir'")
+      assert(new java.io.File(dir).exists, "export must have run after grant")
+      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r14_exp FROM ROLE public")
+    }
+  }
+
+  test("a column-only Select grant does not cover EXPORT's full-table read") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_expc")
+    spark.sql("CREATE TABLE graft_tmp.r14_expc (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_expc VALUES (1, 'a')")
+    val dir = java.nio.file.Files.createTempDirectory("r14expc").toString
+    new java.io.File(dir).delete()
+    withAuth {
+      Engine.ddl(spark,
+        "GRANT SELECT(k) ON TABLE graft_tmp.r14_expc TO ROLE public")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r14_expc TO '$dir'")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found"), e.getMessage)
+      Engine.ddl(spark,
+        "REVOKE SELECT(k) ON TABLE graft_tmp.r14_expc FROM ROLE public")
+    }
+  }
+
+  // ---- UPDATE/DELETE WHERE-subquery reads are gated (low) ---------------
+
+  test("DELETE with a subquery over an ungranted table is denied") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_del_t")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_del_s")
+    spark.sql("CREATE TABLE graft_tmp.r14_del_t (k INT) USING parquet")
+    spark.sql("CREATE TABLE graft_tmp.r14_del_s (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_del_t VALUES (1), (2)")
+    spark.sql("INSERT INTO graft_tmp.r14_del_s VALUES (1)")
+    withAuth {
+      Engine.ddl(spark, "GRANT ALL ON TABLE graft_tmp.r14_del_t TO ROLE public")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """DELETE FROM graft_tmp.r14_del_t
+          WHERE k IN (SELECT k FROM graft_tmp.r14_del_s)""")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found") &&
+        e.getMessage.contains("r14_del_s"), e.getMessage)
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r14_del_s TO ROLE public")
+      Engine.ddl(spark, """DELETE FROM graft_tmp.r14_del_t
+        WHERE k IN (SELECT k FROM graft_tmp.r14_del_s)""")
+      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r14_del_s FROM ROLE public")
+      Engine.ddl(spark, "REVOKE ALL ON TABLE graft_tmp.r14_del_t FROM ROLE public")
+    }
+    assert(spark.table("graft_tmp.r14_del_t").count() == 1)
+  }
+
+  test("UPDATE with a subquery over an ungranted table is denied") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_upd_t")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_upd_s")
+    spark.sql("CREATE TABLE graft_tmp.r14_upd_t (k INT, v STRING) USING parquet")
+    spark.sql("CREATE TABLE graft_tmp.r14_upd_s (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_upd_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_tmp.r14_upd_s VALUES (2)")
+    withAuth {
+      Engine.ddl(spark, "GRANT ALL ON TABLE graft_tmp.r14_upd_t TO ROLE public")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """UPDATE graft_tmp.r14_upd_t SET v = 'x'
+          WHERE k IN (SELECT k FROM graft_tmp.r14_upd_s)""")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found") &&
+        e.getMessage.contains("r14_upd_s"), e.getMessage)
+      Engine.ddl(spark, "REVOKE ALL ON TABLE graft_tmp.r14_upd_t FROM ROLE public")
+    }
+  }
+
+  test("SELECT with an IN-subquery Select-checks the subquery's table too") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_sq_t")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_sq_s")
+    spark.sql("CREATE TABLE graft_tmp.r14_sq_t (k INT) USING parquet")
+    spark.sql("CREATE TABLE graft_tmp.r14_sq_s (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_sq_t VALUES (1), (2)")
+    spark.sql("INSERT INTO graft_tmp.r14_sq_s VALUES (2)")
+    withAuth {
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r14_sq_t TO ROLE public")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """SELECT k FROM graft_tmp.r14_sq_t
+          WHERE k IN (SELECT k FROM graft_tmp.r14_sq_s)""")
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found") &&
+        e.getMessage.contains("r14_sq_s"), e.getMessage)
+      Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r14_sq_s TO ROLE public")
+      assert(Engine.ddl(spark, """SELECT k FROM graft_tmp.r14_sq_t
+        WHERE k IN (SELECT k FROM graft_tmp.r14_sq_s)""").count() == 1)
+      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r14_sq_t FROM ROLE public")
+      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r14_sq_s FROM ROLE public")
+    }
+  }
+
+  // ---- column-level grant never admits the write side (carry) -----------
+
+  test("GRANT select(key) does not admit INSERT (write stays table-level)") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_colw")
+    spark.sql("CREATE TABLE graft_tmp.r14_colw (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_colw VALUES (1, 'a')")
+    withAuth {
+      Engine.ddl(spark,
+        "GRANT SELECT(k) ON TABLE graft_tmp.r14_colw TO ROLE public")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "INSERT INTO graft_tmp.r14_colw VALUES (2, 'b')")
+      }
+      assert(e.getMessage.contains("No privilege 'Insert' found"), e.getMessage)
+      Engine.ddl(spark,
+        "REVOKE SELECT(k) ON TABLE graft_tmp.r14_colw FROM ROLE public")
+    }
+    assert(spark.table("graft_tmp.r14_colw").count() == 1)
+  }
+
+  // ---- archive spec-path ordering (low) ----------------------------------
+
+  test("reversed-order PARTITION spec still hits the archive write-gate") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_arch_ord")
+    spark.sql("""CREATE TABLE graft_tmp.r14_arch_ord (v STRING, ds STRING, hr STRING)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.sql(
+      "INSERT INTO graft_tmp.r14_arch_ord PARTITION (ds='x', hr='1') VALUES ('a')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r14_arch_ord ARCHIVE PARTITION (ds='x')")
+      // the spec keys in REVERSED textual order name the same partition —
+      // it must conflict, not silently write into the relocated subtree
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """INSERT INTO graft_tmp.r14_arch_ord
+          PARTITION (hr='1', ds='x') VALUES ('evil')""")
+      }
+      assert(e.getMessage.contains("conflict with existing archive"), e.getMessage)
+      assert(spark.table("graft_tmp.r14_arch_ord").count() == 1)
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r14_arch_ord UNARCHIVE PARTITION (ds='x')")
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  // ---- ';' in a partition value round-trips archive bookkeeping (low) ----
+
+  test("partition value containing ';' round-trips archive entries") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_arch_semi")
+    spark.sql("""CREATE TABLE graft_tmp.r14_arch_semi (v STRING, ds STRING)
+      USING parquet PARTITIONED BY (ds)""")
+    spark.sql(
+      "INSERT INTO graft_tmp.r14_arch_semi PARTITION (ds='a;b') VALUES ('x')")
+    spark.sql(
+      "INSERT INTO graft_tmp.r14_arch_semi PARTITION (ds='plain') VALUES ('y')")
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r14_arch_semi ARCHIVE PARTITION (ds='a;b')")
+      // ONE entry, not two bogus halves: a second archive on the other
+      // partition must succeed, and the archived one must still read
+      assert(operators.Archive.entriesOf(spark, "graft_tmp.r14_arch_semi")
+        .size == 1)
+      assert(spark.table("graft_tmp.r14_arch_semi").count() == 2)
+      // the write-gate sees the true spec
+      val e = intercept[Exception] {
+        Engine.ddl(spark, """INSERT INTO graft_tmp.r14_arch_semi
+          PARTITION (ds='a;b') VALUES ('z')""")
+      }
+      assert(e.getMessage.contains("conflict with existing archive"), e.getMessage)
+      // unarchive restores cleanly (bookkeeping didn't corrupt)
+      Engine.ddl(spark,
+        "ALTER TABLE graft_tmp.r14_arch_semi UNARCHIVE PARTITION (ds='a;b')")
+      assert(operators.Archive.entriesOf(spark, "graft_tmp.r14_arch_semi").isEmpty)
+      Engine.ddl(spark, """INSERT INTO graft_tmp.r14_arch_semi
+        PARTITION (ds='a;b') VALUES ('z')""")
+      assert(spark.table("graft_tmp.r14_arch_semi").count() == 3)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+}
