@@ -287,6 +287,20 @@ object Auth {
       // priv grant carries ON — match it before the role-grant shape
       case grantPrivRe(privs, kind, obj, to, withGrant) => st.synchronized {
         val (db, tbl) = splitObj(spark, kind, obj)
+        // the reference refuses granting on a table that does not exist
+        // (SemanticAnalyzer getTable — "Table not found"); recording the
+        // grant anyway would silently authorize a future table of that name
+        if (tbl.nonEmpty) {
+          val exists = try {
+            spark.sessionState.catalog.tableExists(
+              org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))) ||
+            // a TEMPORARY VIEW is a legal grant target in scripts that
+            // stage fixture data as views (the reference grants on views)
+            spark.sessionState.catalog.getTempView(tbl).nonEmpty ||
+            spark.sessionState.catalog.getGlobalTempView(tbl).nonEmpty
+          } catch { case _: Exception => false }
+          require(exists, s"Table not found $db.$tbl")
+        }
         for {
           m <- privItemRe.findAllMatchIn(privs).toSeq
           priv = m.group(1).toUpperCase

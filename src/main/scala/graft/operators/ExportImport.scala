@@ -149,6 +149,41 @@ object ExportImport {
         s"export: ${dParts.map(_.name).mkString(", ")})")
     val target = new Path(em.location)
     val tfs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // the reference's overlap refusals (ImportSemanticAnalyzer):
+    // a NON-PARTITIONED destination that already holds data files refuses
+    // (clientnegative/exim_01_nonpart_over_loaded.q — an append would
+    // silently double rows a re-run script already loaded), and a
+    // PARTITIONED import refuses when any incoming partition already
+    // exists (exim_02_all_part_over_overlap.q) — only NEW partitions may
+    // land next to existing ones.
+    if (ePartCols.isEmpty) {
+      val hasData = Option(tfs.listStatus(target)).toSeq.flatten.exists { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData)
+        sys.error(s"IMPORT into existing table $table: " +
+          "table exists and contains data files")
+    } else {
+      val existing = spark.sessionState.catalog.listPartitionNames(ident).toSet
+      Option(f.listStatus(new Path(dir, "data"))).toSeq.flatten
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .foreach { st =>
+          // export lays out one level per partition column; compare full
+          // relative partition paths against the catalog's names
+          def leaves(p: Path, rel: String): Seq[String] = {
+            val kids = Option(f.listStatus(p)).toSeq.flatten
+              .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+            if (kids.isEmpty) Seq(rel)
+            else kids.flatMap(c => leaves(c.getPath, rel + "/" + c.getPath.getName))
+          }
+          leaves(st.getPath, st.getPath.getName).foreach { spec =>
+            if (existing.contains(spec))
+              sys.error(s"IMPORT into existing table $table: " +
+                s"partition already exists: $spec")
+          }
+        }
+    }
     val uid = java.util.UUID.randomUUID().toString.take(8)
     def copyInto(srcDir: Path, dst: Path): Unit = {
       tfs.mkdirs(dst)
