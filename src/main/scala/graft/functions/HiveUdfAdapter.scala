@@ -50,8 +50,21 @@ case class HiveGenericUdfExpr(funcName: String, udfClassName: String,
   override def nullable: Boolean = true
   override def prettyName: String = funcName
 
-  @transient private lazy val udf: GenericUDF =
-    HiveUdfAdapter.instantiate(funcName, udfClassName)
+  @transient private lazy val udf: GenericUDF = {
+    val u = HiveUdfAdapter.instantiate(funcName, udfClassName)
+    // the reference closes each operator's UDFs when the operator closes
+    // (GenericUDF.close() — wild UDFs flush buffers / release native
+    // handles there). A Catalyst expression has no operator-close hook,
+    // so hang it off the TASK: executor-side instantiation always runs
+    // inside a task (one expression instance per task after the task
+    // binary deserializes = per-partition close, the reference's shape);
+    // driver-side analysis instantiation has no TaskContext — nothing to
+    // close, that instance only answers initialize().
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try u.close() catch { case _: Exception => () }))
+    u
+  }
 
   @transient private lazy val argOIs: Array[ObjectInspector] =
     children.map { c =>
@@ -70,7 +83,13 @@ case class HiveGenericUdfExpr(funcName: String, udfClassName: String,
   override lazy val deterministic: Boolean = {
     val ann = HiveUdfAdapter.loadClass(udfClassName)
       .getAnnotation(classOf[UDFType])
-    (ann == null || ann.deterministic()) && children.forall(_.deterministic)
+    // stateful UDFs (row_sequence shape) are non-deterministic BY
+    // DEFINITION for the optimizer even if the annotation forgets to
+    // clear deterministic(): folding or common-subexpression sharing
+    // would freeze or alias the per-row state (the reference's
+    // FunctionRegistry.isStateful → isDeterministic=false rule)
+    (ann == null || (ann.deterministic() && !ann.stateful())) &&
+      children.forall(_.deterministic)
   }
 
   override def eval(input: InternalRow): Any = {

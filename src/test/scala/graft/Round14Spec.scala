@@ -197,6 +197,53 @@ class Round14Spec extends SparkSpec {
     assert(spark.table("graft_tmp.r14_colw").count() == 1)
   }
 
+  // ---- jar-UDF lifecycle hardening ----------------------------------------
+
+  private val fixtureJar = new java.io.File(
+    "src/test/resources/jars/graft-hiveudf.jar").getAbsolutePath
+
+  test("@UDFType(stateful) jar UDF advances per row and never folds") {
+    import scala.jdk.CollectionConverters._
+    Tables.views(spark, sf, "nation")
+    spark.table("nation").repartition(1)
+      .createOrReplaceTempView("r14_nation_one_part")
+    Engine.ddl(spark, "DROP TEMPORARY FUNCTION IF EXISTS r14_seq")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r14_seq AS 'graftjar.StatefulSeq' USING JAR '$fixtureJar'")
+    // single partition: ONE instance sees every row, so the sequence is
+    // exactly 1..25 — constant folding or CSE sharing would collapse it
+    val vals = Engine.ddl(spark,
+      "SELECT r14_seq() AS s FROM r14_nation_one_part")
+      .collect().map(_.getLong(0)).sorted
+    assert(vals.toSeq == (1L to 25L), vals.mkString(","))
+    // the expression must report non-deterministic (the reference's
+    // isStateful -> non-deterministic rule keeps the optimizer honest)
+    val det = Engine.ddl(spark, "SELECT r14_seq() AS s FROM r14_nation_one_part")
+      .queryExecution.analyzed.expressions.forall(_.deterministic)
+    assert(!det, "stateful UDF reported deterministic")
+  }
+
+  test("GenericUDF.close() fires at partition end (jar CloseMarker)") {
+    import scala.jdk.CollectionConverters._
+    Tables.views(spark, sf, "nation")
+    Engine.ddl(spark, "DROP TEMPORARY FUNCTION IF EXISTS r14_close")
+    Engine.ddl(spark,
+      s"CREATE TEMPORARY FUNCTION r14_close AS 'graftjar.CloseMarker' USING JAR '$fixtureJar'")
+    val marker = java.nio.file.Files.createTempFile("r14close", ".txt")
+    java.nio.file.Files.delete(marker)
+    val out = Engine.ddl(spark,
+      s"SELECT r14_close('$marker', n_name) AS v FROM nation").collect()
+    assert(out.length == 25 && out.forall(!_.isNullAt(0)))
+    assert(java.nio.file.Files.exists(marker),
+      "close() never ran — the task-completion hook is dead")
+    val lines = java.nio.file.Files.readAllLines(marker)
+    assert(lines.size() > 0 && lines.asScala.forall(_.startsWith("closed:")),
+      lines.asScala.mkString("|"))
+    // every row was seen by exactly one closed instance
+    assert(lines.asScala.map(_.stripPrefix("closed:").toLong).sum == 25L,
+      lines.asScala.mkString("|"))
+  }
+
   // ---- archive spec-path ordering (low) ----------------------------------
 
   test("reversed-order PARTITION spec still hits the archive write-gate") {
