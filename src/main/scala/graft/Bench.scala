@@ -13,6 +13,12 @@ object Bench {
     // the engine ships (see Verify.scala note)
     val spark = Engine.session(s"local[$cpus]", "graft-bench", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // durable-checkpoint mode (same switch as tools/Soak): measures the
+    // cluster-mode lineage-cut tax — every Checkpoints.cut site writes
+    // reliable checkpoints instead of executor-block localCheckpoints
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { d =>
+      spark.conf.set("spark.graft.checkpointDir", d)
+    }
 
     // Full materialization: .count() lets Catalyst prune every projection,
     // so expression-heavy queries would time the scan only. Executing the

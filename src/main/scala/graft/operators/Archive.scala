@@ -181,17 +181,40 @@ object Archive {
       val base = if (toArchive) root else archRoot
       loc == s"$base/$path" || loc.startsWith(s"$base/$path/")
     }
-    val updated = parts.map { p =>
+    // renames run CONCURRENTLY: on HDFS a rename is one namenode RPC, but
+    // on object stores it is a copy — a serial loop over 10^4 covered
+    // partitions would turn a metadata-sized DDL into minutes. A bounded
+    // pool keeps the driver from opening unbounded connections; parents
+    // are pre-created serially (cheap, and avoids mkdirs races).
+    parts.foreach { p =>
       val loc = new org.apache.hadoop.fs.Path(p.location).toString.stripSuffix("/")
       val rel = loc.stripPrefix(if (toArchive) root else archRoot).stripPrefix("/")
-      val dst = new org.apache.hadoop.fs.Path(
-        (if (toArchive) archRoot else root) + "/" + rel)
-      val src = new org.apache.hadoop.fs.Path(loc)
-      if (!fs.exists(dst.getParent)) require(fs.mkdirs(dst.getParent),
-        s"cannot create ${dst.getParent}")
-      require(fs.rename(src, dst), s"cannot move $src to $dst")
-      p.copy(storage = p.storage.copy(locationUri = Some(dst.toUri)))
+      val parent = new org.apache.hadoop.fs.Path(
+        (if (toArchive) archRoot else root) + "/" + rel).getParent
+      if (!fs.exists(parent))
+        require(fs.mkdirs(parent), s"cannot create $parent")
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, parts.size)))
+    val updated =
+      try {
+        parts.map { p =>
+          pool.submit(new java.util.concurrent.Callable[
+              org.apache.spark.sql.catalyst.catalog.CatalogTablePartition] {
+            override def call() = {
+              val loc = new org.apache.hadoop.fs.Path(p.location)
+                .toString.stripSuffix("/")
+              val rel = loc.stripPrefix(if (toArchive) root else archRoot)
+                .stripPrefix("/")
+              val dst = new org.apache.hadoop.fs.Path(
+                (if (toArchive) archRoot else root) + "/" + rel)
+              val src = new org.apache.hadoop.fs.Path(loc)
+              require(fs.rename(src, dst), s"cannot move $src to $dst")
+              p.copy(storage = p.storage.copy(locationUri = Some(dst.toUri)))
+            }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
     if (updated.nonEmpty) {
       spark.sessionState.catalog.alterPartitions(ident, updated)
       spark.sql(s"REFRESH TABLE $table")

@@ -35,7 +35,15 @@ object Salt {
     val explodedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
-    saltedLeft.join(explodedRight,
+    // FORCE a shuffle strategy: Catalyst sizes the exploded side from the
+    // pre-explode stats (Generate keeps the child's sizeInBytes), so a
+    // "small" right side times saltFactor can get BROADCAST — the driver
+    // then builds a saltFactor×-replicated hash table, which at scale is
+    // exactly the blow-up salting exists to avoid (measured: the 30×
+    // ScaleBoard run of q75 went 2× over linear through a 36M-row
+    // broadcast). If the right side genuinely fits in a broadcast, use a
+    // plain join instead — a broadcast join has no shuffle and no skew.
+    saltedLeft.join(explodedRight.hint("merge"),
       saltedLeft(leftKey) === explodedRight(rightKey) &&
         saltedLeft("__salt") === explodedRight("__salt"))
       .drop("__salt")

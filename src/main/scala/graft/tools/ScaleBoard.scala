@@ -86,7 +86,12 @@ object ScaleBoard {
     spark.range(100).write.mode("overwrite").parquet(Tmp.dir("scale_warm") + "/w")
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // focused boards (e.g. the worst scaler re-run at a HIGHER notch):
+    // comma-separated names; unset = the full ten-query board
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def bench(name: String)(one: => Unit)(ten: => Unit): Unit = {
+      if (!only.forall(_.contains(name))) return
       val t1 = math.min(time(one), time(one)) // min-of-2, Bench convention
       Checkpoints.sweep()
       val tN = time(ten) // single N× run (bounded wall budget)

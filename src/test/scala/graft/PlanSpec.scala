@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q75_salted_join").contains("__salt"))
   }
 
+  test("q75: the salted join never broadcasts the replicated side") {
+    // Catalyst sizes the exploded right side from PRE-explode stats, so
+    // without the merge hint it broadcasts a saltFactor×-replicated hash
+    // table — the 30× ScaleBoard measured that path 2× over linear
+    // (96 s vs 16 s; SCALE.md round 14). Salting targets shuffle skew;
+    // a broadcast of the replicated side defeats both.
+    val p = plan("q75_salted_join")
+    assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("a17: RCFile scan prunes columns at the storage layer") {
     // the DML gate ends in a 3-column read of a 2+1-partition-column
     // table; the scan description must carry the pruned ReadSchema (the

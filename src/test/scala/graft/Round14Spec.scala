@@ -270,6 +270,42 @@ class Round14Spec extends SparkSpec {
     } finally spark.conf.unset("hive.archive.enabled")
   }
 
+  // ---- archive at partition scale -----------------------------------------
+
+  test("ARCHIVE of a spec covering 1000 partitions is metadata-sized") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_arch_1k")
+    spark.sql("""CREATE TABLE graft_tmp.r14_arch_1k (v INT, ds STRING, hr INT)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+    // one dynamic insert creates 1000 leaf partitions under ds='x'
+    spark.sql("""INSERT INTO graft_tmp.r14_arch_1k
+      SELECT CAST(id AS INT), 'x', CAST(id AS INT) FROM range(1000)""")
+    assert(spark.sql("SHOW PARTITIONS graft_tmp.r14_arch_1k").count() == 1000)
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      val t0 = System.nanoTime()
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r14_arch_1k ARCHIVE PARTITION (ds='x')")
+      val archSec = (System.nanoTime() - t0) / 1e9
+      // metadata-sized: concurrent renames + ONE batched alterPartitions.
+      // 60 s is an order-of-magnitude guard, not a benchmark — local FS
+      // measures ~1-2 s (recorded in PERF.md round 14)
+      assert(archSec < 60.0, f"ARCHIVE of 1000 partitions took $archSec%.1f s")
+      assert(operators.Archive.entriesOf(spark, "graft_tmp.r14_arch_1k") == Seq("ds=x"))
+      // reads still see every row through the relocated locations
+      assert(spark.table("graft_tmp.r14_arch_1k").count() == 1000)
+      val t1 = System.nanoTime()
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r14_arch_1k UNARCHIVE PARTITION (ds='x')")
+      val unSec = (System.nanoTime() - t1) / 1e9
+      assert(unSec < 60.0, f"UNARCHIVE of 1000 partitions took $unSec%.1f s")
+      assert(spark.table("graft_tmp.r14_arch_1k").count() == 1000)
+      info(f"archive=$archSec%.2f s unarchive=$unSec%.2f s (1000 partitions)")
+    } finally {
+      spark.conf.unset("hive.archive.enabled")
+      spark.conf.unset("hive.exec.dynamic.partition.mode")
+    }
+  }
+
   // ---- ';' in a partition value round-trips archive bookkeeping (low) ----
 
   test("partition value containing ';' round-trips archive entries") {
