@@ -4222,8 +4222,15 @@ object Engine {
           name.split('.').last, hiveUdfResolved.get, "scala_udf")
         spark.emptyDataFrame
       case dropFunRe(ifExists, name) =>
-        val dropped = spark.sessionState.functionRegistry.dropFunction(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name.split('.').last))
+        val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(
+          name.split('.').last)
+        // FunctionRegistry parity (drop_native_udf.q): a BUILT-IN function
+        // cannot be dropped — and Spark's session registry would otherwise
+        // happily remove `max` for the whole session
+        if (org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+              .builtin.functionExists(fid))
+          sys.error(s"Cannot drop native function ${fid.funcName}")
+        val dropped = spark.sessionState.functionRegistry.dropFunction(fid)
         // FunctionTask parity (drop_func_nonexistent.q): without IF EXISTS,
         // dropping an unregistered function is an error, not a no-op
         if (!dropped && ifExists == null)

@@ -86,14 +86,35 @@ object Auth {
     spark.conf.getOption("hive.security.authorization.enabled")
       .exists(_.trim.equalsIgnoreCase("true"))
 
+  /** Transitive closure over role-to-role grants: holding role P yields
+    * every role R granted TO ROLE P, recursively (the reference's role
+    * hierarchy — SQLStdHiveAccessController getCurrentRoles walks
+    * get_role_grants_for_principal transitively;
+    * clientpositive/authorization_rolehierarchy_privs.q). Grant-time
+    * cycle refusal bounds the walk, but cap the frontier anyway. */
+  private def expandRoles(st: State, seed: Set[String]): Set[String] = {
+    var acc = seed
+    var frontier = seed
+    var hops = 0
+    while (frontier.nonEmpty && hops < 64) {
+      val next = st.roleGrants.filter(g => g.principalType == "ROLE" &&
+        frontier.contains(g.principal.toLowerCase))
+        .map(_.role.toLowerCase).toSet -- acc
+      acc ++= next
+      frontier = next
+      hops += 1
+    }
+    acc
+  }
+
   /** The principals the session user currently holds: USER name plus
-    * active roles (SET ROLE selection, else every granted role) plus the
-    * implicit public role. */
+    * active roles (SET ROLE selection, else every granted role), each
+    * expanded through the role hierarchy, plus the implicit public role. */
   private def activePrincipals(st: State): Set[(String, String)] = {
     val u = user()
-    val roles = st.currentRoles.getOrElse(
+    val roles = expandRoles(st, st.currentRoles.getOrElse(
       st.roleGrants.filter(g => g.principalType == "USER" && g.principal == u)
-        .map(_.role.toLowerCase).toSet + "public")
+        .map(_.role.toLowerCase).toSet + "public"))
     roles.map(r => ("ROLE", r)) + (("USER" -> u))
   }
 
@@ -339,11 +360,21 @@ object Auth {
             _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
             .sorted))
         val all = items.exists(_._1 == "ALL")
-        for ((pt, pn) <- principals(from))
+        for ((pt, pn) <- principals(from)) {
+          val before = st.privGrants.size
           st.privGrants.filterInPlace(x => !(x.database == db &&
             x.table == tbl && x.principal == pn && x.principalType == pt &&
             (all || items.exists { case (pv, cs) =>
               pv == x.privilege && (cs.isEmpty || cs == x.columns) })))
+          // with the authorizer ON, revoking a privilege that was never
+          // granted is the metastore's "no grant found" refusal
+          // (clientnegative/authorization_revoke_table_fail1.q: "Cannot
+          // find privilege to revoke"); with it off the registry keeps
+          // idempotent-revoke semantics, mirroring the duplicate-grant rule
+          if (st.privGrants.size == before && enforcementEnabled(spark))
+            sys.error(s"Cannot find privilege to revoke on table [$db,$tbl] " +
+              s"from $pt $pn")
+        }
         spark.emptyDataFrame
       }
       case showRoleGrantRe(pt, pn) => st.synchronized {
@@ -387,6 +418,21 @@ object Auth {
           (pt, pn) <- principals(to)
         } {
           require(st.roles.contains(r), s"role $r does not exist")
+          if (pt == "ROLE") {
+            val target = pn.toLowerCase
+            // the target of a role-to-role grant must itself exist
+            // (clientnegative/authorization_role_grant_nosuchrole.q:
+            // "Cannot find role")
+            require(st.roles.contains(target),
+              s"Cannot find role $target: role does not exist")
+            // granting r to target makes target contain r; if r already
+            // (transitively) contains target this closes a cycle
+            // (clientnegative/authorization_role_cycles1.q / cycles2.q:
+            // "Cannot grant role ... (no cycles allowed)")
+            if (target == r || expandRoles(st, Set(r)).contains(target))
+              sys.error(s"Cannot grant role $r to $target as $target " +
+                s"already belongs to the role $r. (no cycles allowed)")
+          }
           st.roleGrants.filterInPlace(x => !(x.role == r &&
             x.principal == pn && x.principalType == pt))
           st.roleGrants += RoleGrant(r, pn, pt, withAdmin != null, now(), user())

@@ -463,9 +463,9 @@ class Round13Spec extends SparkSpec {
       Engine.ddl(spark, "GRANT ALL ON TABLE graft_tmp.r13_auth TO ROLE public")
       Engine.ddl(spark, "INSERT INTO graft_tmp.r13_auth VALUES (3)")
       assert(Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth").count() == 3)
-      // revoke closes the door again
+      // revoke closes the door again (REVOKE ALL removes every grant;
+      // revoking again would itself be refused — revoke_table_fail1.q)
       Engine.ddl(spark, "REVOKE ALL ON TABLE graft_tmp.r13_auth FROM ROLE public")
-      Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r13_auth FROM ROLE public")
       val e3 = intercept[Exception] {
         Engine.ddl(spark, "SELECT k FROM graft_tmp.r13_auth")
       }

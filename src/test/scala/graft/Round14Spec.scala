@@ -341,4 +341,64 @@ class Round14Spec extends SparkSpec {
       assert(spark.table("graft_tmp.r14_arch_semi").count() == 3)
     } finally spark.conf.unset("hive.archive.enabled")
   }
+
+  // ---- role hierarchy (SQLStd role-to-role grants) ----------------------
+  // Reference: SQLStdHiveAccessController expands getCurrentRoles
+  // transitively (clientpositive/authorization_rolehierarchy_privs.q);
+  // grant-time guards refuse unknown targets and cycles
+  // (clientnegative/authorization_role_grant_nosuchrole.q, role_cycles1/2.q).
+
+  test("privileges flow transitively through role-to-role grants") {
+    freshDb()
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r14_hier")
+    spark.sql("CREATE TABLE graft_tmp.r14_hier (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_hier VALUES (1), (2)")
+    Engine.ddl(spark, "CREATE ROLE r14h_leaf")
+    Engine.ddl(spark, "CREATE ROLE r14h_mid")
+    Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r14_hier TO ROLE r14h_leaf")
+    // public -> r14h_mid -> r14h_leaf: the session user holds public
+    // implicitly, so the Select grant must reach through TWO hops
+    Engine.ddl(spark, "GRANT ROLE r14h_leaf TO ROLE r14h_mid")
+    Engine.ddl(spark, "GRANT ROLE r14h_mid TO ROLE public")
+    withAuth {
+      assert(Engine.ddl(spark, "SELECT k FROM graft_tmp.r14_hier").count() == 2)
+      // cutting the middle link severs the inherited privilege
+      Engine.ddl(spark, "REVOKE ROLE r14h_leaf FROM ROLE r14h_mid")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "SELECT k FROM graft_tmp.r14_hier").collect()
+      }
+      assert(e.getMessage.contains("No privilege 'Select' found"), e.getMessage)
+    }
+  }
+
+  test("GRANT ROLE to a role that does not exist is refused") {
+    Engine.ddl(spark, "CREATE ROLE r14h_orphan")
+    val e = intercept[Exception] {
+      Engine.ddl(spark, "GRANT ROLE r14h_orphan TO ROLE r14h_nosuchrole")
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot find role"), e.getMessage)
+  }
+
+  test("role-to-role grants refuse cycles, direct and transitive") {
+    Engine.ddl(spark, "CREATE ROLE r14h_c1")
+    Engine.ddl(spark, "CREATE ROLE r14h_c2")
+    Engine.ddl(spark, "CREATE ROLE r14h_c3")
+    Engine.ddl(spark, "GRANT ROLE r14h_c1 TO ROLE r14h_c2")
+    Engine.ddl(spark, "GRANT ROLE r14h_c2 TO ROLE r14h_c3")
+    // direct 2-cycle
+    val e1 = intercept[Exception] {
+      Engine.ddl(spark, "GRANT ROLE r14h_c2 TO ROLE r14h_c1")
+    }
+    assert(e1.getMessage.contains("no cycles allowed"), e1.getMessage)
+    // 3-deep cycle (role_cycles2.q shape)
+    val e2 = intercept[Exception] {
+      Engine.ddl(spark, "GRANT ROLE r14h_c3 TO ROLE r14h_c1")
+    }
+    assert(e2.getMessage.contains("no cycles allowed"), e2.getMessage)
+    // self-grant
+    val e3 = intercept[Exception] {
+      Engine.ddl(spark, "GRANT ROLE r14h_c1 TO ROLE r14h_c1")
+    }
+    assert(e3.getMessage.contains("no cycles allowed"), e3.getMessage)
+  }
 }
