@@ -63,6 +63,31 @@ object Auth {
     states.asScala.getOrElseUpdate(spark, new State)
   }
 
+  /** Immutable copy of the session's authorization registry, for harnesses
+    * that must roll back whatever a failing script half-did (a negative
+    * script dies mid-way, so its CREATE ROLE / GRANT residue would leak
+    * into every later test on the shared session). */
+  final case class Snapshot(roles: Seq[String], roleGrants: Seq[RoleGrant],
+      privGrants: Seq[PrivGrant], currentRoles: Option[Set[String]])
+
+  def snapshot(spark: SparkSession): Snapshot = {
+    val st = state(spark)
+    st.synchronized {
+      Snapshot(st.roles.toSeq, st.roleGrants.toSeq, st.privGrants.toSeq,
+        st.currentRoles)
+    }
+  }
+
+  def restore(spark: SparkSession, snap: Snapshot): Unit = {
+    val st = state(spark)
+    st.synchronized {
+      st.roles.clear(); st.roles ++= snap.roles
+      st.roleGrants.clear(); st.roleGrants ++= snap.roleGrants
+      st.privGrants.clear(); st.privGrants ++= snap.privGrants
+      st.currentRoles = snap.currentRoles
+    }
+  }
+
   private def user(): String = System.getProperty("user.name", "anonymous")
   private def now(): Long = System.currentTimeMillis() / 1000
 

@@ -136,6 +136,78 @@ object HiveSemantics {
     }
   }
 
+  /** CHAR(n) values in Hive carry their padding ONLY as storage/display:
+    * every conversion to string strips trailing spaces
+    * (PrimitiveObjectInspectorUtils.getString CHAR case — "when
+    * converting from char to string/varchar, strip any trailing
+    * spaces"), comparisons/hashing/length work on the stripped value
+    * (HiveChar.compareTo/getCharacterLength), so `concat(char_col, ...)`
+    * `length(char_col)` `upper(char_col)` all see the UNPADDED text
+    * (clientpositive/char_udf1.q pins concat/upper equality with the
+    * string-typed twin columns). Spark instead pads char columns on
+    * read, so every string function sees the blanks — a silent value
+    * divergence for any migrated query touching a char column.
+    *
+    * Fix at the read boundary: wrap each top-level CHAR attribute of a
+    * catalog/DSv2 relation in rtrim(), aliased under the SAME exprId so
+    * the plan above is untouched. Write-side padding is Spark's own
+    * insert-time check, so storage stays padded and round-trips;
+    * everything downstream of the scan computes on Hive's stripped
+    * value. rtrim is codegen'd and applies only to char columns — scan
+    * cost is unchanged, pushed filters still target the padded storage
+    * value through the alias's child attribute. (Nested CHAR inside
+    * struct/array is left as-is — the reference's nested-char tests
+    * exercise DDL, not string-function semantics.) */
+  object CharStripReads extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+    private def isChar(a: Attribute): Boolean =
+      CharVarcharUtils.getRawType(a.metadata)
+        .exists(_.isInstanceOf[CharType])
+
+    /** Idempotence is structural, not tag-based (the analyzer resolves a
+      * table referenced twice in one query to the SAME relation object,
+      * so a processed-tag would skip the second branch): the rewritten
+      * relation's output drops the char metadata, so it can never match
+      * again. The rtrim aliases take FRESH exprIds — reusing the child's
+      * id makes CollapseProject substitute the attribute for itself and
+      * silently drop the trim — and transformUpWithNewOutput rewrites
+      * every parent reference to the new ids. */
+    private def strip(output: Seq[AttributeReference],
+        mkRel: Seq[AttributeReference] => LogicalPlan)
+        : (LogicalPlan, Seq[(Attribute, Attribute)]) = {
+      val cleaned = output.map { a =>
+        if (isChar(a))
+          a.withMetadata(CharVarcharUtils.cleanAttrMetadata(a).metadata)
+        else a
+      }
+      val proj = Project(output.zip(cleaned).map { case (orig, c) =>
+        if (isChar(orig))
+          Alias(StringTrimRight(c), c.name)(qualifier = c.qualifier)
+        else c
+      }, mkRel(cleaned))
+      (proj, output.zip(proj.output))
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      // resolveOperatorsUpWithNewOutput (not transformUpWithNewOutput):
+      // it skips unresolved subtrees, and it fires as soon as the RELATION
+      // leaf resolves — one fixpoint iteration before column references
+      // do — so the char metadata is gone before Spark's
+      // ApplyCharTypePadding can see it and bolt rpad() onto comparisons
+      // (a stale rpad against the stripped value would compare false)
+      plan.resolveOperatorsUpWithNewOutput {
+        case r: LogicalRelation if r.output.exists(isChar) =>
+          strip(r.output, out => r.copy(output = out))
+        case r: DataSourceV2Relation if r.output.exists(isChar) =>
+          strip(r.output.map(_.asInstanceOf[AttributeReference]),
+            out => r.copy(output = out))
+      }
+  }
+
   /** CAST(numeric AS BINARY) is an ERROR in Hive ("Only string, char,
     * varchar or binary data can be cast into binary data types" —
     * GenericUDFToBinary via invalid_cast_to_binary_*.q), while Spark's

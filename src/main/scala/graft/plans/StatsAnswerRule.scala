@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => HiveSemantics.CompareViaDouble)
     e.injectResolutionRule(_ => HiveSemantics.StringBooleanCast)
     e.injectResolutionRule(_ => HiveSemantics.BinaryCastGuard)
+    e.injectResolutionRule(_ => HiveSemantics.CharStripReads)
     // hive.mapred.mode=strict / hive.strict.checks.* query guards
     e.injectCheckRule(session => StrictChecks(session))
   }

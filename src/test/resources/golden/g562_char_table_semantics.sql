@@ -1,7 +1,11 @@
 -- char_1.q / char_comparison.q / char_join1.q: CHAR(n)/VARCHAR(n) as
--- TABLE column types — read-side blank padding, comparisons that ignore
--- the pad, char=varchar joins, GROUP BY on a char key, and length() over
--- the padded value.
+-- TABLE column types. Hive reads char through the STRIPPED value
+-- everywhere except display (PrimitiveObjectInspectorUtils.getString
+-- CHAR case; HiveChar.getCharacterLength): concat sees no pad, length
+-- counts the content, char-vs-string comparison strips the char side
+-- (so a pad-length literal does NOT match), char=varchar joins match on
+-- content. Re-pinned in round 14 when CharStripReads landed — the
+-- previous .out had baked in Spark's padded read-side values.
 DROP TABLE IF EXISTS g562_c;
 DROP TABLE IF EXISTS g562_v;
 CREATE TABLE g562_c (key INT, name CHAR(10)) USING parquet;
@@ -12,10 +16,8 @@ SELECT 'len' AS tag, CAST(c.key AS STRING) AS a, concat('[', c.name, ']') AS b,
        CAST(length(c.name) AS STRING) AS x
 FROM g562_c c WHERE c.key < 3
 UNION ALL
--- CHAR-vs-STRING comparison pads the string side, so BOTH the padded
--- and unpadded literal match the CHAR(10) column — Hive's
--- pad-insensitive char comparison, on table-typed columns (the cast
--- divergence g286 documents applies only to bare CAST expressions)
+-- the bare literal matches the stripped char; the pad-length literal
+-- does NOT (Hive strips the char side of a char-vs-string compare)
 SELECT 'cmp', CAST(key AS STRING),
        CAST(name = 'NATION    ' AS STRING),
        CAST(name = 'NATION' AS STRING)

@@ -46,8 +46,11 @@ class NegativeGoldenSpec extends SparkSpec {
           s"$name must declare an -- ERROR-CONTAINS: directive")
         // a failing script dies mid-way, so any SET it ran (strict mode,
         // dynamic-partition confs) would leak into every later test on the
-        // shared session — snapshot and restore the runtime conf around it
+        // shared session — snapshot and restore the runtime conf around it,
+        // and the authorization registry too (CREATE ROLE / GRANT residue
+        // from before the failing statement)
         val before = spark.conf.getAll
+        val authBefore = operators.Auth.snapshot(spark)
         val thrown =
           try {
             Engine.script(spark, sf, text,
@@ -55,6 +58,7 @@ class NegativeGoldenSpec extends SparkSpec {
             None
           } catch { case t: Throwable => Some(t) }
           finally {
+            operators.Auth.restore(spark, authBefore)
             spark.conf.getAll.foreach { case (k, v) =>
               before.get(k) match {
                 case Some(old) if old != v =>

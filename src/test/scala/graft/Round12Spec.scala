@@ -109,7 +109,12 @@ class Round12Spec extends SparkSpec {
 
   // ---- IMPORT into an existing table (ImportSemanticAnalyzer parity) ---
 
-  test("IMPORT into an existing compatible table appends; repeat import too") {
+  test("IMPORT into an existing EMPTY table loads; a loaded table refuses") {
+    // ImportSemanticAnalyzer parity: an existing compatible but EMPTY
+    // destination accepts the import; once the table holds data files a
+    // re-import is refused (exim_01_nonpart_over_loaded.q) — the r12
+    // append-on-repeat behavior silently doubled rows on script re-runs
+    // and was tightened to the reference's refusal in round 14.
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
     Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exsrc")
     Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r12_exdst")
@@ -118,15 +123,13 @@ class Round12Spec extends SparkSpec {
     val exp = tools.Tmp.dir("r12_exim") + "/exp"
     Engine.ddl(spark, s"EXPORT TABLE graft_tmp.r12_exsrc TO '$exp'")
     spark.sql("CREATE TABLE graft_tmp.r12_exdst (k INT, v STRING) USING PARQUET")
-    spark.sql("INSERT INTO graft_tmp.r12_exdst VALUES (9, 'z')")
     Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst FROM '$exp'")
-    assert(spark.table("graft_tmp.r12_exdst").count() == 3)
-    // a second import appends again (uuid-prefixed copies never collide)
-    Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst FROM '$exp'")
-    assert(spark.table("graft_tmp.r12_exdst").count() == 5)
-    val ks = spark.table("graft_tmp.r12_exdst").groupBy("k").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    assert(ks == Map(1 -> 2L, 2 -> 2L, 9 -> 1L), ks.toString)
+    assert(spark.table("graft_tmp.r12_exdst").count() == 2)
+    val e = intercept[Exception] {
+      Engine.ddl(spark, s"IMPORT TABLE graft_tmp.r12_exdst FROM '$exp'")
+    }
+    assert(e.getMessage.contains("contains data files"), e.getMessage)
+    assert(spark.table("graft_tmp.r12_exdst").count() == 2)
   }
 
   test("IMPORT refuses an existing table of a different provider") {

@@ -401,4 +401,66 @@ class Round14Spec extends SparkSpec {
     }
     assert(e3.getMessage.contains("no cycles allowed"), e3.getMessage)
   }
+
+  // ---- CHAR trailing-pad semantics at the read boundary -----------------
+  // Reference: PrimitiveObjectInspectorUtils.getString CHAR case ("when
+  // converting from char to string/varchar, strip any trailing spaces"),
+  // HiveChar.getCharacterLength/compareTo on the stripped value;
+  // clientpositive/char_udf1.q pins concat/upper/length equality with
+  // string-typed twin columns. Spark pads char on read; the
+  // HiveSemantics.CharStripReads rule restores the stripped view.
+
+  test("char columns read stripped: concat/upper/length match string twins") {
+    freshDb()
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r14_char")
+    spark.sql("""CREATE TABLE graft_tmp.r14_char
+      (c1 STRING, c2 STRING, c3 CHAR(10), c4 CHAR(20)) USING parquet""")
+    spark.sql("""INSERT INTO graft_tmp.r14_char
+      VALUES ('238', 'val_238', '238', 'val_238')""")
+    val r = Engine.ddl(spark, """SELECT
+        concat(c1, c2) = concat(c3, c4) AS cat_eq,
+        upper(c2) = upper(c4) AS up_eq,
+        length(c2) AS slen, length(c4) AS clen
+      FROM graft_tmp.r14_char""").collect()(0)
+    assert(r.getBoolean(0), "concat over char must equal the string twin")
+    assert(r.getBoolean(1), "upper over char must equal the string twin")
+    assert(r.getInt(2) == 7 && r.getInt(3) == 7,
+      s"length(char) counts the stripped value (got ${r.getInt(3)})")
+  }
+
+  test("char-vs-string-literal comparison uses the stripped value") {
+    freshDb()
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r14_charc")
+    spark.sql("CREATE TABLE graft_tmp.r14_charc (c CHAR(10)) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_charc VALUES ('abc')")
+    // Hive converts the char side to string by STRIPPING, so the padded
+    // literal does NOT match and the bare literal does
+    val r = Engine.ddl(spark, """SELECT
+        c = 'abc' AS bare, c = 'abc       ' AS padded
+      FROM graft_tmp.r14_charc""").collect()(0)
+    assert(r.getBoolean(0), "bare literal must match")
+    assert(!r.getBoolean(1), "pad-length literal must NOT match (Hive strips)")
+  }
+
+  test("char join keys of different declared lengths match on content") {
+    freshDb()
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r14_chj1")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.r14_chj2")
+    spark.sql("CREATE TABLE graft_tmp.r14_chj1 (c CHAR(10)) USING parquet")
+    spark.sql("CREATE TABLE graft_tmp.r14_chj2 (c CHAR(20)) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r14_chj1 VALUES ('k1'), ('k2')")
+    spark.sql("INSERT INTO graft_tmp.r14_chj2 VALUES ('k1'), ('k3')")
+    assert(Engine.ddl(spark,
+      """SELECT a.c FROM graft_tmp.r14_chj1 a
+         JOIN graft_tmp.r14_chj2 b ON a.c = b.c""").count() == 1)
+    // storage stays padded (write-side check) — a fresh raw read without
+    // the engine session would still see char(10)-padded bytes; the
+    // stripped view is the READ semantic, so round-trip inserts keep
+    // matching
+    spark.sql("""INSERT INTO graft_tmp.r14_chj2
+      SELECT c FROM graft_tmp.r14_chj1 WHERE c = 'k2'""")
+    assert(Engine.ddl(spark,
+      """SELECT a.c FROM graft_tmp.r14_chj1 a
+         JOIN graft_tmp.r14_chj2 b ON a.c = b.c""").count() == 2)
+  }
 }
