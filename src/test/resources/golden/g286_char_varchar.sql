@@ -1,7 +1,13 @@
--- char/varchar CAST semantics: Spark keeps plain-string behavior on casts
--- (no truncation to VARCHAR(n), no CHAR blank-pad outside table reads) —
--- a documented divergence from Hive's serde-level enforcement; length
--- checks apply on datasource WRITES instead
+-- char/varchar CAST semantics: Spark keeps plain-string behavior on
+-- bare casts (no truncation to VARCHAR(n), no CHAR blank-pad) — a
+-- documented divergence from Hive's serde-level enforcement; length
+-- checks apply on datasource WRITES instead. Since round 14, TABLE
+-- reads of CHAR columns present Hive's STRIPPED value
+-- (HiveSemantics.CharStripReads, g562/g828/g829), so the padded
+-- observable exists nowhere; the remaining divergence is cast-level
+-- truncation only (Spark's preserveCharVarcharTypeInfo mode ERRORS on
+-- overlong values rather than truncating, so Hive's silent truncate is
+-- not reachable without rewriting user SQL).
 SELECT CAST('abcdef' AS VARCHAR(4)) AS vc_trunc,
        CAST('ab' AS CHAR(5)) AS ch_pad,
        length(CAST('ab' AS CHAR(5))) AS ch_len,
