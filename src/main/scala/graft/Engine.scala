@@ -1312,9 +1312,19 @@ object Engine {
     }
   }
 
-  private def tableLocation(spark: SparkSession, table: String): String =
-    spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString
+  private def tableLocation(spark: SparkSession, table: String): String = {
+    val m = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    // every tableLocation caller is a storage-addressed operation
+    // (UPDATE/DELETE/MERGE CoW, EXPORT, COMPACT, EXCHANGE...) — a VIEW
+    // has none, and letting CatalogTable.location throw surfaces an
+    // internal "did not specify locationUri" instead of the reference's
+    // view refusal (clientnegative/view_update.q, view_delete.q)
+    if (m.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      sys.error(s"$table is a view: views have no storage, the " +
+        "operation expects a table")
+    m.location.toString
+  }
 
   /** Explicit read schema for the copy-on-write engine on tables whose
     * format or layout does not self-describe: graft-seq lines infer
@@ -2543,6 +2553,11 @@ object Engine {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    // a VIEW has no storage to move files into — refuse with the
+    // reference's shape (clientnegative/load_view_failure.q) instead of
+    // letting CatalogTable.location throw its internal locationUri error
+    if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      sys.error(s"LOAD DATA into a view is not allowed: $table is a view")
     // Hive's strict.checks.bucketing (default TRUE in the strict-checks
     // line): LOAD is a raw file move, which cannot assign bucket ids —
     // Spark reads the bucket id from the writer's file naming, so a
