@@ -30,7 +30,8 @@ object Registry {
       queries.Round10Queries.all ++
       queries.Round11Queries.all ++
       queries.Round12Queries.all ++
-      queries.Round13Queries.all
+      queries.Round13Queries.all ++
+      queries.Round14Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
