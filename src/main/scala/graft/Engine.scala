@@ -439,6 +439,10 @@ object Engine {
     else None
   private val dropFunRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  // table rename only — the partition form has ')' before RENAME and
+  // falls through to the native ALTER ... PARTITION ... RENAME path
+  private val renameTableRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?\s*;?\s*""".r
   private val loadDataRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =
@@ -2548,6 +2552,61 @@ object Engine {
     * native LOAD DATA only serves Hive-catalog tables; this serves the
     * engine's own parquet tables through the same statement text.
     */
+  /** ALTER TABLE ... RENAME TO with partition-location repair. Spark's
+    * InMemoryCatalog re-roots a MANAGED table's partition locations on
+    * rename but RE-ESCAPES the already-escaped path segments (a
+    * partition value with ':' stored as `test_part%3A` comes back as
+    * `test_part%253A`), so a renamed partitioned table silently reads
+    * EMPTY whenever a partition value needed escaping — the Hive
+    * metastore rewrites these correctly and alter3.q depends on it.
+    * After the native rename, every partition rooted under the table
+    * directory (old or new — custom-located partitions are untouched)
+    * gets its location RECOMPUTED from its spec exactly the way the
+    * write path built it, in one batched alterPartitions. */
+  private[graft] def renameWithPartitionFix(spark: SparkSession, from: String,
+      to: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val cat = spark.sessionState.catalog
+    val fromId = spark.sessionState.sqlParser.parseTableIdentifier(from)
+    val oldMeta = cat.getTableMetadata(fromId)
+    val oldPath = oldMeta.storage.locationUri.map(_.getPath.stripSuffix("/"))
+    spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    // Spark requires same-database renames; qualify the new name with the
+    // source db when the statement left it implicit
+    val toId0 = spark.sessionState.sqlParser.parseTableIdentifier(to)
+    val toId = if (toId0.database.isDefined) toId0
+      else toId0.copy(database = fromId.database.orElse(
+        Some(spark.catalog.currentDatabase)))
+    val newMeta = cat.getTableMetadata(toId)
+    if (newMeta.partitionColumnNames.isEmpty) return
+    val newRootUri = newMeta.location
+    val newPath = newRootUri.getPath.stripSuffix("/")
+    val cols = newMeta.partitionColumnNames
+    val moved = cat.listPartitions(toId).flatMap { p =>
+      p.storage.locationUri.flatMap { u =>
+        val dp = Option(u.getPath).getOrElse("").stripSuffix("/")
+        val underTableRoot = oldPath.exists(op =>
+          dp == op || dp.startsWith(op + "/")) ||
+          dp == newPath || dp.startsWith(newPath + "/")
+        if (!underTableRoot) None // custom-located partition: leave as-is
+        else {
+          val rel = cols.map { c =>
+            val v = p.spec.getOrElse(c,
+              p.spec.collectFirst { case (k, vv) if k.equalsIgnoreCase(c) => vv }
+                .getOrElse(sys.error(s"rename: partition spec missing $c")))
+            ExternalCatalogUtils.escapePathName(c) + "=" +
+              ExternalCatalogUtils.escapePathName(v)
+          }.mkString("/")
+          val fixed = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(newRootUri), rel).toUri
+          if (fixed == u) None
+          else Some(p.copy(storage = p.storage.copy(locationUri = Some(fixed))))
+        }
+      }
+    }
+    if (moved.nonEmpty) cat.alterPartitions(toId, moved)
+  }
+
   private def loadData(spark: SparkSession, inpath: String, overwrite: Boolean,
                        table: String, partSpec: Option[String]): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
@@ -4251,6 +4310,9 @@ object Engine {
         if (!dropped && ifExists == null)
           sys.error(s"Cannot drop function $name: it is not registered " +
             "(use DROP FUNCTION IF EXISTS to ignore)")
+        spark.emptyDataFrame
+      case renameTableRe(from, to) =>
+        renameWithPartitionFix(spark, from, to)
         spark.emptyDataFrame
       case loadDataRe(inpath, over, table, part) =>
         requireNoArchiveConflict(spark, table, Option(part), "LOAD")

@@ -463,4 +463,33 @@ class Round14Spec extends SparkSpec {
       """SELECT a.c FROM graft_tmp.r14_chj1 a
          JOIN graft_tmp.r14_chj2 b ON a.c = b.c""").count() == 2)
   }
+
+  // ---- ALTER TABLE RENAME keeps partitioned data readable ---------------
+  // Spark's InMemoryCatalog re-roots partition locations on table rename
+  // but re-escapes already-escaped segments, so a partition value that
+  // needed escaping (':' -> %3A) reads EMPTY after the rename. The engine
+  // recomputes partition locations from their specs (alter3.q's
+  // 'test_part:' values are exactly this probe).
+
+  test("RENAME of a partitioned table with escaped partition values keeps data") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_ren2")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r14_ren1")
+    spark.sql("""CREATE TABLE graft_tmp.r14_ren1 (col1 STRING)
+      USING parquet PARTITIONED BY (p STRING)""")
+    spark.sql("""INSERT INTO graft_tmp.r14_ren1 PARTITION (p='test_part:')
+      VALUES ('a'), ('b')""")
+    spark.sql("""INSERT INTO graft_tmp.r14_ren1 PARTITION (p='plain')
+      VALUES ('c')""")
+    Engine.ddl(spark,
+      "ALTER TABLE graft_tmp.r14_ren1 RENAME TO graft_tmp.r14_ren2")
+    assert(spark.table("graft_tmp.r14_ren2").count() == 3)
+    assert(Engine.ddl(spark,
+      "SELECT * FROM graft_tmp.r14_ren2 WHERE p = 'test_part:'").count() == 2)
+    // and the renamed table still takes writes into the escaped partition
+    spark.sql("""INSERT INTO graft_tmp.r14_ren2 PARTITION (p='test_part:')
+      VALUES ('d')""")
+    assert(Engine.ddl(spark,
+      "SELECT * FROM graft_tmp.r14_ren2 WHERE p = 'test_part:'").count() == 3)
+  }
 }
