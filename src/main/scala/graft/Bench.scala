@@ -47,6 +47,22 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val steal0 = stealSec()
 
+    // Process CPU seconds (utime+stime across all JVM threads,
+    // /proc/self/stat fields 14+15 in USER_HZ). The second contention
+    // signal the r14 adjudication debt called for: /proc/stat steal
+    // misses bursts shorter than its sampling window and cgroup/GC
+    // descheduling entirely, but a run whose WALL inflates while its
+    // CPU delta stays at the quiet-run level was descheduled, not slow —
+    // the engine did the same work, the host just didn't schedule it.
+    // Parse after the last ')' (comm may contain spaces/parens).
+    def cpuSec(): Double = try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) is field 3 (state); utime=field 14 → rest(11), stime → rest(12)
+      (rest(11).toDouble + rest(12).toDouble) / 100.0
+    } catch { case _: Throwable => -1.0 }
+
     // Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and
     // scored by its MIN — host contention inflates some runs, never
     // deflates one, so the min is the stable engine-cost estimate (the
@@ -88,42 +104,57 @@ object Bench {
     // would otherwise read as a speedup and pass the regression gate
     val failedQueries = scala.collection.mutable.SortedSet.empty[String]
     val querySteal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // CPU seconds of the run that produced each query's min wall — paired
+    // wall/cpu is the adjudicable unit (cpu ≈ quiet-run cpu while wall is
+    // inflated ⇒ descheduled, not a regression)
+    val queryCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retriedQueries = scala.collection.mutable.SortedSet.empty[String]
     val suspectQueries = scala.collection.mutable.SortedSet.empty[String]
-    val results = picked.map { case (name, fn) =>
-      var attributed = false
-      def timeOnce(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          materialize(df)
-          val d = (System.nanoTime() - t0) / 1e9
-          // plan attribution OUTSIDE the timed window, once per query, on
-          // the first SUCCESSFUL run — the optimizedPlan walk must not
-          // pollute the timings, and an erroring first run must not let a
-          // global-window offender evade the guard
-          if (!attributed) {
-            attributed = true
-            import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
-            val global = df.queryExecution.optimizedPlan.collectFirst {
-              case w: Window if w.partitionSpec.isEmpty => w
-              case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
-            }
-            if (global.nonEmpty) globalWindowQueries += name: Unit
+    // end-of-board sweep bookkeeping: which residual suspects got a final
+    // re-time after the whole board completed, and which of them cleared
+    val sweptQueries = scala.collection.mutable.SortedSet.empty[String]
+    val sweepCleared = scala.collection.mutable.SortedSet.empty[String]
+    val attributedSet = scala.collection.mutable.HashSet.empty[String]
+    // one timed run: (wall_sec, cpu_sec). Shared by the in-loop retries and
+    // the end-of-board sweep so both phases measure identically.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = cpuSec()
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        materialize(df)
+        val d = (System.nanoTime() - t0) / 1e9
+        val c = { val c1 = cpuSec(); if (c1 < 0 || c0 < 0) -1.0 else c1 - c0 }
+        // plan attribution OUTSIDE the timed window, once per query, on
+        // the first SUCCESSFUL run — the optimizedPlan walk must not
+        // pollute the timings, and an erroring first run must not let a
+        // global-window offender evade the guard
+        if (!attributedSet.contains(name)) {
+          attributedSet += name
+          import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+          val global = df.queryExecution.optimizedPlan.collectFirst {
+            case w: Window if w.partitionSpec.isEmpty => w
+            case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
           }
-          // release any localCheckpoint the query materialized — leaked
-          // blocks would shrink execution memory for every query after it
-          // (the r4 fleet-wide regression)
-          tools.Checkpoints.sweep()
-          d
-        } catch { case _: Throwable =>
-          failedQueries += name
-          tools.Checkpoints.sweep()
-          (System.nanoTime() - t0) / 1e9
+          if (global.nonEmpty) globalWindowQueries += name: Unit
         }
+        // release any localCheckpoint the query materialized — leaked
+        // blocks would shrink execution memory for every query after it
+        // (the r4 fleet-wide regression)
+        tools.Checkpoints.sweep()
+        (d, c)
+      } catch { case _: Throwable =>
+        failedQueries += name
+        tools.Checkpoints.sweep()
+        ((System.nanoTime() - t0) / 1e9, -1.0)
       }
+    }
+    val bestTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val timers = picked.toMap
+    picked.foreach { case (name, fn) =>
       val qSteal0 = stealSec()
-      var best = (1 to runs).map(_ => timeOnce()).min
+      var (best, bestCpu) = (1 to runs).map(_ => timeOnce(name, fn))
+        .minBy(_._1)
       var qSteal = { val s = stealSec(); if (s < 0 || qSteal0 < 0) -1.0 else s - qSteal0 }
       // contention-retry: min far above the committed quiet-host time →
       // re-time, bounded. The FIRST retry is steal-UNGATED: burst
@@ -141,13 +172,40 @@ object Bench {
         attempts += 1
         retriedQueries += name
         val s0 = stealSec()
-        best = math.min(best, timeOnce())
+        val (w, c) = timeOnce(name, fn)
+        if (w < best) { best = w; bestCpu = c }
         qSteal = { val s = stealSec(); if (s < 0 || s0 < 0) qSteal else s - s0 }
       }
       if (ref > 0.02 && best > suspectBar(ref)) suspectQueries += name: Unit
       querySteal(name) = qSteal
-      name -> best
+      queryCpu(name) = bestCpu
+      bestTimes(name) = best
     }
+    // End-of-board suspect re-sweep (r14 adjudication-debt fix): the r14
+    // suspects clustered in contiguous alphabetical windows — burst
+    // contention hitting whichever queries were running, invisible to
+    // per-query steal. By the time the whole board has finished, that
+    // burst has passed; one more timing per residual suspect, minutes
+    // after its first, gives an independent sample. Keep the min.
+    // Bounded: one run per suspect, suspects only.
+    for (name <- suspectQueries.toSeq if !failedQueries.contains(name)) {
+      val fn = timers(name)
+      sweptQueries += name
+      val s0 = stealSec()
+      val (w, c) = timeOnce(name, fn)
+      val qSteal = { val s = stealSec(); if (s < 0 || s0 < 0) -1.0 else s - s0 }
+      if (w < bestTimes(name)) {
+        bestTimes(name) = w
+        queryCpu(name) = c
+        querySteal(name) = qSteal
+      }
+      val ref = refTimes.getOrElse(name, -1.0)
+      if (ref > 0.02 && bestTimes(name) <= suspectBar(ref)) {
+        suspectQueries -= name
+        sweepCleared += name: Unit
+      }
+    }
+    val results = picked.map { case (name, _) => name -> bestTimes(name) }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -180,12 +238,18 @@ object Bench {
     // their per-query steal (below / in BENCH_RESULT.json) says whether
     // the residual is contention or a real regression
     val sq = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw,"failed_queries":$fq,"retried_queries":$rq,"suspect_queries":$sq"""
-    // per-query steal deltas: full detail in BENCH_RESULT.json; the stdout
-    // line carries only the suspect queries' steal (bounded size)
+    val sw = sweptQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sc = sweepCleared.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw,"failed_queries":$fq,"retried_queries":$rq,"swept_queries":$sw,"sweep_cleared":$sc,"suspect_queries":$sq"""
+    // per-query steal + cpu deltas: full detail in BENCH_RESULT.json; the
+    // stdout line carries only the suspect queries' signals (bounded size).
+    // suspect_cpu is the CPU-seconds of each residual suspect's min-wall
+    // run: compare against the quiet board's cpu for the same query — a
+    // matching cpu under an inflated wall is descheduling, not regression.
     val suspectSteal = dict(suspectQueries.toSeq.map(n => n -> querySteal.getOrElse(n, -1.0)))
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"suspect_steal":$suspectSteal,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"query_steal":${dict(querySteal.toSeq)},"queries":${dict(results)},"sf":"$sfDir"}"""
+    val suspectCpu = dict(suspectQueries.toSeq.map(n => n -> queryCpu.getOrElse(n, -1.0)))
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"suspect_steal":$suspectSteal,"suspect_cpu":$suspectCpu,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"query_steal":${dict(querySteal.toSeq)},"query_cpu":${dict(queryCpu.toSeq)},"queries":${dict(results)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
         (fullJson + "\n").getBytes("UTF-8"))
