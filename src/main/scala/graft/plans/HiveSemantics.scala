@@ -155,9 +155,14 @@ object HiveSemantics {
     * everything downstream of the scan computes on Hive's stripped
     * value. rtrim is codegen'd and applies only to char columns — scan
     * cost is unchanged, pushed filters still target the padded storage
-    * value through the alias's child attribute. (Nested CHAR inside
-    * struct/array is left as-is — the reference's nested-char tests
-    * exercise DDL, not string-function semantics.) */
+    * value through the alias's child attribute.
+    *
+    * Nested CHAR one level deep is stripped too (r15): the reference
+    * strips at EVERY conversion (PrimitiveObjectInspectorUtils.java:826),
+    * so `struct<c:char(n)>` read through GetStructField and
+    * `array<char(n)>` elements rebuild with rtrim over each char member
+    * (null-preserving). Deeper nesting (struct-in-struct, map values)
+    * keeps Spark's padded value — documented residual drift. */
   object CharStripReads extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.catalyst.util.CharVarcharUtils
@@ -167,6 +172,44 @@ object HiveSemantics {
     private def isChar(a: Attribute): Boolean =
       CharVarcharUtils.getRawType(a.metadata)
         .exists(_.isInstanceOf[CharType])
+
+    /** struct<..., c:char(n), ...> — char one level down (raw type). */
+    private def nestedCharStruct(a: Attribute): Option[StructType] =
+      CharVarcharUtils.getRawType(a.metadata).collect {
+        case s: StructType if s.fields.exists(_.dataType.isInstanceOf[CharType]) => s
+      }
+
+    /** array<char(n)> — char elements (raw type). */
+    private def charArray(a: Attribute): Boolean =
+      CharVarcharUtils.getRawType(a.metadata).exists {
+        case ArrayType(_: CharType, _) => true
+        case _ => false
+      }
+
+    private def needsStrip(a: Attribute): Boolean =
+      isChar(a) || nestedCharStruct(a).nonEmpty || charArray(a)
+
+    /** Rebuild a one-level-nested value with rtrim over its char members,
+      * null-preserving at the container level. */
+    private def stripNested(c: AttributeReference,
+        raw: DataType): Expression = raw match {
+      case rawSt: StructType =>
+        val st = c.dataType.asInstanceOf[StructType]
+        val rebuilt = CreateNamedStruct(st.fields.toSeq.zipWithIndex.flatMap {
+          case (f, i) =>
+            val g = GetStructField(c, i, Some(f.name))
+            val v = rawSt.fields(i).dataType match {
+              case _: CharType => StringTrimRight(g)
+              case _ => g
+            }
+            Seq(Literal(f.name), v)
+        })
+        If(IsNull(c), Literal(null, rebuilt.dataType), rebuilt)
+      case ArrayType(_: CharType, containsNull) =>
+        val lv = NamedLambdaVariable("x", StringType, containsNull)
+        ArrayTransform(c, LambdaFunction(StringTrimRight(lv), Seq(lv)))
+      case _ => c
+    }
 
     /** Idempotence is structural, not tag-based (the analyzer resolves a
       * table referenced twice in one query to the SAME relation object,
@@ -180,13 +223,17 @@ object HiveSemantics {
         mkRel: Seq[AttributeReference] => LogicalPlan)
         : (LogicalPlan, Seq[(Attribute, Attribute)]) = {
       val cleaned = output.map { a =>
-        if (isChar(a))
+        if (needsStrip(a))
           a.withMetadata(CharVarcharUtils.cleanAttrMetadata(a).metadata)
         else a
       }
       val proj = Project(output.zip(cleaned).map { case (orig, c) =>
         if (isChar(orig))
           Alias(StringTrimRight(c), c.name)(qualifier = c.qualifier)
+        else if (nestedCharStruct(orig).nonEmpty || charArray(orig))
+          Alias(stripNested(c,
+            CharVarcharUtils.getRawType(orig.metadata).get), c.name)(
+            qualifier = c.qualifier)
         else c
       }, mkRel(cleaned))
       (proj, output.zip(proj.output))
@@ -200,9 +247,9 @@ object HiveSemantics {
       // ApplyCharTypePadding can see it and bolt rpad() onto comparisons
       // (a stale rpad against the stripped value would compare false)
       plan.resolveOperatorsUpWithNewOutput {
-        case r: LogicalRelation if r.output.exists(isChar) =>
+        case r: LogicalRelation if r.output.exists(needsStrip) =>
           strip(r.output, out => r.copy(output = out))
-        case r: DataSourceV2Relation if r.output.exists(isChar) =>
+        case r: DataSourceV2Relation if r.output.exists(needsStrip) =>
           strip(r.output.map(_.asInstanceOf[AttributeReference]),
             out => r.copy(output = out))
       }

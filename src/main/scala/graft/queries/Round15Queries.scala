@@ -42,6 +42,36 @@ object Round15Queries {
       Some("""SELECT CAST(n_nationkey AS INT) AS k, r_name AS c,
                      CAST(length(r_name) AS INT) AS len
               FROM nation JOIN region ON n_regionkey = r_regionkey
-              WHERE r_name = 'ASIA'"""))
+              WHERE r_name = 'ASIA'""")),
+
+    // ---- q162: CHAR nested one level down — struct<c:char(n)> through
+    //      GetStructField and array<char(n)> elements read STRIPPED
+    //      (reference strips at every conversion,
+    //      serde PrimitiveObjectInspectorUtils.java:826); storage stays
+    //      padded (Spark write-side check), so without the nested strip
+    //      clen/alen read pad-inflated and the hash diverges ----
+    Q("q162_char_nested", (s, d) => {
+      Tables.t(s, d, "nation").createOrReplaceTempView("q162_nation")
+      Engine.ddl(s, "DROP TABLE IF EXISTS q162_nested")
+      val loc = graft.tools.Tmp.dir("q162_nested") + "/t"
+      Engine.ddl(s, s"""CREATE TABLE q162_nested
+        (k INT, st STRUCT<c: CHAR(20), s: STRING>, arr ARRAY<CHAR(8)>)
+        USING parquet LOCATION '$loc'""")
+      Engine.ddl(s, """INSERT OVERWRITE TABLE q162_nested
+        SELECT CAST(n_nationkey AS INT),
+               named_struct('c', n_name, 's', n_name),
+               array(substr(n_name, 1, 6))
+        FROM q162_nation""")
+      s.sql("""SELECT k, st.c AS c, CAST(length(st.c) AS INT) AS clen,
+                      concat('[', st.c, ']') AS bracketed,
+                      arr[0] AS a0, CAST(length(arr[0]) AS INT) AS alen
+               FROM q162_nested""")
+    },
+      Some("""SELECT CAST(n_nationkey AS INT) AS k, n_name AS c,
+                     CAST(length(n_name) AS INT) AS clen,
+                     '[' || n_name || ']' AS bracketed,
+                     substr(n_name, 1, 6) AS a0,
+                     CAST(length(substr(n_name, 1, 6)) AS INT) AS alen
+              FROM nation"""))
   )
 }

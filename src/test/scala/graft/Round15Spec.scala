@@ -79,4 +79,139 @@ class Round15Spec extends SparkSpec {
     // untouched — the DML never ran
     assert(spark.table("graft_tmp.r15_ua").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  // ---- backticked rename routes through the partition fix (advice) -----
+
+  test("per-segment backticked rename routes through the partition fix") {
+    // Spark's V1 catalog rejects names needing backticks for CONTENT
+    // (hyphens/spaces fail validateName), but a statement may still
+    // backtick-quote individual segments of a plain name — the old
+    // regex (`?[\w.]+`? — one optional tick pair around the WHOLE name)
+    // missed `db`.`tbl` / db.`tbl` and fell through to native rename,
+    // whose partition locations then pointed at the old directory.
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_bt")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_bt2")
+    Engine.ddl(spark, """CREATE TABLE graft_tmp.r15_bt (k INT, p STRING)
+      USING parquet PARTITIONED BY (p)""")
+    Engine.ddl(spark, "SET hive.exec.dynamic.partition.mode=nonstrict")
+    Engine.ddl(spark,
+      "INSERT INTO graft_tmp.r15_bt PARTITION (p) SELECT 1, 'a'")
+    Engine.ddl(spark,
+      "ALTER TABLE `graft_tmp`.`r15_bt` RENAME TO graft_tmp.`r15_bt2`")
+    // without renameWithPartitionFix the partition location still points
+    // at the old directory and this reads empty
+    assert(spark.table("graft_tmp.r15_bt2").count() == 1)
+    Engine.ddl(spark, "DROP TABLE graft_tmp.r15_bt2")
+  }
+
+  // ---- multi-principal REVOKE is atomic (r14 advice, low) --------------
+
+  test("REVOKE from two roles where one never held the grant is atomic") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_rv")
+    spark.sql("CREATE TABLE graft_tmp.r15_rv (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_tmp.r15_rv VALUES (1)")
+    withAuth {
+      Engine.ddl(spark, "CREATE ROLE r15_holder")
+      Engine.ddl(spark, "CREATE ROLE r15_empty")
+      Engine.ddl(spark,
+        "GRANT SELECT ON TABLE graft_tmp.r15_rv TO ROLE r15_holder")
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "REVOKE SELECT ON TABLE graft_tmp.r15_rv " +
+          "FROM ROLE r15_holder, ROLE r15_empty")
+      }
+      assert(e.getMessage.contains("Cannot find privilege to revoke"),
+        e.getMessage)
+      // the holder's grant survived the refused statement
+      val shown = Engine.ddl(spark,
+        "SHOW GRANT ROLE r15_holder ON TABLE graft_tmp.r15_rv").collect()
+      assert(shown.nonEmpty, "atomicity lost: holder's grant was stripped")
+      Engine.ddl(spark,
+        "REVOKE SELECT ON TABLE graft_tmp.r15_rv FROM ROLE r15_holder")
+      Engine.ddl(spark, "DROP ROLE r15_holder")
+      Engine.ddl(spark, "DROP ROLE r15_empty")
+    }
+  }
+
+  // ---- archive mid-batch failure: crisp error + rollback (task #8) -----
+
+  test("ARCHIVE with one blocked rename surfaces 'cannot move' and rolls back") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_arch")
+    spark.sql("""CREATE TABLE graft_tmp.r15_arch (v STRING, ds STRING, hr STRING)
+      USING parquet PARTITIONED BY (ds, hr)""")
+    spark.sql("INSERT INTO graft_tmp.r15_arch PARTITION (ds='d', hr='h1') VALUES ('a')")
+    spark.sql("INSERT INTO graft_tmp.r15_arch PARTITION (ds='d', hr='h2') VALUES ('b')")
+    val root = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_tmp.r15_arch"))
+        .location).toUri.getPath
+    // inject: a FILE squats on hr=h2's archive destination, so its rename
+    // fails while hr=h1's succeeds — the mid-batch shape
+    val blocker = java.nio.file.Paths.get(root, ".graft_archive", "ds=d", "hr=h2")
+    java.nio.file.Files.createDirectories(blocker.getParent)
+    java.nio.file.Files.write(blocker, "squat".getBytes)
+    spark.conf.set("hive.archive.enabled", "true")
+    try {
+      val e = intercept[Exception] {
+        Engine.ddl(spark, "ALTER TABLE graft_tmp.r15_arch ARCHIVE PARTITION (ds='d')")
+      }
+      // unwrapped message quality: the rename's own words, not the
+      // pool's ExecutionException wrapper
+      assert(e.getMessage.contains("cannot move"), e.getMessage)
+      assert(!e.toString.contains("ExecutionException"), e.toString)
+      // post-state: catalog untouched, table fully readable
+      assert(spark.table("graft_tmp.r15_arch").count() == 2)
+      // and hr=h1's completed rename was rolled back to the raw layout
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "ds=d", "hr=h1")),
+        "completed rename not rolled back")
+      assert(!Archive_entriesNonEmpty("graft_tmp.r15_arch"),
+        "failed ARCHIVE must not record archived entries")
+      // clear the blocker: the retry completes and reads keep working
+      java.nio.file.Files.delete(blocker)
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r15_arch ARCHIVE PARTITION (ds='d')")
+      assert(spark.table("graft_tmp.r15_arch").count() == 2)
+      Engine.ddl(spark, "ALTER TABLE graft_tmp.r15_arch UNARCHIVE PARTITION (ds='d')")
+      assert(spark.table("graft_tmp.r15_arch").count() == 2)
+    } finally spark.conf.unset("hive.archive.enabled")
+  }
+
+  private def Archive_entriesNonEmpty(table: String): Boolean =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.get(operators.Archive.PropKey).exists(_.nonEmpty)
+
+  // ---- nested CHAR strips one level down (verdict next-round #4) -------
+
+  test("struct<char> and array<char> members read stripped, storage padded") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_nc")
+    val loc = tools.Tmp.dir("r15_nc") + "/t"
+    Engine.ddl(spark, s"""CREATE TABLE graft_tmp.r15_nc
+      (st STRUCT<c: CHAR(8), s: STRING>, arr ARRAY<CHAR(6)>)
+      USING parquet LOCATION '$loc'""")
+    Engine.ddl(spark,
+      """INSERT INTO graft_tmp.r15_nc
+         SELECT named_struct('c', 'ab', 's', 'ab'), array('xy', NULL)""")
+    Engine.ddl(spark, "INSERT INTO graft_tmp.r15_nc SELECT NULL, NULL")
+    val r = Engine.ddl(spark, """SELECT st.c AS c, length(st.c) AS clen,
+        (st.c = 'ab') AS eq, arr[0] AS a0, length(arr[0]) AS alen, arr[1] AS a1
+      FROM graft_tmp.r15_nc WHERE st IS NOT NULL""").collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "ab" && r(0).getInt(1) == 2 &&
+      r(0).getBoolean(2) && r(0).getString(3) == "xy" &&
+      r(0).getInt(4) == 2 && r(0).isNullAt(5), r(0).toString)
+    // container nulls survive the rebuild
+    assert(Engine.ddl(spark,
+      "SELECT count(*) AS n FROM graft_tmp.r15_nc WHERE st IS NULL AND arr IS NULL")
+      .collect()(0).getLong(0) == 1)
+    // storage itself stays blank-padded (raw read, engine rules bypassed
+    // by reading the parquet files directly without char metadata)
+    val raw = spark.read.parquet(loc)
+      .where("st IS NOT NULL").selectExpr("st.c", "arr[0]").collect()(0)
+    assert(raw.getString(0) == "ab      " && raw.getString(1) == "xy    ",
+      s"[${raw.getString(0)}|${raw.getString(1)}]")
+  }
 }
