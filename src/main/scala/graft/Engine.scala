@@ -440,9 +440,14 @@ object Engine {
   private val dropFunRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   // table rename only — the partition form has ')' before RENAME and
-  // falls through to the native ALTER ... PARTITION ... RENAME path
+  // falls through to the native ALTER ... PARTITION ... RENAME path.
+  // Identifier segments may be backtick-quoted (hyphens, spaces): those
+  // MUST match too — falling through to native Spark rename would skip
+  // renameWithPartitionFix and leave a renamed partitioned table
+  // silently reading empty (r14 advice). Backticks stay in the capture;
+  // parseTableIdentifier and the re-issued ALTER both consume them.
   private val renameTableRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+RENAME\s+TO\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s*;?\s*""".r
   private val loadDataRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =

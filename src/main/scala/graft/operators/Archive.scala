@@ -196,11 +196,12 @@ object Archive {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, parts.size)))
-    val updated =
+    type Moved = (org.apache.spark.sql.catalyst.catalog.CatalogTablePartition,
+      org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)
+    val outcomes =
       try {
         parts.map { p =>
-          pool.submit(new java.util.concurrent.Callable[
-              org.apache.spark.sql.catalyst.catalog.CatalogTablePartition] {
+          pool.submit(new java.util.concurrent.Callable[Moved] {
             override def call() = {
               val loc = new org.apache.hadoop.fs.Path(p.location)
                 .toString.stripSuffix("/")
@@ -210,11 +211,39 @@ object Archive {
                 (if (toArchive) archRoot else root) + "/" + rel)
               val src = new org.apache.hadoop.fs.Path(loc)
               require(fs.rename(src, dst), s"cannot move $src to $dst")
-              p.copy(storage = p.storage.copy(locationUri = Some(dst.toUri)))
+              (p.copy(storage = p.storage.copy(locationUri = Some(dst.toUri))),
+                src, dst)
             }
           })
-        }.map(_.get())
+        }.map { f =>
+          // unwrap the pool's ExecutionException so a failed rename
+          // surfaces its own "cannot move src to dst", not a wrapper
+          try Right(f.get()): Either[Throwable, Moved]
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(Option(e.getCause).getOrElse(e))
+            case e: Throwable => Left(e)
+          }
+        }
       } finally pool.shutdown()
+    val failures = outcomes.collect { case Left(t) => t }
+    if (failures.nonEmpty) {
+      // mid-batch failure: the catalog was never repointed (reads stay
+      // consistent), so move the completed renames BACK best-effort to
+      // leave the on-disk layout matching it; a rollback that itself
+      // fails is logged and left for UNARCHIVE/ARCHIVE retry
+      outcomes.collect { case Right((_, src, dst)) => (src, dst) }.foreach {
+        case (src, dst) =>
+          try {
+            if (!fs.rename(dst, src))
+              System.err.println(s"[graft] archive rollback left $dst in place")
+          } catch { case e: Exception =>
+            System.err.println(s"[graft] archive rollback of $dst failed: $e")
+          }
+      }
+      throw failures.head
+    }
+    val updated = outcomes.collect { case Right((p2, _, _)) => p2 }
     if (updated.nonEmpty) {
       spark.sessionState.catalog.alterPartitions(ident, updated)
       spark.sql(s"REFRESH TABLE $table")

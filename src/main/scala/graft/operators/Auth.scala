@@ -385,21 +385,26 @@ object Auth {
             _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
             .sorted))
         val all = items.exists(_._1 == "ALL")
-        for ((pt, pn) <- principals(from)) {
-          val before = st.privGrants.size
-          st.privGrants.filterInPlace(x => !(x.database == db &&
-            x.table == tbl && x.principal == pn && x.principalType == pt &&
+        def matches(x: PrivGrant, pt: String, pn: String): Boolean =
+          x.database == db && x.table == tbl && x.principal == pn &&
+            x.principalType == pt &&
             (all || items.exists { case (pv, cs) =>
-              pv == x.privilege && (cs.isEmpty || cs == x.columns) })))
-          // with the authorizer ON, revoking a privilege that was never
-          // granted is the metastore's "no grant found" refusal
-          // (clientnegative/authorization_revoke_table_fail1.q: "Cannot
-          // find privilege to revoke"); with it off the registry keeps
-          // idempotent-revoke semantics, mirroring the duplicate-grant rule
-          if (st.privGrants.size == before && enforcementEnabled(spark))
+              pv == x.privilege && (cs.isEmpty || cs == x.columns) })
+        val ps = principals(from)
+        // with the authorizer ON, revoking a privilege that was never
+        // granted is the metastore's "no grant found" refusal
+        // (clientnegative/authorization_revoke_table_fail1.q: "Cannot
+        // find privilege to revoke"); with it off the registry keeps
+        // idempotent-revoke semantics, mirroring the duplicate-grant rule.
+        // Validate EVERY principal BEFORE mutating (r14 advice): a
+        // multi-principal revoke where one principal lacks the grant must
+        // refuse atomically, not strip the holders first and then throw
+        if (enforcementEnabled(spark))
+          for ((pt, pn) <- ps if !st.privGrants.exists(matches(_, pt, pn)))
             sys.error(s"Cannot find privilege to revoke on table [$db,$tbl] " +
               s"from $pt $pn")
-        }
+        for ((pt, pn) <- ps)
+          st.privGrants.filterInPlace(x => !matches(x, pt, pn))
         spark.emptyDataFrame
       }
       case showRoleGrantRe(pt, pn) => st.synchronized {
