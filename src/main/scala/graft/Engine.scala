@@ -603,10 +603,15 @@ object Engine {
   // EXPORT TABLE t TO 'dir' / IMPORT TABLE t FROM 'dir' [LOCATION 'loc']
   // (ExportSemanticAnalyzer / ImportSemanticAnalyzer) — Spark's parser has
   // no such statements; routed to the ExportImport operator
+  // the optional PARTITION (spec) selects a partition subtree: EXPORT
+  // snapshots just the matching partitions (ExportSemanticAnalyzer's
+  // per-partition dump, exim_04/05/06_*_part.q), IMPORT restores only the
+  // named partition from the dump (ImportSemanticAnalyzer partSpecs,
+  // exim_23_import_part_authsuccess.q)
   private val exportRe =
-    """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val importRe =
-    """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
 
   // DESCRIBE FORMATTED/EXTENDED t PARTITION (spec): native in Spark, but
   // Hive shows the PARTITION's own storage — append the diverged format
@@ -3678,7 +3683,7 @@ object Engine {
       // read path the analyzed-plan walk below never sees (the statement
       // doesn't parse as a query), so it needs its own Select case or a
       // user with no grant at all could still exfiltrate the data
-      case exportRe(t, _) =>
+      case exportRe(t, _, _) =>
         val (db, tb) = nameOf(t)
         val allCols =
           try spark.sessionState.catalog.getTableMetadata(
@@ -4567,16 +4572,40 @@ object Engine {
           format = nFmt, schema = nSchema, options = nOpts)
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
-      case exportRe(table, dir) =>
+      case exportRe(table, part, dir) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
-        operators.ExportImport.exportTable(spark.table(table), dir,
-          meta.partitionColumnNames)
+        val spec = operators.ExportImport.parseSpec(Option(part))
+        spec.foreach { kvs =>
+          val declared = meta.partitionColumnNames
+          kvs.foreach { case (k, _) =>
+            require(declared.exists(_.equalsIgnoreCase(k)),
+              s"EXPORT: $k is not a partition column of $table " +
+                s"(partition columns: ${declared.mkString(", ")})")
+          }
+          // the reference refuses a spec matching no partition
+          // (ExportSemanticAnalyzer getPartitions EMPTY check);
+          // normalize spec keys to the declared column case first
+          val normalized = kvs.map { case (k, v) =>
+            declared.find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
+          }.toMap
+          val matching = spark.sessionState.catalog.listPartitions(
+            spark.sessionState.sqlParser.parseTableIdentifier(table),
+            Some(normalized))
+          require(matching.nonEmpty,
+            s"EXPORT: no partition of $table matches the specification " +
+              kvs.map { case (k, v) => s"$k='$v'" }.mkString("(", ", ", ")"))
+        }
+        val df0 = spark.table(table)
+        val df = spec.fold(df0)(kvs => kvs.foldLeft(df0) { case (d, (k, v)) =>
+          d.filter(org.apache.spark.sql.functions.col(k) === v) })
+        operators.ExportImport.exportTable(df, dir, meta.partitionColumnNames)
         spark.emptyDataFrame
-      case importRe(table, dir, loc) =>
+      case importRe(table, part, dir, loc) =>
         val location = Option(loc).getOrElse(
           graft.tools.Tmp.dir("graft_import") + "/" + table.split('.').last)
-        operators.ExportImport.importTable(spark, dir, table, location)
+        operators.ExportImport.importTable(spark, dir, table, location,
+          operators.ExportImport.parseSpec(Option(part)))
         spark.emptyDataFrame
       // FROM-first multi-destination insert (genBodyPlan): Spark's parser
       // rejects it, so detect and fan out over one shared scan

@@ -26,6 +26,25 @@ object ExportImport {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
+  /** `k='v', k2='v2'` → ordered pairs (quotes optional), None when no
+    * PARTITION clause was present. */
+  def parseSpec(text: Option[String]): Option[Seq[(String, String)]] =
+    text.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      require(kv.contains("="), s"PARTITION spec needs key=value, got: $kv")
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      (k, v.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+    })
+
+  /** The spec's escaped directory path under the dump's data/ dir —
+    * `emp_country=in/emp_state=ka` — matching the export layout. */
+  private def specRelPath(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(k) + "=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)
+    }.mkString("/")
+
   /** EXPORT: snapshot `df` into `dir` (data/ + _metadata). With
     * `partitionBy`, the snapshot keeps the Hive partition-directory layout
     * (`p=v/part-*.parquet`) and the descriptor records the partition
@@ -59,7 +78,8 @@ object ExportImport {
     * on the source table.
     */
   def importTable(spark: SparkSession, dir: String, table: String,
-                  location: String): DataFrame = {
+                  location: String,
+                  spec: Option[Seq[(String, String)]] = None): DataFrame = {
     val f = fs(spark, dir)
     val meta = {
       val in = f.open(new Path(dir, "_metadata"))
@@ -70,6 +90,23 @@ object ExportImport {
     val schema = StructType.fromDDL(ddl)
     val parts = metaField(meta, "partitions", required = false)
       .split(",").filter(_.nonEmpty).toSeq
+    // IMPORT ... PARTITION (spec): restore just that partition subtree
+    // from the dump (ImportSemanticAnalyzer partSpecs). The spec must
+    // name a leading prefix of the exported partition columns, and the
+    // dump must actually hold it ("Specified partition not found").
+    spec.foreach { kvs =>
+      if (parts.isEmpty)
+        sys.error(s"IMPORT into $table: partition spec supplied but the " +
+          "export is not partitioned")
+      if (kvs.map(_._1.toLowerCase) != parts.take(kvs.length).map(_.toLowerCase))
+        sys.error(s"IMPORT into $table: partition spec " +
+          s"(${kvs.map(_._1).mkString(", ")}) must be a leading prefix of " +
+          s"the exported partition columns (${parts.mkString(", ")})")
+      if (!f.exists(new Path(dir + "/data/" + specRelPath(kvs))))
+        sys.error(s"IMPORT into $table: specified partition not found in " +
+          "the export: " +
+          kvs.map { case (k, v) => s"$k='$v'" }.mkString("(", ", ", ")"))
+    }
     // IMPORT into an EXISTING table (ImportSemanticAnalyzer
     // checkTable): the existing table's column schema and partitioning
     // must match the export descriptor — a mismatch is refused
@@ -78,7 +115,7 @@ object ExportImport {
     // never into the caller-supplied fresh location.
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     if (spark.sessionState.catalog.tableExists(ident))
-      return importIntoExisting(spark, f, dir, table, ident, schema, parts)
+      return importIntoExisting(spark, f, dir, table, ident, schema, parts, spec)
     // byte copy of the data files (CopyTask semantics — no rewrite):
     // partition dirs copy recursively, preserving the layout. The
     // DESTINATION resolves its own FileSystem — source and target may live
@@ -94,15 +131,20 @@ object ExportImport {
         n.startsWith(".hive-staging") || n == "_SUCCESS"
     val target = new Path(location)
     val df2 = target.getFileSystem(spark.sessionState.newHadoopConf())
-    df2.mkdirs(target)
-    f.listStatus(new Path(dir, "data"))
+    // partition-scoped import copies only the spec's subtree (and lands
+    // it under the same relative path, so pruning layout is preserved)
+    val rel = spec.map(specRelPath)
+    val srcRoot = rel.fold(new Path(dir, "data"))(r => new Path(dir + "/data/" + r))
+    val dstRoot = rel.fold(target)(r => new Path(target, r))
+    df2.mkdirs(dstRoot)
+    f.listStatus(srcRoot)
       .filter { st =>
         val n = st.getPath.getName
         if (st.isDirectory) !committerDirs(n)
         else !n.startsWith("_") && !n.startsWith(".")
       }
       .foreach { st =>
-        FileUtil.copy(f, st.getPath, df2, new Path(target, st.getPath.getName),
+        FileUtil.copy(f, st.getPath, df2, new Path(dstRoot, st.getPath.getName),
           false, spark.sparkContext.hadoopConfiguration)
       }
     val partClause =
@@ -120,7 +162,8 @@ object ExportImport {
   private def importIntoExisting(spark: SparkSession, f: FileSystem,
       dir: String, table: String,
       ident: org.apache.spark.sql.catalyst.TableIdentifier,
-      schema: StructType, parts: Seq[String]): DataFrame = {
+      schema: StructType, parts: Seq[String],
+      spec: Option[Seq[(String, String)]] = None): DataFrame = {
     val em = spark.sessionState.catalog.getTableMetadata(ident)
     // the export data files are parquet (exportTable's snapshot format) —
     // appending them under a table of another provider would corrupt it
@@ -166,23 +209,32 @@ object ExportImport {
           "table exists and contains data files")
     } else {
       val existing = spark.sessionState.catalog.listPartitionNames(ident).toSet
-      Option(f.listStatus(new Path(dir, "data"))).toSeq.flatten
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .foreach { st =>
-          // export lays out one level per partition column; compare full
-          // relative partition paths against the catalog's names
-          def leaves(p: Path, rel: String): Seq[String] = {
-            val kids = Option(f.listStatus(p)).toSeq.flatten
-              .filter(c => c.isDirectory && c.getPath.getName.contains("="))
-            if (kids.isEmpty) Seq(rel)
-            else kids.flatMap(c => leaves(c.getPath, rel + "/" + c.getPath.getName))
-          }
-          leaves(st.getPath, st.getPath.getName).foreach { spec =>
-            if (existing.contains(spec))
-              sys.error(s"IMPORT into existing table $table: " +
-                s"partition already exists: $spec")
-          }
+      // export lays out one level per partition column; compare full
+      // relative partition paths against the catalog's names. A
+      // partition-scoped import only checks (and later copies) the
+      // spec's own subtree.
+      def leaves(p: Path, rel: String): Seq[String] = {
+        val kids = Option(f.listStatus(p)).toSeq.flatten
+          .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+        if (kids.isEmpty) Seq(rel)
+        else kids.flatMap(c => leaves(c.getPath, rel + "/" + c.getPath.getName))
+      }
+      val roots: Seq[(Path, String)] = spec match {
+        case Some(kvs) =>
+          val r = specRelPath(kvs)
+          Seq(new Path(dir + "/data/" + r) -> r)
+        case None =>
+          Option(f.listStatus(new Path(dir, "data"))).toSeq.flatten
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            .map(st => st.getPath -> st.getPath.getName)
+      }
+      roots.foreach { case (p, rel0) =>
+        leaves(p, rel0).foreach { name =>
+          if (existing.contains(name))
+            sys.error(s"IMPORT into existing table $table: " +
+              s"partition already exists: $name")
         }
+      }
     }
     val uid = java.util.UUID.randomUUID().toString.take(8)
     def copyInto(srcDir: Path, dst: Path): Unit = {
@@ -198,7 +250,12 @@ object ExportImport {
             false, spark.sparkContext.hadoopConfiguration): Unit
       }
     }
-    copyInto(new Path(dir, "data"), target)
+    spec match {
+      case Some(kvs) =>
+        val r = specRelPath(kvs)
+        copyInto(new Path(dir + "/data/" + r), new Path(target, r))
+      case None => copyInto(new Path(dir, "data"), target)
+    }
     if (ePartCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     spark.sql(s"REFRESH TABLE $table")
     spark.table(table)

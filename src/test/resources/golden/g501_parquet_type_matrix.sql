@@ -1,5 +1,8 @@
 -- parquet_types.q: the full primitive matrix (tinyint..binary) round-trips
--- through a parquet table byte-exactly.
+-- through a parquet table byte-exactly - except CHAR, whose STORAGE is
+-- blank-padded but whose read presents the stripped value
+-- (HiveSemantics.CharStripReads; the padded bytes are on disk, see
+-- Round15Spec's raw-parquet assertion).
 DROP TABLE IF EXISTS g501_t;
 CREATE TABLE g501_t (
   t TINYINT, s SMALLINT, i INT, b BIGINT,
