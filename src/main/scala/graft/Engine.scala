@@ -448,6 +448,14 @@ object Engine {
   // parseTableIdentifier and the re-issued ALTER both consume them.
   private val renameTableRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+RENAME\s+TO\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s*;?\s*""".r
+  // ALTER VIEW RENAME / ADD PARTITION — Hive-only forms Spark's parser
+  // rejects (DDLSemanticAnalyzer analyzeAlterTableRename/AddParts with
+  // expectView; clientnegative/alter_view_failure3/4/5/7/8/9.q pin the
+  // table-vs-view mismatch and spec-validation refusals)
+  private val alterViewRenameRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*""".r
+  private val alterViewAddPartRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)(\s+LOCATION\s+'[^']*')?\s*;?\s*""".r
   private val loadDataRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =
@@ -611,7 +619,7 @@ object Engine {
   private val exportRe =
     """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val importRe =
-    """(?is)\s*IMPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*IMPORT\s+(EXTERNAL\s+)?TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
 
   // DESCRIBE FORMATTED/EXTENDED t PARTITION (spec): native in Spark, but
   // Hive shows the PARTITION's own storage — append the diverged format
@@ -857,7 +865,23 @@ object Engine {
   }
   private val viewPartRe =
     ("""(?is)(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
-      """[\w.`]+\s*(?:\([^)]*\))?\s*)PARTITIONED\s+ON\s*\([^)]*\)\s*(AS\s+.*)""").r
+      """[\w.`]+\s*(?:\([^)]*\))?\s*)PARTITIONED\s+ON\s*\(([^)]*)\)\s*(AS\s+.*)""").r
+  // Hive bounds CHAR to [1,255] and VARCHAR to [1,65535] at type
+  // construction — DDL and CAST alike (reference: serde/.../typeinfo/
+  // BaseCharUtils.java; clientnegative/invalid_char_length_*.q,
+  // invalid_varchar_length_*.q). Spark's CharType/VarcharType accept any
+  // non-negative length, so the bound is enforced here at the statement
+  // boundary with the reference's RuntimeException message shape.
+  private val charLenRe = """(?i)\b(var)?char\s*\(\s*(\d+)\s*\)""".r
+  private def checkCharLengths(stmt: String): Unit =
+    charLenRe.findAllMatchIn(stmt).foreach { m =>
+      val n = BigInt(m.group(2))
+      if (m.group(1) != null) {
+        if (n < 1 || n > 65535)
+          sys.error(s"Varchar length $n out of allowed range [1, 65535]")
+      } else if (n < 1 || n > 255)
+        sys.error(s"Char length $n out of allowed range [1, 255]")
+    }
 
   // CREATE TABLE ... AS SELECT with unaliased expression columns — Hive
   // names them positionally (_c1, _c2 ...; SemanticAnalyzer
@@ -2579,6 +2603,12 @@ object Engine {
     val cat = spark.sessionState.catalog
     val fromId = spark.sessionState.sqlParser.parseTableIdentifier(from)
     val oldMeta = cat.getTableMetadata(fromId)
+    // Hive routes renames by object kind (alter_view_failure9.q):
+    // ALTER TABLE on a view is refused toward the ALTER VIEW form
+    if (oldMeta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      sys.error("To alter a view you need to use the ALTER VIEW command. " +
+        s"($from is a view)")
     val oldPath = oldMeta.storage.locationUri.map(_.getPath.stripSuffix("/"))
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
     // Spark requires same-database renames; qualify the new name with the
@@ -3894,11 +3924,16 @@ object Engine {
       case tempTableRe(pre, rest) => pre + rest
       case s => s
     }
+    if (stmt0.toLowerCase.contains("char")) checkCharLengths(stmt0)
     // partitioned views (create_view_partitioned.q): PARTITIONED ON is
     // Hive metadata-only (no read-path effect; DDLSemanticAnalyzer
-    // validateCreateView) — strip the clause, keep the view
+    // validateCreateView) — strip the clause, keep the view, and record
+    // the declared columns as a table property so ALTER VIEW ... ADD
+    // PARTITION can validate its spec against them (alter_view_failure5/7)
     val stmtT = stmtT0 match {
-      case viewPartRe(pre, rest) => pre + " " + rest
+      case viewPartRe(pre, cols, rest) =>
+        val names = cols.split(",").map(_.trim.split("\\s+")(0)).filter(_.nonEmpty)
+        pre + s" TBLPROPERTIES ('graft.view.partcols'='${names.mkString(",")}') " + rest
       case s => s
     }
     val stmtS0 = if (ptfNoopRe.findFirstIn(stmtT).isDefined)
@@ -4359,6 +4394,47 @@ object Engine {
       case renameTableRe(from, to) =>
         renameWithPartitionFix(spark, from, to)
         spark.emptyDataFrame
+      case alterViewRenameRe(from, to) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(from))
+        if (meta.tableType !=
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          sys.error("To alter a base table you need to use the ALTER TABLE " +
+            s"command. ($from is a table)")
+        // a view rename is pure catalog metadata — no partition locations
+        // to repair; Spark's ALTER TABLE form refuses views, so go
+        // straight to the SessionCatalog rename
+        val toId0 = spark.sessionState.sqlParser.parseTableIdentifier(to)
+        val fromId = spark.sessionState.sqlParser.parseTableIdentifier(from)
+        spark.sessionState.catalog.renameTable(
+          fromId,
+          if (toId0.database.isDefined) toId0
+          else toId0.copy(database = fromId.database))
+        spark.emptyDataFrame
+      case alterViewAddPartRe(name, specText, locClause) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(name))
+        if (meta.tableType !=
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          sys.error("To alter a base table you need to use the ALTER TABLE " +
+            s"command. ($name is a table)")
+        if (locClause != null)
+          sys.error("LOCATION clause illegal for view partition")
+        val declared = meta.properties.get("graft.view.partcols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        if (declared.isEmpty)
+          sys.error(s"view $name is not partitioned but partition spec exists")
+        val kvs = operators.ExportImport.parseSpec(Some(specText)).get
+        val shown = kvs.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+        if (!kvs.forall(kv => declared.exists(_.equalsIgnoreCase(kv._1))))
+          sys.error(s"Partition spec $shown contains non-partition columns")
+        if (kvs.length < declared.length)
+          sys.error(s"partition spec $shown doesn't contain all " +
+            s"(${declared.length}) partition columns")
+        // spec is valid: Hive records the view partition in the metastore
+        // but nothing in the read path consumes it (view partitions carry
+        // no storage) — accepted as metadata-only, like PARTITIONED ON
+        spark.emptyDataFrame
       case loadDataRe(inpath, over, table, part) =>
         requireNoArchiveConflict(spark, table, Option(part), "LOAD")
         loadData(spark, inpath, over != null, table, Option(part))
@@ -4601,11 +4677,12 @@ object Engine {
           d.filter(org.apache.spark.sql.functions.col(k) === v) })
         operators.ExportImport.exportTable(df, dir, meta.partitionColumnNames)
         spark.emptyDataFrame
-      case importRe(table, part, dir, loc) =>
+      case importRe(ext, table, part, dir, loc) =>
         val location = Option(loc).getOrElse(
           graft.tools.Tmp.dir("graft_import") + "/" + table.split('.').last)
         operators.ExportImport.importTable(spark, dir, table, location,
-          operators.ExportImport.parseSpec(Option(part)))
+          operators.ExportImport.parseSpec(Option(part)),
+          external = ext != null)
         spark.emptyDataFrame
       // FROM-first multi-destination insert (genBodyPlan): Spark's parser
       // rejects it, so detect and fan out over one shared scan

@@ -163,6 +163,12 @@ object Dedup {
     *
     * Output: (node, cluster_id) for every node appearing in `pairs`.
     */
+  /** Iterations the most recent `clusters` call took to converge —
+    * observability for the scale boards: pointer-doubling predicts
+    * O(log n) rounds, so a notch run asserts the ROUND count, not just
+    * wall time (a linear-propagation bug would show here first). */
+  @volatile var lastClusterIterations: Int = 0
+
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import graft.tools.Checkpoints
     val edges = Checkpoints.cut(
@@ -196,6 +202,7 @@ object Dedup {
     }
     // edges fed only the loop; the returned plan depends on lbl alone
     Checkpoints.release(edges)
+    lastClusterIterations = it
     lbl.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -79,7 +79,8 @@ object ExportImport {
     */
   def importTable(spark: SparkSession, dir: String, table: String,
                   location: String,
-                  spec: Option[Seq[(String, String)]] = None): DataFrame = {
+                  spec: Option[Seq[(String, String)]] = None,
+                  external: Boolean = false): DataFrame = {
     val f = fs(spark, dir)
     val meta = {
       val in = f.open(new Path(dir, "_metadata"))
@@ -90,21 +91,25 @@ object ExportImport {
     val schema = StructType.fromDDL(ddl)
     val parts = metaField(meta, "partitions", required = false)
       .split(",").filter(_.nonEmpty).toSeq
-    // IMPORT ... PARTITION (spec): restore just that partition subtree
-    // from the dump (ImportSemanticAnalyzer partSpecs). The spec must
-    // name a leading prefix of the exported partition columns, and the
-    // dump must actually hold it ("Specified partition not found").
+    // IMPORT ... PARTITION (spec): restore just that partition from the
+    // dump (ImportSemanticAnalyzer partSpecs). The spec must bind EVERY
+    // exported partition column — the reference refuses an
+    // underspecified import spec with the same "Specified partition not
+    // found" it uses for an absent one (clientnegative/
+    // exim_17_part_spec_underspec.q, exim_18_part_spec_missing.q,
+    // SemanticException 10006) — and the dump must actually hold it.
     spec.foreach { kvs =>
       if (parts.isEmpty)
         sys.error(s"IMPORT into $table: partition spec supplied but the " +
           "export is not partitioned")
       if (kvs.map(_._1.toLowerCase) != parts.take(kvs.length).map(_.toLowerCase))
         sys.error(s"IMPORT into $table: partition spec " +
-          s"(${kvs.map(_._1).mkString(", ")}) must be a leading prefix of " +
-          s"the exported partition columns (${parts.mkString(", ")})")
-      if (!f.exists(new Path(dir + "/data/" + specRelPath(kvs))))
-        sys.error(s"IMPORT into $table: specified partition not found in " +
-          "the export: " +
+          s"(${kvs.map(_._1).mkString(", ")}) must name the exported " +
+          s"partition columns in declared order (${parts.mkString(", ")})")
+      if (kvs.length < parts.length ||
+          !f.exists(new Path(dir + "/data/" + specRelPath(kvs))))
+        sys.error(s"IMPORT into $table: Specified partition not found in " +
+          "import directory: " +
           kvs.map { case (k, v) => s"$k='$v'" }.mkString("(", ", ", ")"))
     }
     // IMPORT into an EXISTING table (ImportSemanticAnalyzer
@@ -114,8 +119,17 @@ object ExportImport {
     // into the existing table's own location (Hive IMPORT semantics),
     // never into the caller-supplied fresh location.
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    if (spark.sessionState.catalog.tableExists(ident))
+    if (spark.sessionState.catalog.tableExists(ident)) {
+      // IMPORT EXTERNAL TABLE over an existing table is refused outright
+      // (ImportSemanticAnalyzer checkTable, clientnegative/
+      // exim_19_external_over_existing.q): an external import re-points
+      // a location, it never merges into managed storage.
+      if (external)
+        sys.error(s"IMPORT into $table: the existing table is not " +
+          "compatible with the import spec. External table cannot " +
+          "overwrite existing table. Drop existing table first.")
       return importIntoExisting(spark, f, dir, table, ident, schema, parts, spec)
+    }
     // byte copy of the data files (CopyTask semantics — no rewrite):
     // partition dirs copy recursively, preserving the layout. The
     // DESTINATION resolves its own FileSystem — source and target may live

@@ -77,6 +77,18 @@ object ScaleBoard {
     val spark = graft.Engine.session(s"local[$cpus]", "graft-scale", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
+    // shuffle-record counter (Soak's contention-immune signal): wall
+    // ratios on a noisy host mislead; records shuffled per run do not
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shufRecs.addAndGet(m.shuffleReadMetrics.recordsRead): Unit
+        }
+      })
+
     println(s"[scale] building ${n}x fact tables under $dst")
     val tBuild = time(buildScaledDir(spark, src, dst, n))
     println(f"[scale] build done in $tBuild%.1f s")
@@ -92,12 +104,23 @@ object ScaleBoard {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def bench(name: String)(one: => Unit)(ten: => Unit): Unit = {
       if (!only.forall(_.contains(name))) return
+      shufRecs.set(0)
       val t1 = math.min(time(one), time(one)) // min-of-2, Bench convention
+      val recs1 = shufRecs.getAndSet(0)
+      val it1 = graft.operators.Dedup.lastClusterIterations
       Checkpoints.sweep()
       val tN = time(ten) // single N× run (bounded wall budget)
+      val recsN = shufRecs.getAndSet(0)
+      val itN = graft.operators.Dedup.lastClusterIterations
       Checkpoints.sweep()
       rows += ((name, t1, tN))
-      println(f"[scale] $name%-22s 1x=$t1%7.2f s  ${n}x=$tN%7.2f s  ratio=${tN / t1}%5.1f")
+      // recs1 accumulated across BOTH 1× runs — halve for the per-run rate
+      val r1 = recs1 / 2.0
+      val extra = if (name.startsWith("d08"))
+        f"  rounds=${it1}->${itN}" else ""
+      println(f"[scale] $name%-22s 1x=$t1%7.2f s  ${n}x=$tN%7.2f s  " +
+        f"ratio=${tN / t1}%5.1f  shuf_recs=${r1 / 1e6}%.2fM->${recsN / 1e6}%.2fM" +
+        f" (${if (r1 > 0) recsN / r1 else 0.0}%.1fx)$extra")
     }
 
     // ---- table-level queries: same registered fn, scaled directory ----

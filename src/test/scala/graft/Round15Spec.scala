@@ -214,4 +214,33 @@ class Round15Spec extends SparkSpec {
     assert(raw.getString(0) == "ab      " && raw.getString(1) == "xy    ",
       s"[${raw.getString(0)}|${raw.getString(1)}]")
   }
+
+  // ---- d08 scale instrument: pointer-doubling converges in O(log n) ----
+
+  test("connected-components rounds grow log n, not linearly (d08 notch)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a single 64-node chain is label propagation's worst case: plain
+    // min-neighbor propagation needs ~63 rounds, pointer-doubling ~log2
+    val edges = (0 until 63).map(i => (i.toLong, i + 1L))
+      .toDF("da", "db")
+    val comp = operators.Dedup.clusters(edges)
+    assert(comp.agg(countDistinct(col("cluster_id"))).collect()(0).getLong(0) == 1)
+    val rounds = operators.Dedup.lastClusterIterations
+    // log2(64) = 6; the +prev-carry convergence check costs one extra
+    assert(rounds <= 10, s"chain of 64 took $rounds rounds — pointer " +
+      "doubling is broken (linear propagation would take ~63)")
+  }
+
+  // ---- Hive CHAR/VARCHAR length bounds (invalid_char_length_*.q) ------
+
+  test("char/varchar in-range DDL and casts still pass the length guard") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_cl")
+    Engine.ddl(spark,
+      "CREATE TABLE graft_tmp.r15_cl (a CHAR(255), b VARCHAR(65535)) USING parquet")
+    val r = Engine.ddl(spark,
+      "SELECT CAST('x' AS CHAR(1)) AS c1, CAST('y' AS VARCHAR(1)) AS v1").collect()
+    assert(r(0).getString(0) == "x" && r(0).getString(1) == "y")
+  }
 }
