@@ -3655,6 +3655,8 @@ object Engine {
   private val alterAuthRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
   private val dropAuthRe =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*(?:PURGE\s*)?;?\s*""".r
+  private val dropViewAuthRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
   private val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
   // negative lookahead: INSERT OVERWRITE [LOCAL] DIRECTORY writes a
   // filesystem path, not a table — 'DIRECTORY' must not parse as one
@@ -3702,10 +3704,21 @@ object Engine {
         graft.operators.Auth.enforce(spark, "Create", db, tb, output = true)
       case dropAuthRe(t) =>
         val (db, tb) = nameOf(t)
+        // sql-std model: DROP is ownership-gated (no-op under the legacy
+        // provider); legacy model: Drop privilege as before
+        graft.operators.Auth.enforceOwnership(spark, "DROPTABLE", db, tb)
+        graft.operators.Auth.enforce(spark, "Drop", db, tb, output = true)
+      case dropViewAuthRe(t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforceOwnership(spark, "DROPVIEW", db, tb)
         graft.operators.Auth.enforce(spark, "Drop", db, tb, output = true)
       case truncAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Update", db, tb, output = true)
+      case renameTableRe(t, _) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforceOwnership(spark, "ALTERTABLE_RENAME", db, tb)
+        graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
       case alterAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
@@ -3905,8 +3918,25 @@ object Engine {
       if (spark.sessionState.catalog.tableExists(ident))
         registerTempTable(spark, q)
     }
+    // ownership recording (sql-std OBJECT OWNERSHIP axis): the creating
+    // user owns the object — recorded AFTER the statement succeeds, so a
+    // refused CREATE records nothing
+    stripLeadingComments(stmt0x) match {
+      case createdObjRe(name) =>
+        val n = name.replace("`", "")
+        val (db, tb) =
+          if (n.contains(".")) {
+            val p = n.split("\\."); (p(p.length - 2), p.last)
+          } else (spark.sessionState.catalog.getCurrentDatabase, n)
+        operators.Auth.recordOwner(spark, db, tb)
+      case _ => ()
+    }
     out
   }
+  private val createdObjRe =
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?""" +
+      """(?:EXTERNAL\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.`]+).*""").r
 
   private def ddlImpl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
     val stmt0 = stripLeadingComments(stmt0x)

@@ -53,6 +53,12 @@ object Auth {
     val privGrants = mutable.ArrayBuffer[PrivGrant]()
     /** SET ROLE selection; None = ALL granted roles active (the default). */
     var currentRoles: Option[Set[String]] = None
+    /** (db, table) → creating user, lowercase keys — the SQL-std model's
+      * OBJECT OWNERSHIP axis (HiveV2 SQLStdHiveAccessController: the
+      * object owner holds every privilege WITH GRANT OPTION implicitly).
+      * Recorded by the engine at CREATE TABLE/VIEW; tables created before
+      * tracking (fixture views) have no entry and are owned by no one. */
+    val owners = mutable.HashMap[(String, String), String]()
   }
 
   private val states =
@@ -68,13 +74,14 @@ object Auth {
     * script dies mid-way, so its CREATE ROLE / GRANT residue would leak
     * into every later test on the shared session). */
   final case class Snapshot(roles: Seq[String], roleGrants: Seq[RoleGrant],
-      privGrants: Seq[PrivGrant], currentRoles: Option[Set[String]])
+      privGrants: Seq[PrivGrant], currentRoles: Option[Set[String]],
+      owners: Map[(String, String), String] = Map.empty)
 
   def snapshot(spark: SparkSession): Snapshot = {
     val st = state(spark)
     st.synchronized {
       Snapshot(st.roles.toSeq, st.roleGrants.toSeq, st.privGrants.toSeq,
-        st.currentRoles)
+        st.currentRoles, st.owners.toMap)
     }
   }
 
@@ -85,10 +92,18 @@ object Auth {
       st.roleGrants.clear(); st.roleGrants ++= snap.roleGrants
       st.privGrants.clear(); st.privGrants ++= snap.privGrants
       st.currentRoles = snap.currentRoles
+      st.owners.clear(); st.owners ++= snap.owners
     }
   }
 
-  private def user(): String = System.getProperty("user.name", "anonymous")
+  /** Session identity: the `user.name` session conf when set (the
+    * reference's SessionStateConfigUserAuthenticator — its sql-std test
+    * scripts switch identity with `SET user.name=...`), else the JVM
+    * user. Conf-first means a script CAN act as several users; nothing
+    * sets the conf by default, so standalone behavior is unchanged. */
+  private def user(spark: SparkSession): String =
+    spark.conf.getOption("user.name").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(System.getProperty("user.name", "anonymous"))
   private def now(): Long = System.currentTimeMillis() / 1000
 
   // ---- enforcement (hive.security.authorization.enabled=true) -----------
@@ -110,6 +125,51 @@ object Auth {
   def enforcementEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("hive.security.authorization.enabled")
       .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** SQL-standard authorizer selected (the reference's
+    * hive.security.authorization.manager naming an SQLStdHiveAuthorizer*
+    * factory). Adds the V2 model's axes on top of enforcement: OBJECT
+    * OWNERSHIP gates DROP/RENAME, and GRANT itself requires the grantor
+    * to be admin, the owner, or to hold the privilege WITH GRANT OPTION
+    * (authorization_not_owner_drop_tab.q,
+    * authorization_grant_table_fail_nogrant.q). */
+  def sqlStdEnabled(spark: SparkSession): Boolean =
+    enforcementEnabled(spark) &&
+      spark.conf.getOption("hive.security.authorization.manager")
+        .exists(_.toLowerCase.contains("sqlstd"))
+
+  /** Record table/view ownership at CREATE (engine hook). */
+  def recordOwner(spark: SparkSession, db: String, table: String): Unit = {
+    val st = state(spark)
+    st.synchronized {
+      st.owners.update((db.toLowerCase, table.toLowerCase), user(spark))
+    }
+  }
+
+  def ownerOf(spark: SparkSession, db: String, table: String): Option[String] = {
+    val st = state(spark)
+    st.synchronized { st.owners.get((db.toLowerCase, table.toLowerCase)) }
+  }
+
+  private def isAdmin(spark: SparkSession, st: State): Boolean =
+    activePrincipals(spark, st).contains(("ROLE", "admin"))
+
+  /** SQL-std OBJECT OWNERSHIP gate (no-op unless sqlStdEnabled): the
+    * current user must own the object or hold admin; refuses with the
+    * reference's HiveAccessControlException text. */
+  def enforceOwnership(spark: SparkSession, operation: String,
+      db: String, table: String): Unit = {
+    if (!sqlStdEnabled(spark)) return
+    val st = state(spark)
+    st.synchronized {
+      val u = user(spark)
+      if (isAdmin(spark, st)) return
+      if (st.owners.get((db.toLowerCase, table.toLowerCase)).contains(u)) return
+      sys.error(s"Permission denied: Principal [name=$u, type=USER] does " +
+        s"not have following privileges for operation $operation " +
+        s"[[OBJECT OWNERSHIP] on Object [type=TABLE_OR_VIEW, name=$db.$table]]")
+    }
+  }
 
   /** Transitive closure over role-to-role grants: holding role P yields
     * every role R granted TO ROLE P, recursively (the reference's role
@@ -135,8 +195,8 @@ object Auth {
   /** The principals the session user currently holds: USER name plus
     * active roles (SET ROLE selection, else every granted role), each
     * expanded through the role hierarchy, plus the implicit public role. */
-  private def activePrincipals(st: State): Set[(String, String)] = {
-    val u = user()
+  private def activePrincipals(spark: SparkSession, st: State): Set[(String, String)] = {
+    val u = user(spark)
     val roles = expandRoles(st, st.currentRoles.getOrElse(
       st.roleGrants.filter(g => g.principalType == "USER" && g.principal == u)
         .map(_.role.toLowerCase).toSet + "public"))
@@ -147,8 +207,14 @@ object Auth {
       priv: String, needed: Set[String] = Set.empty): Boolean = {
     val st = state(spark)
     st.synchronized {
-      val ps = activePrincipals(st)
+      val ps = activePrincipals(spark, st)
       if (ps.contains(("ROLE", "admin"))) return true
+      // sql-std model: the object OWNER holds every privilege implicitly
+      // (SQLStdHiveAccessController filterPrivObjects OWNER_PRIV); under
+      // the legacy provider ownership confers nothing (authorization_fail_2.q)
+      if (sqlStdEnabled(spark) &&
+          st.owners.get((db.toLowerCase, table.toLowerCase))
+            .contains(user(spark))) return true
       val matching = st.privGrants.filter { g =>
         (g.privilege.equalsIgnoreCase(priv) ||
           g.privilege.equalsIgnoreCase("ALL")) &&
@@ -175,7 +241,7 @@ object Auth {
       priv: String, needed: Set[String]): Option[String] = {
     val st = state(spark)
     st.synchronized {
-      val ps = activePrincipals(st)
+      val ps = activePrincipals(spark, st)
       val granted = st.privGrants.filter { g =>
         (g.privilege.equalsIgnoreCase(priv) ||
           g.privilege.equalsIgnoreCase("ALL")) &&
@@ -312,7 +378,7 @@ object Auth {
         out(spark, roleSchema, st.roles.toSeq.sorted.map(Row(_)))
       }
       case showCurrentRe() => st.synchronized {
-        val u = user()
+        val u = user(spark)
         val granted = st.roleGrants
           .filter(g => g.principalType == "USER" && g.principal == u)
           .map(_.role).toSet + "public"
@@ -347,6 +413,35 @@ object Auth {
           } catch { case _: Exception => false }
           require(exists, s"Table not found $db.$tbl")
         }
+        // SQL-std grantor gate (GRANT_PRIVILEGE operation,
+        // authorization_grant_table_fail1.q / _fail_nogrant.q): under the
+        // sql-std authorizer a GRANT needs the grantor to be admin, the
+        // object's OWNER (owners hold everything with grant implicitly),
+        // or a holder of that privilege WITH GRANT OPTION. Checked before
+        // any mutation so a multi-priv GRANT stays atomic.
+        if (sqlStdEnabled(spark)) {
+          val u = user(spark)
+          val owner = st.owners.get((db.toLowerCase, tbl.toLowerCase)).contains(u)
+          if (!isAdmin(spark, st) && !owner) {
+            val ps = activePrincipals(spark, st)
+            privItemRe.findAllMatchIn(privs).map(_.group(1).toUpperCase)
+              .foreach { priv =>
+                val viaGrantOpt = st.privGrants.exists { g =>
+                  g.grantOption && g.database.equalsIgnoreCase(db) &&
+                    (g.table.isEmpty || g.table.equalsIgnoreCase(tbl)) &&
+                    (g.privilege.equalsIgnoreCase(priv) ||
+                      g.privilege.equalsIgnoreCase("ALL")) &&
+                    ps.exists(p => p._1 == g.principalType &&
+                      p._2.equalsIgnoreCase(g.principal))
+                }
+                if (!viaGrantOpt)
+                  sys.error(s"Permission denied: Principal [name=$u, " +
+                    "type=USER] does not have following privileges for " +
+                    s"operation GRANT_PRIVILEGE [[$priv with grant] on " +
+                    s"Object [type=TABLE_OR_VIEW, name=$db.$tbl]]")
+              }
+          }
+        }
         for {
           m <- privItemRe.findAllMatchIn(privs).toSeq
           priv = m.group(1).toUpperCase
@@ -358,7 +453,7 @@ object Auth {
           if (pt == "ROLE") require(st.roles.contains(pn.toLowerCase),
             s"role $pn does not exist")
           val g = PrivGrant(db, tbl, pn, pt, priv, withGrant != null,
-            now(), user(), cols)
+            now(), user(spark), cols)
           // with the authorizer ON, a duplicate grant is the metastore's
           // PK violation surfaced as an error (authorization_fail_1.q:
           // "CREATE is already granted on table ..."); with it off the
@@ -369,7 +464,7 @@ object Auth {
             x.columns == g.columns)
           if (dup && enforcementEnabled(spark))
             sys.error(s"$priv is already granted on table [$db,$tbl] " +
-              s"by ${user()}")
+              s"by ${user(spark)}")
           st.privGrants.filterInPlace(x => !(x.database == g.database &&
             x.table == g.table && x.principal == g.principal &&
             x.principalType == g.principalType && x.privilege == g.privilege &&
@@ -465,7 +560,7 @@ object Auth {
           }
           st.roleGrants.filterInPlace(x => !(x.role == r &&
             x.principal == pn && x.principalType == pt))
-          st.roleGrants += RoleGrant(r, pn, pt, withAdmin != null, now(), user())
+          st.roleGrants += RoleGrant(r, pn, pt, withAdmin != null, now(), user(spark))
         }
         spark.emptyDataFrame
       }

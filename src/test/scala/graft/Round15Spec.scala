@@ -232,6 +232,48 @@ class Round15Spec extends SparkSpec {
       "doubling is broken (linear propagation would take ~63)")
   }
 
+  // ---- SQL-std authorizer: ownership + grant-option chains ------------
+
+  private def withSqlStd(body: => Unit): Unit = {
+    spark.conf.set("hive.security.authorization.enabled", "true")
+    spark.conf.set("hive.security.authorization.manager",
+      "org.apache.hadoop.hive.ql.security.authorization.plugin.sqlstd.SQLStdHiveAuthorizerFactoryForTest")
+    try body
+    finally {
+      spark.conf.unset("hive.security.authorization.enabled")
+      spark.conf.unset("hive.security.authorization.manager")
+      spark.conf.unset("user.name")
+    }
+  }
+
+  test("sql-std: owner grants, grant-option chains re-grant, owner drops") {
+    freshDb()
+    val snap = operators.Auth.snapshot(spark)
+    try {
+      Engine.ddl(spark, "set user.name=r15u1")
+      Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_own")
+      Engine.ddl(spark,
+        "CREATE TABLE graft_tmp.r15_own (i INT) USING parquet")
+      withSqlStd {
+        // owner grants without holding any explicit grant
+        Engine.ddl(spark, "GRANT SELECT ON TABLE graft_tmp.r15_own " +
+          "TO USER r15u2 WITH GRANT OPTION")
+        // the grant-option holder re-grants down the chain
+        Engine.ddl(spark, "set user.name=r15u2")
+        Engine.ddl(spark,
+          "GRANT SELECT ON TABLE graft_tmp.r15_own TO USER r15u3")
+        // a plain holder cannot re-grant (the n265 refusal)
+        Engine.ddl(spark, "set user.name=r15u3")
+        val e = intercept[Exception] { Engine.ddl(spark,
+          "GRANT SELECT ON TABLE graft_tmp.r15_own TO USER r15u4") }
+        assert(e.getMessage.contains("GRANT_PRIVILEGE"), e.getMessage)
+        // the owner drops; a non-owner could not (the n267 refusal)
+        Engine.ddl(spark, "set user.name=r15u1")
+        Engine.ddl(spark, "DROP TABLE graft_tmp.r15_own")
+      }
+    } finally operators.Auth.restore(spark, snap)
+  }
+
   // ---- Hive CHAR/VARCHAR length bounds (invalid_char_length_*.q) ------
 
   test("char/varchar in-range DDL and casts still pass the length guard") {
