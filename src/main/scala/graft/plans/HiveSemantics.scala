@@ -159,10 +159,12 @@ object HiveSemantics {
     *
     * Nested CHAR one level deep is stripped too (r15): the reference
     * strips at EVERY conversion (PrimitiveObjectInspectorUtils.java:826),
-    * so `struct<c:char(n)>` read through GetStructField and
-    * `array<char(n)>` elements rebuild with rtrim over each char member
-    * (null-preserving). Deeper nesting (struct-in-struct, map values)
-    * keeps Spark's padded value — documented residual drift. */
+    * so `struct<c:char(n)>` read through GetStructField,
+    * `array<char(n)>` elements, and `map` char keys/values rebuild with
+    * rtrim over each char member (null-preserving; maps through the
+    * higher-order TransformKeys/TransformValues). Deeper nesting
+    * (struct-in-struct, array-in-struct) keeps Spark's padded value —
+    * documented residual drift. */
   object CharStripReads extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.catalyst.util.CharVarcharUtils
@@ -186,8 +188,16 @@ object HiveSemantics {
         case _ => false
       }
 
+    /** map with char(n) keys and/or values (raw type). */
+    private def charMap(a: Attribute): Boolean =
+      CharVarcharUtils.getRawType(a.metadata).exists {
+        case MapType(k, v, _) =>
+          k.isInstanceOf[CharType] || v.isInstanceOf[CharType]
+        case _ => false
+      }
+
     private def needsStrip(a: Attribute): Boolean =
-      isChar(a) || nestedCharStruct(a).nonEmpty || charArray(a)
+      isChar(a) || nestedCharStruct(a).nonEmpty || charArray(a) || charMap(a)
 
     /** Rebuild a one-level-nested value with rtrim over its char members,
       * null-preserving at the container level. */
@@ -208,6 +218,25 @@ object HiveSemantics {
       case ArrayType(_: CharType, containsNull) =>
         val lv = NamedLambdaVariable("x", StringType, containsNull)
         ArrayTransform(c, LambdaFunction(StringTrimRight(lv), Seq(lv)))
+      case MapType(rk, rv, _) =>
+        // map<char, _> / map<_, char>: trim keys and/or values through
+        // the higher-order map transforms (both codegen-friendly; key
+        // trimming cannot collide — equal-after-rtrim keys differed only
+        // in Hive-invisible padding, which Hive's own map would have
+        // already collapsed at write)
+        val mt = c.dataType.asInstanceOf[MapType]
+        var e: Expression = c
+        if (rk.isInstanceOf[CharType]) {
+          val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
+          val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
+          e = TransformKeys(e, LambdaFunction(StringTrimRight(k), Seq(k, v)))
+        }
+        if (rv.isInstanceOf[CharType]) {
+          val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
+          val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
+          e = TransformValues(e, LambdaFunction(StringTrimRight(v), Seq(k, v)))
+        }
+        e
       case _ => c
     }
 
@@ -230,7 +259,8 @@ object HiveSemantics {
       val proj = Project(output.zip(cleaned).map { case (orig, c) =>
         if (isChar(orig))
           Alias(StringTrimRight(c), c.name)(qualifier = c.qualifier)
-        else if (nestedCharStruct(orig).nonEmpty || charArray(orig))
+        else if (nestedCharStruct(orig).nonEmpty || charArray(orig) ||
+            charMap(orig))
           Alias(stripNested(c,
             CharVarcharUtils.getRawType(orig.metadata).get), c.name)(
             qualifier = c.qualifier)

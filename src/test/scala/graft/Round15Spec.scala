@@ -215,6 +215,27 @@ class Round15Spec extends SparkSpec {
       s"[${raw.getString(0)}|${raw.getString(1)}]")
   }
 
+  test("map<char> keys and values read stripped, storage padded") {
+    freshDb()
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r15_mc")
+    val loc = tools.Tmp.dir("r15_mc") + "/t"
+    Engine.ddl(spark, s"""CREATE TABLE graft_tmp.r15_mc
+      (m MAP<CHAR(6), CHAR(4)>) USING parquet LOCATION '$loc'""")
+    Engine.ddl(spark,
+      "INSERT INTO graft_tmp.r15_mc SELECT map('ab', 'xy', 'cdef', 'z')")
+    val r = Engine.ddl(spark, """SELECT m['ab'] AS v1, length(m['ab']) AS l1,
+        cast(sort_array(map_keys(m)) AS string) AS ks,
+        cast(sort_array(map_values(m)) AS string) AS vs
+      FROM graft_tmp.r15_mc""").collect()(0)
+    assert(r.getString(0) == "xy" && r.getInt(1) == 2, r.toString)
+    assert(r.getString(2) == "[ab, cdef]" && r.getString(3) == "[xy, z]",
+      r.toString)
+    // storage stays blank-padded (raw parquet read, no char metadata)
+    val raw = spark.read.parquet(loc)
+      .selectExpr("cast(sort_array(map_keys(m)) AS string)").collect()(0)
+    assert(raw.getString(0) == "[ab    , cdef  ]", raw.getString(0))
+  }
+
   // ---- d08 scale instrument: pointer-doubling converges in O(log n) ----
 
   test("connected-components rounds grow log n, not linearly (d08 notch)") {
