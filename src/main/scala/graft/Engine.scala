@@ -872,6 +872,45 @@ object Engine {
   // invalid_varchar_length_*.q). Spark's CharType/VarcharType accept any
   // non-negative length, so the bound is enforced here at the statement
   // boundary with the reference's RuntimeException message shape.
+  // Partition-value whitelist (reference: metastore MetaStoreUtils
+  // .validatePartitionNameCharacters, gated by
+  // hive.metastore.partition.name.whitelist.pattern — empty = off, the
+  // default). Every NEW partition value a DDL introduces (ADD PARTITION
+  // specs, the TARGET of a partition RENAME, static INSERT specs) must
+  // fully match the Java regex; add_partition_with_whitelist.q /
+  // alter_partition_with_whitelist.q pin the refusal text.
+  private val partSpecKvRe =
+    """(\w+)\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,)\s]+))""".r
+  private val renameToPartRe =
+    """(?is)RENAME\s+TO\s+PARTITION\s*\(([^)]*)\)""".r
+  private val specGroupRe = """(?is)PARTITION\s*\(([^)]*)\)""".r
+  private def checkPartitionWhitelist(spark: SparkSession,
+      stmt: String): Unit = {
+    val pat = spark.conf
+      .getOption("hive.metastore.partition.name.whitelist.pattern")
+      .map(_.trim).filter(_.nonEmpty).getOrElse(return)
+    val u = stmt.toUpperCase
+    if (!u.contains("PARTITION")) return
+    val isAdd = u.matches("(?s)\\s*ALTER\\s+TABLE\\b.*\\bADD\\b.*") ||
+      u.matches("(?s)\\s*INSERT\\b.*")
+    val re = java.util.regex.Pattern.compile(pat)
+    def check(specText: String, prefix: String): Unit =
+      partSpecKvRe.findAllMatchIn(specText).foreach { m =>
+        val v = Seq(m.group(2), m.group(3), m.group(4)).find(_ != null)
+          .getOrElse("")
+        if (!re.matcher(v).matches())
+          sys.error(s"${prefix}Partition value '$v' contains a character " +
+            s"not matched by whitelist pattern '$pat'. (configure with " +
+            "hive.metastore.partition.name.whitelist.pattern)")
+      }
+    renameToPartRe.findFirstMatchIn(stmt) match {
+      case Some(m) => check(m.group(1), "Unable to rename partition. ")
+      case None if isAdd =>
+        specGroupRe.findAllMatchIn(stmt).foreach(m => check(m.group(1), ""))
+      case None => ()
+    }
+  }
+
   private val charLenRe = """(?i)\b(var)?char\s*\(\s*(\d+)\s*\)""".r
   private def checkCharLengths(stmt: String): Unit =
     charLenRe.findAllMatchIn(stmt).foreach { m =>
@@ -3955,6 +3994,7 @@ object Engine {
       case s => s
     }
     if (stmt0.toLowerCase.contains("char")) checkCharLengths(stmt0)
+    checkPartitionWhitelist(spark, stmt0)
     // partitioned views (create_view_partitioned.q): PARTITIONED ON is
     // Hive metadata-only (no read-path effect; DDLSemanticAnalyzer
     // validateCreateView) — strip the clause, keep the view, and record
