@@ -679,6 +679,8 @@ object Engine {
   // the rows through a projection (CTAS + swap, preserving provider,
   // options and partitioning). Partition columns cannot CHANGE (the
   // reference rejects that too).
+  private val notClusteredRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+NOT\s+(?:CLUSTERED|(SORTED))\s*;?\s*""".r
   private val changeColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?""" +
       """`?([\w]+)`?\s+`?([\w]+)`?\s+([\w]+(?:\s*\([0-9,\s]*\))?)""" +
@@ -949,7 +951,8 @@ object Engine {
     */
   private def swapTable(spark: SparkSession, table: String,
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
-      selectSql: String): Unit = {
+      selectSql: String,
+      schemaDdl: Option[String] = None): Unit = {
     val partCols = meta.partitionColumnNames
     val provider = meta.provider.getOrElse("parquet")
     val opts = meta.storage.properties.view
@@ -968,7 +971,17 @@ object Engine {
       spark.sessionState.catalog.defaultTablePath(
         spark.sessionState.sqlParser.parseTableIdentifier(tmp)))
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    spark.sql(s"CREATE TABLE $tmp USING $provider$opts$partBy AS $selectSql")
+    schemaDdl match {
+      case Some(ddl) =>
+        // explicit-schema swap (CHANGE COLUMN to char/varchar): a CTAS
+        // would degrade char(n) to string in the query output — create
+        // the target with the declared types, then insert (trailing
+        // select columns feed the partition columns dynamically)
+        spark.sql(s"CREATE TABLE $tmp ($ddl) USING $provider$opts$partBy")
+        execInsertStmt(spark, s"INSERT INTO TABLE $tmp $selectSql"): Unit
+      case None =>
+        spark.sql(s"CREATE TABLE $tmp USING $provider$opts$partBy AS $selectSql")
+    }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     if (partCols.nonEmpty)
@@ -1001,6 +1014,8 @@ object Engine {
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
+  private val insertValuesRe =
+    """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+VALUES\s+(.+?)\s*;?\s*""".r
   // target-table extraction for ANY insert form (SELECT or VALUES tail)
   private val insertTargetRe =
     """(?is)\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+).*""".r
@@ -2351,7 +2366,10 @@ object Engine {
         if part != null && splitPartSpec(part).exists(!_.contains("=")) &&
           (spark.conf.getOption("hive.exec.max.dynamic.partitions").isDefined ||
             spark.conf.getOption("hive.exec.max.dynamic.partitions.pernode")
-              .isDefined) &&
+              .isDefined ||
+            spark.conf
+              .getOption("hive.metastore.partition.name.whitelist.pattern")
+              .exists(_.trim.nonEmpty)) &&
           !select.contains("graft_dyncap_") => // the rewritten stage itself
       // pernode caps what one node creates (dyn_part_max_per_node.q) — on
       // this engine a write is one Spark job over one logical cluster, so
@@ -2360,21 +2378,45 @@ object Engine {
         .map(_.trim.toInt)
       val perNode = spark.conf
         .getOption("hive.exec.max.dynamic.partitions.pernode").map(_.trim.toInt)
-      val max = (total.toSeq ++ perNode.toSeq).min
-      val capName =
-        if (perNode.exists(p => total.forall(p <= _)))
-          "hive.exec.max.dynamic.partitions.pernode"
-        else "hive.exec.max.dynamic.partitions"
+      val whitelist = spark.conf
+        .getOption("hive.metastore.partition.name.whitelist.pattern")
+        .map(_.trim).filter(_.nonEmpty)
       val kvs = splitPartSpec(part)
       val dynCols = kvs.count(!_.contains("="))
       val staged = graft.tools.Checkpoints.cut(spark.sql(select))
       try {
         val tail = staged.columns.takeRight(dynCols).toSeq
-        val n = staged.select(tail.map(org.apache.spark.sql.functions.col): _*)
-          .distinct().limit(max + 1).count()
-        if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
-          s"would create at least $n partitions, which is more than " +
-          s"$capName=$max")
+        // dynamic whitelist leg (dynamic_partitions_with_whitelist.q): a
+        // DATA-derived partition value outside the pattern refuses BEFORE
+        // the write — the one-pass staging guarantees nothing lands. The
+        // check is distributed (rlike filter, first offender collected);
+        // NULL values become Hive's default partition and skip the gate.
+        whitelist.foreach { pat =>
+          import org.apache.spark.sql.functions.col
+          val anchored = "^(?:" + pat + ")$"
+          tail.foreach { c =>
+            val bad = staged.filter(col(c).isNotNull &&
+                !col(c).cast("string").rlike(anchored))
+              .select(col(c).cast("string")).limit(1).collect()
+            if (bad.nonEmpty)
+              sys.error(s"Partition value '${bad(0).getString(0)}' " +
+                s"contains a character not matched by whitelist pattern " +
+                s"'$pat'. (configure with " +
+                "hive.metastore.partition.name.whitelist.pattern)")
+          }
+        }
+        if (total.isDefined || perNode.isDefined) {
+          val max = (total.toSeq ++ perNode.toSeq).min
+          val capName =
+            if (perNode.exists(p => total.forall(p <= _)))
+              "hive.exec.max.dynamic.partitions.pernode"
+            else "hive.exec.max.dynamic.partitions"
+          val n = staged.select(tail.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().limit(max + 1).count()
+          if (n > max) sys.error(s"Dynamic partition INSERT into $tbl " +
+            s"would create at least $n partitions, which is more than " +
+            s"$capName=$max")
+        }
         val view = s"graft_dyncap_${dynCapSeq.incrementAndGet()}"
         staged.createOrReplaceTempView(view)
         try Some(execInsertStmt(spark,
@@ -2411,7 +2453,62 @@ object Engine {
           case _ => ()
         }
         res
+      // Hive TRUNCATES a char/varchar value longer than the declared
+      // length on write (HiveChar/HiveVarchar setValue enforce maxLength;
+      // alter_char2.q inserts a long string into char(10) and reads the
+      // 10-char prefix) — Spark refuses with EXCEED_LIMIT_LENGTH. Retry
+      // the statement with the source projected through substr() at each
+      // over-length char/varchar target column.
+      case e: Throwable if {
+        def chain(t: Throwable, d: Int): Boolean = t != null && d < 8 &&
+          (Option(t.getMessage).exists(_.contains("EXCEED_LIMIT_LENGTH")) ||
+            chain(t.getCause, d + 1))
+        chain(e, 0) && !stmt.contains("graft_trunc_")
+      } => truncatingInsert(spark, stmt).getOrElse(throw e)
     }
+
+  /** Re-issue an insert with char/varchar columns truncated to their
+    * declared lengths (Hive write semantics). None when the statement
+    * shape or target schema gives nothing to truncate. */
+  private def truncatingInsert(spark: SparkSession,
+      stmt: String): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+    val (mode, tbl, part, source) = stmt match {
+      case insertBranchRe(m, t, p, sel) => (m, t, p, sel)
+      case insertValuesRe(m, t, p, vals) =>
+        (m, t, p, s"SELECT * FROM (VALUES $vals)")
+      case _ => return None
+    }
+    val meta = try spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+      catch { case _: Exception => return None }
+    val partCols = meta.partitionColumnNames
+    val dataFields = meta.schema.fields.filterNot(f =>
+      partCols.exists(_.equalsIgnoreCase(f.name)))
+    val limits: Seq[Option[Int]] = dataFields.toSeq.map { f =>
+      CharVarcharUtils.getRawType(f.metadata).collect {
+        case org.apache.spark.sql.types.CharType(n) => n
+        case org.apache.spark.sql.types.VarcharType(n) => n
+      }
+    }
+    if (!limits.exists(_.isDefined)) return None
+    val src = spark.sql(source)
+    // source outputs map positionally: data columns first, then any
+    // DYNAMIC partition columns (never truncated)
+    val proj = src.columns.zipWithIndex.map { case (c, i) =>
+      limits.lift(i).flatten match {
+        case Some(n) => s"substr(`$c`, 1, $n) AS `$c`"
+        case None => s"`$c`"
+      }
+    }
+    val view = s"graft_trunc_${dynCapSeq.incrementAndGet()}"
+    src.createOrReplaceTempView(view)
+    try {
+      val partClause = Option(part).map(p => s" PARTITION ($p)").getOrElse("")
+      Some(spark.sql(s"INSERT $mode TABLE $tbl$partClause " +
+        s"SELECT ${proj.mkString(", ")} FROM $view"))
+    } finally spark.catalog.dropTempView(view): Unit
+  }
 
   private def insertWithHiveCasts0(spark: SparkSession,
       stmt: String): org.apache.spark.sql.DataFrame = {
@@ -4357,6 +4454,73 @@ object Engine {
           s" FROM $table"
         swapTable(spark, table, meta, selectSql)
         spark.emptyDataFrame
+      case notClusteredRe(table, sortedOnly) =>
+        // ALTER TABLE ... NOT CLUSTERED / NOT SORTED (alter4.q,
+        // alter_table_not_sorted.q; DDLSemanticAnalyzer
+        // analyzeAlterTableClusterSort): drop the bucketing spec (or just
+        // its sort columns) from the catalog — already-written files keep
+        // their layout, but the planner stops ASSUMING it (no more SMB/
+        // bucket-sample planning against files a future unbucketed write
+        // could violate)
+        val cat = spark.sessionState.catalog
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val meta = cat.getTableMetadata(id)
+        val newSpec =
+          if (sortedOnly != null) meta.bucketSpec.map(_.copy(sortColumnNames = Nil))
+          else None
+        cat.alterTable(meta.copy(bucketSpec = newSpec))
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      // string-family CHANGE (string ↔ char(n) ↔ varchar(n), same name,
+      // no reposition) is METADATA-ONLY, as in the reference
+      // (DDLSemanticAnalyzer alter is a metastore update; alter_char1.q:
+      // narrowing truncates the READ VIEW and widening back restores the
+      // full values — the data files never rewrite). The read-side
+      // truncation lives in HiveSemantics.CharStripReads.
+      case changeColRe(table, oldC, newC, typ, pos)
+          if pos == null && oldC.equalsIgnoreCase(newC) &&
+            typ.matches("(?is)\\s*(string|(var)?char\\s*\\(\\s*\\d+\\s*\\))\\s*") && {
+              val meta = spark.sessionState.catalog.getTableMetadata(
+                spark.sessionState.sqlParser.parseTableIdentifier(table))
+              val f = meta.schema.fields.find(_.name.equalsIgnoreCase(oldC))
+              !meta.partitionColumnNames.exists(_.equalsIgnoreCase(oldC)) &&
+              f.exists { fd =>
+                import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+                CharVarcharUtils.getRawType(fd.metadata)
+                  .getOrElse(fd.dataType) match {
+                  case org.apache.spark.sql.types.StringType |
+                       org.apache.spark.sql.types.CharType(_) |
+                       org.apache.spark.sql.types.VarcharType(_) => true
+                  case _ => false
+                }
+              }
+            } =>
+        import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+        import org.apache.spark.sql.types._
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val cat = spark.sessionState.catalog
+        val meta = cat.getTableMetadata(id)
+        val partCols = meta.partitionColumnNames
+        val dt = spark.sessionState.sqlParser.parseDataType(typ.trim)
+        val newData = meta.schema.fields
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+          .map { f =>
+            if (!f.name.equalsIgnoreCase(oldC)) f
+            else {
+              val mb = new MetadataBuilder().withMetadata(f.metadata)
+              dt match {
+                // the metadata key is private in CharVarcharUtils — its
+                // literal is the stable on-disk contract
+                case _: CharType | _: VarcharType => mb.putString(
+                  "__CHAR_VARCHAR_TYPE_STRING", dt.sql.toLowerCase)
+                case _ => mb.remove("__CHAR_VARCHAR_TYPE_STRING")
+              }
+              f.copy(dataType = StringType, metadata = mb.build())
+            }
+          }
+        cat.alterTableDataSchema(id, StructType(newData))
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
       case changeColRe(table, oldC, newC, typ, pos) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
@@ -4367,9 +4531,18 @@ object Engine {
           .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
         require(dataCols.exists(_.equalsIgnoreCase(oldC)),
           s"no column $oldC in $table")
+        // char/varchar targets: Hive TRUNCATES existing over-length values
+        // at the type change (HiveBaseChar.enforceMaxLength; alter_char2.q
+        // narrows char(255)→char(10) and reads the 10-char prefix) — and
+        // the rebuilt table must keep the declared char type, which a CTAS
+        // would degrade to string, so the swap gets an explicit schema
+        val charLen = """(?i)\s*(?:var)?char\s*\(\s*(\d+)\s*\)\s*""".r
+        def hiveCast(c: String): String = typ match {
+          case charLen(n) => s"substr(CAST(`$c` AS STRING), 1, $n) AS `$newC`"
+          case _ => s"CAST(`$c` AS $typ) AS `$newC`"
+        }
         val entries = dataCols.map { c =>
-          if (c.equalsIgnoreCase(oldC))
-            (newC, s"CAST(`$c` AS $typ) AS `$newC`")
+          if (c.equalsIgnoreCase(oldC)) (newC, hiveCast(c))
           else (c, s"`$c`")
         }
         val reordered = Option(pos).map(_.trim) match {
@@ -4387,7 +4560,22 @@ object Engine {
         val selectSql = "SELECT " +
           (reordered.map(_._2) ++ partCols.map(c => s"`$c`")).mkString(", ") +
           s" FROM $table"
-        swapTable(spark, table, meta, selectSql)
+        // explicit target schema: the changed column gets the declared
+        // type text, untouched columns keep their raw type (char metadata
+        // included), partition columns close the list
+        val schemaDdl = {
+          import org.apache.spark.sql.catalyst.util.CharVarcharUtils
+          def rawSql(n: String): String = {
+            val f = meta.schema.fields
+              .find(_.name.equalsIgnoreCase(n)).get
+            CharVarcharUtils.getRawType(f.metadata)
+              .getOrElse(f.dataType).sql
+          }
+          (reordered.map { case (n, _) =>
+            if (n.equalsIgnoreCase(newC)) s"`$n` $typ" else s"`$n` ${rawSql(n)}"
+          } ++ partCols.map(c => s"`$c` ${rawSql(c)}")).mkString(", ")
+        }
+        swapTable(spark, table, meta, selectSql, Some(schemaDdl))
         spark.emptyDataFrame
       case insertIfNotExistsRe(prefix, table, spec, rest) =>
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

@@ -175,29 +175,51 @@ object HiveSemantics {
       CharVarcharUtils.getRawType(a.metadata)
         .exists(_.isInstanceOf[CharType])
 
-    /** struct<..., c:char(n), ...> — char one level down (raw type). */
+    private def isVarchar(a: Attribute): Boolean =
+      CharVarcharUtils.getRawType(a.metadata)
+        .exists(_.isInstanceOf[VarcharType])
+
+    private def isCharLike(t: DataType): Boolean =
+      t.isInstanceOf[CharType] || t.isInstanceOf[VarcharType]
+
+    /** struct<..., c:char/varchar(n), ...> — one level down (raw type). */
     private def nestedCharStruct(a: Attribute): Option[StructType] =
       CharVarcharUtils.getRawType(a.metadata).collect {
-        case s: StructType if s.fields.exists(_.dataType.isInstanceOf[CharType]) => s
+        case s: StructType if s.fields.exists(f => isCharLike(f.dataType)) => s
       }
 
-    /** array<char(n)> — char elements (raw type). */
+    /** array<char/varchar(n)> — elements (raw type). */
     private def charArray(a: Attribute): Boolean =
       CharVarcharUtils.getRawType(a.metadata).exists {
-        case ArrayType(_: CharType, _) => true
+        case ArrayType(e, _) => isCharLike(e)
         case _ => false
       }
 
-    /** map with char(n) keys and/or values (raw type). */
+    /** map with char/varchar(n) keys and/or values (raw type). */
     private def charMap(a: Attribute): Boolean =
       CharVarcharUtils.getRawType(a.metadata).exists {
-        case MapType(k, v, _) =>
-          k.isInstanceOf[CharType] || v.isInstanceOf[CharType]
+        case MapType(k, v, _) => isCharLike(k) || isCharLike(v)
         case _ => false
       }
 
-    private def needsStrip(a: Attribute): Boolean =
-      isChar(a) || nestedCharStruct(a).nonEmpty || charArray(a) || charMap(a)
+    /** Hive reads convert EVERY char/varchar value through
+      * enforceMaxLength (HiveBaseChar) — so an over-length STORED value
+      * (possible only after a metadata-only CHANGE COLUMN narrowed the
+      * type; alter_char1.q "value column should be truncated now")
+      * truncates at read. char additionally strips the trailing pad. */
+    private def readExpr(e: Expression, raw: DataType): Expression = raw match {
+      case CharType(n) =>
+        StringTrimRight(Substring(e, Literal(1), Literal(n)))
+      case VarcharType(n) => Substring(e, Literal(1), Literal(n))
+      case _ => e
+    }
+
+    private def needsStrip(a: Attribute, isPart: Boolean): Boolean =
+      if (isPart) isChar(a) // varchar partition values are never padded
+        // nor over-length (catalog-normalized); wrapping them would cost
+        // convertible pruning for nothing
+      else isChar(a) || isVarchar(a) || nestedCharStruct(a).nonEmpty ||
+        charArray(a) || charMap(a)
 
     /** Rebuild a one-level-nested value with rtrim over its char members,
       * null-preserving at the container level. */
@@ -208,33 +230,29 @@ object HiveSemantics {
         val rebuilt = CreateNamedStruct(st.fields.toSeq.zipWithIndex.flatMap {
           case (f, i) =>
             val g = GetStructField(c, i, Some(f.name))
-            val v = rawSt.fields(i).dataType match {
-              case _: CharType => StringTrimRight(g)
-              case _ => g
-            }
-            Seq(Literal(f.name), v)
+            Seq(Literal(f.name), readExpr(g, rawSt.fields(i).dataType))
         })
         If(IsNull(c), Literal(null, rebuilt.dataType), rebuilt)
-      case ArrayType(_: CharType, containsNull) =>
+      case ArrayType(et, containsNull) if isCharLike(et) =>
         val lv = NamedLambdaVariable("x", StringType, containsNull)
-        ArrayTransform(c, LambdaFunction(StringTrimRight(lv), Seq(lv)))
+        ArrayTransform(c, LambdaFunction(readExpr(lv, et), Seq(lv)))
       case MapType(rk, rv, _) =>
-        // map<char, _> / map<_, char>: trim keys and/or values through
+        // map<char, _> / map<_, char>: convert keys and/or values through
         // the higher-order map transforms (both codegen-friendly; key
-        // trimming cannot collide — equal-after-rtrim keys differed only
-        // in Hive-invisible padding, which Hive's own map would have
+        // conversion cannot collide — equal-after-rtrim keys differed
+        // only in Hive-invisible padding, which Hive's own map would have
         // already collapsed at write)
         val mt = c.dataType.asInstanceOf[MapType]
         var e: Expression = c
-        if (rk.isInstanceOf[CharType]) {
+        if (isCharLike(rk)) {
           val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
           val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
-          e = TransformKeys(e, LambdaFunction(StringTrimRight(k), Seq(k, v)))
+          e = TransformKeys(e, LambdaFunction(readExpr(k, rk), Seq(k, v)))
         }
-        if (rv.isInstanceOf[CharType]) {
+        if (isCharLike(rv)) {
           val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
           val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
-          e = TransformValues(e, LambdaFunction(StringTrimRight(v), Seq(k, v)))
+          e = TransformValues(e, LambdaFunction(readExpr(v, rv), Seq(k, v)))
         }
         e
       case _ => c
@@ -249,16 +267,24 @@ object HiveSemantics {
       * silently drop the trim — and transformUpWithNewOutput rewrites
       * every parent reference to the new ids. */
     private def strip(output: Seq[AttributeReference],
+        partCols: Set[String],
         mkRel: Seq[AttributeReference] => LogicalPlan)
         : (LogicalPlan, Seq[(Attribute, Attribute)]) = {
+      def isPart(a: Attribute): Boolean = partCols.contains(a.name.toLowerCase)
       val cleaned = output.map { a =>
-        if (needsStrip(a))
+        if (needsStrip(a, isPart(a)))
           a.withMetadata(CharVarcharUtils.cleanAttrMetadata(a).metadata)
         else a
       }
       val proj = Project(output.zip(cleaned).map { case (orig, c) =>
-        if (isChar(orig))
+        if (isChar(orig) && isPart(orig))
+          // partition char keys keep the BARE rtrim shape — their catalog
+          // values are length-normalized (never over-length), and
+          // CharPartitionPruning's convertible rewrite matches rtrim(c)
           Alias(StringTrimRight(c), c.name)(qualifier = c.qualifier)
+        else if (isChar(orig) || isVarchar(orig))
+          Alias(readExpr(c, CharVarcharUtils.getRawType(orig.metadata).get),
+            c.name)(qualifier = c.qualifier)
         else if (nestedCharStruct(orig).nonEmpty || charArray(orig) ||
             charMap(orig))
           Alias(stripNested(c,
@@ -277,12 +303,23 @@ object HiveSemantics {
       // ApplyCharTypePadding can see it and bolt rpad() onto comparisons
       // (a stale rpad against the stripped value would compare false)
       plan.resolveOperatorsUpWithNewOutput {
-        case r: LogicalRelation if r.output.exists(needsStrip) =>
-          strip(r.output, out => r.copy(output = out))
-        case r: DataSourceV2Relation if r.output.exists(needsStrip) =>
-          strip(r.output.map(_.asInstanceOf[AttributeReference]),
+        case r: LogicalRelation
+            if r.output.exists(a => needsStrip(a, partColsOf(r)(a))) =>
+          strip(r.output, partNamesOf(r), out => r.copy(output = out))
+        case r: DataSourceV2Relation
+            if r.output.exists(a => needsStrip(a, isPart = false)) =>
+          strip(r.output.map(_.asInstanceOf[AttributeReference]), Set.empty,
             out => r.copy(output = out))
       }
+
+    private def partNamesOf(r: LogicalRelation): Set[String] =
+      r.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+        case _ => Set.empty
+      }
+    private def partColsOf(r: LogicalRelation)(a: Attribute): Boolean =
+      partNamesOf(r).contains(a.name.toLowerCase)
   }
 
   /** Static partition pruning for CHAR(n) partition keys under
