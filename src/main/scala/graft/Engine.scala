@@ -681,6 +681,14 @@ object Engine {
   // reference rejects that too).
   private val notClusteredRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+NOT\s+(?:CLUSTERED|(SORTED))\s*;?\s*""".r
+  // ALTER TABLE t PARTITION COLUMN (col type) — Hive-only partition-key
+  // retype (alter_partition_coltype.q; DDLSemanticAnalyzer
+  // analyzeAlterTablePartColType): metadata-only — catalog partition
+  // VALUES are strings either way, the declared type drives how scans
+  // parse them and how predicates compare (dt=100 as int after the
+  // change, '6.30' as double)
+  private val alterPartColTypeRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PARTITION\s+COLUMN\s*\(\s*(\w+)\s+([\w]+(?:\s*\([0-9,\s]*\))?)\s*\)\s*;?\s*""".r
   private val changeColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?""" +
       """`?([\w]+)`?\s+`?([\w]+)`?\s+([\w]+(?:\s*\([0-9,\s]*\))?)""" +
@@ -4453,6 +4461,19 @@ object Engine {
           (projected ++ partCols.map(c => s"`$c`")).mkString(", ") +
           s" FROM $table"
         swapTable(spark, table, meta, selectSql)
+        spark.emptyDataFrame
+      case alterPartColTypeRe(table, colN, typ) =>
+        val cat = spark.sessionState.catalog
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val meta = cat.getTableMetadata(id)
+        require(meta.partitionColumnNames.exists(_.equalsIgnoreCase(colN)),
+          s"$colN is not a partition column of $table")
+        val dt = spark.sessionState.sqlParser.parseDataType(typ.trim)
+        val newSchema = org.apache.spark.sql.types.StructType(
+          meta.schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(colN)) f.copy(dataType = dt) else f))
+        cat.alterTable(meta.copy(schema = newSchema))
+        spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case notClusteredRe(table, sortedOnly) =>
         // ALTER TABLE ... NOT CLUSTERED / NOT SORTED (alter4.q,
