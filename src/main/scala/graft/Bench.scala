@@ -6,6 +6,56 @@ import org.apache.spark.sql.SparkSession
   * absorbs JVM/codegen startup so per-query numbers reflect steady state.
   */
 object Bench {
+  private[graft] def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private[graft] def dict(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** Stdout headline queries. The driver keeps only a ~2 KB tail of the sbt
+    * output when it parses the JSON line; the r15 board's line outgrew that
+    * window (35 headline queries + two 17-entry sweep lists + per-query cpu)
+    * and came back `parsed: null` — the full detail already lives in
+    * BENCH_RESULT.json, so the stdout line carries ONLY totals, the suspect
+    * machinery's verdicts (lists stay bounded: a clean board has zero
+    * suspects), aggregate counts for retried/swept/cleared, and these 15
+    * representative queries. stdoutLine() is pure so a spec can assert the
+    * worst-case line length stays under the driver's capture window.
+    */
+  private[graft] val headline = Vector(
+    "q01_agg", "q03_join_inner", "q18_topk", "q19_window_rank",
+    "q58_bucketed_join", "q65_matchpath", "q71_orderby_global",
+    "q75_salted_join", "a03_merge_cow", "d02_dedup_minhash",
+    "d08_dedup_cluster", "d11_dedup_incremental", "s01_cosine_topk",
+    "s05_ann_kmeans", "t01_langid")
+  private[graft] val headlineSet = headline.toSet
+
+  /** The ONE stdout JSON line the driver parses. Suspect lists/signals are
+    * per-residual-suspect only (empty on a clean board); swept/cleared/
+    * retried ride as counts — their name lists live in BENCH_RESULT.json.
+    * Hard size bounds even on a catastrophic board: at most 12 suspect
+    * names (true count in suspect_count) and wall-steal/cpu signal pairs
+    * for the first 5 — full per-query signals are always in
+    * BENCH_RESULT.json; a board that residual-suspects more than a
+    * handful of rows is adjudicated from that artifact anyway.
+    */
+  private[graft] def stdoutLine(total: Double, nQueries: Int, runs: Int,
+      stealSec: Double, globalWindow: Seq[String], failed: Seq[String],
+      retriedCount: Int, sweptCount: Int, clearedCount: Int,
+      suspects: Seq[String], suspectSteal: Seq[(String, Double)],
+      suspectCpu: Seq[(String, Double)], headlineResults: Seq[(String, Double)],
+      sfDir: String): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val keep = suspects.take(5).toSet
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,""" +
+      s""""runs_per_query":$runs,"steal_sec":${fmt(stealSec)},""" +
+      s""""global_window_queries":${arr(globalWindow)},"failed_queries":${arr(failed.take(12))},""" +
+      s""""retried_count":$retriedCount,"swept_count":$sweptCount,"sweep_cleared_count":$clearedCount,""" +
+      s""""suspect_count":${suspects.size},"suspect_queries":${arr(suspects.take(12))},""" +
+      s""""suspect_steal":${dict(suspectSteal.filter(kv => keep(kv._1)))},""" +
+      s""""suspect_cpu":${dict(suspectCpu.filter(kv => keep(kv._1)))},""" +
+      s""""queries":${dict(headlineResults)},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -206,49 +256,23 @@ object Bench {
       }
     }
     val results = picked.map { case (name, _) => name -> bestTimes(name) }
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def dict(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full per-query detail goes to BENCH_RESULT.json; the stdout line keeps
-    // a headline subset only. The driver keeps just a tail of the sbt output
-    // when it parses, and a 130-query dict (~4.5 KB) overflows that window —
-    // r01 and r02 both came back "parsed": null because the line's start was
-    // cut off. ~25 headline queries keep the line under ~1 KB.
-    val headline = Vector(
-      "q01_agg", "q03_join_inner", "q10_join_multiway", "q18_topk",
-      "q19_window_rank", "q45_events_tumbling", "q47_events_session",
-      "q56_multi_insert",
-      "q58_bucketed_join", "q64_ngrams_udaf", "q65_matchpath",
-      "q68_formats", "q71_orderby_global", "q75_salted_join",
-      "a01_update_cow", "d01_dedup_exact", "d02_dedup_minhash",
-      "d06_dedup_resolve", "m02_frame_sample", "s01_cosine_topk",
-      "s02_ann_ivf", "s04_embed_neardup_ivf", "s05_ann_kmeans",
-      "t01_langid", "t05_corpus_pipeline", "t07_scrub",
-      "q111_avro_roundtrip", "q112_asof_join", "q113_range_join",
-      "d08_dedup_cluster", "q124_global_rank", "s06_ann_quantized",
-      "d10_span_dedup", "d11_dedup_incremental", "s07_ann_lsh")
-    val headSet = headline.toSet
     val stealDelta = { val s1 = stealSec(); if (s1 < 0 || steal0 < 0) -1.0 else s1 - steal0 }
-    val gw = globalWindowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fq = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = stdoutLine(total, results.size, runs, stealDelta,
+      globalWindowQueries.toSeq, failedQueries.toSeq, retriedQueries.size,
+      sweptQueries.size, sweepCleared.size, suspectQueries.toSeq,
+      suspectQueries.toSeq.map(n => n -> querySteal.getOrElse(n, -1.0)),
+      suspectQueries.toSeq.map(n => n -> queryCpu.getOrElse(n, -1.0)),
+      results.filter(r => headlineSet(r._1)), sfDir)
+    // Full board: every query's wall + per-query steal + cpu, plus the full
+    // swept/cleared lists. This is the audit artifact; stdout stays small.
     val rq = retriedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // queries still above max(2x, +0.4s) of their committed quiet-host
-    // time after retries;
-    // their per-query steal (below / in BENCH_RESULT.json) says whether
-    // the residual is contention or a real regression
     val sq = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sw = sweptQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sc = sweepCleared.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val gw = globalWindowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fq = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meta = s""""runs_per_query":$runs,"steal_sec":${fmt(stealDelta)},"global_window_queries":$gw,"failed_queries":$fq,"retried_queries":$rq,"swept_queries":$sw,"sweep_cleared":$sc,"suspect_queries":$sq"""
-    // per-query steal + cpu deltas: full detail in BENCH_RESULT.json; the
-    // stdout line carries only the suspect queries' signals (bounded size).
-    // suspect_cpu is the CPU-seconds of each residual suspect's min-wall
-    // run: compare against the quiet board's cpu for the same query — a
-    // matching cpu under an inflated wall is descheduling, not regression.
-    val suspectSteal = dict(suspectQueries.toSeq.map(n => n -> querySteal.getOrElse(n, -1.0)))
-    val suspectCpu = dict(suspectQueries.toSeq.map(n => n -> queryCpu.getOrElse(n, -1.0)))
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"suspect_steal":$suspectSteal,"suspect_cpu":$suspectCpu,"queries":${dict(results.filter(r => headSet(r._1)))},"sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$meta,"query_steal":${dict(querySteal.toSeq)},"query_cpu":${dict(queryCpu.toSeq)},"queries":${dict(results)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),

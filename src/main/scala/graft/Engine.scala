@@ -922,8 +922,40 @@ object Engine {
   }
 
   private val charLenRe = """(?i)\b(var)?char\s*\(\s*(\d+)\s*\)""".r
+
+  /** Blank out quoted string literals (both quote styles, with the
+    * backslash and doubled-quote escapes Hive accepts) and `--` line
+    * comments, preserving offsets, so textual guards like the char-length
+    * check only see real DDL/cast type positions — a literal value of
+    * 'char(300)' or a trailing comment must not trip the length guard.
+    */
+  private[graft] def maskLiteralsAndComments(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        i += 1
+        var done = false
+        while (i < out.length && !done) {
+          if (out(i) == '\\' && i + 1 < out.length) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (out(i) == q && i + 1 < out.length && out(i + 1) == q) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (out(i) == q) {
+            done = true; i += 1
+          } else { out(i) = ' '; i += 1 }
+        }
+      } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        while (i < out.length && out(i) != '\n') { out(i) = ' '; i += 1 }
+      } else i += 1
+    }
+    new String(out)
+  }
+
   private def checkCharLengths(stmt: String): Unit =
-    charLenRe.findAllMatchIn(stmt).foreach { m =>
+    charLenRe.findAllMatchIn(maskLiteralsAndComments(stmt)).foreach { m =>
       val n = BigInt(m.group(2))
       if (m.group(1) != null) {
         if (n < 1 || n > 65535)
@@ -2761,6 +2793,14 @@ object Engine {
     val toId = if (toId0.database.isDefined) toId0
       else toId0.copy(database = fromId.database.orElse(
         Some(spark.catalog.currentDatabase)))
+    // ownership follows the rename (Hive renames keep the owner in the
+    // metastore entry): without this the renamed table would have no
+    // owners-map entry, and the owner's implicit sql-std privileges on
+    // their own table (authorization_owner_actions.q flow) would vanish
+    operators.Auth.renameOwner(spark,
+      fromId.database.getOrElse(spark.catalog.currentDatabase), fromId.table,
+      toId0.database.orElse(fromId.database)
+        .getOrElse(spark.catalog.currentDatabase), toId0.table)
     val newMeta = cat.getTableMetadata(toId)
     if (newMeta.partitionColumnNames.isEmpty) return
     val newRootUri = newMeta.location
@@ -3802,6 +3842,12 @@ object Engine {
   private val dropViewAuthRe =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
   private val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
+  /** Existence probe for the DROP enforcement gates; an unresolvable
+    * name keeps the gate (fail closed). */
+  private def authTableExists(spark: SparkSession, t: String): Boolean =
+    try spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(t.replace("`", "")))
+    catch { case _: Exception => true }
   // negative lookahead: INSERT OVERWRITE [LOCAL] DIRECTORY writes a
   // filesystem path, not a table — 'DIRECTORY' must not parse as one
   private val insertAuthRe =
@@ -3846,13 +3892,17 @@ object Engine {
       case addPartAuthRe(t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforce(spark, "Create", db, tb, output = true)
-      case dropAuthRe(t) =>
+      // DROP on an ABSENT table produces no outputs in the reference's
+      // semantic analysis, so no privilege check fires: `IF EXISTS` must
+      // no-op and a plain DROP must raise its own table-not-found — a
+      // Permission denied about a ghost table is the wrong shape
+      case dropAuthRe(t) if authTableExists(spark, t) =>
         val (db, tb) = nameOf(t)
         // sql-std model: DROP is ownership-gated (no-op under the legacy
         // provider); legacy model: Drop privilege as before
         graft.operators.Auth.enforceOwnership(spark, "DROPTABLE", db, tb)
         graft.operators.Auth.enforce(spark, "Drop", db, tb, output = true)
-      case dropViewAuthRe(t) =>
+      case dropViewAuthRe(t) if authTableExists(spark, t) =>
         val (db, tb) = nameOf(t)
         graft.operators.Auth.enforceOwnership(spark, "DROPVIEW", db, tb)
         graft.operators.Auth.enforce(spark, "Drop", db, tb, output = true)
@@ -3879,6 +3929,13 @@ object Engine {
           catch { case _: Exception => Set.empty[String] }
         graft.operators.Auth.enforce(spark, "Select", db, tb,
           output = false, needed = allCols)
+      // IMPORT into an EXISTING table alters/appends it — the reference
+      // gates it on Alter (exim_23_import_exist_authfail.q: "No privilege
+      // 'Alter' found for outputs"); a fresh-name import creates a new
+      // table, which the table-level model leaves ungated
+      case importRe(_, t, _, _, _) if authTableExists(spark, t) =>
+        val (db, tb) = nameOf(t)
+        graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
       // FROM-first multi-insert: every INSERT branch is a write, and the
       // shared FROM source (when it names a table, not a subquery) a read
       case s if s.trim.toUpperCase.startsWith("FROM") &&
@@ -4056,29 +4113,47 @@ object Engine {
           if (preExists) None else Some(qualified)
         case _ => None
       }
+    // ownership recording (sql-std OBJECT OWNERSHIP axis): the creating
+    // user owns the object — but ONLY when the statement actually creates
+    // it. A no-op `CREATE TABLE IF NOT EXISTS existing` or a `CREATE OR
+    // REPLACE VIEW existing` must not transfer ownership (Hive never
+    // re-owns on replace), and TEMPORARY objects are session-scoped with
+    // no metastore ownership at all — recording one would let a non-owner
+    // seize a permanent table's owners entry by creating a temp view of
+    // the same name. So: resolve pre-existence BEFORE the statement runs,
+    // record AFTER it succeeds (a refused CREATE records nothing).
+    val pendingOwner: Option[(String, String)] =
+      stripLeadingComments(stmt0x) match {
+        case createdObjRe(tempKw, name) if tempKw == null =>
+          val n = name.replace("`", "")
+          val (db, tb) =
+            if (n.contains(".")) {
+              val p = n.split("\\."); (p(p.length - 2), p.last)
+            } else (spark.sessionState.catalog.getCurrentDatabase, n)
+          val preExists =
+            try spark.sessionState.catalog.tableExists(
+              org.apache.spark.sql.catalyst.TableIdentifier(tb, Some(db)))
+            catch { case _: Exception => true } // odd name: don't risk a seizure
+          if (preExists) None else Some((db, tb))
+        case _ => None
+      }
     val out = ddlImpl(spark, stmt0x)
     pendingTemp.foreach { q =>
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(q)
       if (spark.sessionState.catalog.tableExists(ident))
         registerTempTable(spark, q)
     }
-    // ownership recording (sql-std OBJECT OWNERSHIP axis): the creating
-    // user owns the object — recorded AFTER the statement succeeds, so a
-    // refused CREATE records nothing
-    stripLeadingComments(stmt0x) match {
-      case createdObjRe(name) =>
-        val n = name.replace("`", "")
-        val (db, tb) =
-          if (n.contains(".")) {
-            val p = n.split("\\."); (p(p.length - 2), p.last)
-          } else (spark.sessionState.catalog.getCurrentDatabase, n)
-        operators.Auth.recordOwner(spark, db, tb)
-      case _ => ()
+    pendingOwner.foreach { case (db, tb) =>
+      val created =
+        try spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(tb, Some(db)))
+        catch { case _: Exception => false }
+      if (created) operators.Auth.recordOwner(spark, db, tb)
     }
     out
   }
   private val createdObjRe =
-    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?""" +
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?""" +
       """(?:EXTERNAL\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
       """([\w.`]+).*""").r
 
@@ -4469,6 +4544,27 @@ object Engine {
         require(meta.partitionColumnNames.exists(_.equalsIgnoreCase(colN)),
           s"$colN is not a partition column of $table")
         val dt = spark.sessionState.sqlParser.parseDataType(typ.trim)
+        // Hive's type lattice only: Spark 4 parses types Hive never had
+        // (TIME), which the reference refuses at parse
+        // (alter_partition_coltype_invalidtype.q — `ts time`)
+        dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.BooleanType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.BinaryType => ()
+          case _: org.apache.spark.sql.types.DecimalType |
+               _: org.apache.spark.sql.types.CharType |
+               _: org.apache.spark.sql.types.VarcharType => ()
+          case _ => sys.error(
+            s"partition column type ${typ.trim} is not supported")
+        }
         val newSchema = org.apache.spark.sql.types.StructType(
           meta.schema.fields.map(f =>
             if (f.name.equalsIgnoreCase(colN)) f.copy(dataType = dt) else f))
@@ -4523,6 +4619,25 @@ object Engine {
         val meta = cat.getTableMetadata(id)
         val partCols = meta.partitionColumnNames
         val dt = spark.sessionState.sqlParser.parseDataType(typ.trim)
+        // narrowing detection: a CHANGE whose new declared length can be
+        // SHORTER than stored values (string→char/varchar, or a smaller
+        // length) stamps the table so CharStripReads applies its
+        // read-side truncation clamp there — and ONLY there; untouched
+        // tables keep bare reads and full parquet filter pushdown
+        val narrows = {
+          val prior = meta.schema.fields
+            .find(_.name.equalsIgnoreCase(oldC))
+            .map(f => CharVarcharUtils.getRawType(f.metadata)
+              .getOrElse(f.dataType))
+          (prior, dt) match {
+            case (Some(CharType(a)), CharType(b)) => b < a
+            case (Some(CharType(a)), VarcharType(b)) => b < a
+            case (Some(VarcharType(a)), CharType(b)) => b < a
+            case (Some(VarcharType(a)), VarcharType(b)) => b < a
+            case (Some(StringType), _: CharType | _: VarcharType) => true
+            case _ => false
+          }
+        }
         val newData = meta.schema.fields
           .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
           .map { f =>
@@ -4539,6 +4654,12 @@ object Engine {
               f.copy(dataType = StringType, metadata = mb.build())
             }
           }
+        if (narrows) {
+          val prop = graft.plans.HiveSemantics.CharStripReads.NarrowedProp
+          if (!meta.properties.contains(prop))
+            cat.alterTable(meta.copy(
+              properties = meta.properties + (prop -> "true")))
+        }
         cat.alterTableDataSchema(id, StructType(newData))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
@@ -4689,6 +4810,11 @@ object Engine {
           fromId,
           if (toId0.database.isDefined) toId0
           else toId0.copy(database = fromId.database))
+        operators.Auth.renameOwner(spark,
+          fromId.database.getOrElse(spark.catalog.currentDatabase),
+          fromId.table,
+          toId0.database.orElse(fromId.database)
+            .getOrElse(spark.catalog.currentDatabase), toId0.table)
         spark.emptyDataFrame
       case alterViewAddPartRe(name, specText, locClause) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
@@ -4707,7 +4833,13 @@ object Engine {
         val shown = kvs.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
         if (!kvs.forall(kv => declared.exists(_.equalsIgnoreCase(kv._1))))
           sys.error(s"Partition spec $shown contains non-partition columns")
-        if (kvs.length < declared.length)
+        // compare KEY SETS, not lengths: a duplicate key (a=1, a=2) would
+        // otherwise satisfy the length check while leaving another
+        // declared column unbound (alter_view_failure5-family semantics)
+        val specKeys = kvs.map(_._1.toLowerCase).toSet
+        if (specKeys.size != kvs.length)
+          sys.error(s"Partition spec $shown contains duplicate columns")
+        if (!declared.forall(d => specKeys.contains(d.toLowerCase)))
           sys.error(s"partition spec $shown doesn't contain all " +
             s"(${declared.length}) partition columns")
         // spec is valid: Hive records the view partition in the metastore
@@ -4961,7 +5093,7 @@ object Engine {
           graft.tools.Tmp.dir("graft_import") + "/" + table.split('.').last)
         operators.ExportImport.importTable(spark, dir, table, location,
           operators.ExportImport.parseSpec(Option(part)),
-          external = ext != null)
+          external = ext != null, explicitLocation = loc != null)
         spark.emptyDataFrame
       // FROM-first multi-destination insert (genBodyPlan): Spark's parser
       // rejects it, so detect and fan out over one shared scan

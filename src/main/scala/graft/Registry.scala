@@ -32,7 +32,8 @@ object Registry {
       queries.Round12Queries.all ++
       queries.Round13Queries.all ++
       queries.Round14Queries.all ++
-      queries.Round15Queries.all
+      queries.Round15Queries.all ++
+      queries.Round16Queries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

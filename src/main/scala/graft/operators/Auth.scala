@@ -146,6 +146,19 @@ object Auth {
     }
   }
 
+  /** Move the ownership entry on ALTER TABLE/VIEW RENAME — Hive's
+    * metastore keeps the owner across a rename. No-op when the source
+    * has no recorded owner. */
+  def renameOwner(spark: SparkSession, db: String, table: String,
+      newDb: String, newTable: String): Unit = {
+    val st = state(spark)
+    st.synchronized {
+      st.owners.remove((db.toLowerCase, table.toLowerCase)).foreach { o =>
+        st.owners.update((newDb.toLowerCase, newTable.toLowerCase), o)
+      }
+    }
+  }
+
   def ownerOf(spark: SparkSession, db: String, table: String): Option[String] = {
     val st = state(spark)
     st.synchronized { st.owners.get((db.toLowerCase, table.toLowerCase)) }
@@ -160,14 +173,32 @@ object Auth {
   def enforceOwnership(spark: SparkSession, operation: String,
       db: String, table: String): Unit = {
     if (!sqlStdEnabled(spark)) return
+    // Absent object: let the statement's own existence handling run —
+    // `DROP TABLE IF EXISTS absent` must no-op and a plain DROP must
+    // raise table-not-found; a permission error about an object that
+    // doesn't exist is the wrong shape (and a stale owners entry from a
+    // dropped table would otherwise gate its name forever).
+    val exists =
+      try spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      catch { case _: Exception => true } // unresolvable name: keep the gate
+    if (!exists) return
     val st = state(spark)
     st.synchronized {
       val u = user(spark)
       if (isAdmin(spark, st)) return
-      if (st.owners.get((db.toLowerCase, table.toLowerCase)).contains(u)) return
-      sys.error(s"Permission denied: Principal [name=$u, type=USER] does " +
-        s"not have following privileges for operation $operation " +
-        s"[[OBJECT OWNERSHIP] on Object [type=TABLE_OR_VIEW, name=$db.$table]]")
+      st.owners.get((db.toLowerCase, table.toLowerCase)) match {
+        // object created before ownership tracking began (or outside the
+        // engine): no recorded owner — ungated rather than owned-by-no-one,
+        // so a creator isn't locked out of their own pre-tracking table.
+        // The privilege gates (Drop/Alter) still run after this check.
+        case None => return
+        case Some(o) if o == u => return
+        case Some(_) =>
+          sys.error(s"Permission denied: Principal [name=$u, type=USER] does " +
+            s"not have following privileges for operation $operation " +
+            s"[[OBJECT OWNERSHIP] on Object [type=TABLE_OR_VIEW, name=$db.$table]]")
+      }
     }
   }
 
@@ -392,6 +423,18 @@ object Auth {
           case _ =>
             val role = r.toLowerCase
             require(st.roles.contains(role), s"role $role does not exist")
+            // sql-std: SET ROLE may select only a role the user actually
+            // holds (directly or through the hierarchy) — admin excepted
+            // (SQLStdHiveAccessController setCurrentRole,
+            // clientnegative/authorization_set_role_neg2.q)
+            if (sqlStdEnabled(spark) && !isAdmin(spark, st) && role != "public") {
+              val held = expandRoles(st,
+                st.roleGrants.filter(g => g.principalType == "USER" &&
+                  g.principal == user(spark))
+                  .map(_.role.toLowerCase).toSet + "public")
+              require(held.contains(role),
+                s"${user(spark)} doesn't belong to role $role")
+            }
             st.currentRoles = Some(Set(role, "public"))
         }
         spark.emptyDataFrame
@@ -543,6 +586,23 @@ object Auth {
           (pt, pn) <- principals(to)
         } {
           require(st.roles.contains(r), s"role $r does not exist")
+          // sql-std: granting a role requires the grantor to be admin or
+          // to hold THAT role WITH ADMIN OPTION (SQLStdHiveAccessController
+          // grantRole; clientnegative/authorization_role_grant.q)
+          if (sqlStdEnabled(spark) && !isAdmin(spark, st)) {
+            val u = user(spark)
+            val hasAdminOption = st.roleGrants.exists(g =>
+              g.role == r && g.adminOption &&
+                ((g.principalType == "USER" && g.principal == u) ||
+                  (g.principalType == "ROLE" &&
+                    activePrincipals(spark, st).contains(("ROLE", g.principal.toLowerCase)))))
+            if (!hasAdminOption)
+              sys.error(s"Current user : $u is not allowed to grant role. " +
+                "User has to belong to ADMIN role and have it as current " +
+                "role, for this action. Otherwise, grantor need to have " +
+                "ADMIN OPTION on role being granted and have it as a " +
+                "current role for this action.")
+          }
           if (pt == "ROLE") {
             val target = pn.toLowerCase
             // the target of a role-to-role grant must itself exist

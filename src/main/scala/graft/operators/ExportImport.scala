@@ -27,13 +27,65 @@ object ExportImport {
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
   /** `k='v', k2='v2'` → ordered pairs (quotes optional), None when no
-    * PARTITION clause was present. */
+    * PARTITION clause was present. Splits on TOP-LEVEL commas only: a
+    * quoted value may contain commas (or `=`), so `k='a,b'` is ONE pair —
+    * the naive `split(",")` mis-parsed it into two bogus pairs. */
   def parseSpec(text: Option[String]): Option[Seq[(String, String)]] =
-    text.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-      require(kv.contains("="), s"PARTITION spec needs key=value, got: $kv")
-      val Array(k, v) = kv.split("=", 2).map(_.trim)
-      (k, v.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
-    })
+    text.map { t =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var quote: Char = 0
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (quote != 0) {
+          if (c == '\\' && i + 1 < t.length) { cur.append(c).append(t.charAt(i + 1)); i += 1 }
+          else { if (c == quote) quote = 0; cur.append(c) }
+        } else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
+        else if (c == ',') { parts += cur.result(); cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+      parts += cur.result()
+      parts.toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+        require(kv.contains("="), s"PARTITION spec needs key=value, got: $kv")
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        val unq =
+          if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
+            v.substring(1, v.length - 1)
+          else v
+        (k, unq)
+      }
+    }
+
+  /** Run `units` (each one FileUtil.copy call) through a bounded thread
+    * pool — Hive's CopyTask is also a byte copy, but a SERIAL driver loop
+    * over a large partitioned dump is a wall-clock hazard (on an object
+    * store each copy is a full byte transfer); 16-wide matches
+    * Archive.relocate's bounded-connection pattern. Failures propagate
+    * unwrapped so the caller sees the copy's own error, first one wins.
+    */
+  private def copyConcurrently(units: Seq[() => Unit]): Unit = {
+    if (units.isEmpty) return
+    if (units.size == 1) { units.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, units.size)))
+    val outcomes =
+      try units.map { u =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = u()
+        })
+      }.map { fu =>
+        try { fu.get(); None: Option[Throwable] }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+          case e: Throwable => Some(e)
+        }
+      }
+      finally pool.shutdown()
+    outcomes.flatten.headOption.foreach(t => throw t)
+  }
 
   /** The spec's escaped directory path under the dump's data/ dir —
     * `emp_country=in/emp_state=ka` — matching the export layout. */
@@ -80,7 +132,8 @@ object ExportImport {
   def importTable(spark: SparkSession, dir: String, table: String,
                   location: String,
                   spec: Option[Seq[(String, String)]] = None,
-                  external: Boolean = false): DataFrame = {
+                  external: Boolean = false,
+                  explicitLocation: Boolean = false): DataFrame = {
     val f = fs(spark, dir)
     val meta = {
       val in = f.open(new Path(dir, "_metadata"))
@@ -128,6 +181,18 @@ object ExportImport {
         sys.error(s"IMPORT into $table: the existing table is not " +
           "compatible with the import spec. External table cannot " +
           "overwrite existing table. Drop existing table first.")
+      // a MANAGED import may not redirect an existing table's storage
+      // (ImportSemanticAnalyzer checkTable; clientnegative/
+      // exim_20_managed_location_over_existing.q): an explicit LOCATION
+      // that differs from the table's own is refused
+      if (explicitLocation) {
+        val existingLoc = new Path(spark.sessionState.catalog
+          .getTableMetadata(ident).location).toString.stripSuffix("/")
+        val givenLoc = new Path(location).toString.stripSuffix("/")
+        if (existingLoc != givenLoc)
+          sys.error(s"IMPORT into $table: the existing table is not " +
+            "compatible with the import spec. Location does not match")
+      }
       return importIntoExisting(spark, f, dir, table, ident, schema, parts, spec)
     }
     // byte copy of the data files (CopyTask semantics — no rewrite):
@@ -151,16 +216,21 @@ object ExportImport {
     val srcRoot = rel.fold(new Path(dir, "data"))(r => new Path(dir + "/data/" + r))
     val dstRoot = rel.fold(target)(r => new Path(target, r))
     df2.mkdirs(dstRoot)
-    f.listStatus(srcRoot)
-      .filter { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) !committerDirs(n)
-        else !n.startsWith("_") && !n.startsWith(".")
-      }
-      .foreach { st =>
-        FileUtil.copy(f, st.getPath, df2, new Path(dstRoot, st.getPath.getName),
-          false, spark.sparkContext.hadoopConfiguration)
-      }
+    // each top-level entry (a partition subtree or a data file) is one
+    // pool unit — FileUtil.copy recurses into directories itself, so the
+    // grain is per-partition, the natural parallel unit of a dump
+    val hconf = spark.sparkContext.hadoopConfiguration
+    copyConcurrently(
+      f.listStatus(srcRoot)
+        .filter { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory) !committerDirs(n)
+          else !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map { st => () =>
+          FileUtil.copy(f, st.getPath, df2,
+            new Path(dstRoot, st.getPath.getName), false, hconf): Unit
+        }.toSeq)
     val partClause =
       if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (", ", ", ")")
     spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet$partClause LOCATION '$location'")
@@ -251,25 +321,31 @@ object ExportImport {
       }
     }
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    def copyInto(srcDir: Path, dst: Path): Unit = {
+    // the append path renames every file with the import-unique prefix,
+    // so the walk (cheap metadata listing, serial, creates dirs as it
+    // goes) collects per-FILE pairs and the byte copies run pooled
+    def collectCopies(srcDir: Path, dst: Path): Seq[() => Unit] = {
       tfs.mkdirs(dst)
-      Option(f.listStatus(srcDir)).toSeq.flatten.foreach { st =>
+      Option(f.listStatus(srcDir)).toSeq.flatten.flatMap { st =>
         val n = st.getPath.getName
         if (st.isDirectory) {
           if (n != "_temporary" && !n.startsWith(".spark-staging") &&
               !n.startsWith(".hive-staging"))
-            copyInto(st.getPath, new Path(dst, n))
-        } else if (!n.startsWith("_") && !n.startsWith("."))
-          FileUtil.copy(f, st.getPath, tfs, new Path(dst, s"imp-$uid-$n"),
-            false, spark.sparkContext.hadoopConfiguration): Unit
+            collectCopies(st.getPath, new Path(dst, n))
+          else Nil
+        } else if (!n.startsWith("_") && !n.startsWith(".")) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          Seq(() => FileUtil.copy(f, st.getPath, tfs,
+            new Path(dst, s"imp-$uid-$n"), false, hconf): Unit)
+        } else Nil
       }
     }
-    spec match {
+    copyConcurrently(spec match {
       case Some(kvs) =>
         val r = specRelPath(kvs)
-        copyInto(new Path(dir + "/data/" + r), new Path(target, r))
-      case None => copyInto(new Path(dir, "data"), target)
-    }
+        collectCopies(new Path(dir + "/data/" + r), new Path(target, r))
+      case None => collectCopies(new Path(dir, "data"), target)
+    })
     if (ePartCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     spark.sql(s"REFRESH TABLE $table")
     spark.table(table)

@@ -118,7 +118,10 @@ object Similarity {
     var cent: DataFrame = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"),
         col("emb").cast("array<double>").as("c_emb"))
-    for (_ <- 0 until iters) {
+    var executed = 0
+    var converged = false
+    for (_ <- 0 until iters if !converged) {
+      executed += 1
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)
       val assigned = emb.crossJoin(broadcast(cent))
         .withColumn("csim", cosine("emb", "c_emb"))
@@ -138,13 +141,29 @@ object Similarity {
       // centroids, and a shrunken index would degrade probe recall with
       // no signal anywhere
       val prev = cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      cent = prev.toSeq
-        .map { case (id, e) => (id, means.getOrElse(id, e)) }
-        .toDF("c_id", "c_emb")
+      val next = prev.toSeq.map { case (id, e) => (id, means.getOrElse(id, e)) }
+      // fixed-point early exit: when every centroid is EXACTLY unchanged,
+      // the next assignment (a deterministic function of the centroids)
+      // and hence every later iteration would reproduce this state —
+      // breaking is result-identical, it just stops paying corpus passes.
+      // Exact equality (not an epsilon) keeps the output bit-equal to the
+      // fixed-iteration loop so the oracle/recall gates are untouched.
+      converged = prev.toSeq == next
+      cent = next.toDF("c_id", "c_emb")
     }
+    // scale instrument (the d08 lastClusterIterations pattern): Lloyd
+    // passes actually paid — each is one broadcast-assign corpus pass
+    // plus one k×dims mean aggregate, so flat iterations at N× corpus
+    // means total work is N× per pass, no superlinear term
+    lastKmeansIterations = executed
     // expose with the (vec_id, emb) shape ivfTopK/neardupIVF expect
     cent.select(col("c_id").as("vec_id"), col("c_emb").as("emb"))
   }
+
+  /** Lloyd passes executed by the most recent [[kmeansCentroids]] call
+    * (≤ its `iters` cap; smaller when the centroids reached a fixed
+    * point). Read by tools/ScaleBoard for the s05 scale notch. */
+  @volatile var lastKmeansIterations: Int = 0
 
   /** Int8 scalar-quantized ANN: the memory-bound scale path. Every vector
     * is quantized once to int8 components (per-vector max-abs scale:

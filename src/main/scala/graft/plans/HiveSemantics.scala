@@ -157,105 +157,119 @@ object HiveSemantics {
     * cost is unchanged, pushed filters still target the padded storage
     * value through the alias's child attribute.
     *
-    * Nested CHAR one level deep is stripped too (r15): the reference
-    * strips at EVERY conversion (PrimitiveObjectInspectorUtils.java:826),
-    * so `struct<c:char(n)>` read through GetStructField,
-    * `array<char(n)>` elements, and `map` char keys/values rebuild with
-    * rtrim over each char member (null-preserving; maps through the
-    * higher-order TransformKeys/TransformValues). Deeper nesting
-    * (struct-in-struct, array-in-struct) keeps Spark's padded value —
-    * documented residual drift. */
+    * Nested CHAR is stripped at EVERY depth (r16; one level in r15): the
+    * reference strips at EVERY conversion
+    * (PrimitiveObjectInspectorUtils.java:826), so a single recursive
+    * rewriter rebuilds any nesting of struct/array/map around char
+    * members — struct-in-struct, array-of-struct<char>, map values of
+    * struct — with rtrim over each char leaf (null-preserving at every
+    * container level; maps through the higher-order
+    * TransformKeys/TransformValues, arrays through ArrayTransform, all
+    * codegen-friendly).
+    *
+    * Over-length clamp is GATED (r16, ADVICE r15): the Substring(1, n)
+    * read clamp exists only for values stored LONGER than the declared
+    * type, which is possible only after a metadata-only CHANGE COLUMN
+    * narrowed the type (alter_char1.q "value column should be truncated
+    * now") — the engine's write path enforces lengths otherwise. That
+    * branch stamps the table with `graft.char.narrowed`; only stamped
+    * tables pay the clamp. In particular an untouched VARCHAR column is
+    * left completely alone (no wrap, no metadata strip) — varchar carries
+    * no padding, so there is nothing to strip and wrapping it would only
+    * cost parquet filter pushdown on every varchar predicate. */
   object CharStripReads extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.catalyst.util.CharVarcharUtils
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
+    /** Table property stamped by the metadata-only string-family CHANGE
+      * COLUMN branch when the new type can be narrower than stored values
+      * (Engine.ddlImpl): gates the read-side truncation clamp. */
+    val NarrowedProp = "graft.char.narrowed"
+
     private def isChar(a: Attribute): Boolean =
       CharVarcharUtils.getRawType(a.metadata)
         .exists(_.isInstanceOf[CharType])
 
-    private def isVarchar(a: Attribute): Boolean =
-      CharVarcharUtils.getRawType(a.metadata)
-        .exists(_.isInstanceOf[VarcharType])
-
-    private def isCharLike(t: DataType): Boolean =
-      t.isInstanceOf[CharType] || t.isInstanceOf[VarcharType]
-
-    /** struct<..., c:char/varchar(n), ...> — one level down (raw type). */
-    private def nestedCharStruct(a: Attribute): Option[StructType] =
-      CharVarcharUtils.getRawType(a.metadata).collect {
-        case s: StructType if s.fields.exists(f => isCharLike(f.dataType)) => s
-      }
-
-    /** array<char/varchar(n)> — elements (raw type). */
-    private def charArray(a: Attribute): Boolean =
-      CharVarcharUtils.getRawType(a.metadata).exists {
-        case ArrayType(e, _) => isCharLike(e)
-        case _ => false
-      }
-
-    /** map with char/varchar(n) keys and/or values (raw type). */
-    private def charMap(a: Attribute): Boolean =
-      CharVarcharUtils.getRawType(a.metadata).exists {
-        case MapType(k, v, _) => isCharLike(k) || isCharLike(v)
+    /** Does the raw type hold a strip target anywhere, at any depth?
+      * char always (padding); varchar only when the table was narrowed
+      * (over-length clamp). */
+    private def needsStripType(t: DataType, narrowed: Boolean): Boolean =
+      t match {
+        case _: CharType => true
+        case _: VarcharType => narrowed
+        case s: StructType =>
+          s.fields.exists(f => needsStripType(f.dataType, narrowed))
+        case ArrayType(e, _) => needsStripType(e, narrowed)
+        case MapType(k, v, _) =>
+          needsStripType(k, narrowed) || needsStripType(v, narrowed)
         case _ => false
       }
 
     /** Hive reads convert EVERY char/varchar value through
-      * enforceMaxLength (HiveBaseChar) — so an over-length STORED value
-      * (possible only after a metadata-only CHANGE COLUMN narrowed the
-      * type; alter_char1.q "value column should be truncated now")
-      * truncates at read. char additionally strips the trailing pad. */
-    private def readExpr(e: Expression, raw: DataType): Expression = raw match {
+      * enforceMaxLength (HiveBaseChar) — the clamp applies only on
+      * narrowed tables (see NarrowedProp); char additionally strips the
+      * trailing pad always. */
+    private def leafExpr(e: Expression, raw: DataType,
+        narrowed: Boolean): Expression = raw match {
       case CharType(n) =>
-        StringTrimRight(Substring(e, Literal(1), Literal(n)))
-      case VarcharType(n) => Substring(e, Literal(1), Literal(n))
+        StringTrimRight(
+          if (narrowed) Substring(e, Literal(1), Literal(n)) else e)
+      case VarcharType(n) if narrowed => Substring(e, Literal(1), Literal(n))
       case _ => e
     }
 
-    private def needsStrip(a: Attribute, isPart: Boolean): Boolean =
+    private def needsStrip(a: Attribute, isPart: Boolean,
+        narrowed: Boolean): Boolean =
       if (isPart) isChar(a) // varchar partition values are never padded
         // nor over-length (catalog-normalized); wrapping them would cost
         // convertible pruning for nothing
-      else isChar(a) || isVarchar(a) || nestedCharStruct(a).nonEmpty ||
-        charArray(a) || charMap(a)
+      else CharVarcharUtils.getRawType(a.metadata)
+        .exists(needsStripType(_, narrowed))
 
-    /** Rebuild a one-level-nested value with rtrim over its char members,
-      * null-preserving at the container level. */
-    private def stripNested(c: AttributeReference,
-        raw: DataType): Expression = raw match {
-      case rawSt: StructType =>
-        val st = c.dataType.asInstanceOf[StructType]
+    /** Recursively rebuild `e` (typed `actual`, declared `raw`) with the
+      * char/varchar read conversion over every nested member,
+      * null-preserving at each container level. Containers without a
+      * strip target below them pass through untouched. */
+    private def stripValue(e: Expression, raw: DataType, actual: DataType,
+        narrowed: Boolean): Expression = (raw, actual) match {
+      case (_: CharType | _: VarcharType, _) => leafExpr(e, raw, narrowed)
+      case (rawSt: StructType, st: StructType)
+          if needsStripType(rawSt, narrowed) =>
         val rebuilt = CreateNamedStruct(st.fields.toSeq.zipWithIndex.flatMap {
           case (f, i) =>
-            val g = GetStructField(c, i, Some(f.name))
-            Seq(Literal(f.name), readExpr(g, rawSt.fields(i).dataType))
+            val g = GetStructField(e, i, Some(f.name))
+            Seq(Literal(f.name),
+              stripValue(g, rawSt.fields(i).dataType, f.dataType, narrowed))
         })
-        If(IsNull(c), Literal(null, rebuilt.dataType), rebuilt)
-      case ArrayType(et, containsNull) if isCharLike(et) =>
-        val lv = NamedLambdaVariable("x", StringType, containsNull)
-        ArrayTransform(c, LambdaFunction(readExpr(lv, et), Seq(lv)))
-      case MapType(rk, rv, _) =>
-        // map<char, _> / map<_, char>: convert keys and/or values through
-        // the higher-order map transforms (both codegen-friendly; key
-        // conversion cannot collide — equal-after-rtrim keys differed
-        // only in Hive-invisible padding, which Hive's own map would have
-        // already collapsed at write)
-        val mt = c.dataType.asInstanceOf[MapType]
-        var e: Expression = c
-        if (isCharLike(rk)) {
+        If(IsNull(e), Literal(null, rebuilt.dataType), rebuilt)
+      case (ArrayType(re, _), ArrayType(ae, containsNull))
+          if needsStripType(re, narrowed) =>
+        val lv = NamedLambdaVariable("x", ae, containsNull)
+        ArrayTransform(e,
+          LambdaFunction(stripValue(lv, re, ae, narrowed), Seq(lv)))
+      case (MapType(rk, rv, _), mt: MapType)
+          if needsStripType(rk, narrowed) || needsStripType(rv, narrowed) =>
+        // map: convert keys and/or values through the higher-order map
+        // transforms (key conversion cannot collide — equal-after-rtrim
+        // keys differed only in Hive-invisible padding, which Hive's own
+        // map would have already collapsed at write)
+        var out: Expression = e
+        if (needsStripType(rk, narrowed)) {
           val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
           val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
-          e = TransformKeys(e, LambdaFunction(readExpr(k, rk), Seq(k, v)))
+          out = TransformKeys(out,
+            LambdaFunction(stripValue(k, rk, mt.keyType, narrowed), Seq(k, v)))
         }
-        if (isCharLike(rv)) {
+        if (needsStripType(rv, narrowed)) {
           val k = NamedLambdaVariable("k", mt.keyType, nullable = false)
           val v = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
-          e = TransformValues(e, LambdaFunction(readExpr(v, rv), Seq(k, v)))
+          out = TransformValues(out,
+            LambdaFunction(stripValue(v, rv, mt.valueType, narrowed), Seq(k, v)))
         }
-        e
-      case _ => c
+        out
+      case _ => e
     }
 
     /** Idempotence is structural, not tag-based (the analyzer resolves a
@@ -267,12 +281,12 @@ object HiveSemantics {
       * silently drop the trim — and transformUpWithNewOutput rewrites
       * every parent reference to the new ids. */
     private def strip(output: Seq[AttributeReference],
-        partCols: Set[String],
+        partCols: Set[String], narrowed: Boolean,
         mkRel: Seq[AttributeReference] => LogicalPlan)
         : (LogicalPlan, Seq[(Attribute, Attribute)]) = {
       def isPart(a: Attribute): Boolean = partCols.contains(a.name.toLowerCase)
       val cleaned = output.map { a =>
-        if (needsStrip(a, isPart(a)))
+        if (needsStrip(a, isPart(a), narrowed))
           a.withMetadata(CharVarcharUtils.cleanAttrMetadata(a).metadata)
         else a
       }
@@ -282,18 +296,16 @@ object HiveSemantics {
           // values are length-normalized (never over-length), and
           // CharPartitionPruning's convertible rewrite matches rtrim(c)
           Alias(StringTrimRight(c), c.name)(qualifier = c.qualifier)
-        else if (isChar(orig) || isVarchar(orig))
-          Alias(readExpr(c, CharVarcharUtils.getRawType(orig.metadata).get),
-            c.name)(qualifier = c.qualifier)
-        else if (nestedCharStruct(orig).nonEmpty || charArray(orig) ||
-            charMap(orig))
-          Alias(stripNested(c,
-            CharVarcharUtils.getRawType(orig.metadata).get), c.name)(
-            qualifier = c.qualifier)
+        else if (needsStrip(orig, isPart(orig), narrowed))
+          Alias(stripValue(c, CharVarcharUtils.getRawType(orig.metadata).get,
+            c.dataType, narrowed), c.name)(qualifier = c.qualifier)
         else c
       }, mkRel(cleaned))
       (proj, output.zip(proj.output))
     }
+
+    private def isNarrowed(r: LogicalRelation): Boolean =
+      r.catalogTable.exists(_.properties.contains(NarrowedProp))
 
     override def apply(plan: LogicalPlan): LogicalPlan =
       // resolveOperatorsUpWithNewOutput (not transformUpWithNewOutput):
@@ -304,12 +316,17 @@ object HiveSemantics {
       // (a stale rpad against the stripped value would compare false)
       plan.resolveOperatorsUpWithNewOutput {
         case r: LogicalRelation
-            if r.output.exists(a => needsStrip(a, partColsOf(r)(a))) =>
-          strip(r.output, partNamesOf(r), out => r.copy(output = out))
-        case r: DataSourceV2Relation
-            if r.output.exists(a => needsStrip(a, isPart = false)) =>
-          strip(r.output.map(_.asInstanceOf[AttributeReference]), Set.empty,
+            if r.output.exists(a =>
+              needsStrip(a, partColsOf(r)(a), isNarrowed(r))) =>
+          strip(r.output, partNamesOf(r), isNarrowed(r),
             out => r.copy(output = out))
+        case r: DataSourceV2Relation
+            if r.output.exists(a =>
+              needsStrip(a, isPart = false, narrowed = false)) =>
+          // v2 relations have no catalog entry, so no narrowing marker —
+          // their char members strip padding only (no clamp)
+          strip(r.output.map(_.asInstanceOf[AttributeReference]), Set.empty,
+            narrowed = false, out => r.copy(output = out))
       }
 
     private def partNamesOf(r: LogicalRelation): Set[String] =

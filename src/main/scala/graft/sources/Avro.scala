@@ -58,6 +58,9 @@ object Avro {
   private def toAvroType(dt: DataType): Schema = dt match {
     case LongType    => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
+    // Hive's AvroSerDe widens tinyint/smallint onto avro int (avro has no
+    // narrower integer); the catalog schema narrows them back on read
+    case ByteType | ShortType => Schema.create(Schema.Type.INT)
     case DoubleType  => Schema.create(Schema.Type.DOUBLE)
     case FloatType   => Schema.create(Schema.Type.FLOAT)
     case StringType  => Schema.create(Schema.Type.STRING)
@@ -71,6 +74,13 @@ object Avro {
       LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     // element union keeps containsNull=true arrays writable
     case ArrayType(elem, _) => Schema.createArray(nullable(toAvroType(elem)))
+    // avro maps are string-keyed by definition (Hive's AvroSerDe refuses
+    // non-string map keys the same way)
+    case MapType(StringType, v, _) => Schema.createMap(nullable(toAvroType(v)))
+    // nested records need schema-unique names; a monotonic suffix keeps
+    // sibling structs of identical shape from colliding
+    case st: StructType =>
+      toAvroSchema(st, s"rec_${recName.incrementAndGet()}")
     // Hive's AvroSerDe maps DECIMAL onto bytes + the decimal logical type
     // (two's-complement unscaled big-endian), avro_decimal_native.q
     case dec: DecimalType =>
@@ -78,6 +88,7 @@ object Avro {
         .addToSchema(Schema.create(Schema.Type.BYTES))
     case other => throw new IllegalArgumentException(s"avro sink: unsupported type $other")
   }
+  private val recName = new java.util.concurrent.atomic.AtomicLong
 
   def toSparkType(s: Schema): DataType = unwrap(s) match {
     case u if u.getType == Schema.Type.LONG =>
@@ -96,6 +107,11 @@ object Avro {
         case _ => BinaryType
       }
     case u if u.getType == Schema.Type.ARRAY   => ArrayType(toSparkType(u.getElementType))
+    case u if u.getType == Schema.Type.MAP     =>
+      MapType(StringType, toSparkType(u.getValueType))
+    case u if u.getType == Schema.Type.RECORD  =>
+      StructType(u.getFields.asScala.map(f =>
+        StructField(f.name, toSparkType(f.schema()), nullable = true)).toArray)
     case other => throw new IllegalArgumentException(s"avro source: unsupported type $other")
   }
 
@@ -107,7 +123,10 @@ object Avro {
 
   // ---- value conversion ----
 
-  private def toAvroValue(v: Any): AnyRef = v match {
+  /** `s` is the value's target avro schema (possibly [null, T]-wrapped):
+    * nested records need it to instantiate GenericData.Record, maps and
+    * arrays to recurse into their value/element schemas. */
+  private def toAvroValue(v: Any, s: Schema): AnyRef = v match {
     case null                     => null
     case t: java.sql.Timestamp    => Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
     case ldt: java.time.LocalDateTime =>
@@ -118,8 +137,25 @@ object Avro {
     // read/cast), so the unscaled bytes line up with the schema's logical
     // decimal(precision, scale)
     case bd: java.math.BigDecimal => ByteBuffer.wrap(bd.unscaledValue.toByteArray)
+    case b: java.lang.Byte        => Int.box(b.intValue)
+    case sh: java.lang.Short      => Int.box(sh.intValue)
     case xs: scala.collection.Seq[_] =>
-      new java.util.ArrayList[AnyRef](xs.map(toAvroValue).asJava)
+      val es = unwrap(s).getElementType
+      new java.util.ArrayList[AnyRef](xs.map(toAvroValue(_, es)).asJava)
+    case m: scala.collection.Map[_, _] =>
+      val vs = unwrap(s).getValueType
+      val jm = new java.util.LinkedHashMap[String, AnyRef]()
+      m.foreach { case (k, mv) => jm.put(String.valueOf(k), toAvroValue(mv, vs)) }
+      jm
+    case row: org.apache.spark.sql.Row =>
+      val rs = unwrap(s)
+      val rec = new GenericData.Record(rs)
+      var i = 0
+      while (i < row.length) {
+        rec.put(i, toAvroValue(row.get(i), rs.getFields.get(i).schema()))
+        i += 1
+      }
+      rec
     case other                    => other.asInstanceOf[AnyRef]
   }
 
@@ -136,6 +172,8 @@ object Avro {
         (Math.floorMod(l.longValue, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case (i: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(LocalDate.ofEpochDay(i.longValue))
+    case (i: java.lang.Integer, ByteType)  => i.byteValue
+    case (i: java.lang.Integer, ShortType) => i.shortValue
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (b: ByteBuffer, dec: DecimalType) =>
@@ -143,6 +181,12 @@ object Avro {
       new java.math.BigDecimal(new java.math.BigInteger(arr), dec.scale)
     case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
       xs.asScala.map(toSparkValue(_, elem)).toSeq
+    case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      m.asScala.map { case (k, mv) =>
+        String.valueOf(k) -> toSparkValue(mv, vt) }.toMap
+    case (r: GenericRecord, st: StructType) =>
+      org.apache.spark.sql.Row.fromSeq(st.fields.toSeq.zipWithIndex.map {
+        case (f, i) => toSparkValue(r.get(i), f.dataType) })
     case (other, _) => other
   }
 
@@ -183,7 +227,7 @@ object Avro {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < sparkSchema.length) {
-            rec.put(i, toAvroValue(row.get(i)))
+            rec.put(i, toAvroValue(row.get(i), schema.getFields.get(i).schema()))
             i += 1
           }
           writer.append(rec)

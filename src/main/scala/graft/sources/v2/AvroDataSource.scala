@@ -133,6 +133,8 @@ object AvroV2Util {
     case (l: java.lang.Long, TimestampType) => l.longValue      // micros
     case (l: java.lang.Long, TimestampNTZType) => l.longValue   // micros
     case (i: java.lang.Integer, DateType) => i.intValue         // epoch days
+    case (i: java.lang.Integer, ByteType)  => i.byteValue  // avro int narrowed
+    case (i: java.lang.Integer, ShortType) => i.shortValue // by catalog schema
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (b: java.nio.ByteBuffer, dec: DecimalType) =>
@@ -142,56 +144,88 @@ object AvroV2Util {
         dec.precision, dec.scale)
     case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
       new GenericArrayData(xs.asScala.map(toInternal(_, elem)).toArray)
+    case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      val entries = m.asScala.toSeq
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(entries.map(e =>
+          UTF8String.fromString(String.valueOf(e._1))).toArray[Any]),
+        new GenericArrayData(entries.map(e => toInternal(e._2, vt)).toArray[Any]))
+    case (r: GenericRecord, st: StructType) =>
+      val vals = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) {
+        vals(i) = toInternal(r.get(i), st.fields(i).dataType); i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     case (other, _) => other
   }
 
-  /** Catalyst internal value → Avro external value for one field. */
-  def fromInternal(row: InternalRow, i: Int, dt: DataType): AnyRef = {
-    if (row.isNullAt(i)) return null
+  /** Strip the [null, T] union wrapper around a field's avro schema. */
+  private def unwrapAvro(s: org.apache.avro.Schema): org.apache.avro.Schema =
+    if (s.getType == org.apache.avro.Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL)
+        .getOrElse(s)
+    else s
+
+  /** Catalyst internal value → Avro external value for one field. `s` is
+    * the field's avro schema (possibly [null, T]-wrapped): nested records
+    * need it to instantiate GenericData.Record, containers to recurse. */
+  def fromInternal(row: InternalRow, i: Int, dt: DataType,
+      s: org.apache.avro.Schema): AnyRef =
+    fromGetter(row, i, dt, s)
+
+  /** One recursive converter for every container position — InternalRow,
+    * ArrayData and MapData key/value arrays all expose SpecializedGetters,
+    * so struct-in-array, map-of-struct and any deeper nesting share it. */
+  private def fromGetter(
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType, s: org.apache.avro.Schema): AnyRef = {
+    if (g.isNullAt(i)) return null
     dt match {
-      case StringType => row.getUTF8String(i).toString
-      case LongType => Long.box(row.getLong(i))
-      case IntegerType => Int.box(row.getInt(i))
-      case DoubleType => Double.box(row.getDouble(i))
-      case FloatType => Float.box(row.getFloat(i))
-      case BooleanType => Boolean.box(row.getBoolean(i))
-      case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
-      case DateType => Int.box(row.getInt(i))
-      case TimestampType | TimestampNTZType => Long.box(row.getLong(i))
+      case StringType => g.getUTF8String(i).toString
+      case LongType => Long.box(g.getLong(i))
+      case IntegerType => Int.box(g.getInt(i))
+      case ByteType => Int.box(g.getByte(i).toInt)   // avro int carries it
+      case ShortType => Int.box(g.getShort(i).toInt)
+      case DoubleType => Double.box(g.getDouble(i))
+      case FloatType => Float.box(g.getFloat(i))
+      case BooleanType => Boolean.box(g.getBoolean(i))
+      case BinaryType => java.nio.ByteBuffer.wrap(g.getBinary(i))
+      case DateType => Int.box(g.getInt(i))                         // epoch days
+      case TimestampType | TimestampNTZType => Long.box(g.getLong(i)) // micros
       case dec: DecimalType =>
-        java.nio.ByteBuffer.wrap(row.getDecimal(i, dec.precision, dec.scale)
+        java.nio.ByteBuffer.wrap(g.getDecimal(i, dec.precision, dec.scale)
           .toJavaBigDecimal.setScale(dec.scale).unscaledValue.toByteArray)
       case ArrayType(elem, _) =>
-        val arr = row.getArray(i)
+        val arr = g.getArray(i)
+        val es = unwrapAvro(s).getElementType
         val out = new java.util.ArrayList[AnyRef](arr.numElements())
         var j = 0
-        while (j < arr.numElements()) {
-          out.add(fromArrayElem(arr, j, elem)); j += 1
+        while (j < arr.numElements()) { out.add(fromGetter(arr, j, elem, es)); j += 1 }
+        out
+      case MapType(StringType, vt, _) =>
+        val m = g.getMap(i)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        val vs = unwrapAvro(s).getValueType
+        val out = new java.util.LinkedHashMap[String, AnyRef]()
+        var j = 0
+        while (j < m.numElements()) {
+          out.put(keys.getUTF8String(j).toString, fromGetter(vals, j, vt, vs))
+          j += 1
         }
         out
+      case st: StructType =>
+        val rs = unwrapAvro(s)
+        val r = g.getStruct(i, st.length)
+        val rec = new org.apache.avro.generic.GenericData.Record(rs)
+        var j = 0
+        while (j < st.length) {
+          rec.put(j, fromGetter(r, j, st.fields(j).dataType,
+            rs.getFields.get(j).schema()))
+          j += 1
+        }
+        rec
       case other => throw new IllegalArgumentException(s"graft-avro: unsupported $other")
-    }
-  }
-
-  private def fromArrayElem(arr: ArrayData, j: Int, dt: DataType): AnyRef = {
-    if (arr.isNullAt(j)) return null
-    dt match {
-      case StringType => arr.getUTF8String(j).toString
-      case LongType => Long.box(arr.getLong(j))
-      case IntegerType => Int.box(arr.getInt(j))
-      case DoubleType => Double.box(arr.getDouble(j))
-      case FloatType => Float.box(arr.getFloat(j))
-      case BooleanType => Boolean.box(arr.getBoolean(j))
-      case DateType => Int.box(arr.getInt(j))                        // epoch days
-      case TimestampType | TimestampNTZType => Long.box(arr.getLong(j)) // micros
-      case BinaryType => java.nio.ByteBuffer.wrap(arr.getBinary(j))
-      case ArrayType(inner, _) =>
-        val nested = arr.getArray(j)
-        val out = new java.util.ArrayList[AnyRef](nested.numElements())
-        var m = 0
-        while (m < nested.numElements()) { out.add(fromArrayElem(nested, m, inner)); m += 1 }
-        out
-      case other => throw new IllegalArgumentException(s"graft-avro: unsupported array elem $other")
     }
   }
 }
@@ -472,7 +506,8 @@ case class AvroWriterFactory(path: String, schemaJson: String,
         var j = 0
         while (j < dataFields.length) {
           val (f, i) = dataFields(j)
-          rec.put(j, AvroV2Util.fromInternal(row, i, f.dataType))
+          rec.put(j, AvroV2Util.fromInternal(row, i, f.dataType,
+            avroSchema.getFields.get(j).schema()))
           j += 1
         }
         writerFor(rel).append(rec): Unit

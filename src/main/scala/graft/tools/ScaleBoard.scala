@@ -108,16 +108,20 @@ object ScaleBoard {
       val t1 = math.min(time(one), time(one)) // min-of-2, Bench convention
       val recs1 = shufRecs.getAndSet(0)
       val it1 = graft.operators.Dedup.lastClusterIterations
+      val km1 = graft.operators.Similarity.lastKmeansIterations
       Checkpoints.sweep()
       val tN = time(ten) // single N× run (bounded wall budget)
       val recsN = shufRecs.getAndSet(0)
       val itN = graft.operators.Dedup.lastClusterIterations
+      val kmN = graft.operators.Similarity.lastKmeansIterations
       Checkpoints.sweep()
       rows += ((name, t1, tN))
       // recs1 accumulated across BOTH 1× runs — halve for the per-run rate
       val r1 = recs1 / 2.0
-      val extra = if (name.startsWith("d08"))
-        f"  rounds=${it1}->${itN}" else ""
+      val extra =
+        if (name.startsWith("d08")) f"  rounds=${it1}->${itN}"
+        else if (name.startsWith("s05")) f"  lloyd_iters=${km1}->${kmN}"
+        else ""
       println(f"[scale] $name%-22s 1x=$t1%7.2f s  ${n}x=$tN%7.2f s  " +
         f"ratio=${tN / t1}%5.1f  shuf_recs=${r1 / 1e6}%.2fM->${recsN / 1e6}%.2fM" +
         f" (${if (r1 > 0) recsN / r1 else 0.0}%.1fx)$extra")
