@@ -3842,6 +3842,10 @@ object Engine {
   private val dropViewAuthRe =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
   private val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
+  // TRANSFORM/MAP/REDUCE ... USING 'script' — the script URI is the
+  // gated object under sql-std (see enforceAuthorization)
+  private val transformScriptAuthRe =
+    """(?is)\b(?:TRANSFORM\s*\(|MAP\s+[^(]+?|REDUCE\s+[^(]+?)[^;]*?\bUSING\s+'([^']+)'""".r
   /** Existence probe for the DROP enforcement gates; an unresolvable
     * name keeps the gate (fail closed). */
   private def authTableExists(spark: SparkSession, t: String): Boolean =
@@ -3862,6 +3866,19 @@ object Engine {
   private def enforceAuthorization(spark: SparkSession, stmt0: String): Unit = {
     if (!graft.operators.Auth.enforcementEnabled(spark)) return
     if (graft.operators.Auth.handles(stmt0)) return // GRANT/SHOW/... run free
+    // sql-std: a TRANSFORM script is a LOCAL_URI object no one holds
+    // privileges on — the reference refuses the whole query
+    // (authorization_disallow_transform.q: "[[SELECT] on Object
+    // [type=LOCAL_URI, name=cat]]"); admin runs free as everywhere else
+    if (graft.operators.Auth.sqlStdEnabled(spark) &&
+        !graft.operators.Auth.isAdminSession(spark)) {
+      transformScriptAuthRe.findFirstMatchIn(stmt0).foreach { m =>
+        sys.error("Permission denied: Principal [name=" +
+          graft.operators.Auth.currentUser(spark) + ", type=USER] does " +
+          "not have following privileges for operation QUERY [[SELECT] " +
+          s"on Object [type=LOCAL_URI, name=${m.group(1)}]]")
+      }
+    }
     def nameOf(t: String): (String, String) = {
       val p = t.replace("`", "").split("\\.")
       if (p.length >= 2) (p(p.length - 2), p.last)

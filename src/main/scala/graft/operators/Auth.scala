@@ -138,6 +138,13 @@ object Auth {
       spark.conf.getOption("hive.security.authorization.manager")
         .exists(_.toLowerCase.contains("sqlstd"))
 
+  /** Engine-facing probes for sql-std statement gates. */
+  def isAdminSession(spark: SparkSession): Boolean = {
+    val st = state(spark)
+    st.synchronized { isAdmin(spark, st) }
+  }
+  def currentUser(spark: SparkSession): String = user(spark)
+
   /** Record table/view ownership at CREATE (engine hook). */
   def recordOwner(spark: SparkSession, db: String, table: String): Unit = {
     val st = state(spark)
@@ -391,6 +398,18 @@ object Auth {
         val role = r.toLowerCase
         require(role != "public" && role != "admin",
           s"$role is a reserved role name")
+        // ALL/DEFAULT/NONE are SET ROLE keywords — a role by those names
+        // could never be selected (SQLStdHiveAccessController
+        // createRole; authorization_cannot_create_default_role.q /
+        // _none_role.q: "Role name cannot be one of the reserved roles")
+        require(role != "all" && role != "default" && role != "none",
+          s"Role name cannot be one of the reserved roles: [ALL, DEFAULT, NONE]")
+        // sql-std: role administration is admin-only
+        // (authorization_create_role_no_admin.q)
+        if (sqlStdEnabled(spark) && !isAdmin(spark, st))
+          sys.error(s"Current user : ${user(spark)} is not allowed to add " +
+            "roles. User has to belong to ADMIN role and have it as " +
+            "current role, for this action.")
         require(st.roles.add(role), s"role $role already exists")
         spark.emptyDataFrame
       }
@@ -398,6 +417,11 @@ object Auth {
         val role = r.toLowerCase
         require(role != "public" && role != "admin",
           s"reserved role $role cannot be dropped")
+        // sql-std: admin-only (authorization_drop_role_no_admin.q)
+        if (sqlStdEnabled(spark) && !isAdmin(spark, st))
+          sys.error(s"Current user : ${user(spark)} is not allowed to " +
+            "drop role. User has to belong to ADMIN role and have it as " +
+            "current role, for this action.")
         require(st.roles.remove(role), s"role $role does not exist")
         st.roleGrants.filterInPlace(_.role != role)
         st.privGrants.filterInPlace(g =>
