@@ -77,10 +77,16 @@ object Avro {
     // avro maps are string-keyed by definition (Hive's AvroSerDe refuses
     // non-string map keys the same way)
     case MapType(StringType, v, _) => Schema.createMap(nullable(toAvroType(v)))
-    // nested records need schema-unique names; a monotonic suffix keeps
-    // sibling structs of identical shape from colliding
+    // nested records need names, and avro schema RESOLUTION matches
+    // records BY NAME — so the name must be DETERMINISTIC across JVMs
+    // (a reader rebuilding the expected schema from the catalog must
+    // produce the same name the writer embedded in the file). Derive it
+    // from the struct shape: identical shapes share one definition
+    // (avro prints later occurrences as name references), different
+    // shapes get different names.
     case st: StructType =>
-      toAvroSchema(st, s"rec_${recName.incrementAndGet()}")
+      toAvroSchema(st,
+        "rec_" + java.lang.Integer.toHexString(st.toDDL.hashCode))
     // Hive's AvroSerDe maps DECIMAL onto bytes + the decimal logical type
     // (two's-complement unscaled big-endian), avro_decimal_native.q
     case dec: DecimalType =>
@@ -88,7 +94,6 @@ object Avro {
         .addToSchema(Schema.create(Schema.Type.BYTES))
     case other => throw new IllegalArgumentException(s"avro sink: unsupported type $other")
   }
-  private val recName = new java.util.concurrent.atomic.AtomicLong
 
   def toSparkType(s: Schema): DataType = unwrap(s) match {
     case u if u.getType == Schema.Type.LONG =>

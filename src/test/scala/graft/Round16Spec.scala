@@ -248,6 +248,29 @@ class Round16Spec extends SparkSpec {
       "early exit is not firing (every pass over a 100TB corpus is paid)")
   }
 
+  // ---- avro nested record names deterministic ---------------------------
+
+  test("avro nested record names are deterministic across schema builds") {
+    import org.apache.spark.sql.types._
+    // avro schema RESOLUTION matches records by NAME: the reader rebuilds
+    // the expected schema from the catalog in a different JVM than the
+    // writer, so the generated record names must be a pure function of
+    // the struct shape (a counter would drift between builds)
+    val st = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("s1", StructType(Seq(
+        StructField("c1", IntegerType), StructField("c2", StringType)))),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("mc", StringType)))))))
+    val a = sources.Avro.toAvroSchema(st).toString
+    val b = sources.Avro.toAvroSchema(st).toString
+    assert(a == b, "record names drifted between two builds of one shape")
+    // different shapes must NOT share a name (one definition per name)
+    val other = StructType(Seq(StructField("s1", StructType(Seq(
+      StructField("x", DoubleType))))))
+    assert(sources.Avro.toAvroSchema(other).toString != a)
+  }
+
   // ---- bench stdout line bounded (verdict #1: r15 parsed:null) ---------
 
   test("bench stdout line stays under 1500 chars on a worst-case board") {
