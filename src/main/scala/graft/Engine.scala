@@ -455,7 +455,13 @@ object Engine {
   private val alterViewRenameRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*""".r
   private val alterViewAddPartRe =
-    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)(\s+LOCATION\s+'[^']*')?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)(\s+LOCATION\s+'[^']*')?\s*;?\s*""".r
+  private val alterViewDropPartRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+DROP\s+(IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
+  private val replaceViewRe =
+    """(?is)\s*CREATE\s+OR\s+REPLACE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\b.*""".r
+  private val alterViewAsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+)\s+AS\s+.*""".r
   private val loadDataRe =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*""".r
   private val updateRe =
@@ -994,7 +1000,9 @@ object Engine {
       selectSql: String,
       schemaDdl: Option[String] = None): Unit = {
     val partCols = meta.partitionColumnNames
-    val provider = meta.provider.getOrElse("parquet")
+    // backquoted: the engine's own providers are hyphenated identifiers
+    // (graft-avro, graft-seq, ...) Spark's parser rejects unquoted
+    val provider = "`" + meta.provider.getOrElse("parquet") + "`"
     val opts = meta.storage.properties.view
       .filterKeys(k => !k.equalsIgnoreCase("path")).toMap match {
       case m if m.isEmpty => ""
@@ -3842,6 +3850,42 @@ object Engine {
   private val dropViewAuthRe =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
   private val truncAuthRe = """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+).*""".r
+  // ---- view partitions (metadata-only; Hive keeps them in the
+  // metastore with no storage). Each entry is the spec in DECLARED
+  // column order as URL-encoded k=v tokens joined by '/', entries
+  // joined by ',' in the graft.view.partitions table property —
+  // encoding keeps values containing '/', ',' or '=' unambiguous.
+  private def viewPartEntry(declared: Seq[String],
+      kvs: Seq[(String, String)]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    declared.map { d =>
+      val v = kvs.collectFirst {
+        case (k, vv) if k.equalsIgnoreCase(d) => vv }.getOrElse("")
+      enc(d) + "=" + enc(v)
+    }.mkString("/")
+  }
+  private def decodeViewPartEntry(e: String): String =
+    e.split("/").map { tok =>
+      val Array(k, v) = tok.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") + "=" +
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.mkString("/")
+  private def viewPartitions(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Seq[String] =
+    meta.properties.get("graft.view.partitions").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+  private def viewPartColsOf(spark: SparkSession, table: String): Seq[String] =
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      if (meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+        meta.properties.get("graft.view.partcols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+      else Nil
+    } catch { case _: Exception => Nil }
+
   // TRANSFORM/MAP/REDUCE ... USING 'script' — the script URI is the
   // gated object under sql-std (see enforceAuthorization)
   private val transformScriptAuthRe =
@@ -4192,6 +4236,30 @@ object Engine {
     }
     if (stmt0.toLowerCase.contains("char")) checkCharLengths(stmt0)
     checkPartitionWhitelist(spark, stmt0)
+    // a view that HAS partitions cannot be redefined — the new definition
+    // would orphan the recorded specs (DDLSemanticAnalyzer, error 10217;
+    // clientnegative/create_or_replace_view2.q). Drop the partitions
+    // first (create_or_replace_view.q does exactly that).
+    locally {
+      val target = stmt0 match {
+        case replaceViewRe(nm) => Some(nm)
+        case alterViewAsRe(nm) => Some(nm)
+        case _ => None
+      }
+      val partitioned = target.exists { nm =>
+        try {
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(
+              nm.replace("`", "")))
+          meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
+            viewPartitions(meta).nonEmpty
+        } catch { case _: Exception => false }
+      }
+      if (partitioned)
+        sys.error("Cannot replace a view with CREATE VIEW or REPLACE VIEW " +
+          "or ALTER VIEW AS SELECT if the view has partitions")
+    }
     // partitioned views (create_view_partitioned.q): PARTITIONED ON is
     // Hive metadata-only (no read-path effect; DDLSemanticAnalyzer
     // validateCreateView) — strip the clause, keep the view, and record
@@ -4200,6 +4268,22 @@ object Engine {
     val stmtT = stmtT0 match {
       case viewPartRe(pre, cols, rest) =>
         val names = cols.split(",").map(_.trim.split("\\s+")(0)).filter(_.nonEmpty)
+        // Hive validates that PARTITIONED ON names the view's RIGHTMOST
+        // output columns (DDLSemanticAnalyzer validateCreateView, error
+        // 10093; create_view_failure6.q) — checkable when the output
+        // names come from the SELECT itself (no explicit column list)
+        if (!pre.contains("(")) {
+          val sel = rest.replaceFirst("(?is)^AS\\s+", "")
+          val out =
+            try spark.sql(sel).schema.fieldNames.toSeq
+            catch { case _: Exception => Nil }
+          if (out.nonEmpty) {
+            val tail = out.takeRight(names.length).map(_.toLowerCase)
+            if (tail != names.toSeq.map(_.toLowerCase))
+              sys.error("Rightmost columns in view output do not match " +
+                "PARTITIONED ON clause")
+          }
+        }
         pre + s" TBLPROPERTIES ('graft.view.partcols'='${names.mkString(",")}') " + rest
       case s => s
     }
@@ -4833,7 +4917,7 @@ object Engine {
           toId0.database.orElse(fromId.database)
             .getOrElse(spark.catalog.currentDatabase), toId0.table)
         spark.emptyDataFrame
-      case alterViewAddPartRe(name, specText, locClause) =>
+      case alterViewAddPartRe(name, ifNot, specText, locClause) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(name))
         if (meta.tableType !=
@@ -4859,10 +4943,63 @@ object Engine {
         if (!declared.forall(d => specKeys.contains(d.toLowerCase)))
           sys.error(s"partition spec $shown doesn't contain all " +
             s"(${declared.length}) partition columns")
-        // spec is valid: Hive records the view partition in the metastore
-        // but nothing in the read path consumes it (view partitions carry
-        // no storage) — accepted as metadata-only, like PARTITIONED ON
+        // spec is valid: RECORD the view partition (r16; previously
+        // validated-and-discarded) — the metastore keeps view partitions
+        // as pure metadata (no storage), and three consumers need them:
+        // SHOW PARTITIONS on the view, DROP PARTITION, and the 10217
+        // refusal of CREATE OR REPLACE VIEW while partitions exist
+        // (create_or_replace_view.q / create_or_replace_view2.q)
+        val entry = viewPartEntry(declared, kvs)
+        val existing = viewPartitions(meta)
+        if (existing.contains(entry)) {
+          if (ifNot == null)
+            sys.error(s"Partition already exists: $name $shown")
+        } else {
+          spark.sessionState.catalog.alterTable(meta.copy(properties =
+            meta.properties + ("graft.view.partitions" ->
+              (existing :+ entry).mkString(","))))
+          spark.sql(s"REFRESH TABLE $name")
+        }
         spark.emptyDataFrame
+      case alterViewDropPartRe(name, ifEx, specText) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(name))
+        if (meta.tableType !=
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          sys.error("To alter a base table you need to use the ALTER TABLE " +
+            s"command. ($name is a table)")
+        val declared = meta.properties.get("graft.view.partcols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val kvs = operators.ExportImport.parseSpec(Some(specText)).get
+        val entry = viewPartEntry(declared, kvs)
+        val existing = viewPartitions(meta)
+        if (!existing.contains(entry)) {
+          if (ifEx == null)
+            sys.error(s"Specified partition does not exist: $name " +
+              kvs.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+        } else {
+          spark.sessionState.catalog.alterTable(meta.copy(properties =
+            meta.properties + ("graft.view.partitions" ->
+              existing.filterNot(_ == entry).mkString(","))))
+          spark.sql(s"REFRESH TABLE $name")
+        }
+        spark.emptyDataFrame
+      // SHOW PARTITIONS on a partitioned VIEW answers from the recorded
+      // metadata entries (Hive prints the ds=v/hr=v partition names)
+      case showPartsRe(table, partial) if viewPartColsOf(spark, table).nonEmpty =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val prefixes = Option(partial).map { p =>
+          operators.ExportImport.parseSpec(Some(p)).get
+            .map { case (k, v) => s"${k.toLowerCase}=${v.toLowerCase}" }
+        }.getOrElse(Nil)
+        val rows = viewPartitions(meta)
+          .map(decodeViewPartEntry)
+          .filter(n => prefixes.forall(pr =>
+            n.toLowerCase.split("/").contains(pr)))
+          .sorted
+        import spark.implicits._
+        rows.toDF("partition")
       case loadDataRe(inpath, over, table, part) =>
         requireNoArchiveConflict(spark, table, Option(part), "LOAD")
         loadData(spark, inpath, over != null, table, Option(part))
