@@ -1,7 +1,12 @@
 -- groupby_grouping_id1.q: GROUPING__ID under WITH CUBE / WITH ROLLUP —
 -- position in the select list doesn't matter, and the id is CASE-able
--- like any int (Hive bit order: 0=both keys, 3=grand total). All three
--- of the stem's probes union into the one pinned result.
+-- like any int. Values follow the POST-HIVE-16102 standard semantics
+-- the engine documents (leftmost key = MSB, bit set = key AGGREGATED:
+-- 0=both keys present, 3=grand total) — the 1.2-era reference's legacy
+-- encoding inverts exactly those two extremes (its .q.out has grand
+-- total=0); the engine sides with the fixed semantics, as Spark and
+-- DuckDB do (rewriteVirtualColumns scaladoc). All three of the stem's
+-- probes union into the one pinned result.
 DROP TABLE IF EXISTS g941_t1;
 CREATE TABLE g941_t1 USING parquet AS
   SELECT CAST(n_regionkey AS STRING) AS key,
