@@ -4971,16 +4971,23 @@ object Engine {
         val declared = meta.properties.get("graft.view.partcols")
           .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
         val kvs = operators.ExportImport.parseSpec(Some(specText)).get
-        val entry = viewPartEntry(declared, kvs)
+        // Hive's DROP PARTITION takes a PARTIAL spec too (drops every
+        // matching partition); match entries that contain ALL spec pairs
+        val wanted = kvs.map { case (k, v) =>
+          java.net.URLEncoder.encode(
+            declared.find(_.equalsIgnoreCase(k)).getOrElse(k), "UTF-8") +
+            "=" + java.net.URLEncoder.encode(v, "UTF-8")
+        }.toSet
         val existing = viewPartitions(meta)
-        if (!existing.contains(entry)) {
+        val (hit, keep) = existing.partition(e =>
+          wanted.subsetOf(e.split("/").toSet))
+        if (hit.isEmpty) {
           if (ifEx == null)
             sys.error(s"Specified partition does not exist: $name " +
               kvs.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
         } else {
           spark.sessionState.catalog.alterTable(meta.copy(properties =
-            meta.properties + ("graft.view.partitions" ->
-              existing.filterNot(_ == entry).mkString(","))))
+            meta.properties + ("graft.view.partitions" -> keep.mkString(","))))
           spark.sql(s"REFRESH TABLE $name")
         }
         spark.emptyDataFrame

@@ -248,6 +248,37 @@ class Round16Spec extends SparkSpec {
       "early exit is not firing (every pass over a 100TB corpus is paid)")
   }
 
+  // ---- view partitions: partial DROP spec drops every match ------------
+
+  test("ALTER VIEW DROP PARTITION accepts a partial spec (Hive prefix drop)") {
+    freshDb()
+    Engine.ddl(spark, "DROP VIEW IF EXISTS graft_tmp.r16_vp")
+    Engine.ddl(spark, "DROP TABLE IF EXISTS graft_tmp.r16_vpt")
+    Engine.ddl(spark,
+      "CREATE TABLE graft_tmp.r16_vpt (k INT, ds STRING, hr STRING) USING parquet")
+    Engine.ddl(spark, """CREATE VIEW graft_tmp.r16_vp PARTITIONED ON (ds, hr)
+      AS SELECT k, ds, hr FROM graft_tmp.r16_vpt""")
+    Engine.ddl(spark,
+      "ALTER VIEW graft_tmp.r16_vp ADD PARTITION (ds='1', hr='a')")
+    Engine.ddl(spark,
+      "ALTER VIEW graft_tmp.r16_vp ADD PARTITION (ds='1', hr='b')")
+    Engine.ddl(spark,
+      "ALTER VIEW graft_tmp.r16_vp ADD PARTITION (ds='2', hr='a')")
+    assert(Engine.ddl(spark, "SHOW PARTITIONS graft_tmp.r16_vp")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("ds=1/hr=a", "ds=1/hr=b", "ds=2/hr=a"))
+    // one partial spec drops BOTH ds=1 partitions
+    Engine.ddl(spark, "ALTER VIEW graft_tmp.r16_vp DROP PARTITION (ds='1')")
+    assert(Engine.ddl(spark, "SHOW PARTITIONS graft_tmp.r16_vp")
+      .collect().map(_.getString(0)).toSeq == Seq("ds=2/hr=a"))
+    // absent spec without IF EXISTS refuses; with it, no-ops
+    val e = intercept[Exception] { Engine.ddl(spark,
+      "ALTER VIEW graft_tmp.r16_vp DROP PARTITION (ds='9')") }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    Engine.ddl(spark,
+      "ALTER VIEW graft_tmp.r16_vp DROP IF EXISTS PARTITION (ds='9')")
+  }
+
   // ---- avro nested record names deterministic ---------------------------
 
   test("avro nested record names are deterministic across schema builds") {
