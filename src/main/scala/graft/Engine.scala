@@ -708,6 +708,8 @@ object Engine {
   // NULL-fill the growth; partition columns are untouched.
   private val replaceColsRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\((.+)\)\s*;?\s*""".r
+  private val addColumnsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.+)\)\s*;?\s*""".r
   private val colDefRe =
     """(?is)^\s*`?([\w]+)`?\s+(.+?)(?:\s+COMMENT\s+'[^']*')?\s*$""".r
 
@@ -960,6 +962,62 @@ object Engine {
     new String(out)
   }
 
+  /** Hive window-spec parity guards — shapes Spark accepts but the
+    * reference refuses:
+    *  - `OVER (PARTITION BY ... SORT BY ...)` is a Hive PARSE error: the
+    *    window grammar pairs PARTITION BY with ORDER BY, and DISTRIBUTE
+    *    BY with SORT BY (clientnegative/ptf_negative_PartitionBySortBy.q,
+    *    "missing ) at 'sort'"). Spark silently treats SORT BY as ORDER BY
+    *    here, so a migrating script would run instead of failing.
+    *  - lag/lead with a NEGATIVE offset: GenericUDFLeadLag refuses
+    *    ("Lag amount can not be nagative" — sic,
+    *    clientnegative/windowing_ll_no_neg.q); Spark silently flips the
+    *    call into the OPPOSITE function, the worst kind of drift.
+    * Both run on the MASKED text (literals/comments blanked) so string
+    * contents can't trip them.
+    */
+  private def checkWindowDialect(stmt: String): Unit = {
+    val m = maskLiteralsAndComments(stmt)
+    val lower = m.toLowerCase
+    def balancedEnd(open: Int): Int = {
+      var depth = 0
+      var j = open
+      while (j < lower.length) {
+        lower.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      -1
+    }
+    val overRe = """\bover\s*\(""".r
+    overRe.findAllMatchIn(lower).foreach { mm =>
+      val open = mm.end - 1
+      val end = balancedEnd(open)
+      if (end > 0) {
+        val span = lower.substring(open, end)
+        if ("""\bpartition\s+by\b""".r.findFirstIn(span).isDefined &&
+            """\bsort\s+by\b""".r.findFirstIn(span).isDefined)
+          sys.error("window specification: PARTITION BY pairs with ORDER " +
+            "BY (DISTRIBUTE BY pairs with SORT BY): missing ) at 'sort'")
+      }
+    }
+    val llRe = """\b(lag|lead)\s*\(""".r
+    llRe.findAllMatchIn(lower).foreach { mm =>
+      val open = mm.end - 1
+      val end = balancedEnd(open)
+      if (end > 0) {
+        // second top-level argument, if present and a negative literal
+        val args = splitAssignments(m.substring(open + 1, end))
+        if (args.length >= 2 && args(1).trim.matches("-\\s*\\d+"))
+          sys.error(s"${mm.group(1).capitalize} amount can not be " +
+            s"negative. Specified: ${args(1).trim}")
+      }
+    }
+  }
+
   private def checkCharLengths(stmt: String): Unit =
     charLenRe.findAllMatchIn(maskLiteralsAndComments(stmt)).foreach { m =>
       val n = BigInt(m.group(2))
@@ -1032,7 +1090,9 @@ object Engine {
     }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    if (partCols.nonEmpty)
+    // graft DSv2 providers scan the directory layout directly (no
+    // catalog partition list) and reject RECOVER as v2 tables
+    if (partCols.nonEmpty && !meta.provider.exists(_.startsWith("graft-")))
       spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     spark.sql(s"REFRESH TABLE $table")
   }
@@ -1062,6 +1122,8 @@ object Engine {
 
   private val insertBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
+  private val insertTransformBranchRe =
+    """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+((?:MAP|REDUCE)\b.+)""".r
   private val insertValuesRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+VALUES\s+(.+?)\s*;?\s*""".r
   // target-table extraction for ANY insert form (SELECT or VALUES tail)
@@ -2639,6 +2701,24 @@ object Engine {
       * LATERAL VIEW attaches to the FROM, so the injected clause must land
       * before it (multi_insert_lateral_view.q shape). */
     def selectSql(fromClause: String): String = {
+      // MAP/REDUCE transform sugar (input33.q: INSERT ... REDUCE cols
+      // USING ...): SemanticAnalyzer treats them as SELECT TRANSFORM
+      // synonyms, so convert — the column list runs to the first
+      // top-level ROW FORMAT / USING — and re-enter for FROM injection
+      val head = body.trim.takeWhile(!_.isWhitespace).toUpperCase
+      if (head == "MAP" || head == "REDUCE") {
+        val afterKw = body.trim.substring(head.length)
+        val cut = Seq("ROW", "USING")
+          .flatMap(k => Engine.topLevel(afterKw, k).headOption).minOption
+        cut match {
+          case Some(p) =>
+            val cols = afterKw.substring(0, p).trim
+            return this.copy(body =
+              s"SELECT TRANSFORM($cols) ${afterKw.substring(p)}")
+              .selectSql(fromClause)
+          case None => return s"$fromClause $body" // malformed: parser reports
+        }
+      }
       val cut = Seq("LATERAL", "WHERE", "GROUP", "HAVING", "ORDER",
           "SORT", "DISTRIBUTE", "CLUSTER", "LIMIT")
         .flatMap(k => Engine.topLevel(body, k).headOption).minOption
@@ -2658,6 +2738,11 @@ object Engine {
       case (a, b) => t.substring(a, b)
     }.map {
       case insertBranchRe(mode, tbl, part, body) =>
+        MiBranch(mode, tbl,
+          Option(part).map(p => s" PARTITION ($p)").getOrElse(""), body)
+      // MAP/REDUCE branch bodies (TRANSFORM sugar, SemanticAnalyzer
+      // treats all three identically — input33.q's INSERT ... REDUCE)
+      case insertTransformBranchRe(mode, tbl, part, body) =>
         MiBranch(mode, tbl,
           Option(part).map(p => s" PARTITION ($p)").getOrElse(""), body)
       case seg => sys.error(s"unsupported multi-insert branch: $seg")
@@ -2957,6 +3042,11 @@ object Engine {
     if (partSpec.nonEmpty && !tableFormat(spark, table).startsWith("graft-"))
       spark.sql(s"MSCK REPAIR TABLE $table"): Unit
     spark.sql(s"REFRESH TABLE $table")
+    // LOAD is a byte copy — the files may hold over-length char/varchar
+    // values the engine never clamped at write; mark the table so reads
+    // apply the Hive truncation (HiveBaseChar.enforceMaxLength applies
+    // at every read regardless of how the bytes arrived)
+    graft.plans.HiveSemantics.CharStripReads.stampNarrowedIfChar(spark, table)
   }
 
   // `tab TABLESAMPLE(BUCKET x OUT OF y ON cols) [alias]` — the reference's
@@ -3916,11 +4006,18 @@ object Engine {
     // [type=LOCAL_URI, name=cat]]"); admin runs free as everywhere else
     if (graft.operators.Auth.sqlStdEnabled(spark) &&
         !graft.operators.Auth.isAdminSession(spark)) {
-      transformScriptAuthRe.findFirstMatchIn(stmt0).foreach { m =>
+      // match against the MASKED text (literals/comments blanked,
+      // offsets preserved) so a string literal that merely CONTAINS a
+      // MAP/TRANSFORM-shaped token ("SELECT 'MAP a USING ''cat'''")
+      // cannot be falsely refused; the script name is recovered from
+      // the ORIGINAL text at the match offsets (masking blanks it)
+      transformScriptAuthRe.findFirstMatchIn(
+          maskLiteralsAndComments(stmt0)).foreach { m =>
+        val script = stmt0.substring(m.start(1), m.end(1))
         sys.error("Permission denied: Principal [name=" +
           graft.operators.Auth.currentUser(spark) + ", type=USER] does " +
           "not have following privileges for operation QUERY [[SELECT] " +
-          s"on Object [type=LOCAL_URI, name=${m.group(1)}]]")
+          s"on Object [type=LOCAL_URI, name=$script]]")
       }
     }
     def nameOf(t: String): (String, String) = {
@@ -3976,6 +4073,12 @@ object Engine {
         graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
       case alterAuthRe(t) =>
         val (db, tb) = nameOf(t)
+        // sql-std: every ALTER TABLE form is ownership-gated (the
+        // reference's HiveOperationType maps ALTERTABLE_* to OWNER
+        // privilege on the input — authorization_not_owner_alter_tab_
+        // serdeprop.q refuses a non-owner's SET SERDEPROPERTIES);
+        // legacy model: the Alter grant as before
+        graft.operators.Auth.enforceOwnership(spark, "ALTERTABLE", db, tb)
         graft.operators.Auth.enforce(spark, "Alter", db, tb, output = true)
       // EXPORT TABLE reads the table's FULL contents — a rewrite-owned
       // read path the analyzed-plan walk below never sees (the statement
@@ -4199,6 +4302,26 @@ object Engine {
         case _ => None
       }
     val out = ddlImpl(spark, stmt0x)
+    // external-location provenance: CREATE TABLE ... LOCATION (over
+    // pre-existing files), ALTER TABLE ... SET LOCATION, and ADD
+    // PARTITION ... LOCATION point the table at data the engine did not
+    // write — over-length char/varchar values may sit there unclamped,
+    // and the reference truncates at every read regardless of provenance.
+    // Stamp the read-clamp property when the schema declares char/varchar
+    // (matched on MASKED text so a string literal containing "LOCATION '"
+    // cannot trip it; the clause's own quote survives masking).
+    locally {
+      val s0 = stripLeadingComments(stmt0x)
+      if (locationClauseRe.findFirstIn(maskLiteralsAndComments(s0)).isDefined) {
+        val target = s0 match {
+          case createdObjRe(_, name) => Some(name)
+          case alterTableHeadRe(name) => Some(name)
+          case _ => None
+        }
+        target.foreach(t => graft.plans.HiveSemantics.CharStripReads
+          .stampNarrowedIfChar(spark, t))
+      }
+    }
     pendingTemp.foreach { q =>
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(q)
       if (spark.sessionState.catalog.tableExists(ident))
@@ -4217,6 +4340,9 @@ object Engine {
     ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?""" +
       """(?:EXTERNAL\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
       """([\w.`]+).*""").r
+  // provenance stamp (char/varchar read clamp) trigger + ALTER head
+  private val locationClauseRe = """(?i)\bLOCATION\s*'""".r
+  private val alterTableHeadRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
 
   private def ddlImpl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
     val stmt0 = stripLeadingComments(stmt0x)
@@ -4235,6 +4361,11 @@ object Engine {
       case s => s
     }
     if (stmt0.toLowerCase.contains("char")) checkCharLengths(stmt0)
+    locally {
+      val l = stmt0.toLowerCase
+      if (l.contains("over") || l.contains("lag") || l.contains("lead"))
+        checkWindowDialect(stmt0)
+    }
     checkPartitionWhitelist(spark, stmt0)
     // a view that HAS partitions cannot be redefined — the new definition
     // would orphan the recorded specs (DDLSemanticAnalyzer, error 10217;
@@ -4381,7 +4512,10 @@ object Engine {
           s" AS SELECT * FROM $table")
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-        if (meta.partitionColumnNames.nonEmpty)
+        // graft DSv2 rebuilds scan the directory layout directly and
+        // reject RECOVER as v2 tables
+        if (meta.partitionColumnNames.nonEmpty &&
+            !provider.contains("graft-"))
           spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
         spark.sql(s"REFRESH TABLE $table")
         return spark.emptyDataFrame
@@ -4613,9 +4747,46 @@ object Engine {
           s"CREATE TABLE $tmp USING $provider$opts$partBy AS SELECT * FROM $table")
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-        // partition entries still name the pre-RENAME locations
-        if (meta.partitionColumnNames.nonEmpty)
+        // partition entries still name the pre-RENAME locations (graft
+        // DSv2 rebuilds have no catalog partition list and reject RECOVER)
+        if (meta.partitionColumnNames.nonEmpty &&
+            !provider.contains("graft-"))
           spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+        spark.sql(s"REFRESH TABLE $table")
+        spark.emptyDataFrame
+      // ADD COLUMNS on a graft DSv2 container is METADATA-ONLY, as in the
+      // reference (partition_wise_fileformat11.q adds a column over
+      // existing RCFile partitions with no rewrite): the columnar /
+      // sequence serdes tolerate rows with fewer cells than the declared
+      // schema and read the missing tail as NULL. Spark's native command
+      // rejects v2 tables, so the catalog data schema is extended
+      // directly. Non-graft providers keep the native path (fall through).
+      case addColumnsRe(table, colList)
+          if tableFormat(spark, table).startsWith("graft-") =>
+        val cat = spark.sessionState.catalog
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val meta = cat.getTableMetadata(id)
+        val partCols = meta.partitionColumnNames
+        val parsed = org.apache.spark.sql.types.StructType.fromDDL(colList)
+        val newFields = parsed.fields.map { f =>
+          f.dataType match {
+            case ct @ (_: org.apache.spark.sql.types.CharType |
+                       _: org.apache.spark.sql.types.VarcharType) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("__CHAR_VARCHAR_TYPE_STRING", ct.sql.toLowerCase)
+              f.copy(dataType = org.apache.spark.sql.types.StringType,
+                metadata = mb.build())
+            case _ => f
+          }
+        }
+        val existing = meta.schema.fieldNames.map(_.toLowerCase).toSet
+        newFields.foreach(f => require(!existing.contains(f.name.toLowerCase),
+          s"Duplicate column name: ${f.name}"))
+        val dataFields = meta.schema.fields
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+        cat.alterTableDataSchema(id,
+          org.apache.spark.sql.types.StructType(dataFields ++ newFields))
         spark.sql(s"REFRESH TABLE $table")
         spark.emptyDataFrame
       case replaceColsRe(table, colList) =>

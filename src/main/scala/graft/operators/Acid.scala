@@ -29,6 +29,27 @@ object Acid {
 
   private val FILE = "_graft_file"
 
+  /** Single-writer contract, made explicit: CoW DML has no commit log, so
+    * two UNCOORDINATED writers rewriting one table could each delete
+    * files the other's swap depends on (lost/duplicated rows). The
+    * reference under its DEFAULT config is no better — DummyTxnManager
+    * (ql/lockmgr/DummyTxnManager.java, hive.support.concurrency=false)
+    * takes no locks at all. The engine closes the one window it CAN
+    * close without a log: all DML issued through this driver serializes
+    * per table directory on an in-process lock (the deployment model is
+    * one driver JVM — exactly the scope a metastore-less lock can
+    * guarantee). Cross-PROCESS writers remain the documented gap; a
+    * production deployment layers a manifest/commit log (Delta-style)
+    * over the swap primitive for that.
+    */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[T](path: String)(body: => T): T = {
+    val key = new Path(path).toString.stripSuffix("/")
+    val lock = pathLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
+  }
+
   /** UPDATE tbl SET (k -> expr)* WHERE cond, copy-on-write. `schema` is
     * required for formats that don't self-describe (graft-seq text lines
     * infer c0..cN without it); self-describing formats may pass null.
@@ -86,7 +107,7 @@ object Acid {
                 setPostJoin: Map[String, String] = Map.empty,
                 partitionCols: Seq[String] = Nil,
                 options: Map[String, String] = Map.empty): Unit =
-      graft.plans.StrictChecks.suspended(spark) {
+      withTableLock(path) { graft.plans.StrictChecks.suspended(spark) {
     val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns.toSeq
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -153,7 +174,7 @@ object Acid {
         }: _*)
       swapIn(spark, path, affected, merged, format, partitionCols, options)
     }
-  }
+  } }
 
   /** Small-file compaction: coalesce the table directory to `numFiles`
     * (bin-packing by Spark's file committer). Content-preserving —
@@ -164,13 +185,13 @@ object Acid {
   def compact(spark: SparkSession, path: String, numFiles: Int,
               format: String = "parquet", schema: StructType = null,
               options: Map[String, String] = Map.empty): Unit =
-    graft.plans.StrictChecks.suspended(spark) {
+    withTableLock(path) { graft.plans.StrictChecks.suspended(spark) {
       val df = load(spark, path, format, schema, options = options)
       val all = df.withColumn(FILE, col("_metadata.file_path"))
         .select(FILE).distinct().collect().map(_.getString(0))
       swapIn(spark, path, all, df.repartition(numFiles), format,
         options = options)
-    }
+    } }
 
   /** Merge a SPECIFIC set of files under `path` into `numFiles` — the
     * post-INSERT small-file merge (reference: hive.merge.mapfiles'
@@ -242,7 +263,7 @@ object Acid {
                       format: String, schema: StructType = null,
                       partitionCols: Seq[String] = Nil,
                       options: Map[String, String] = Map.empty): Unit =
-      graft.plans.StrictChecks.suspended(spark) {
+      withTableLock(path) { graft.plans.StrictChecks.suspended(spark) {
     val df = load(spark, path, format, schema, partitionCols, options)
     val cols = df.columns
     val withFile = df.withColumn(FILE, col("_metadata.file_path"))
@@ -264,7 +285,7 @@ object Acid {
         survivors.filter(!coalesce(cond, lit(false))).select(cols.map(col): _*)
 
     swapIn(spark, path, affected, rewritten, format, partitionCols, options)
-  }
+  } }
 
   /** Write `newData` beside the table, move its files in, drop the stale
     * ones. With `partitionCols`, the side write is partitioned and each

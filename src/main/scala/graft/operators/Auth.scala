@@ -195,11 +195,30 @@ object Auth {
       val u = user(spark)
       if (isAdmin(spark, st)) return
       st.owners.get((db.toLowerCase, table.toLowerCase)) match {
-        // object created before ownership tracking began (or outside the
-        // engine): no recorded owner — ungated rather than owned-by-no-one,
-        // so a creator isn't locked out of their own pre-tracking table.
-        // The privilege gates (Drop/Alter) still run after this check.
-        case None => return
+        // object created outside engine tracking (spark.sql directly, or
+        // before tracking began): lazily backfill the owner from the
+        // catalog's own owner field — Hive's metastore ALWAYS records an
+        // owner and the reference fails closed, so absence must not mean
+        // ungated when the catalog knows better. Only when the catalog
+        // carries no owner either (InMemoryCatalog leaves it empty) does
+        // the gate stay open, so a creator isn't locked out of their own
+        // pre-tracking table. The privilege gates (Drop/Alter) still run.
+        case None =>
+          val catOwner =
+            try Option(spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+              .owner).map(_.trim).filter(_.nonEmpty)
+            catch { case _: Exception => None }
+          catOwner match {
+            case None => return
+            case Some(o) =>
+              st.owners.update((db.toLowerCase, table.toLowerCase), o)
+              if (o == u) return
+              sys.error(s"Permission denied: Principal [name=$u, " +
+                "type=USER] does not have following privileges for " +
+                s"operation $operation [[OBJECT OWNERSHIP] on Object " +
+                s"[type=TABLE_OR_VIEW, name=$db.$table]]")
+          }
         case Some(o) if o == u => return
         case Some(_) =>
           sys.error(s"Permission denied: Principal [name=$u, type=USER] does " +

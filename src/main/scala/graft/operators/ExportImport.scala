@@ -186,9 +186,19 @@ object ExportImport {
       // exim_20_managed_location_over_existing.q): an explicit LOCATION
       // that differs from the table's own is refused
       if (explicitLocation) {
-        val existingLoc = new Path(spark.sessionState.catalog
-          .getTableMetadata(ident).location).toString.stripSuffix("/")
-        val givenLoc = new Path(location).toString.stripSuffix("/")
+        // compare FULLY-QUALIFIED paths (ImportSemanticAnalyzer does):
+        // a scheme-qualified catalog location (file:/warehouse/t) and
+        // the same path given unqualified ('/warehouse/t') are the same
+        // place, not a mismatch — qualify each against its own
+        // filesystem before comparing
+        val qconf = spark.sessionState.newHadoopConf()
+        def qualified(p: String): String = {
+          val pp = new Path(p)
+          pp.getFileSystem(qconf).makeQualified(pp).toString.stripSuffix("/")
+        }
+        val existingLoc = qualified(new Path(spark.sessionState.catalog
+          .getTableMetadata(ident).location).toString)
+        val givenLoc = qualified(location)
         if (existingLoc != givenLoc)
           sys.error(s"IMPORT into $table: the existing table is not " +
             "compatible with the import spec. Location does not match")
@@ -284,10 +294,13 @@ object ExportImport {
     // exists (exim_02_all_part_over_overlap.q) — only NEW partitions may
     // land next to existing ones.
     if (ePartCols.isEmpty) {
-      val hasData = Option(tfs.listStatus(target)).toSeq.flatten.exists { st =>
-        val n = st.getPath.getName
-        !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-      }
+      // a LOCATION-created table whose directory was never materialized
+      // is empty by definition — listStatus on the absent dir would throw
+      val hasData = tfs.exists(target) &&
+        Option(tfs.listStatus(target)).toSeq.flatten.exists { st =>
+          val n = st.getPath.getName
+          !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        }
       if (hasData)
         sys.error(s"IMPORT into existing table $table: " +
           "table exists and contains data files")

@@ -188,6 +188,32 @@ object HiveSemantics {
       * (Engine.ddlImpl): gates the read-side truncation clamp. */
     val NarrowedProp = "graft.char.narrowed"
 
+    /** Stamp NarrowedProp on `table` when its schema declares
+      * char/varchar anywhere (any nesting depth) and the property is not
+      * already set. Called by every provenance path that can place
+      * over-length bytes in storage WITHOUT a rewrite — LOAD DATA (byte
+      * copy), CREATE TABLE ... LOCATION over pre-existing files, ALTER
+      * TABLE ... SET LOCATION, ADD PARTITION ... LOCATION. The reference
+      * truncates at EVERY read regardless of provenance
+      * (HiveBaseChar.enforceMaxLength via PrimitiveObjectInspectorUtils),
+      * so engine-unwritten data must read clamped too; CHANGE COLUMN is
+      * merely the most common way over-length values arise, not the only
+      * one. No-op for temp views / absent tables (no catalog entry). */
+    def stampNarrowedIfChar(spark: org.apache.spark.sql.SparkSession,
+        table: String): Unit =
+      try {
+        val cat = spark.sessionState.catalog
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(
+          table.replace("`", ""))
+        val meta = cat.getTableMetadata(id)
+        val hasCharVarchar = meta.schema.fields.exists(f =>
+          CharVarcharUtils.getRawType(f.metadata)
+            .exists(needsStripType(_, narrowed = true)))
+        if (hasCharVarchar && !meta.properties.contains(NarrowedProp))
+          cat.alterTable(meta.copy(
+            properties = meta.properties + (NarrowedProp -> "true")))
+      } catch { case _: Exception => () }
+
     private def isChar(a: Attribute): Boolean =
       CharVarcharUtils.getRawType(a.metadata)
         .exists(_.isInstanceOf[CharType])

@@ -336,7 +336,13 @@ object Round3Queries {
           size(split(col("text"), " ")).cast("long").as("n_words"),
           expr("size(filter(split(text,' '), w -> w IN ('the','and','of','to','a')))")
             .cast("long").as("stop_cnt"),
-          expr("size(filter(split(text,' '), w -> w rlike '^[a-z]+$'))")
+          // purely-lowercase-alpha test WITHOUT a per-word regex: strip
+          // every [a-z] via translate and require nothing remains — the
+          // same predicate as rlike '^[a-z]+$' but a codegen'd byte loop
+          // instead of a java.util.regex Matcher per word (t08 ran 2.8×
+          // the reference baseline with the regex form)
+          expr("size(filter(split(text,' '), w -> w <> '' AND " +
+            "translate(w, 'abcdefghijklmnopqrstuvwxyz', '') = ''))")
             .cast("long").as("alpha_cnt"))
         // mean word length over single-space text = (chars - (n-1)) / n;
         // multiply-round-divide keeps the double oracle-stable (Fns.round)

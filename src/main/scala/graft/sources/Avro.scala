@@ -84,9 +84,15 @@ object Avro {
     // from the struct shape: identical shapes share one definition
     // (avro prints later occurrences as name references), different
     // shapes get different names.
+    // the name is a COLLISION-RESISTANT digest of the shape, not a 32-bit
+    // hashCode: two distinct shapes colliding in one table schema would
+    // make avro emit the second as a name REFERENCE to the first's
+    // definition, silently writing files with the wrong schema. Avro
+    // names have no practical length limit; SHA-256 keeps determinism.
     case st: StructType =>
-      toAvroSchema(st,
-        "rec_" + java.lang.Integer.toHexString(st.toDDL.hashCode))
+      toAvroSchema(st, "rec_" + java.security.MessageDigest
+        .getInstance("SHA-256").digest(st.toDDL.getBytes("UTF-8"))
+        .take(12).map(b => f"$b%02x").mkString)
     // Hive's AvroSerDe maps DECIMAL onto bytes + the decimal logical type
     // (two's-complement unscaled big-endian), avro_decimal_native.q
     case dec: DecimalType =>

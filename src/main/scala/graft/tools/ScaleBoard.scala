@@ -180,6 +180,21 @@ object ScaleBoard {
     }
     bench("s05_ann_kmeans")(kmeansRun(emb))(kmeansRun(embN(n)))
 
+    // ---- t-family scalers (seventh notch): the two whole-corpus text
+    // pipelines with real shuffle volume — t23 (ExactSubstr span dedup:
+    // gram agg + per-doc merge) and t24 (bigram novelty: gram agg + join
+    // back). Their bench wrappers read the WHOLE documents table, so the
+    // N× run points the same registered query fn at a directory whose
+    // documents.parquet is the Soak-sharded corpus (token-prefixed
+    // shards: cross-shard gram overlap = 0 — N independent copies).
+    val tDocsDir = Tmp.dir("scale_tdocs")
+    shardDocs(docs.select("doc_id", "text"), n)
+      .write.mode("overwrite").parquet(s"$tDocsDir/documents.parquet")
+    Seq("t23_span_dedup", "t24_bigram_novelty").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      bench(q)(materialize(fn(spark, src)))(materialize(fn(spark, tDocsDir)))
+    }
+
     println("\nname\t1x_sec\t%dx_sec\tratio".format(n))
     rows.foreach { case (q, t1, tN) =>
       println(f"$q\t$t1%.2f\t$tN%.2f\t${tN / t1}%.1f")
