@@ -133,11 +133,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val stealRetries = sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "3").toInt
     // a min this far above the committed quiet time is "suspect". The bar
-    // is max(2x, ref+0.4s) — the additive floor keeps sub-100ms queries
+    // is max(2x, ref+0.15s) — the additive floor keeps sub-100ms queries
     // from tripping on scheduler jitter, while the 2x ratio keeps fast
     // queries from drifting un-annotated under a pure-ratio bar (r11:
-    // q124 at 2.55x its 0.357s quiet time slipped under the old flat 3x)
-    def suspectBar(ref: Double): Double = math.max(2.0 * ref, ref + 0.4)
+    // q124 at 2.55x its 0.357s quiet time slipped under the old flat 3x).
+    // r17 tightened the floor 0.4 -> 0.15 (r16 verdict #1): t08 at 2.84x
+    // of its 0.113s row slipped the sweep because its absolute delta
+    // (0.21s) sat under the old floor — sub-second rows now self-report,
+    // and the bounded retry + end-of-board sweep absorb the extra churn.
+    def suspectBar(ref: Double): Double = math.max(2.0 * ref, ref + 0.15)
     // ...but only when the host visibly stole cycles during the timing
     val stealGate = 0.5
     // focused adjudication runs (PERF.md protocol): comma-separated names

@@ -66,7 +66,7 @@ object Engine {
     */
   def install(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "field", exprs => FieldExpr(exprs), "scala_udf")
+      "field", exprs => FieldExpr(FieldExpr.coerced(exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_url_tuple", exprs => graft.functions.ParseUrlTuple(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -591,6 +591,193 @@ object Engine {
   // table refuses DROP, not just the table object itself (protectmode.q)
   private val noDropCascade =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // table keys under ENABLE OFFLINE: queries and DML against them refuse
+  // (DDLSemanticAnalyzer protect mode, error 10113 — protectmode_tbl*.q)
+  private val offlineTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Refuse any statement whose parsed plan references an OFFLINE table
+    * (reads and DML alike; DROP/ALTER stay allowed — those are NO_DROP's
+    * axis). Parse-only: rewrites-owned dialects that Spark's parser
+    * rejects skip the guard and meet it again on the inner statements
+    * they execute. */
+  private def checkOffline(spark: SparkSession, stmt: String): Unit = {
+    if (offlineTables.isEmpty) return
+    val head = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase
+    val dmlHeads = Set("SELECT", "WITH", "FROM", "INSERT", "UPDATE",
+      "DELETE", "MERGE", "TRUNCATE", "LOAD", "EXPORT")
+    if (!dmlHeads.contains(head)) return
+    val refs: Seq[String] =
+      try {
+        val p = spark.sessionState.sqlParser.parsePlan(stmt)
+        def rels(q: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+          q.collect {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.mkString(".")
+          }
+        // an INSERT's target is a constructor FIELD, not a traversed
+        // child — walk it explicitly or VALUES inserts slip the guard
+        rels(p) ++ p.collect {
+          case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+            rels(i.table)
+        }.flatten
+      }
+      catch { case _: Exception => Nil }
+    refs.map(qualName(spark, _)).find(offlineTables.contains).foreach { t =>
+      sys.error("Query against an offline table or partition: " +
+        s"Table $t is offline (ALTER TABLE ... DISABLE OFFLINE first)")
+    }
+  }
+  /** hive.groupby.skewindata=true forbids more than one DISTINCT
+    * aggregate per query block — the reference's two-stage skew rewrite
+    * can spray only one distinct key (SemanticAnalyzer ErrorMsg 10022,
+    * clientnegative/groupby{2,3}_multi_distinct.q and the
+    * *_map_skew_multi_distinct variants). Spark's expand-based
+    * multi-distinct has no such limit, but under the Hive conf the
+    * refusal is the documented contract; a single DISTINCT stays
+    * accepted (groupby2_map_skew.q is positive). Parse-only: rewrites-
+    * owned dialects that Spark's parser rejects skip the guard. */
+  private def checkSkewMultiDistinct(spark: SparkSession, stmt: String): Unit = {
+    if (!spark.conf.getOption("hive.groupby.skewindata")
+          .exists(_.equalsIgnoreCase("true"))) return
+    if ("(?i)\\bdistinct\\b".r.findAllIn(stmt).take(2).size < 2) return
+    try {
+      val p = spark.sessionState.sqlParser.parsePlan(stmt)
+      p.foreach { node =>
+        val ds = node.expressions.flatMap(_.collect {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.isDistinct => f
+        })
+        if (ds.size > 1)
+          sys.error("DISTINCT on different columns not supported with " +
+            "skew in data (error 10022; disable hive.groupby.skewindata)")
+      }
+    } catch {
+      case e: RuntimeException
+          if e.getMessage != null && e.getMessage.contains("10022") => throw e
+      case _: Exception => ()
+    }
+  }
+
+  /** An IN/EXISTS subquery with no FROM clause refuses
+    * (SubQueryUtils.checkForSubqueries → "From clause is missing in
+    * SubQuery", clientnegative/subquery_missing_from.q): Spark would
+    * resolve the lone select item as an OUTER reference and quietly
+    * turn `key in (select key)` into a tautology. Scalar subqueries
+    * (`(SELECT count(*) FROM t)`) are untouched — they carry leaves. */
+  private def checkSubqueryMissingFrom(spark: SparkSession, stmt: String): Unit = {
+    val l = stmt.toLowerCase
+    if (!(l.contains(" in") || l.contains("exists")) || !l.contains("select")) return
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.OneRowRelation
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      val offenders = plan.flatMap { node =>
+        node.expressions.flatMap(_.collect {
+          case e: InSubquery
+              if e.query.plan.collectLeaves()
+                .forall(_.isInstanceOf[OneRowRelation]) => e
+          case e: Exists
+              if e.plan.collectLeaves()
+                .forall(_.isInstanceOf[OneRowRelation]) => e
+        })
+      }
+      if (offenders.nonEmpty)
+        sys.error("Invalid SubQuery expression: From clause is missing " +
+          "in SubQuery (the lone select item would resolve as an outer " +
+          "reference)")
+    } catch {
+      case e: RuntimeException
+          if e.getMessage != null &&
+             e.getMessage.contains("From clause is missing") => throw e
+      case _: Exception => ()
+    }
+  }
+
+  /** A MAPJOIN hint on a two-table OUTER join must leave the preserved
+    * side streamed: hinting ONLY the preserved table (so the other,
+    * null-extending side would stream) refuses like the reference
+    * (ErrorMsg 10246 "table chosen for streaming is not valid",
+    * clientnegative/smb_bucketmapjoin.q) instead of Spark's silent
+    * no-broadcast. Join CHAINS keep the reference's positive behavior
+    * (mapjoin_filter_on_outerjoin.q hints two of three tables around a
+    * RIGHT OUTER) — the guard only fires on a single-join hint scope
+    * whose sides are leaf relations. SMB exemption: under
+    * hive.optimize.bucketmapjoin.sortedmerge=true with BOTH sides
+    * bucketed AND sorted, the reference converts to a sort-merge join
+    * (no hash side at all), so any-side hints stay legal
+    * (smb_mapjoin_1.q..3.q are positive on exactly this shape; the
+    * negative smb_bucketmapjoin.q's tables are clustered but UNSORTED,
+    * which is what makes its streaming choice invalid). */
+  private def checkOuterMapjoin(spark: SparkSession, stmt: String): Unit = {
+    if (!"(?is)/\\*\\+\\s*(mapjoin|broadcastjoin|broadcast)\\b".r
+          .findFirstIn(stmt).isDefined) return
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias, UnresolvedHint}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    def leafName(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case r: UnresolvedRelation => Some(r.multipartIdentifier.last.toLowerCase)
+      case _ => None
+    }
+    // the underlying TABLE name of a leaf (through one alias level), for
+    // the sorted-bucket catalog probe
+    def leafTable(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(_, r: UnresolvedRelation) =>
+        Some(r.multipartIdentifier.mkString("."))
+      case r: UnresolvedRelation => Some(r.multipartIdentifier.mkString("."))
+      case _ => None
+    }
+    def sortedBucketed(tbl: String): Boolean =
+      try {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+        meta.bucketSpec.exists(_.sortColumnNames.nonEmpty)
+      } catch { case _: Exception => false }
+    val smbConf = spark.conf
+      .getOption("hive.optimize.bucketmapjoin.sortedmerge")
+      .exists(_.equalsIgnoreCase("true"))
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      plan.foreach {
+        case h: UnresolvedHint
+            if Set("mapjoin", "broadcastjoin", "broadcast")
+              .contains(h.name.toLowerCase) =>
+          val params = h.parameters.collect {
+            case a: UnresolvedAttribute => a.name.toLowerCase
+          }.toSet
+          h.child.collect { case j: Join => j } match {
+            case Seq(j)
+                if !(smbConf &&
+                     leafTable(j.left).exists(sortedBucketed) &&
+                     leafTable(j.right).exists(sortedBucketed)) =>
+              val sides: Seq[(Option[String], Option[String])] = j.joinType match {
+                case LeftOuter  => Seq((leafName(j.left), leafName(j.right)))
+                case RightOuter => Seq((leafName(j.right), leafName(j.left)))
+                case FullOuter  => Seq((leafName(j.left), leafName(j.right)),
+                                       (leafName(j.right), leafName(j.left)))
+                case _ => Nil
+              }
+              sides.foreach {
+                case (Some(preserved), other)
+                    if params.contains(preserved) &&
+                       !other.exists(params.contains) =>
+                  sys.error(s"MAPJOIN hint on the preserved side of an " +
+                    s"outer join: table chosen for streaming is not valid " +
+                    s"(error 10246; hint the null-extending side instead " +
+                    s"of `$preserved`)")
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    } catch {
+      case e: RuntimeException
+          if e.getMessage != null && e.getMessage.contains("10246") => throw e
+      case _: Exception => ()
+    }
+  }
+
   /** NO_DROP keys are FULLY QUALIFIED (db.table, lowercased) so
     * protecting `db.t` blocks `DROP TABLE t` under current database db
     * and vice versa. */
@@ -626,6 +813,65 @@ object Engine {
     """(?is)\s*EXPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val importRe =
     """(?is)\s*IMPORT\s+(EXTERNAL\s+)?TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+
+  // DESCRIBE table.col[.path] (xpath tokens: $elem$/$key$/$value$ and
+  // struct member names) — see the dispatch branch
+  private val describeXpathRe =
+    """(?is)\s*DESC(?:RIBE)?\s+([\w$.]+)\s*;?\s*""".r
+  /** Resolve a DESCRIBE xpath target: Some(rows) when `name` is NOT a
+    * table itself but a 1- or 2-part prefix resolves to one and the
+    * remainder is a column path. Case-insensitive at every step, like
+    * the reference's ObjectInspector walk. */
+  private def describeXpath(spark: SparkSession,
+      name: String): Option[Seq[(String, String, String)]] = {
+    import org.apache.spark.sql.types._
+    if (!name.contains(".") && !name.contains("$")) return None
+    val parts = name.split('.').toSeq
+    def tableOf(n: Int): Option[StructType] =
+      if (parts.length <= n) None
+      else try {
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(
+          parts.take(n).mkString("."))
+        if (spark.sessionState.catalog.tableExists(id) ||
+            spark.sessionState.catalog.isTempView(parts.take(n)))
+          Some(spark.table(parts.take(n).mkString(".")).schema)
+        else None
+      } catch { case _: Exception => None }
+    // a name that IS a table (1 or 2 part) stays native DESCRIBE
+    val whole =
+      try {
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+        spark.sessionState.catalog.tableExists(id) ||
+          spark.sessionState.catalog.isTempView(parts)
+      } catch { case _: Exception => false }
+    if (whole) return None
+    val (schema, path) = tableOf(2).map(s => (Some(s), parts.drop(2)))
+      .filter(_ => parts.length > 2)
+      .orElse(Some((tableOf(1), parts.drop(1))))
+      .get
+    schema.flatMap { st0 =>
+      def walk(dt: DataType, segs: Seq[String]): Option[DataType] =
+        segs.headOption match {
+          case None => Some(dt)
+          case Some(seg) => (dt, seg.toLowerCase) match {
+            case (ArrayType(e, _), "$elem$") => walk(e, segs.tail)
+            case (MapType(k, _, _), "$key$") => walk(k, segs.tail)
+            case (MapType(_, v, _), "$value$") => walk(v, segs.tail)
+            case (s: StructType, f) =>
+              s.fields.find(_.name.toLowerCase == f)
+                .flatMap(fl => walk(fl.dataType, segs.tail))
+            case _ => None
+          }
+        }
+      walk(st0, path).map {
+        case s: StructType =>
+          s.fields.toSeq.map(f =>
+            (f.name, f.dataType.catalogString, "from deserializer"))
+        case other =>
+          Seq((path.last, other.catalogString, "from deserializer"))
+      }
+    }
+  }
 
   // DESCRIBE FORMATTED/EXTENDED t PARTITION (spec): native in Spark, but
   // Hive shows the PARTITION's own storage — append the diverged format
@@ -1124,6 +1370,8 @@ object Engine {
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(SELECT.+)""".r
   private val insertTransformBranchRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+((?:MAP|REDUCE)\b.+)""".r
+  private val insertSchemaBranchRe =
+    """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(\(\s*[\w`]+(?:\s*,\s*[\w`]+)*\s*\))\s+(SELECT.+)""".r
   private val insertValuesRe =
     """(?is)\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s+VALUES\s+(.+?)\s*;?\s*""".r
   // target-table extraction for ANY insert form (SELECT or VALUES tail)
@@ -1623,9 +1871,12 @@ object Engine {
     * DDL/partitioned/partitionColumns + recursive filesystem stats), one
     * line per row in the reference's single `tab_name` fetch column. */
   private def showTableExtended(spark: SparkSession, db: Option[String],
-      pattern: String,
+      pattern0: String,
       part: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // LIKE `name` (backquoted) is legal surface — strip the quoting
+    // (show_tablestatus_not_existing_part.q writes it that way)
+    val pattern = pattern0.replace("`", "")
     val catalog = spark.sessionState.catalog
     val dbName = db.getOrElse(spark.catalog.currentDatabase)
     val conf = spark.sessionState.newHadoopConf()
@@ -1654,6 +1905,25 @@ object Engine {
       .filter(_.database.isDefined).foreach { id =>
       val m = catalog.getTableMetadata(id)
       val partitioned = m.partitionColumnNames.nonEmpty
+      // a PARTITION spec must name an EXISTING partition
+      // (clientnegative/show_tablestatus_not_existing_part.q — the
+      // reference throws "Partition not found" instead of reporting
+      // stats for a fabricated path)
+      part.foreach { spec =>
+        if (!partitioned)
+          sys.error(s"Table ${id.table} is not a partitioned table")
+        val specMap = spec.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          val key = m.partitionColumnNames
+            .find(_.equalsIgnoreCase(k)).getOrElse(k)
+          key -> v.stripPrefix("'").stripSuffix("'")
+        }.toMap
+        val exists =
+          try catalog.listPartitions(id, Some(specMap)).nonEmpty
+          catch { case _: Exception => false }
+        if (!exists)
+          sys.error(s"Partition not found for table ${id.table}: $spec")
+      }
       val tblLoc = m.storage.locationUri.map(_.toString)
       val statLoc = part match {
         case Some(spec) => tblLoc.map(_.stripSuffix("/") + "/" +
@@ -2695,7 +2965,7 @@ object Engine {
     * the re-scan this avoids is the whole point of the statement.
     */
   private case class MiBranch(mode: String, tbl: String, partSql: String,
-                              body: String) {
+                              body: String, colList: String = "") {
     /** Inject a FROM clause into the branch SELECT, before the first
       * top-level post-SELECT clause keyword. LATERAL first: a per-branch
       * LATERAL VIEW attaches to the FROM, so the injected clause must land
@@ -2727,7 +2997,7 @@ object Engine {
         case None    => s"$body $fromClause"
       }
     }
-    def insertPrefix: String = s"INSERT $mode TABLE $tbl$partSql"
+    def insertPrefix: String = s"INSERT $mode TABLE $tbl$partSql$colList"
   }
 
   private def multiInsert(spark: SparkSession, stmt: String): org.apache.spark.sql.DataFrame = {
@@ -2745,6 +3015,11 @@ object Engine {
       case insertTransformBranchRe(mode, tbl, part, body) =>
         MiBranch(mode, tbl,
           Option(part).map(p => s" PARTITION ($p)").getOrElse(""), body)
+      // target column list (HIVE-9481, insert_into_with_schema.q):
+      // unnamed columns fill NULL — Spark's native column-list insert
+      // handles that once the branch is rewritten standalone
+      case insertSchemaBranchRe(mode, tbl, cols, body) =>
+        MiBranch(mode, tbl, "", body, " " + cols.trim)
       case seg => sys.error(s"unsupported multi-insert branch: $seg")
     }
     // one output entity per statement (SemanticAnalyzer ErrorMsg 10087,
@@ -2879,6 +3154,21 @@ object Engine {
       sys.error("To alter a view you need to use the ALTER VIEW command. " +
         s"($from is a view)")
     val oldPath = oldMeta.storage.locationUri.map(_.getPath.stripSuffix("/"))
+    // cross-DATABASE rename (HIVE-2943; alter_rename_table.q): Spark's
+    // SessionCatalog refuses when the databases differ, so the engine
+    // does the metastore-style move itself
+    locally {
+      val toIdX = spark.sessionState.sqlParser.parseTableIdentifier(to)
+      val fromDb = fromId.database.getOrElse(spark.catalog.currentDatabase)
+      val toDb = toIdX.database.getOrElse(fromDb)
+      if (!toDb.equalsIgnoreCase(fromDb)) {
+        renameAcrossDatabases(spark, fromId.copy(database = Some(fromDb)),
+          toIdX.copy(database = Some(toDb)), oldMeta)
+        operators.Auth.renameOwner(spark, fromDb, fromId.table,
+          toDb, toIdX.table)
+        return
+      }
+    }
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
     // Spark requires same-database renames; qualify the new name with the
     // source db when the statement left it implicit
@@ -2922,6 +3212,70 @@ object Engine {
       }
     }
     if (moved.nonEmpty) cat.alterPartitions(toId, moved)
+  }
+
+  /** Cross-database ALTER TABLE ... RENAME TO (HIVE-2943;
+    * clientpositive/alter_rename_table.q): one directory rename into the
+    * target database's warehouse location plus a catalog entry re-create
+    * (partition entries re-rooted with the same escaping the write path
+    * uses) — no data rewrite, scale-free like the reference's metastore
+    * move. External tables keep their location; only the entry moves. */
+  private def renameAcrossDatabases(spark: SparkSession,
+      fromId: org.apache.spark.sql.catalyst.TableIdentifier,
+      toId: org.apache.spark.sql.catalyst.TableIdentifier,
+      oldMeta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogTableType, ExternalCatalogUtils}
+    import org.apache.hadoop.fs.Path
+    val cat = spark.sessionState.catalog
+    if (!cat.databaseExists(toId.database.get))
+      sys.error(s"Database ${toId.database.get} does not exist")
+    if (cat.tableExists(toId))
+      sys.error(s"Table ${toId.unquotedString} already exists")
+    val parts =
+      if (oldMeta.partitionColumnNames.nonEmpty) cat.listPartitions(fromId)
+      else Nil
+    val managed = oldMeta.tableType == CatalogTableType.MANAGED
+    val oldLoc = new Path(oldMeta.location)
+    val newLoc = if (managed) new Path(cat.defaultTablePath(toId)) else oldLoc
+    val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (managed && fs.exists(oldLoc)) {
+      if (newLoc.getParent != null) fs.mkdirs(newLoc.getParent): Unit
+      if (!fs.rename(oldLoc, newLoc))
+        sys.error(s"rename: could not move $oldLoc to $newLoc")
+    }
+    // drop the OLD entry AFTER the move: the catalog's managed-dir
+    // delete is a no-op on the now-absent old path
+    cat.dropTable(fromId, ignoreIfNotExists = false, purge = false)
+    val newStorage =
+      if (managed) oldMeta.storage.copy(locationUri = Some(newLoc.toUri))
+      else oldMeta.storage
+    // the just-moved directory IS the new location — skip the
+    // managed-location-must-not-exist validation
+    cat.createTable(oldMeta.copy(identifier = toId, storage = newStorage),
+      ignoreIfExists = false, validateLocation = false)
+    if (parts.nonEmpty) {
+      val oldRootPath = oldLoc.toUri.getPath.stripSuffix("/")
+      val cols = oldMeta.partitionColumnNames
+      val newParts = parts.map { p =>
+        val under = p.storage.locationUri.exists { u =>
+          val d = Option(u.getPath).getOrElse("").stripSuffix("/")
+          d == oldRootPath || d.startsWith(oldRootPath + "/")
+        }
+        if (!under) p // custom-located partition: leave as-is
+        else {
+          val rel = cols.map { c =>
+            val v = p.spec.getOrElse(c,
+              p.spec.collectFirst { case (k, vv) if k.equalsIgnoreCase(c) => vv }
+                .getOrElse(sys.error(s"rename: partition spec missing $c")))
+            ExternalCatalogUtils.escapePathName(c) + "=" +
+              ExternalCatalogUtils.escapePathName(v)
+          }.mkString("/")
+          p.copy(storage = p.storage.copy(
+            locationUri = Some(new Path(newLoc, rel).toUri)))
+        }
+      }
+      cat.createPartitions(toId, newParts, ignoreIfExists = false)
+    }
   }
 
   private def loadData(spark: SparkSession, inpath: String, overwrite: Boolean,
@@ -3367,12 +3721,14 @@ object Engine {
         "grouping_id()")
   }
 
-  /** Decode a Hive delimiter literal: `\t`/`\n`/`\r`, octal `\001`, else
-    * the raw text. */
+  /** Decode a Hive delimiter literal: `\t`/`\n`/`\r`, `\\` (ESCAPED BY
+    * '\\' means ONE backslash — create_escape.q), octal `\001`, else the
+    * raw text. */
   private def delimChar(s: String): String = s match {
     case "\\t" => "\t"
     case "\\n" => "\n"
     case "\\r" => "\r"
+    case "\\\\" => "\\"
     case oct if oct.matches("""\\[0-7]{1,3}""") =>
       Integer.parseInt(oct.substring(1), 8).toChar.toString
     case other => other
@@ -4344,8 +4700,21 @@ object Engine {
   private val locationClauseRe = """(?i)\bLOCATION\s*'""".r
   private val alterTableHeadRe = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\b.*""".r
 
+  // UNSET TBLPROPERTIES list, for the duplicate-key dedupe below
+  private val unsetTblPropsRe =
+    """(?is)(UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\()([^)]*)(\))""".r
+
   private def ddlImpl(spark: SparkSession, stmt0x: String): org.apache.spark.sql.DataFrame = {
-    val stmt0 = stripLeadingComments(stmt0x)
+    // Hive tolerates the same key repeated in an UNSET TBLPROPERTIES
+    // list (unset_table_view_property.q unsets 'c','c','c'); Spark's
+    // parser refuses duplicates — dedupe the quoted keys in place
+    val stmt0 = unsetTblPropsRe.replaceAllIn(
+      stripLeadingComments(stmt0x), m => {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        """'[^']*'|"[^"]*"""".r.findAllIn(m.group(2)).foreach(k => seen.add(k): Unit)
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + seen.mkString(", ") + m.group(3))
+      })
     // holder so the jar-UDF CREATE FUNCTION branch resolves once in its
     // guard and reuses the builder in its body
     var hiveUdfResolved: Option[Seq[
@@ -4366,6 +4735,10 @@ object Engine {
       if (l.contains("over") || l.contains("lag") || l.contains("lead"))
         checkWindowDialect(stmt0)
     }
+    checkOffline(spark, stmt0)
+    checkSkewMultiDistinct(spark, stmt0)
+    checkOuterMapjoin(spark, stmt0)
+    checkSubqueryMissingFrom(spark, stmt0)
     checkPartitionWhitelist(spark, stmt0)
     // a view that HAS partitions cannot be redefined — the new definition
     // would orphan the recorded specs (DDLSemanticAnalyzer, error 10217;
@@ -5215,6 +5588,26 @@ object Engine {
         out
       // describe of a diverged partition: append its own format row
       // (DDLTask.describeTable shows the partition's storage in Hive)
+      // DESCRIBE table.col[.path] with Hive's xpath tokens — $elem$ (array
+      // element), $key$/$value$ (map sides), struct member names
+      // (DDLSemanticAnalyzer describe_xpath.q family). A path resolving
+      // to a STRUCT lists its fields as rows; anything else prints one
+      // (last-segment, type) row, Hive's "from deserializer" comment
+      // included. Only fires when the name does NOT itself resolve as a
+      // table but a 1- or 2-part prefix does (so DESCRIBE db.table stays
+      // native).
+      case describeXpathRe(name) if describeXpath(spark, name).isDefined =>
+        val rows = describeXpath(spark, name).get
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("col_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("data_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("comment",
+              org.apache.spark.sql.types.StringType))))
       case descFmtPartRe(table, part)
           if graft.plans.HeteroPartitions.entriesOf(spark, table)
             .exists(_._1 == partSubdirLiteral(spark, table, part)) =>
@@ -5308,8 +5701,17 @@ object Engine {
       case protectRe(table, part, enable, mode, cascade) =>
         val key = qualName(spark, table)
         if (mode.equalsIgnoreCase("OFFLINE")) {
-          System.err.println(s"[graft] $enable OFFLINE accepted as no-op " +
-            s"(no read-path interception; storage ACLs own access control)")
+          // table-level OFFLINE is ENFORCED (r17): any query or DML whose
+          // parsed plan references the table refuses with the reference's
+          // error 10113 shape (protectmode_tbl1/3/4/5.q). Partition-level
+          // OFFLINE stays a warn no-op — a partition-pruning-aware read
+          // block would need pruning results the guard runs before.
+          if (part == null) {
+            if (enable.equalsIgnoreCase("ENABLE")) offlineTables.add(key): Unit
+            else offlineTables.remove(key): Unit
+          } else
+            System.err.println(s"[graft] $enable OFFLINE on a PARTITION " +
+              "accepted as no-op (table-level OFFLINE is enforced)")
         } else if (part == null) {
           if (enable.equalsIgnoreCase("ENABLE")) {
             noDropTables.add(key)

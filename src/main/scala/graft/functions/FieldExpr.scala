@@ -89,4 +89,20 @@ object FieldExpr {
     */
   def field(needle: Column, candidates: Column*): Column =
     org.apache.spark.sql.functions.call_function("field", (needle +: candidates): _*)
+
+  /** Hive UDFField's argument coercion (udf_field.q's mixed batteries):
+    * a NULL literal never matches but must still type-check; mixed
+    * all-numeric operands compare as double; any other mix compares as
+    * string. Applied by the registry builder so the expression itself
+    * keeps its strict one-type contract. */
+  def coerced(exprs: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, NullType, NumericType, StringType}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val nonNull = exprs.map(_.dataType).filter(_ != NullType).distinct
+    val target: DataType =
+      if (nonNull.size <= 1) nonNull.headOption.getOrElse(StringType)
+      else if (nonNull.forall(_.isInstanceOf[NumericType])) DoubleType
+      else StringType
+    exprs.map(e => if (e.dataType == target) e else Cast(e, target))
+  }
 }

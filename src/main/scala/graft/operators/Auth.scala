@@ -449,6 +449,13 @@ object Auth {
         spark.emptyDataFrame
       }
       case showRolesRe() => st.synchronized {
+        // sql-std: listing ALL roles is admin-only (SHOW CURRENT ROLES
+        // is the any-user form) — SQLStdHiveAccessController.getAllRoles,
+        // clientnegative/authorization_show_roles_no_admin.q
+        if (sqlStdEnabled(spark) && !isAdmin(spark, st))
+          sys.error(s"Current user : ${user(spark)} is not allowed to list " +
+            "roles. User has to belong to ADMIN role and have it as current " +
+            "role, for this action.")
         out(spark, roleSchema, st.roles.toSeq.sorted.map(Row(_)))
       }
       case showCurrentRe() => st.synchronized {
@@ -498,6 +505,19 @@ object Auth {
             spark.sessionState.catalog.getGlobalTempView(tbl).nonEmpty
           } catch { case _: Exception => false }
           require(exists, s"Table not found $db.$tbl")
+        }
+        // sql-std: only SELECT/INSERT/UPDATE/DELETE/ALL are grantable —
+        // legacy-mode verbs (CREATE/ALTER/DROP/INDEX/LOCK/...) refuse
+        // (SQLPrivTypeGrant.getSQLPrivTypeGrant,
+        // clientnegative/authorization_invalid_priv_v2.q)
+        if (sqlStdEnabled(spark)) {
+          val grantable = Set("SELECT", "INSERT", "UPDATE", "DELETE", "ALL")
+          privItemRe.findAllMatchIn(privs).map(_.group(1).toUpperCase)
+            .find(!grantable.contains(_)).foreach { bad =>
+              sys.error(s"Unsupported privilege type ${bad}: only " +
+                "SELECT/INSERT/UPDATE/DELETE/ALL are grantable under the " +
+                "sql-std authorizer")
+            }
         }
         // SQL-std grantor gate (GRANT_PRIVILEGE operation,
         // authorization_grant_table_fail1.q / _fail_nogrant.q): under the

@@ -51,8 +51,22 @@ class GoldenSpec extends SparkSpec {
         ready
         // the product-surface script runner (Engine.script → Engine.ddl →
         // spark.sql), so goldens exercise the same path a migrating user's
-        // .q scripts take
-        val got = canonicalize(Engine.script(spark, sf, Files.readString(sqlPath)))
+        // .q scripts take. Confs a script SETs are restored afterwards —
+        // suites share the session, so a leaked hive.merge.mapfiles=true
+        // from one script can flip ANOTHER suite's insert behavior
+        // mid-flight (the r17 Round11Spec flake).
+        val before = spark.conf.getAll
+        val got =
+          try canonicalize(Engine.script(spark, sf, Files.readString(sqlPath)))
+          finally spark.conf.getAll.foreach { case (k, v) =>
+            before.get(k) match {
+              case Some(old) if old != v =>
+                try spark.conf.set(k, old) catch { case _: Exception => () }
+              case None =>
+                try spark.conf.unset(k) catch { case _: Exception => () }
+              case _ => ()
+            }
+          }
         val outPath = sqlPath.resolveSibling(s"$name.out")
         if (sys.env.contains("GOLDEN_REGEN")) {
           Files.writeString(outPath, got)
