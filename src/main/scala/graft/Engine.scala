@@ -3722,13 +3722,15 @@ object Engine {
   }
 
   /** Decode a Hive delimiter literal: `\t`/`\n`/`\r`, `\\` (ESCAPED BY
-    * '\\' means ONE backslash — create_escape.q), octal `\001`, else the
-    * raw text. */
+    * '\\' means ONE backslash — create_escape.q), octal `\001`, unicode
+    * `\uXXXX` (HIVE-4618, unicode_notation.q), else the raw text. */
   private def delimChar(s: String): String = s match {
     case "\\t" => "\t"
     case "\\n" => "\n"
     case "\\r" => "\r"
     case "\\\\" => "\\"
+    case uni if uni.matches("""\\u[0-9a-fA-F]{4}""") =>
+      Integer.parseInt(uni.substring(2), 16).toChar.toString
     case oct if oct.matches("""\\[0-7]{1,3}""") =>
       Integer.parseInt(oct.substring(1), 8).toChar.toString
     case other => other
@@ -5572,6 +5574,23 @@ object Engine {
       // expansion; exact =-only specs stay on Spark's native command
       case dropPartFilterRe(table, ifEx, specText, _)
           if "<>!".exists(specText.contains(_)) =>
+        dropPartitionsByFilter(spark, table, ifEx != null, specText)
+        pruneHeteroEntries(spark, table)
+        operators.Archive.prune(spark, table)
+        spark.emptyDataFrame
+      // a PARTIAL exact spec (fewer columns than the table's partition
+      // keys) drops EVERY matching partition (drop_multi_partitions.q's
+      // `drop partition (b='1')` over (b,c) keys); Spark's native
+      // command reads the spec as exact and misses — route through the
+      // same catalog-filter expansion the comparator form uses
+      case dropPartFilterRe(table, ifEx, specText, _)
+          if !"<>!".exists(specText.contains(_)) && {
+            val cols = tablePartTypes(spark, table)
+            cols.nonEmpty && partGroupRe.findAllMatchIn(specText).exists { g =>
+              val n = partCmpRe.findAllMatchIn(g.group(1)).size
+              n > 0 && n < cols.size
+            }
+          } =>
         dropPartitionsByFilter(spark, table, ifEx != null, specText)
         pruneHeteroEntries(spark, table)
         operators.Archive.prune(spark, table)

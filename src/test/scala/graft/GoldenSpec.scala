@@ -57,7 +57,10 @@ class GoldenSpec extends SparkSpec {
         // mid-flight (the r17 Round11Spec flake).
         val before = spark.conf.getAll
         val got =
-          try canonicalize(Engine.script(spark, sf, Files.readString(sqlPath)))
+          try canonicalize(Engine.script(spark, sf, Files.readString(sqlPath),
+            // scripts that need a scratch filesystem path (EXPORT/IMPORT,
+            // LOAD) reference ${GOLDTMP}, like the negatives' ${NEGTMP}
+            vars = Map("GOLDTMP" -> tools.Tmp.dir(s"gold_$name"))))
           finally spark.conf.getAll.foreach { case (k, v) =>
             before.get(k) match {
               case Some(old) if old != v =>
