@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share ONE SparkSession; running them in parallel threads lets a
+// script's live `set hive.*` (auth manager, user.name, merge confs) leak
+// into another suite's statements mid-flight — both r17 flakes
+// (Round11Spec's thrift INSERT under a merge conf, the SHOW ROLES
+// admin gate firing during an auth negative) were exactly this race.
+// Suites therefore run sequentially; executors still use all cores.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked program's stdout through raw (no [info] prefix): the
 // bench driver parses graft.Bench's one-line JSON from the process output,

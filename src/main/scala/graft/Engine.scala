@@ -4710,13 +4710,30 @@ object Engine {
     // Hive tolerates the same key repeated in an UNSET TBLPROPERTIES
     // list (unset_table_view_property.q unsets 'c','c','c'); Spark's
     // parser refuses duplicates — dedupe the quoted keys in place
-    val stmt0 = unsetTblPropsRe.replaceAllIn(
+    val stmt0a = unsetTblPropsRe.replaceAllIn(
       stripLeadingComments(stmt0x), m => {
         val seen = scala.collection.mutable.LinkedHashSet[String]()
         """'[^']*'|"[^"]*"""".r.findAllIn(m.group(2)).foreach(k => seen.add(k): Unit)
         java.util.regex.Matcher.quoteReplacement(
           m.group(1) + seen.mkString(", ") + m.group(3))
       })
+    // ALTER ... ADD/REPLACE/CHANGE COLUMNS ... CASCADE|RESTRICT
+    // (alter_table_cascade.q): the engine's catalog schema governs every
+    // partition's read already — CASCADE semantics are the default and
+    // RESTRICT's partition-pinned schemas don't exist here, so the
+    // keyword is surface only. Spark's parser rejects it; strip it.
+    val stmt0b =
+      if ("(?is)\\bALTER\\s".r.findFirstIn(stmt0a).isDefined &&
+          "(?is)\\b(ADD|REPLACE|CHANGE)\\s".r.findFirstIn(stmt0a).isDefined)
+        "(?is)\\s+(CASCADE|RESTRICT)\\s*(;?\\s*)$".r
+          .replaceAllIn(stmt0a, m => m.group(2))
+      else stmt0a
+    // ANALYZE ... COMPUTE STATISTICS FOR COLUMNS with NO column list =
+    // all columns in Hive (columnstats_tbllvl.q); Spark requires the
+    // ALL keyword
+    val stmt0 =
+      "(?is)(FOR\\s+COLUMNS)\\s*(;?\\s*)$".r.replaceAllIn(stmt0b,
+        m => "FOR ALL COLUMNS" + m.group(2))
     // holder so the jar-UDF CREATE FUNCTION branch resolves once in its
     // guard and reuses the builder in its body
     var hiveUdfResolved: Option[Seq[

@@ -1,5 +1,6 @@
 -- reference: ql/src/test/queries/clientnegative/create_or_replace_view4.q
--- (+ _5, _7, _8: IF NOT EXISTS / transitive / self-reference variants) —
+-- (+ create_or_replace_view5.q, create_or_replace_view7.q,
+-- create_or_replace_view8.q: IF NOT EXISTS / transitive / self-ref) —
 -- a view that HAS partitions cannot be redefined; the recorded specs
 -- would be orphaned (DDLSemanticAnalyzer error 10217).
 -- ERROR-CONTAINS: 10217 | has partitions | drop the partitions first

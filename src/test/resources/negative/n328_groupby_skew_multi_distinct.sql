@@ -1,5 +1,7 @@
 -- reference: ql/src/test/queries/clientnegative/
--- groupby2_multi_distinct.q + groupby3_multi_distinct.q (and the
+-- groupby2_multi_distinct.q + groupby3_multi_distinct.q (and
+-- groupby2_map_skew_multi_distinct.q +
+-- groupby3_map_skew_multi_distinct.q, the
 -- *_map_skew_multi_distinct variants) — more than one DISTINCT
 -- aggregate with hive.groupby.skewindata=true refuses (Error 10022:
 -- the two-stage skew rewrite can spray only one distinct key).

@@ -1,5 +1,6 @@
 -- reference: ql/src/test/queries/clientnegative/create_table_failure1.q
--- (+ _2, _4) — CREATE TABLE (plain or CTAS) into a database that does
+-- (+ create_table_failure2.q, create_table_failure4.q) — CREATE TABLE
+-- (plain or CTAS) into a database that does
 -- not exist refuses.
 -- ERROR-CONTAINS: not found | does not exist | schema
 CREATE TABLE neg337_db_missing.test AS

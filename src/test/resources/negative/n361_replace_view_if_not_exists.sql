@@ -1,5 +1,6 @@
 -- reference: ql/src/test/queries/clientnegative/create_or_replace_view5.q
--- (+ _6, _7, _8: the partitioned-view redefinition family) — CREATE OR
+-- (+ create_or_replace_view6.q, create_or_replace_view7.q,
+-- create_or_replace_view8.q: the partitioned-view family) — CREATE OR
 -- REPLACE VIEW together with IF NOT EXISTS is contradictory and
 -- refuses.
 -- ERROR-CONTAINS: IF NOT EXISTS | REPLACE | not allowed
