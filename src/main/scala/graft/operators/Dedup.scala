@@ -46,31 +46,83 @@ object Dedup {
     based.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signature columns computed NARROWLY from an already-hashed
+    * token-set array column named `tset` (array<bigint>) — no explode, no
+    * shuffle. Component values are IDENTICAL to
+    * `minhashSignatures(df.select(doc_id, explode(tset) as "shingle"), n)`:
+    * that path computes hb = xxhash64(element) per exploded row and then
+    * min(xxhash64(i, hb)) in a hash aggregate; this one evaluates the same
+    * two-level hash family inside higher-order transforms, so the
+    * group-by-doc_id shuffle (and the |tset|× row blow-up feeding it)
+    * disappears from the plan — the signature pass becomes part of the
+    * enclosing whole-stage-codegen span. At 100 TB that is one full
+    * corpus shuffle (doc_id × numHashes longs) removed per signing pass.
+    * Docs with an empty tset are dropped, matching the explode path
+    * (explode of an empty array emits no rows, so such docs never reach
+    * the aggregate).
+    */
+  private def signaturesFromSets(tsets: DataFrame, numHashes: Int,
+                                 preHashed: Boolean = false): DataFrame = {
+    // two-step projection: hbs is a higher-order function over the set, so
+    // CollapseProject keeps the Projects separate (non-cheap producer used
+    // numHashes times) and hbs is computed once per row, not once per
+    // signature component. `preHashed` callers already store the hb values
+    // themselves (shingle-hash sets), so the inner rehash is skipped.
+    val hb = tsets.filter(size(col("tset")) >= 1)
+      .select(col("doc_id"),
+        (if (preHashed) col("tset")
+         else expr("transform(tset, h -> xxhash64(h))")).as("hbs"))
+    hb.select(col("doc_id") +:
+      (0 until numHashes).map(i =>
+        expr(s"array_min(transform(hbs, v -> xxhash64($i, v)))").as(s"mh$i")): _*)
+  }
+
   /** LSH band candidate pairs (da < db, distinct): the equi-join that
     * replaces all-pairs comparison. Shuffle is O(docs × bands).
+    * The banded bucket table is checkpointed before the self-join: Spark
+    * re-evaluates a subplan once per self-join alias, so without the cut
+    * the signature pass (however cheap) runs twice — and the banded rows
+    * are the smallest representation in the chain (doc_id, band, bh).
     */
-  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = bandize(sig, numHashes, bands)
+  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandCandidates(graft.tools.Checkpoints.local(bandize(sig, numHashes, bands)))
+
+  /** The band-bucket self-join over an already-materialized (or cheap)
+    * banded table — split out so callers whose signature table is itself
+    * checkpointed can skip the second materialization. */
+  private def bandCandidates(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-  }
 
   /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
     * components). bands*rowsPerBand == numHashes.
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                    minEstJaccard: Double = 0.5): DataFrame = {
-    // the signature table feeds FOUR aliased join sides (two in the band
-    // self-join, two in the estimate join); checkpointing it caps the
-    // corpus at ONE scan+aggregate instead of four (Spark does not reuse
-    // exchanges across self-join aliases). Released by the harness sweep.
+    // shingle-HASH sets per doc, built narrowly (array_distinct over the
+    // per-doc gram hashes — the same set the old explode+distinct path
+    // produced, since xxhash64 is deterministic), then the signature as a
+    // narrow projection: the per-doc explode and its group-by shuffle are
+    // gone from the plan. The signature table still feeds FOUR aliased
+    // join sides (two in the band self-join, two in the estimate join);
+    // checkpointing it caps the corpus at ONE scan instead of four (Spark
+    // does not reuse exchanges across self-join aliases). Released by the
+    // harness sweep.
+    val w = 3
+    val gsets = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(ws)-$w), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $w)))))"
+      ).as("tset"))
     val sig = graft.tools.Checkpoints.local(
-      minhashSignatures(shingles(docs), numHashes))
-    val cand = minhashCandidates(sig, numHashes, bands)
+      signaturesFromSets(gsets, numHashes, preHashed = true))
+    // sig is already materialized — the band explode per self-join alias
+    // reads checkpointed rows, so no second cut is needed
+    val cand = bandCandidates(bandize(sig, numHashes, bands))
     val est = (0 until numHashes)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _) / lit(numHashes.toDouble)
@@ -128,13 +180,24 @@ object Dedup {
     val tsets = Checkpoints.local(docs.select(col("doc_id"),
       expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
         .as("tset")))
-    val sig = Checkpoints.local(minhashSignatures(
-      tsets.select(col("doc_id"), explode(col("tset")).as("shingle")),
-      numHashes))
+    // narrow signature over the checkpointed token sets (r17): the old
+    // explode + 64-min group-by — a full corpus shuffle — and its second
+    // checkpoint are gone; minhashCandidates cuts the (much smaller)
+    // banded bucket table instead, so the self-join still evaluates the
+    // signature exactly once.
+    val sig = signaturesFromSets(tsets, numHashes)
     val cand = minhashCandidates(sig, numHashes, bands)
+    // exact-bound prefilter before the per-pair intersection: jaccard is
+    // at most min(|a|,|b|)/max(|a|,|b|) (inter ≤ min, and jac grows with
+    // inter), so a pair whose size ratio cannot reach the threshold —
+    // with slack for the 4-decimal rounding the gate applies — skips the
+    // O(|a|+|b|) array_intersect entirely. Never drops a passing pair.
     cand
       .join(tsets.as("ta"), col("da") === col("ta.doc_id"))
       .join(tsets.as("tb"), col("db") === col("tb.doc_id"))
+      .filter(least(size(col("ta.tset")), size(col("tb.tset"))).cast("double") >=
+        (lit(minJaccard) - lit(0.001)) *
+          greatest(size(col("ta.tset")), size(col("tb.tset"))))
       .withColumn("inter",
         size(array_intersect(col("ta.tset"), col("tb.tset"))).cast("long"))
       .withColumn("jac", round(col("inter") /
@@ -222,6 +285,12 @@ object Dedup {
 
   /** 64-bit SimHash per document over word-shingles. Pure aggregation:
     * per bit, sum of ±1 weighted votes; sign of the sum sets the bit.
+    * Deliberately kept as explode + group-by (NOT the narrow higher-order
+    * fold the minhash signatures use): the 64 ±1 sums are codegen'd
+    * sum(when(...)) aggregates here, while a `transform(sequence(0,63),
+    * b -> aggregate(hset, ...))` fold runs interpreted per element — an
+    * r17 experiment with the narrow form measured 2.8× SLOWER on the
+    * board (1.41 s vs the 0.51 s reference) and was reverted.
     */
   def simhash(docs: DataFrame, w: Int = 3): DataFrame = {
     val toks = shingles(docs, w).withColumn("h", xxhash64(col("shingle")))
@@ -342,8 +411,11 @@ object Dedup {
     def tsets(df: DataFrame) = Checkpoints.local(df.select(col("doc_id"),
       expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
         .as("tset")))
-    def sig(t: DataFrame) = minhashSignatures(
-      t.select(col("doc_id"), explode(col("tset")).as("shingle")), numHashes)
+    // narrow signatures (r17): computed as a projection over the
+    // checkpointed token sets — the per-side explode + 64-min group-by
+    // shuffle is gone; each side is banded once and the band join is the
+    // only wide stage left before the confirm.
+    def sig(t: DataFrame) = signaturesFromSets(t, numHashes)
     val ct = tsets(corpus)
     val bt = tsets(batch)
     val cband = bandize(sig(ct), numHashes, bands)
@@ -352,9 +424,14 @@ object Dedup {
       .withColumnRenamed("doc_id", "b_id")
     val cand = bband.join(cband, Seq("band", "bh"))
       .select(col("b_id"), col("c_id")).distinct()
+    // same exact-bound size-ratio prefilter as confirmedPairs: skips the
+    // O(|a|+|b|) intersection for pairs that cannot reach the threshold
     val dup = cand
       .join(bt.as("tb"), col("b_id") === col("tb.doc_id"))
       .join(ct.as("tc"), col("c_id") === col("tc.doc_id"))
+      .filter(least(size(col("tb.tset")), size(col("tc.tset"))).cast("double") >=
+        (lit(minJaccard) - lit(0.001)) *
+          greatest(size(col("tb.tset")), size(col("tc.tset"))))
       .withColumn("inter",
         size(array_intersect(col("tb.tset"), col("tc.tset"))).cast("long"))
       .withColumn("jac", round(col("inter") /
@@ -451,10 +528,18 @@ object Dedup {
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos"))
-    // covered token indices, merged per doc (overlap dissolves in the set)
+    // covered token indices, merged per doc (overlap dissolves in the
+    // distinct). r17: aggregate the removal POSITIONS and expand each to
+    // its n-token cover after the per-doc aggregate — the old explode
+    // shipped n rows per removal through the doc shuffle; positions alone
+    // shuffle n× fewer rows and the expansion is a narrow per-row
+    // transform. Same index set (array_distinct vs collect_set — the
+    // consumers only test membership and size).
     val drop = rm
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("i"))
-      .groupBy("doc_id").agg(collect_set(col("i")).as("dropIdx"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("poss"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(flatten(transform(poss, p -> sequence(p, p + ${n - 1}))))"
+      ).as("dropIdx"))
     ws.join(drop, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),

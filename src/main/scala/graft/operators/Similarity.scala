@@ -113,11 +113,18 @@ object Similarity {
     installed(emb)
     val spark = emb.sparkSession
     import spark.implicits._
-    // centroids carried in DOUBLE from the start so every iteration's
-    // collect sees one element type
-    var cent: DataFrame = emb.orderBy("vec_id").limit(k)
+    // centroids carried in DOUBLE from the start so every iteration sees
+    // one element type. r17: the k×dims matrix lives in a driver variable
+    // between iterations — the old per-iteration cent.collect() re-ran the
+    // init subplan (a corpus TakeOrdered pass) on iteration 1 and a plan
+    // round-trip on every later one, purely to recover values the driver
+    // had just produced. One init collect; each iteration is exactly one
+    // distributed job (the broadcast-assign + mean aggregate).
+    var prev: Seq[(Long, Seq[Double])] = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"),
         col("emb").cast("array<double>").as("c_emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var cent: DataFrame = prev.toDF("c_id", "c_emb")
     var executed = 0
     var converged = false
     for (_ <- 0 until iters if !converged) {
@@ -140,15 +147,15 @@ object Similarity {
       // centroid instead of silently vanishing — the caller asked for k
       // centroids, and a shrunken index would degrade probe recall with
       // no signal anywhere
-      val prev = cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val next = prev.toSeq.map { case (id, e) => (id, means.getOrElse(id, e)) }
+      val next = prev.map { case (id, e) => (id, means.getOrElse(id, e)) }
       // fixed-point early exit: when every centroid is EXACTLY unchanged,
       // the next assignment (a deterministic function of the centroids)
       // and hence every later iteration would reproduce this state —
       // breaking is result-identical, it just stops paying corpus passes.
       // Exact equality (not an epsilon) keeps the output bit-equal to the
       // fixed-iteration loop so the oracle/recall gates are untouched.
-      converged = prev.toSeq == next
+      converged = prev == next
+      prev = next
       cent = next.toDF("c_id", "c_emb")
     }
     // scale instrument (the d08 lastClusterIterations pattern): Lloyd

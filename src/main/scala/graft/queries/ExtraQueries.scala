@@ -212,9 +212,17 @@ object ExtraQueries {
     // requested rsd (0.02 → 6%), and the oracle supplies exact + TRUE.
     // A broken sketch (or a broken bound) now fails the driver gate
     // instead of hiding behind no_oracle.
+    // r17: pre-aggregate to the distinct (flag, partkey) pairs, then count
+    // + sketch over that — replaces Catalyst's Expand-based rewrite for
+    // mixed distinct/non-distinct aggregates (which doubles every input
+    // row) with two plain hash aggregates, the first map-side partial.
+    // Result-identical: count over distinct pairs IS the distinct count,
+    // and HLL++ register updates are idempotent, so the sketch of a
+    // de-duplicated column equals the sketch of the raw column bit for bit.
     Q("q62_approx_distinct", (s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(countDistinct("l_partkey").as("exact_nd"),
+      t(s, d, "lineitem").select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(count("l_partkey").as("exact_nd"),
           approx_count_distinct("l_partkey", 0.02).as("approx_nd"))
         .select(col("l_returnflag"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")) <=
