@@ -189,7 +189,13 @@ object Acid {
       val df = load(spark, path, format, schema, options = options)
       val all = df.withColumn(FILE, col("_metadata.file_path"))
         .select(FILE).distinct().collect().map(_.getString(0))
-      swapIn(spark, path, all, df.repartition(numFiles), format,
+      // coalesce, not repartition (r17): a compaction's only job is to
+      // merge small files — coalesce plans the merge INSIDE the scan (each
+      // writer task reads its share of input files directly), where
+      // repartition shuffled the entire table once just to re-deal rows.
+      // This mirrors the reference's CONCATENATE (a merge job, no reduce
+      // phase) and removes a table-sized shuffle at any scale.
+      swapIn(spark, path, all, df.coalesce(numFiles), format,
         options = options)
     } }
 
@@ -244,8 +250,9 @@ object Acid {
         "_metadata.file_path spelling variant and stay unmerged " +
         "(URI-spelling mismatch; harmless but worth a look)")
     if (matched.nonEmpty)
+      // coalesce for the same reason as compact: merge without shuffling
       swapIn(spark, lit, matched.toSeq, withFile.drop(FILE)
-        .repartition(numFiles), format, options = options)
+        .coalesce(numFiles), format, options = options)
     }
   }
 

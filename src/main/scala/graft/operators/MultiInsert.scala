@@ -17,8 +17,24 @@ object MultiInsert {
              dests: Seq[(String, DataFrame => DataFrame)],
              append: Boolean = false): Unit = {
     val cached = src.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    try dests.foreach { case (path, f) =>
-      f(cached).write.mode(if (append) "append" else "overwrite").parquet(path)
+    try {
+      // materialize the cache with ONE explicit pass, then run the sink
+      // writes as concurrent jobs (guide: overlap independent jobs — the
+      // scheduler back-fills executors freed by one sink's tail with the
+      // next sink's tasks). Without the explicit pass, concurrent sinks
+      // would RACE to compute the uncached source — duplicate compute of
+      // the 100 TB-derived intermediate, the exact thing the cache exists
+      // to avoid. Sinks go to distinct directories, so the writes are
+      // independent; Await.result rethrows the first failure.
+      cached.count(): Unit
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      dests.map { case (path, f) =>
+        Future {
+          f(cached).write.mode(if (append) "append" else "overwrite").parquet(path)
+        }
+      }.foreach(Await.result(_, Duration.Inf))
     }
     finally cached.unpersist()
   }

@@ -545,23 +545,31 @@ object Round11Queries {
     //      (no float summation order anywhere). One gram aggregate + one
     //      join back; grams travel as 8-byte hashes. ----
     Q("t24_bigram_novelty", (s, d) => {
-      val occ = t(s, d, "documents")
+      // r17 rewrite, result-identical: a doc's bigram count is size(ws)-1
+      // (a narrow per-row expression — no aggregate needed), and "novel"
+      // occurrences (c == tot, i.e. the doc owns EVERY occurrence of the
+      // gram) are exactly the single-doc grams (min doc == max doc), whose
+      // full count tot credits that one doc. One gram aggregate replaces
+      // the old per-(doc,gram) aggregate + totals aggregate + join back —
+      // one shuffle of the occurrences instead of two plus a join.
+      val base = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws)-2), i -> xxhash64(concat_ws(' ', slice(ws, i+1, 2))))"
-        )).as("gram"))
-      val perDoc = occ.groupBy("doc_id", "gram")
-        .agg(count(lit(1)).as("c"))
-      val total = perDoc.groupBy("gram")
-        .agg(sum("c").as("tot"))
-      perDoc.join(total, "gram")
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"),
-          sum(when(col("c") === col("tot"), col("c")).otherwise(lit(0L)))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_bigrams"), 6)
+      val occ = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> xxhash64(concat_ws(' ', slice(ws, i+1, 2))))"
+      )).as("gram"))
+      val novelPerDoc = occ.groupBy("gram")
+        .agg(count(lit(1)).as("tot"),
+          min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("d0") === col("d1"))
+        .groupBy(col("d0").as("doc_id"))
+        .agg(sum("tot").as("nv"))
+      base.select(col("doc_id"),
+          (size(col("ws")) - 1).cast("long").as("n_bigrams"))
+        .join(novelPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("nv"), lit(0L)).as("n_novel"),
+          round(coalesce(col("nv"), lit(0L)).cast("double") / col("n_bigrams"), 6)
             .as("novelty"))
     },
       Some("""WITH ws AS (
