@@ -195,8 +195,12 @@ object Similarity {
       .withColumnRenamed("c_emb", "emb")
     val qs = quantize(
       queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_")
-    val idot = aggregate(zip_with(col("q_qv"), col("c_qv"),
-      (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    // fused codegen integer dot (functions/DotProduct.scala IntDot): the
+    // aggregate(zip_with(...)) it replaces ran interpreted per element
+    // over every (query, vector) pair — the hottest loop of this
+    // operator. Same int-multiply wrap, widening, fold order and null
+    // semantics, so candidate rankings are bit-identical (r17).
+    val idot = call_function("int_dot", col("q_qv"), col("c_qv"))
     val scored = broadcast(qs).crossJoin(corpus)
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("ord", idot.cast("double") * col("q_mx") * col("c_mx"))
@@ -233,8 +237,11 @@ object Similarity {
     require(pl.length % bitsPerBand == 0, "planes must fill whole bands")
     val bits = pl.map { p =>
       val plit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(col("emb"), plit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      // fused codegen dot (functions/DotProduct.scala) — the
+      // aggregate(zip_with(...)) fold it replaces is CodegenFallback and
+      // ran interpreted per element over every corpus row × plane (r17;
+      // same accumulation order and null semantics, bit-identical keys)
+      val dot = call_function("dot_product", col("emb"), plit)
       // sign taken on the 6-decimal rounding: engines may differ in the
       // last ulp of a float sum, never at 1e-6 scale — keeps bucket keys
       // reproducible across engines (and oracle-mirrorable)
@@ -253,10 +260,18 @@ object Similarity {
     val qs = bucketize(
       queries.select(col("vec_id").as("q_id"), col("emb")), "q_id")
       .withColumnRenamed("emb", "q_emb")
+    // sim computed BEFORE the dedup exchange (r17, guide §2.3: shuffle
+    // keys and metadata, not payloads): dropDuplicates used to shuffle
+    // both full embedding arrays per candidate just to recompute one
+    // cosine after; sim is a pure function of (q_id, vec_id), so scoring
+    // first is result-identical and the exchange now carries three
+    // scalars. The extra cosines (a pair sharing >1 band scores once per
+    // shared band) are narrow codegen'd work — cheaper than the array
+    // bytes at any scale.
     val cand = broadcast(qs).join(corpus, Seq("band", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine("q_emb", "emb").as("sim"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("sim", cosine("q_emb", "emb"))
     finishTopK(cand, k)
   }
 
@@ -282,15 +297,23 @@ object Similarity {
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nProbe)
       .select(col("vec_id"), col("emb"), col("c_id").as("cluster_id")))
+    // sim computed BEFORE the dedup exchange (r17, guide §2.3): the
+    // dropDuplicates on (va, vb) used to ship BOTH embedding arrays per
+    // candidate pair through its shuffle just to recompute one cosine
+    // after; sim is a pure function of the pair, so scoring first is
+    // result-identical and the exchange carries three scalars. The
+    // redundant cosines (a pair co-member in >1 probed cluster scores
+    // once per shared cluster, ≤ nProbe² times) are narrow codegen'd
+    // work — cheaper than the array bytes at any scale. The minSim cut
+    // also now lands before the exchange, shrinking it further.
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("a.emb").as("a_emb"),
-        col("b.vec_id").as("vb"), col("b.emb").as("b_emb"))
-      .dropDuplicates("va", "vb")
-      .withColumn("sim", cosine("a_emb", "b_emb"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine("a.emb", "b.emb").as("sim"))
       .filter(col("sim") >= minSim)
+      .dropDuplicates("va", "vb")
       .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
   }
 }

@@ -22,6 +22,56 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getInt(0) == 2)
   }
 
+  test("fused dot_product/int_dot equal the composed HOF forms bit-for-bit") {
+    Engine.install(spark)
+    val e = graft.operators.Similarity.prep(Tables.t(spark, sf, "embeddings"))
+    e.createOrReplaceTempView("dot_spec_e")
+    // force doGenCode (no interpreted fallback) for the assertion
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // same accumulation order → exact equality, not approximate
+      val diff = spark.sql(
+        """SELECT dot_product(a.emb, b.emb) AS fused,
+             aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D,
+               (acc, v) -> acc + v) AS composed
+           FROM dot_spec_e a JOIN dot_spec_e b
+             ON a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id""")
+        .filter(col("fused") =!= col("composed")).count()
+      assert(diff == 0)
+      val idiff = spark.sql(
+        """SELECT int_dot(a.qv, b.qv) AS fused,
+             aggregate(zip_with(a.qv, b.qv, (x, y) -> CAST(x * y AS BIGINT)),
+               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS composed
+           FROM (SELECT vec_id, transform(emb,
+                   x -> CAST(floor(x * 100) AS INT)) AS qv FROM dot_spec_e) a
+           JOIN (SELECT vec_id, transform(emb,
+                   x -> CAST(floor(x * 100) AS INT)) AS qv FROM dot_spec_e) b
+             ON a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id""")
+        .filter(col("fused") =!= col("composed")).count()
+      assert(idiff == 0)
+      // null semantics match the HOF fold: null array, null element,
+      // length mismatch → null; empty arrays → the fold's zero
+      val edge = spark.sql(
+        """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS a,
+                  dot_product(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D)) AS b,
+                  dot_product(array(1D), array(1D, 2D)) AS c,
+                  dot_product(CAST(array() AS ARRAY<DOUBLE>),
+                              CAST(array() AS ARRAY<DOUBLE>)) AS d,
+                  dot_product(array(3D, 4D), array(3D, 4D)) AS e,
+                  int_dot(array(3, 4), array(5, 6)) AS f,
+                  int_dot(array(3), array(5, 6)) AS g""").collect().head
+      assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+      assert(edge.getDouble(3) == 0.0)
+      assert(edge.getDouble(4) == 25.0)
+      assert(edge.getLong(5) == 39L)
+      assert(edge.isNullAt(6))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("ngrams aggregator counts top-k bigrams with deterministic order") {
     val df = Seq(
       Seq("a", "b", "a", "b"), // bigrams: "a b", "b a", "a b"
