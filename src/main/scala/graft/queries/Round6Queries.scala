@@ -470,9 +470,12 @@ object Round6Queries {
     Q("s08_embedding_stats", (s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // r17: fused codegen self-dot (functions/DotProduct.scala) — the
+      // aggregate(transform(...)) fold ran interpreted (CodegenFallback);
+      // dot_product(emb, emb) accumulates x*x in the same index order,
+      // so the norm is bit-identical
       val norm = e.select(col("vec_id"),
-        sqrt(aggregate(transform(col("emb"), x => x * x),
-          lit(0.0), (acc, v) => acc + v)).as("l2"))
+        sqrt(call_function("dot_product", col("emb"), col("emb"))).as("l2"))
       val dims = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("dim")
         // + 0.0 canonicalizes IEEE negative zero (a mean rounding to
