@@ -74,10 +74,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortExec"), p.take(1500))
   }
 
-  test("t21: classifier scoring is a pure per-row map — no exchange") {
+  test("t21: classifier scoring is one codegen'd partial/final aggregate") {
+    // r17: the per-row aggregate() fold (zero-shuffle but interpreted —
+    // HOFs are CodegenFallback, an md5 per token ran interpreted) became
+    // explode + hash aggregate: everything whole-stage-codegen'd, with
+    // exactly ONE exchange that carries (doc_id, partial sum, count) —
+    // 24 bytes per doc regardless of document length. Pin that contract:
+    // one exchange, partial aggregation below it, no second shuffle.
     val p = plan("t21_quality_classifier")
-    assert(!p.contains("Exchange"),
-      "per-doc scoring must not shuffle:\n" + p.take(1500))
+    assert(p.split("\\(\\d+\\) Exchange").length == 2,
+      "per-doc scoring must shuffle exactly once (partial-agg rows):\n" +
+        p.take(1500))
+    assert(p.contains("partial_sum"),
+      "the sum must partial-aggregate map-side before the exchange:\n" +
+        p.take(1500))
   }
 
   test("t19: mixture rates broadcast back onto the corpus") {
