@@ -62,17 +62,22 @@ object Dedup {
     * the aggregate).
     */
   private def signaturesFromSets(tsets: DataFrame, numHashes: Int,
-                                 preHashed: Boolean = false): DataFrame = {
+                                 preHashed: Boolean = false,
+                                 withSize: Boolean = false): DataFrame = {
     // two-step projection: hbs is a higher-order function over the set, so
     // CollapseProject keeps the Projects separate (non-cheap producer used
     // numHashes times) and hbs is computed once per row, not once per
     // signature component. `preHashed` callers already store the hb values
     // themselves (shingle-hash sets), so the inner rehash is skipped.
+    // `withSize` carries |tset| as `sz` so exact-confirm callers can apply
+    // the size-ratio bound AT the band join (see bandCandidates).
     val hb = tsets.filter(size(col("tset")) >= 1)
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
+        (if (withSize) Seq(size(col("tset")).as("sz")) else Nil) :+
         (if (preHashed) col("tset")
-         else expr("transform(tset, h -> xxhash64(h))")).as("hbs"))
-    hb.select(col("doc_id") +:
+         else expr("transform(tset, h -> xxhash64(h))")).as("hbs"): _*)
+    hb.select((col("doc_id") +:
+      (if (withSize) Seq(col("sz")) else Nil)) ++
       (0 until numHashes).map(i =>
         expr(s"array_min(transform(hbs, v -> xxhash64($i, v)))").as(s"mh$i")): _*)
   }
@@ -84,19 +89,42 @@ object Dedup {
     * the signature pass (however cheap) runs twice — and the banded rows
     * are the smallest representation in the chain (doc_id, band, bh).
     */
-  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame =
-    bandCandidates(graft.tools.Checkpoints.local(bandize(sig, numHashes, bands)))
+  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+                        minJaccard: Double = -1.0): DataFrame =
+    bandCandidates(graft.tools.Checkpoints.local(bandize(sig, numHashes, bands)),
+      minJaccard)
 
   /** The band-bucket self-join over an already-materialized (or cheap)
     * banded table — split out so callers whose signature table is itself
-    * checkpointed can skip the second materialization. */
-  private def bandCandidates(banded: DataFrame): DataFrame =
+    * checkpointed can skip the second materialization.
+    *
+    * When the banded table carries `sz` (|tset|, see signaturesFromSets
+    * withSize) and the caller gates on EXACT jaccard >= minJaccard, the
+    * size-ratio bound — jac <= min(|a|,|b|)/max(|a|,|b|), with 0.001
+    * slack for the confirm's 4-decimal rounding — rides IN the join
+    * condition, so infeasible pairs never reach the candidate distinct
+    * exchange (r17: on the d06/d11 corpora, token-set minhash bands over
+    * natural-language vocabularies admit ~65% of ALL pairs — the
+    * candidate shuffle, not the signature pass, is the operator's
+    * dominant scale term, and this bound cuts it by the exact share the
+    * confirm would discard anyway). Never drops a pair the exact confirm
+    * would keep, so outputs are unchanged. Estimated-jaccard consumers
+    * (minhashPairs/d02) must NOT use it: their gate is the signature
+    * estimate, which can exceed the true jaccard the bound constrains. */
+  private def bandCandidates(banded: DataFrame,
+                             minJaccard: Double = -1.0): DataFrame = {
+    val sized = minJaccard > 0 && banded.columns.contains("sz")
+    val base = col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+      col("a.doc_id") < col("b.doc_id")
+    val cond = if (sized)
+      base && least(col("a.sz"), col("b.sz")).cast("double") >=
+        (lit(minJaccard) - lit(0.001)) * greatest(col("a.sz"), col("b.sz"))
+    else base
     banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+      .join(banded.as("b"), cond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
 
   /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
     * components). bands*rowsPerBand == numHashes.
@@ -184,9 +212,12 @@ object Dedup {
     // explode + 64-min group-by — a full corpus shuffle — and its second
     // checkpoint are gone; minhashCandidates cuts the (much smaller)
     // banded bucket table instead, so the self-join still evaluates the
-    // signature exactly once.
-    val sig = signaturesFromSets(tsets, numHashes)
-    val cand = minhashCandidates(sig, numHashes, bands)
+    // signature exactly once. withSize + minJaccard push the exact
+    // size-ratio bound INTO the band join (see bandCandidates) — the
+    // candidate exchange, the chain's dominant scale term, drops the
+    // pairs the confirm below would discard anyway.
+    val sig = signaturesFromSets(tsets, numHashes, withSize = true)
+    val cand = minhashCandidates(sig, numHashes, bands, minJaccard)
     // exact-bound prefilter before the per-pair intersection: jaccard is
     // at most min(|a|,|b|)/max(|a|,|b|) (inter ≤ min, and jac grows with
     // inter), so a pair whose size ratio cannot reach the threshold —
@@ -415,14 +446,23 @@ object Dedup {
     // checkpointed token sets — the per-side explode + 64-min group-by
     // shuffle is gone; each side is banded once and the band join is the
     // only wide stage left before the confirm.
-    def sig(t: DataFrame) = signaturesFromSets(t, numHashes)
+    def sig(t: DataFrame) = signaturesFromSets(t, numHashes, withSize = true)
     val ct = tsets(corpus)
     val bt = tsets(batch)
     val cband = bandize(sig(ct), numHashes, bands)
-      .withColumnRenamed("doc_id", "c_id")
+      .withColumnRenamed("doc_id", "c_id").withColumnRenamed("sz", "c_sz")
     val bband = bandize(sig(bt), numHashes, bands)
-      .withColumnRenamed("doc_id", "b_id")
-    val cand = bband.join(cband, Seq("band", "bh"))
+      .withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz")
+    // exact size-ratio bound IN the band join (r17, see bandCandidates):
+    // on vocabulary token sets the bands admit most cross pairs, so the
+    // candidate distinct exchange — not the signing — is the dominant
+    // scale term; pairs the exact confirm below would discard on sizes
+    // alone never reach it. Output-identical (the bound is exact).
+    val cand = bband.as("bb").join(cband.as("cb"),
+        col("bb.band") === col("cb.band") && col("bb.bh") === col("cb.bh") &&
+        least(col("bb.b_sz"), col("cb.c_sz")).cast("double") >=
+          (lit(minJaccard) - lit(0.001)) *
+            greatest(col("bb.b_sz"), col("cb.c_sz")))
       .select(col("b_id"), col("c_id")).distinct()
     // same exact-bound size-ratio prefilter as confirmedPairs: skips the
     // O(|a|+|b|) intersection for pairs that cannot reach the threshold
@@ -450,6 +490,9 @@ object Dedup {
     */
   private def bandize(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
+    // an `sz` column (exact size-ratio bound, see bandCandidates) rides
+    // along when the signature table carries one
+    val keep = if (sig.columns.contains("sz")) Seq(col("sz")) else Nil
     // xxhash64 (native, never re-registered): the SQL-name `hash` resolves
     // to HiveHash for script parity (Engine.install), but the band hash is
     // an internal detail that must not shift with the registry
@@ -457,8 +500,9 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    sig.select(col("doc_id") +: keep :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("doc_id") +: keep :+
+        col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
   }
 
   /** Benchmark decontamination: drop every document that shares ANY
