@@ -78,6 +78,12 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int_dot", exprs => graft.functions.IntDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap",
+      exprs => graft.functions.SortedOverlap(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sort_array_by", exprs => graft.functions.SortArrayBy(exprs), "scala_udf")

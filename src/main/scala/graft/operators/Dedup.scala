@@ -71,6 +71,21 @@ object Dedup {
     // themselves (shingle-hash sets), so the inner rehash is skipped.
     // `withSize` carries |tset| as `sz` so exact-confirm callers can apply
     // the size-ratio bound AT the band join (see bandCandidates).
+    // NOTE (r18, the d03 lesson applied): the exact PREFIX-FILTER bound
+    // (Bayardo et al., Scaling Up All Pairs Similarity Search — carry the
+    // first |tset| - ceil(t'|tset|) + 1 sorted elements and require the
+    // band-join pair's prefixes to overlap) was implemented here, measured
+    // on the 30× ScaleBoard probe, and REJECTED: on w=1 vocabulary sets
+    // two same-shard documents share so many common words that the
+    // hash-random prefixes almost always intersect (the filter cut few
+    // candidates), while the per-band prefix arrays inflated the banded
+    // tables ~10× in bytes — d11 30× shuffle records rose 89.05M → 93.70M
+    // and wall 55 → 99 s. Effective prefix filtering needs df-ordered
+    // tokens (rarest first), which would reintroduce the full corpus
+    // explode + token-df shuffle the r17 narrow signing removed. The
+    // sorted tsets stay (they make the confirm a merge scan —
+    // sorted_intersect_count); the band join keeps only the size-ratio
+    // bound, whose 4 bytes/row are free.
     val hb = tsets.filter(size(col("tset")) >= 1)
       .select(col("doc_id") +:
         (if (withSize) Seq(size(col("tset")).as("sz")) else Nil) :+
@@ -90,9 +105,10 @@ object Dedup {
     * are the smallest representation in the chain (doc_id, band, bh).
     */
   def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int,
-                        minJaccard: Double = -1.0): DataFrame =
+                        minJaccard: Double = -1.0,
+                        distinctPairs: Boolean = true): DataFrame =
     bandCandidates(graft.tools.Checkpoints.local(bandize(sig, numHashes, bands)),
-      minJaccard)
+      minJaccard, distinctPairs)
 
   /** The band-bucket self-join over an already-materialized (or cheap)
     * banded table — split out so callers whose signature table is itself
@@ -112,7 +128,8 @@ object Dedup {
     * (minhashPairs/d02) must NOT use it: their gate is the signature
     * estimate, which can exceed the true jaccard the bound constrains. */
   private def bandCandidates(banded: DataFrame,
-                             minJaccard: Double = -1.0): DataFrame = {
+                             minJaccard: Double = -1.0,
+                             distinctPairs: Boolean = true): DataFrame = {
     val sized = minJaccard > 0 && banded.columns.contains("sz")
     val base = col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
       col("a.doc_id") < col("b.doc_id")
@@ -120,10 +137,34 @@ object Dedup {
       base && least(col("a.sz"), col("b.sz")).cast("double") >=
         (lit(minJaccard) - lit(0.001)) * greatest(col("a.sz"), col("b.sz"))
     else base
-    banded.as("a")
-      .join(banded.as("b"), cond)
+    // distinctPairs=false (r18): exact-confirm callers run the confirm
+    // BEFORE any pair distinct — a pair colliding in k bands emits k
+    // duplicate rows here, but duplicates confirm identically (the
+    // confirm is a pure pair function) and the post-confirm distinct
+    // dedupes the few TRUE pairs instead of every band collision. The
+    // r18 30× StageProbe showed this distinct's exchange owned 95% of
+    // d11's shuffle records (84.66M of 89.05M): raw collisions, k̄≈3.7
+    // bands per colliding pair, shipped to a reduce-side hash distinct
+    // only to be discarded by the confirm anyway. Estimated-jaccard
+    // consumers (d02) keep distinct-first: their estimate join is the
+    // output, so duplicates there would change row multiplicity.
+    //
+    // The explicit keyed repartition pins the fused band-join+confirm
+    // stage's parallelism: the stage EXPLODES its input (16 band rows/doc
+    // → every bucket collision → a merge-scan intersect per pair), and
+    // AQE's byte-based coalescing — blind to the explosion — would fold
+    // the few-MB band exchange to one partition and run the whole confirm
+    // on one core. User-keyed repartitions are exempt from coalescing;
+    // the count comes from the session's configured shuffle parallelism
+    // (local: the core count; clusters: the deployment's own knob), never
+    // a constant. Keys spread well: distinct (band, bh) ≈ docs × bands.
+    val parts = banded.sparkSession.sessionState.conf.numShufflePartitions
+    val side = if (distinctPairs) banded
+               else banded.repartition(parts, col("band"), col("bh"))
+    val pairs = side.as("a")
+      .join(side.as("b"), cond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    if (distinctPairs) pairs.distinct() else pairs
   }
 
   /** LSH candidate pairs + estimated jaccard (fraction of matching minhash
@@ -202,11 +243,15 @@ object Dedup {
     // is released by the harness sweep after the consuming action.
     // tokens are dictionary-encoded to 64-bit hashes BEFORE anything is
     // shuffled: set jaccard is hash-invariant (collisions are 2^-64), the
-    // confirm join then ships 8-byte ints instead of strings, and
-    // array_intersect compares longs — on skewed corpora (huge candidate
-    // sets) the string shuffle is the dominant cost
+    // confirm join then ships 8-byte ints instead of strings, and the
+    // intersection compares longs — on skewed corpora (huge candidate
+    // sets) the string shuffle is the dominant cost. r18: the set is
+    // SORTED once per document here, so the confirm's intersection is a
+    // zero-allocation merge scan (sorted_intersect_count) and the band
+    // join can apply the exact prefix-filter bound — set semantics are
+    // order-invariant, so sorting changes no downstream value.
     val tsets = Checkpoints.local(docs.select(col("doc_id"),
-      expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
+      expr("array_sort(array_distinct(transform(split(text, ' '), t -> xxhash64(t))))")
         .as("tset")))
     // narrow signature over the checkpointed token sets (r17): the old
     // explode + 64-min group-by — a full corpus shuffle — and its second
@@ -215,9 +260,13 @@ object Dedup {
     // signature exactly once. withSize + minJaccard push the exact
     // size-ratio bound INTO the band join (see bandCandidates) — the
     // candidate exchange, the chain's dominant scale term, drops the
-    // pairs the confirm below would discard anyway.
+    // pairs the confirm below would discard anyway. distinctPairs=false:
+    // the pair distinct moves AFTER the confirm (see bandCandidates) —
+    // only confirmed near-dup pairs, not every band collision, reach an
+    // exchange.
     val sig = signaturesFromSets(tsets, numHashes, withSize = true)
-    val cand = minhashCandidates(sig, numHashes, bands, minJaccard)
+    val cand = minhashCandidates(sig, numHashes, bands, minJaccard,
+      distinctPairs = false)
     // exact-bound prefilter before the per-pair intersection: jaccard is
     // at most min(|a|,|b|)/max(|a|,|b|) (inter ≤ min, and jac grows with
     // inter), so a pair whose size ratio cannot reach the threshold —
@@ -229,12 +278,23 @@ object Dedup {
       .filter(least(size(col("ta.tset")), size(col("tb.tset"))).cast("double") >=
         (lit(minJaccard) - lit(0.001)) *
           greatest(size(col("ta.tset")), size(col("tb.tset"))))
+      // merge-scan intersection count over the sorted sets (r18): same
+      // value as size(array_intersect(...)) on distinct inputs, but one
+      // codegen'd O(|a|+|b|) pass with no per-pair hash set or output
+      // array — the confirm's innermost loop at 100 TB
       .withColumn("inter",
-        size(array_intersect(col("ta.tset"), col("tb.tset"))).cast("long"))
+        call_function("sorted_intersect_count",
+          col("ta.tset"), col("tb.tset")).cast("long"))
       .withColumn("jac", round(col("inter") /
         (size(col("ta.tset")) + size(col("tb.tset")) - col("inter")), 4))
       .filter(col("jac") >= minJaccard)
+      // pair distinct AFTER the confirm (r18): dedupes the confirmed
+      // near-dup pairs (corpus-small) instead of every raw band collision
+      // — the distinct that sat before the confirm owned 95% of the
+      // chain's 30× shuffle records. Same output set: the confirm is
+      // deterministic per pair, so band-duplicate rows agree.
       .select(col("da"), col("db"))
+      .distinct()
   }
 
   /** Connected components over an undirected (da, db) pair set: every node
@@ -437,10 +497,12 @@ object Dedup {
                      numHashes: Int = 64, bands: Int = 16,
                      minJaccard: Double = 0.85): DataFrame = {
     import graft.tools.Checkpoints
-    // same hash-encoded token sets as confirmedPairs: jaccard-invariant,
-    // int arrays (not strings) through the candidate-confirm shuffle
+    // same hash-encoded SORTED token sets as confirmedPairs (r18):
+    // jaccard-invariant, int arrays (not strings) through the
+    // candidate-confirm shuffle; sorted once per doc so the confirm is a
+    // merge scan and the band join carries the prefix-filter bound
     def tsets(df: DataFrame) = Checkpoints.local(df.select(col("doc_id"),
-      expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
+      expr("array_sort(array_distinct(transform(split(text, ' '), t -> xxhash64(t))))")
         .as("tset")))
     // narrow signatures (r17): computed as a projection over the
     // checkpointed token sets — the per-side explode + 64-min group-by
@@ -455,15 +517,26 @@ object Dedup {
       .withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz")
     // exact size-ratio bound IN the band join (r17, see bandCandidates):
     // on vocabulary token sets the bands admit most cross pairs, so the
-    // candidate distinct exchange — not the signing — is the dominant
-    // scale term; pairs the exact confirm below would discard on sizes
-    // alone never reach it. Output-identical (the bound is exact).
-    val cand = bband.as("bb").join(cband.as("cb"),
+    // candidate volume — not the signing — is the dominant scale term;
+    // pairs the exact confirm below would discard on sizes alone never
+    // materialize. Output-identical (the bound is exact; the
+    // prefix-filter variant was measured and rejected — see
+    // signaturesFromSets). NO candidate distinct (r18): a pair colliding
+    // in k bands confirms identically k times and the final b_id distinct
+    // already dedupes — the removed pre-confirm distinct exchange owned
+    // 95% of this operator's 30× shuffle records (StageProbe: 84.66M of
+    // 89.05M, raw collisions at k̄≈3.7 rows per colliding pair).
+    // explicit keyed repartition on the probe side: same parallelism pin
+    // as bandCandidates — the fused band-join+confirm stage explodes its
+    // input, so AQE's byte-based coalescing must not fold it to one core
+    val parts = batch.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = bband.repartition(parts, col("band"), col("bh")).as("bb")
+      .join(cband.as("cb"),
         col("bb.band") === col("cb.band") && col("bb.bh") === col("cb.bh") &&
         least(col("bb.b_sz"), col("cb.c_sz")).cast("double") >=
           (lit(minJaccard) - lit(0.001)) *
             greatest(col("bb.b_sz"), col("cb.c_sz")))
-      .select(col("b_id"), col("c_id")).distinct()
+      .select(col("b_id"), col("c_id"))
     // same exact-bound size-ratio prefilter as confirmedPairs: skips the
     // O(|a|+|b|) intersection for pairs that cannot reach the threshold
     val dup = cand
@@ -473,7 +546,8 @@ object Dedup {
         (lit(minJaccard) - lit(0.001)) *
           greatest(size(col("tb.tset")), size(col("tc.tset"))))
       .withColumn("inter",
-        size(array_intersect(col("tb.tset"), col("tc.tset"))).cast("long"))
+        call_function("sorted_intersect_count",
+          col("tb.tset"), col("tc.tset")).cast("long"))
       .withColumn("jac", round(col("inter") /
         (size(col("tb.tset")) + size(col("tc.tset")) - col("inter")), 4))
       .filter(col("jac") >= minJaccard)

@@ -72,6 +72,76 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count/sorted_overlap equal the built-in set ops " +
+      "on sorted inputs (codegen only)") {
+    Engine.install(spark)
+    // randomized sorted distinct long sets (fixed seed), the dedup tset
+    // shape: parity with array_intersect/arrays_overlap pinned exactly
+    val rnd = new scala.util.Random(42)
+    val sets = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(rnd.nextInt(60).toLong).distinct.sorted)
+    }
+    sets.toDF("id", "tset").createOrReplaceTempView("sorted_spec_t")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val bad = spark.sql(
+        """SELECT sorted_intersect_count(a.tset, b.tset) AS fused,
+                  size(array_intersect(a.tset, b.tset)) AS builtin,
+                  sorted_overlap(a.tset, b.tset) AS fo,
+                  arrays_overlap(a.tset, b.tset) AS bo
+           FROM sorted_spec_t a JOIN sorted_spec_t b ON a.id < b.id""")
+        .filter(col("fused") =!= col("builtin") || col("fo") =!= col("bo"))
+        .count()
+      assert(bad == 0)
+      // edges: empty arrays, null array, disjoint
+      val edge = spark.sql(
+        """SELECT sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>),
+                    array(1L, 2L)) AS a,
+                  sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>),
+                    array(1L)) AS b,
+                  sorted_overlap(array(1L, 3L), array(2L, 4L)) AS c,
+                  sorted_overlap(array(1L, 3L), array(3L, 4L)) AS d""")
+        .collect().head
+      assert(edge.getInt(0) == 0)
+      assert(edge.isNullAt(1))
+      assert(!edge.getBoolean(2) && edge.getBoolean(3))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
+  test("dedup prefix-filter bound never drops a pair the exact confirm keeps") {
+    // the band-join bound (Dedup.signaturesFromSets prefixJaccard): for
+    // round(jac,4) >= t the sorted prefixes of length |S|-ceil(t'|S|)+1,
+    // t' = t - 0.001, must overlap. Property-checked against brute force
+    // on random set pairs, same formula as the production SQL.
+    val t = 0.85
+    val tp = t - 0.001
+    val rnd = new scala.util.Random(7)
+    var checked = 0
+    for (_ <- 0 until 2000) {
+      val base = Seq.fill(5 + rnd.nextInt(60))(rnd.nextLong() % 100).distinct
+      // overlapping pair: perturb a shared base so high-jaccard pairs occur
+      val a = (base ++ Seq.fill(rnd.nextInt(4))(rnd.nextLong())).distinct.sorted
+      val b = (base.drop(rnd.nextInt(3)) ++
+        Seq.fill(rnd.nextInt(4))(rnd.nextLong())).distinct.sorted
+      val inter = a.toSet.intersect(b.toSet).size
+      val jac = inter.toDouble / (a.size + b.size - inter)
+      val jacR = math.round(jac * 10000.0) / 10000.0
+      if (jacR >= t) {
+        val pa = a.take(a.size - math.ceil(tp * a.size).toInt + 1)
+        val pb = b.take(b.size - math.ceil(tp * b.size).toInt + 1)
+        assert(pa.toSet.intersect(pb.toSet).nonEmpty,
+          s"prefix bound dropped a passing pair: |a|=${a.size} |b|=${b.size} jac=$jacR")
+        checked += 1
+      }
+    }
+    assert(checked > 50) // the generator must actually exercise the bound
+  }
+
   test("ngrams aggregator counts top-k bigrams with deterministic order") {
     val df = Seq(
       Seq("a", "b", "a", "b"), // bigrams: "a b", "b a", "a b"
