@@ -25,16 +25,15 @@ object MultiInsert {
       // would RACE to compute the uncached source — duplicate compute of
       // the 100 TB-derived intermediate, the exact thing the cache exists
       // to avoid. Sinks go to distinct directories, so the writes are
-      // independent; Await.result rethrows the first failure.
+      // independent. Pools.runAll (r18) settles EVERY write before
+      // rethrowing the first failure — no write outlives this call, so a
+      // foreachBatch retry can never race a leaked overwrite into the
+      // same batch directory — and runs on the shared bounded pool, not
+      // the JVM-wide fork-join global.
       cached.count(): Unit
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      dests.map { case (path, f) =>
-        Future {
-          f(cached).write.mode(if (append) "append" else "overwrite").parquet(path)
-        }
-      }.foreach(Await.result(_, Duration.Inf))
+      graft.tools.Pools.runAll(dests.map { case (path, f) => () =>
+        f(cached).write.mode(if (append) "append" else "overwrite").parquet(path)
+      })
     }
     finally cached.unpersist()
   }

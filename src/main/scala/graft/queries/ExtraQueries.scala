@@ -150,26 +150,17 @@ object ExtraQueries {
       // r17: the two bucketed-table builds are independent jobs over
       // different sources into different tables — overlap them (guide
       // §2.6) so the small customer write back-fills the orders write's
-      // task tail; Await rethrows the first failure
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        Seq(
-          Future {
-            t(s, d, "orders").write.mode("overwrite")
-              .option("path", s"$loc/orders_bkt")
-              .bucketBy(8, "o_custkey").sortBy("o_custkey")
-              .saveAsTable("graft_tmp.orders_bkt")
-          },
-          Future {
-            t(s, d, "customer").write.mode("overwrite")
-              .option("path", s"$loc/customer_bkt")
-              .bucketBy(8, "c_custkey").sortBy("c_custkey")
-              .saveAsTable("graft_tmp.customer_bkt")
-          }
-        ).foreach(Await.result(_, Duration.Inf))
-      }
+      // task tail. r18: shared bounded pool, all builds settled before
+      // the first failure rethrows
+      graft.tools.Pools.runAll(Seq(
+        () => t(s, d, "orders").write.mode("overwrite")
+          .option("path", s"$loc/orders_bkt")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_tmp.orders_bkt"),
+        () => t(s, d, "customer").write.mode("overwrite")
+          .option("path", s"$loc/customer_bkt")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_tmp.customer_bkt")))
       s.table("graft_tmp.orders_bkt")
         .join(s.table("graft_tmp.customer_bkt"),
           col("o_custkey") === col("c_custkey"))

@@ -22,17 +22,12 @@ object FormatQueries {
       val src = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       // r17: the three format writes are independent jobs over the same
       // source scan — overlap them (guide §2.6) instead of serializing;
-      // distinct output dirs, result unchanged, Await rethrows failures
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        Seq(
-          Future { src.write.mode("overwrite").option("header", "true").csv(s"$base/csv") },
-          Future { src.write.mode("overwrite").json(s"$base/json") },
-          Future { src.write.mode("overwrite").orc(s"$base/orc") }
-        ).foreach(Await.result(_, Duration.Inf))
-      }
+      // distinct output dirs, result unchanged. r18: on the shared
+      // bounded pool, all sinks settled before the first failure rethrows
+      graft.tools.Pools.runAll(Seq(
+        () => src.write.mode("overwrite").option("header", "true").csv(s"$base/csv"),
+        () => src.write.mode("overwrite").json(s"$base/json"),
+        () => src.write.mode("overwrite").orc(s"$base/orc")))
       val csv = s.read.option("header", "true")
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .csv(s"$base/csv")

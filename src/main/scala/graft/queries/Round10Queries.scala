@@ -26,22 +26,18 @@ object Round10Queries {
         .write.insertInto("graft_tmp.pdml_seq")
       // r17: the MERGE source build is independent of the UPDATE/DELETE
       // target — overlap them (guide §2.6), Await before the MERGE
-      val srcReady = locally {
-        import scala.concurrent.Future
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Future {
-          s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_seq_src")
-          s.sql(s"""CREATE TABLE graft_tmp.pdml_seq_src USING parquet
-                  LOCATION '${graft.tools.Tmp.dir("graft_pdml_seq_src")}/t' AS
-                  SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
-                  UNION ALL SELECT 990, 'M99', 99""")
-        }
+      val srcReady = graft.tools.Pools.submit {
+        s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_seq_src")
+        s.sql(s"""CREATE TABLE graft_tmp.pdml_seq_src USING parquet
+                LOCATION '${graft.tools.Tmp.dir("graft_pdml_seq_src")}/t' AS
+                SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+                UNION ALL SELECT 990, 'M99', 99""")
       }
       Engine.ddl(s,
         "UPDATE graft_tmp.pdml_seq SET n_name = concat('U_', n_name) WHERE rk = 1")
       Engine.ddl(s,
         "DELETE FROM graft_tmp.pdml_seq WHERE rk = 2 AND n_nationkey % 2 = 0")
-      scala.concurrent.Await.result(srcReady, scala.concurrent.duration.Duration.Inf)
+      graft.tools.Pools.awaitAll(Seq(srcReady)): Unit
       Engine.ddl(s,
         """MERGE INTO graft_tmp.pdml_seq t USING graft_tmp.pdml_seq_src s
            ON t.n_nationkey = s.n_nationkey
@@ -114,22 +110,18 @@ object Round10Queries {
         .write.insertInto("graft_tmp.pdml_rc")
       // r17: same §2.6 overlap as a15 — the MERGE source build runs
       // concurrent with the UPDATE/DELETE, Await before the MERGE
-      val srcReady = locally {
-        import scala.concurrent.Future
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Future {
-          s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_rc_src")
-          s.sql(s"""CREATE TABLE graft_tmp.pdml_rc_src USING parquet
-                  LOCATION '${graft.tools.Tmp.dir("graft_pdml_rc_src")}/t' AS
-                  SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
-                  UNION ALL SELECT 990, 'M99', 99""")
-        }
+      val srcReady = graft.tools.Pools.submit {
+        s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_rc_src")
+        s.sql(s"""CREATE TABLE graft_tmp.pdml_rc_src USING parquet
+                LOCATION '${graft.tools.Tmp.dir("graft_pdml_rc_src")}/t' AS
+                SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+                UNION ALL SELECT 990, 'M99', 99""")
       }
       Engine.ddl(s,
         "UPDATE graft_tmp.pdml_rc SET n_name = concat('U_', n_name) WHERE rk = 1")
       Engine.ddl(s,
         "DELETE FROM graft_tmp.pdml_rc WHERE rk = 2 AND n_nationkey % 2 = 0")
-      scala.concurrent.Await.result(srcReady, scala.concurrent.duration.Duration.Inf)
+      graft.tools.Pools.awaitAll(Seq(srcReady)): Unit
       Engine.ddl(s,
         """MERGE INTO graft_tmp.pdml_rc t USING graft_tmp.pdml_rc_src s
            ON t.n_nationkey = s.n_nationkey

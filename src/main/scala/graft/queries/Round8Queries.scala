@@ -173,24 +173,20 @@ object Round8Queries {
       // r17: the MERGE source table touches neither the UPDATE nor the
       // DELETE target, so its build overlaps them (guide §2.6); the
       // Await before the MERGE preserves program order where it matters
-      val srcReady = locally {
-        import scala.concurrent.Future
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Future {
-          s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_src")
-          // explicit fresh LOCATION: the in-memory catalog forgets the
-          // table between JVMs but the warehouse directory survives, and
-          // a managed CTAS refuses to reuse it (LOCATION_ALREADY_EXISTS)
-          s.sql(s"""CREATE TABLE graft_tmp.pdml_src USING parquet
-                  LOCATION '${graft.tools.Tmp.dir("graft_pdml_src")}/t' AS
-                  SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
-                  UNION ALL SELECT 990, 'M99', 99""")
-        }
+      val srcReady = graft.tools.Pools.submit {
+        s.sql("DROP TABLE IF EXISTS graft_tmp.pdml_src")
+        // explicit fresh LOCATION: the in-memory catalog forgets the
+        // table between JVMs but the warehouse directory survives, and
+        // a managed CTAS refuses to reuse it (LOCATION_ALREADY_EXISTS)
+        s.sql(s"""CREATE TABLE graft_tmp.pdml_src USING parquet
+                LOCATION '${graft.tools.Tmp.dir("graft_pdml_src")}/t' AS
+                SELECT 0 AS n_nationkey, 'M0' AS n_name, 0 AS rk
+                UNION ALL SELECT 990, 'M99', 99""")
       }
       Engine.ddl(s,
         "UPDATE graft_tmp.pdml SET n_name = concat('U_', n_name) WHERE rk = 1")
       Engine.ddl(s, "DELETE FROM graft_tmp.pdml WHERE rk = 2 AND n_nationkey % 2 = 0")
-      scala.concurrent.Await.result(srcReady, scala.concurrent.duration.Duration.Inf)
+      graft.tools.Pools.awaitAll(Seq(srcReady)): Unit
       Engine.ddl(s,
         """MERGE INTO graft_tmp.pdml t USING graft_tmp.pdml_src s
            ON t.n_nationkey = s.n_nationkey
