@@ -117,13 +117,26 @@ object Acid {
     val affected = withFile.join(srcKeyed, joinCond, "left_semi")
       .select(FILE).distinct().collect().map(_.getString(0))
 
-    // INSERT branch first, anti-joined against the PRE-merge key snapshot
+    // INSERT branch, anti-joined against the PRE-merge key snapshot
     // (`df`'s file index is fixed at construction): every source row takes
     // exactly ONE branch — a matched row the delete predicate removes must
     // NOT come back through the not-matched insert. The appended files are
     // not in `affected`, so the rewrite below never touches them.
     if (insertNotMatched) {
-      val existingKeys = df.select(keys.map(col): _*)
+      // r18: the anti-join's build side is pruned to the AFFECTED files —
+      // exact, because a source row matching ANY target row by key puts
+      // that row's file into `affected` (the probe semi-join above uses
+      // the same null-safe key equality), so a key absent from the
+      // affected files is absent from the whole table. This removes the
+      // second FULL-table pass per MERGE (the old build side scanned
+      // every file's keys) and shrinks the anti-join's hash relation from
+      // all keys to matched-file keys — at 100 TB a selective MERGE now
+      // touches table bytes proportional to affected files only (plus the
+      // one metadata probe above).
+      val existingKeys =
+        if (affected.isEmpty) df.select(keys.map(col): _*).filter(lit(false))
+        else withFile.filter(col(FILE).isin(affected.toSeq: _*))
+          .select(keys.map(col): _*)
       val inserts = srcKeyed.join(existingKeys,
         keys.map(k => srcKeyed(k) <=> existingKeys(k)).reduce(_ && _), "left_anti")
       // append lands new part- files; existing files untouched. On a
@@ -181,6 +194,14 @@ object Acid {
     * the reference's minor/major compactor (ql/txn/compactor/Worker.java)
     * exists to merge ACID deltas; under copy-on-write the only compaction
     * concern left is file-count hygiene after many small merges/appends.
+    *
+    * `numFiles` is an UPPER bound: `coalesce` can only reduce the scan's
+    * partition count, so when the input splits number fewer than
+    * `numFiles` the output has that many files instead, and bin-packing
+    * follows scan-split boundaries rather than re-dealing rows evenly
+    * (the r17 repartition→coalesce trade: a compaction merges small
+    * files, it does not rebalance a table — rebalancing callers should
+    * repartition and pay the shuffle deliberately).
     */
   def compact(spark: SparkSession, path: String, numFiles: Int,
               format: String = "parquet", schema: StructType = null,

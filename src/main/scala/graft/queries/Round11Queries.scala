@@ -271,7 +271,12 @@ object Round11Queries {
     //      0.74× here). The sum stays in integer space, so the
     //      re-association across partial aggregates is exact and the
     //      result is identical; count(1) per doc IS size(toks) (explode
-    //      emits every element, split("") included). ----
+    //      emits every element, split("") included). NULL-text docs:
+    //      explode emits no rows for them, so they are DROPPED from the
+    //      output — matching the unnest-based oracle exactly (the old
+    //      fold form kept them with NULL score; the fixture corpus has
+    //      no NULL text, and the oracle defines the contract either
+    //      way). ----
     Q("t21_quality_classifier", (s, d) => {
       val weight = (conv(substring(md5(col("w")), 1, 6), 16, 10)
         .cast("long") % 1024L) * 2654435761L % 2001L - 1000L

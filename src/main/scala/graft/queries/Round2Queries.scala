@@ -289,13 +289,18 @@ object Round2Queries {
     //      generous; l_discount spans [0,0.1] at accuracy 1000 → ±0.01),
     //      and the oracle supplies exact + TRUE. ----
     Q("q97_percentile_approx", (s, d) =>
+      // r18: the two exact discount percentiles share ONE aggregate buffer
+      // (percentile over an array of percentages) instead of building two
+      // identical value→count maps per group — one less OpenHashMap update
+      // per input row and one less partial buffer through the exchange.
+      // Same Percentile evaluator, same counts, bit-identical quantiles.
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
           expr("percentile(l_quantity, 0.5)").as("p50e"),
           element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 1).as("p25a"),
           element_at(expr("approx_percentile(l_discount, array(0.25, 0.75), 1000)"), 2).as("p75a"),
-          expr("percentile(l_discount, 0.25)").as("p25e"),
-          expr("percentile(l_discount, 0.75)").as("p75e"))
+          element_at(expr("percentile(l_discount, array(0.25, 0.75))"), 1).as("p25e"),
+          element_at(expr("percentile(l_discount, array(0.25, 0.75))"), 2).as("p75e"))
         .select(col("l_returnflag"),
           round(col("p50e"), 4).as("p50_exact"),
           (abs(col("p50a") - col("p50e")) <= 1.0).as("p50_ok"),
