@@ -114,15 +114,26 @@ object Round6Queries {
       val whBase = graft.tools.Tmp.dir("graft_trwh")
       s.sql("DROP DATABASE IF EXISTS graft_tr CASCADE")
       s.sql(s"CREATE DATABASE graft_tr LOCATION '$whBase'")
-      s.sql("CREATE TABLE graft_tr.f (s_suppkey BIGINT, s_name STRING) USING parquet")
-      t(s, d, "supplier").select("s_suppkey", "s_name")
-        .write.insertInto("graft_tr.f")
-      s.sql("CREATE TABLE graft_tr.p (n_nationkey INT) USING parquet PARTITIONED BY (pk INT)")
-      t(s, d, "nation").filter(col("n_regionkey") <= 1)
-        .select(col("n_nationkey"), col("n_regionkey").as("pk"))
-        .write.insertInto("graft_tr.p")
-      Engine.ddl(s, "TRUNCATE TABLE graft_tr.f")
-      Engine.ddl(s, "TRUNCATE TABLE graft_tr.p PARTITION (pk=0)")
+      // r18: the f and p table programs (create → load → TRUNCATE) touch
+      // distinct tables and are fully independent — overlap them (guide
+      // §2.6; profiled: the two insertInto write jobs own ~620 ms of the
+      // row's ~1.1 s, catalog ops 25-55 ms each). Statement order WITHIN
+      // each branch is preserved; the catalog and Engine.ddl are
+      // thread-safe (synchronized SessionCatalog / Auth state).
+      graft.tools.Pools.runAll(Seq(
+        () => {
+          s.sql("CREATE TABLE graft_tr.f (s_suppkey BIGINT, s_name STRING) USING parquet")
+          t(s, d, "supplier").select("s_suppkey", "s_name")
+            .write.insertInto("graft_tr.f")
+          Engine.ddl(s, "TRUNCATE TABLE graft_tr.f"): Unit
+        },
+        () => {
+          s.sql("CREATE TABLE graft_tr.p (n_nationkey INT) USING parquet PARTITIONED BY (pk INT)")
+          t(s, d, "nation").filter(col("n_regionkey") <= 1)
+            .select(col("n_nationkey"), col("n_regionkey").as("pk"))
+            .write.insertInto("graft_tr.p")
+          Engine.ddl(s, "TRUNCATE TABLE graft_tr.p PARTITION (pk=0)"): Unit
+        }))
       s.table("graft_tr.p")
         .select(col("n_nationkey").cast("long").as("k"), col("pk"))
         .unionByName(s.table("graft_tr.f")

@@ -172,23 +172,33 @@ object Round7Queries {
     Q("q141_hive_create_ddl", (s, d) => {
       Tables.views(s, d, "nation")
       s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
-      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_txt")
-      Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_par")
-      // a fresh session's DROP is a catalog no-op, but a managed location
-      // left by a PREVIOUS process blocks CREATE (LOCATION_ALREADY_EXISTS)
-      // — remove the stale warehouse dir like a real operator would
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + "/graft_tmp.db/q141_txt")
-      wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
-      Engine.ddl(s,
-        """CREATE TABLE graft_tmp.q141_txt (n_nationkey INT, n_name STRING)
-           ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' NULL DEFINED AS '\N'
-           STORED AS TEXTFILE""")
-      Engine.ddl(s,
-        "CREATE EXTERNAL TABLE graft_tmp.q141_par (n_nationkey INT, n_regionkey INT) STORED AS PARQUET LOCATION '" +
-          graft.tools.Tmp.dir("graft_q141") + "/par'")
-      s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_txt SELECT n_nationkey, n_name FROM nation")
-      s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_par SELECT n_nationkey, n_regionkey FROM nation")
+      // r18: the txt and par table programs (drop → create → load) touch
+      // distinct tables and are fully independent — overlap them (guide
+      // §2.6, same pattern as q133); statement order within each branch
+      // is preserved
+      graft.tools.Pools.runAll(Seq(
+        () => {
+          Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_txt")
+          // a fresh session's DROP is a catalog no-op, but a managed
+          // location left by a PREVIOUS process blocks CREATE
+          // (LOCATION_ALREADY_EXISTS) — remove the stale warehouse dir
+          // like a real operator would
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/graft_tmp.db/q141_txt")
+          wh.getFileSystem(s.sessionState.newHadoopConf()).delete(wh, true)
+          Engine.ddl(s,
+            """CREATE TABLE graft_tmp.q141_txt (n_nationkey INT, n_name STRING)
+               ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' NULL DEFINED AS '\N'
+               STORED AS TEXTFILE""")
+          s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_txt SELECT n_nationkey, n_name FROM nation"): Unit
+        },
+        () => {
+          Engine.ddl(s, "DROP TABLE IF EXISTS graft_tmp.q141_par")
+          Engine.ddl(s,
+            "CREATE EXTERNAL TABLE graft_tmp.q141_par (n_nationkey INT, n_regionkey INT) STORED AS PARQUET LOCATION '" +
+              graft.tools.Tmp.dir("graft_q141") + "/par'")
+          s.sql("INSERT OVERWRITE TABLE graft_tmp.q141_par SELECT n_nationkey, n_regionkey FROM nation"): Unit
+        }))
       s.sql("""SELECT t.n_nationkey, t.n_name, p.n_regionkey
                FROM graft_tmp.q141_txt t JOIN graft_tmp.q141_par p
                ON t.n_nationkey = p.n_nationkey""")
