@@ -226,6 +226,46 @@ object PartLayout {
       escape(c) + "=" + escape(renderValue(row, i, dt))
     }.mkString("/")
 
+  /** Per-task memo of the previous row's partition VALUES → rel path
+    * (r18, write-loop allocation cut): the dynamic-partition writers
+    * called [[partPath]] — zip + render + escape + mkString, several
+    * allocations — once per ROW. Rows overwhelmingly arrive in runs of
+    * equal partition values, so comparing the few raw values against the
+    * previous row's is nearly free and the path string is rebuilt only on
+    * a run boundary. UTF8String values are cloned before caching
+    * (UnsafeRow getters return views into a reused buffer). Single-task
+    * use only (DataWriter instances are per-task, like the container
+    * writers beside it).
+    */
+  final class PartPathCache(partCols: Seq[String], ords: Seq[(Int, DataType)]) {
+    private val n = ords.length
+    private val prev = new Array[Any](n)
+    private var prevRel: String = null
+    def relFor(row: InternalRow): String = {
+      var same = prevRel != null
+      var i = 0
+      while (i < n && same) {
+        val (ord, dt) = ords(i)
+        val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+        if (!java.util.Objects.equals(prev(i), v)) same = false
+        i += 1
+      }
+      if (same) return prevRel
+      var j = 0
+      while (j < n) {
+        val (ord, dt) = ords(j)
+        val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+        prev(j) = v match {
+          case s: UTF8String => s.clone()
+          case other => other
+        }
+        j += 1
+      }
+      prevRel = partPath(row, partCols, ords)
+      prevRel
+    }
+  }
+
   /** Dynamic-partition-overwrite commit: in every partition directory
     * this job wrote into, delete the files the job did NOT write (the
     * pre-existing generation). Untouched partitions stay intact — Hive's

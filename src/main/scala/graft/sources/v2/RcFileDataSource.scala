@@ -488,11 +488,17 @@ case class RcWriterFactory(path: String, schemaJson: String,
         dataIdx.toSeq.map(i => sparkSchema.fields(i)))
       private val serdeInst = RcV2Util.newSerde(serde, dataSchema)
       private val oi = RcV2Util.standardOI(dataSchema)
+      // r18 write-loop allocation cut: the row ArrayList and partition
+      // path were rebuilt per ROW; both are reused (serialize() encodes
+      // the cells before append returns — the serde comment above — so
+      // clearing the list afterwards is safe).
+      private val jrow = new java.util.ArrayList[Object](dataIdx.length)
+      private val relCache =
+        if (partCols.isEmpty) null
+        else new PartLayout.PartPathCache(partCols, partOrds)
       override def write(row: InternalRow): Unit = {
-        val rel =
-          if (partCols.isEmpty) ""
-          else PartLayout.partPath(row, partCols, partOrds)
-        val jrow = new java.util.ArrayList[Object](dataIdx.length)
+        val rel = if (relCache == null) "" else relCache.relFor(row)
+        jrow.clear()
         dataIdx.foreach { i =>
           jrow.add(RcV2Util.toHiveJava(row, i, types(i), zone)): Unit
         }

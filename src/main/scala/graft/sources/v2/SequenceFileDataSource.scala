@@ -491,18 +491,28 @@ case class SeqWriterFactory(path: String, schemaJson: String,
             SequenceFile.Writer.valueClass(classOf[Text]),
             compressOpt), file)
         })._1
+      // r18 write-loop allocation cut: the StringBuilder, the Text
+      // container, and the partition path were rebuilt per ROW; all
+      // three are reused across rows (Writer.append serializes the Text
+      // before returning, so container reuse is the standard Hadoop
+      // discipline), leaving the rendered cell strings as the loop's
+      // only allocations.
+      private val sb = new java.lang.StringBuilder
+      private val txt = new Text
+      private val relCache =
+        if (partCols.isEmpty) null
+        else new PartLayout.PartPathCache(partCols, partOrds)
       override def write(row: InternalRow): Unit = {
-        val rel =
-          if (partCols.isEmpty) ""
-          else PartLayout.partPath(row, partCols, partOrds)
-        val sb = new java.lang.StringBuilder
+        val rel = if (relCache == null) "" else relCache.relFor(row)
+        sb.setLength(0)
         var first = true
         dataIdx.foreach { i =>
           if (!first) sb.append(SeqV2Util.SEP): Unit
           first = false
           sb.append(SeqV2Util.render(row, i, types(i), zone)): Unit
         }
-        writerFor(rel).append(emptyKey, new Text(sb.toString)): Unit
+        txt.set(sb.toString)
+        writerFor(rel).append(emptyKey, txt): Unit
       }
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())

@@ -568,11 +568,16 @@ case class TextWriterFactory(path: String, schemaJson: String,
           (codec.map(_.createOutputStream(raw): java.io.OutputStream)
             .getOrElse(raw), file)
         })._1
+      // r18 write-loop allocation cut: row ArrayList + partition path
+      // reused across rows (serialize() copies into the serde's own Text
+      // whose bytes are written out immediately below).
+      private val jrow = new java.util.ArrayList[Object](dataIdx.length)
+      private val relCache =
+        if (partCols.isEmpty) null
+        else new PartLayout.PartPathCache(partCols, partOrds)
       override def write(row: InternalRow): Unit = {
-        val rel =
-          if (partCols.isEmpty) ""
-          else PartLayout.partPath(row, partCols, partOrds)
-        val jrow = new java.util.ArrayList[Object](dataIdx.length)
+        val rel = if (relCache == null) "" else relCache.relFor(row)
+        jrow.clear()
         dataIdx.foreach { i =>
           jrow.add(TextV2Util.toHiveValue(
             if (row.isNullAt(i)) null
