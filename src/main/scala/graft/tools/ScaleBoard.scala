@@ -168,6 +168,38 @@ object ScaleBoard {
     bench("m11_video_dedup")(materialize(videoDedup(vid1)))(
       materialize(videoDedup(vidN)))
 
+    // m07's shape at scale (r18, ninth notch): PNG decode per doc +
+    // 6-column signature equi-join (pattern = doc_id % 60 per shard, so
+    // the N× pair set is N independent copies — same controlled recipe
+    // as the d-family shards)
+    def imageDedup(ids: DataFrame): DataFrame = {
+      val withPat = ids.select(col("doc_id"),
+        expr("pmod(doc_id, 60) + (doc_id div 1000000) * 1000000").as("pat"))
+      val patMedia = graft.operators.Multimodal.synthPng(spark,
+          withPat.select(col("pat").as("doc_id")).distinct())
+        .withColumnRenamed("doc_id", "pat")
+      val docMedia = withPat.join(patMedia, "pat")
+        .select(col("doc_id"), col("payload"))
+      val sig = graft.operators.Multimodal.decodePixelStats(spark, docMedia)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("gray_sum"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+      sig.as("a").join(sig.as("b"),
+          col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.gray_sum") === col("b.gray_sum") &&
+          col("a.mean_r") === col("b.mean_r") &&
+          col("a.mean_g") === col("b.mean_g") &&
+          col("a.mean_b") === col("b.mean_b") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    }
+    val img1 = docs.filter(col("doc_id") < 300).select("doc_id")
+    val imgN = img1.crossJoin(spark.range(n.toLong).select(col("id").as("shard")))
+      .select((col("doc_id") + col("shard") * 1000000L).as("doc_id"))
+    bench("m07_image_dedup")(materialize(imageDedup(img1)))(
+      materialize(imageDedup(imgN)))
+
     val emb = graft.operators.Similarity.prep(
       graft.Tables.t(spark, src, "embeddings")).filter(col("vec_id") < 300)
     def embN(k: Int): DataFrame = emb
