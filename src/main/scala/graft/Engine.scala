@@ -84,6 +84,10 @@ object Engine {
       "sorted_overlap",
       exprs => graft.functions.SortedOverlap(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_atleast",
+      exprs => graft.functions.SortedIntersectAtLeast(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "reflect2", exprs => graft.functions.Reflect2(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sort_array_by", exprs => graft.functions.SortArrayBy(exprs), "scala_udf")

@@ -93,6 +93,95 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** True iff two SORTED array<bigint> columns share at least `k` elements
+  * — the merge scan of [[SortedIntersectCount]] with BIDIRECTIONAL early
+  * exit: abort FALSE as soon as the elements still unscanned cannot
+  * reach k (`count + min(remaining_a, remaining_b) < k`), return TRUE as
+  * soon as count reaches k. On the dedup confirm the overwhelming
+  * majority of band-admitted pairs fall far below the jaccard
+  * threshold, so the abort fires after ~(|a|-k)+(|b|-k) steps instead
+  * of scanning |a|+|b| — the pre-filter in front of the exact gate,
+  * never a replacement for it (the caller recomputes the exact count
+  * and the 4-decimal-rounded jaccard for survivors). Same
+  * sortedness/null-element contract as [[SortedIntersectCount]]; k
+  * (third child, int) is evaluated per row. Null inputs → null.
+  */
+case class SortedIntersectAtLeast(left: Expression, right: Expression,
+    k: Expression) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = k
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && k.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sorted_intersect_atleast(a, b, k) takes two array<bigint> and an " +
+        s"int, got (${left.dataType}, ${right.dataType}, ${k.dataType})")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    left.nullable || right.nullable || k.nullable
+  override def prettyName: String = "sorted_intersect_atleast"
+
+  override def nullSafeEval(a: Any, b: Any, kv: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val need = kv.asInstanceOf[Int]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (c < need &&
+        c + math.min(nx - i, ny - j) >= need &&
+        i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    java.lang.Boolean.valueOf(c >= need)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, kk) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""
+      final int $nx = $x.numElements();
+      final int $ny = $y.numElements();
+      int $i = 0; int $j = 0; int $c = 0;
+      while ($c < $kk &&
+          $c + java.lang.Math.min($nx - $i, $ny - $j) >= $kk &&
+          $i < $nx && $j < $ny && !$x.isNullAt($i) && !$y.isNullAt($j)) {
+        final long $xv = $x.getLong($i);
+        final long $yv = $y.getLong($j);
+        if ($xv < $yv) { $i++; }
+        else if ($xv > $yv) { $j++; }
+        else { $c++; $i++; $j++; }
+      }
+      ${ev.value} = ($c >= $kk);
+      """
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedIntersectAtLeast =
+    copy(left = newFirst, right = newSecond, k = newThird)
+}
+
 /** True iff two SORTED array<bigint> columns share at least one element —
   * merge scan with early exit; see [[SortedIntersectCount]] for the
   * sortedness/null-element contract. Rides in the LSH band-join

@@ -272,12 +272,26 @@ object Dedup {
     // inter), so a pair whose size ratio cannot reach the threshold —
     // with slack for the 4-decimal rounding the gate applies — skips the
     // O(|a|+|b|) array_intersect entirely. Never drops a passing pair.
+    val tp = minJaccard - 0.001
     cand
       .join(tsets.as("ta"), col("da") === col("ta.doc_id"))
       .join(tsets.as("tb"), col("db") === col("tb.doc_id"))
       .filter(least(size(col("ta.tset")), size(col("tb.tset"))).cast("double") >=
-        (lit(minJaccard) - lit(0.001)) *
-          greatest(size(col("ta.tset")), size(col("tb.tset"))))
+        lit(tp) * greatest(size(col("ta.tset")), size(col("tb.tset"))))
+      // exact intersection lower bound with early abort (r18): a pair at
+      // round(jac,4) >= t has inter >= ceil(t'(|a|+|b|)/(1+t')), t' =
+      // t-0.001 (the same slack discipline as the size bound — jac >=
+      // t-0.00005 > t', and an integer >= the real bound is >= its
+      // fp-computed ceil). The thresholded merge scan aborts once the
+      // unscanned tails cannot reach the bound, so the ~everything that
+      // fails the jaccard gate costs ~(|a|-k)+(|b|-k) steps, not
+      // |a|+|b| — the dominant CPU term of the fused confirm stage at
+      // 30x. Survivors (true near-dups, few) pay one extra scan before
+      // the exact count below.
+      .filter(call_function("sorted_intersect_atleast",
+        col("ta.tset"), col("tb.tset"),
+        ceil(lit(tp) * (size(col("ta.tset")) + size(col("tb.tset"))) /
+          lit(1.0 + tp)).cast("int")))
       // merge-scan intersection count over the sorted sets (r18): same
       // value as size(array_intersect(...)) on distinct inputs, but one
       // codegen'd O(|a|+|b|) pass with no per-pair hash set or output
@@ -539,12 +553,18 @@ object Dedup {
       .select(col("b_id"), col("c_id"))
     // same exact-bound size-ratio prefilter as confirmedPairs: skips the
     // O(|a|+|b|) intersection for pairs that cannot reach the threshold
+    val tp = minJaccard - 0.001
     val dup = cand
       .join(bt.as("tb"), col("b_id") === col("tb.doc_id"))
       .join(ct.as("tc"), col("c_id") === col("tc.doc_id"))
       .filter(least(size(col("tb.tset")), size(col("tc.tset"))).cast("double") >=
-        (lit(minJaccard) - lit(0.001)) *
-          greatest(size(col("tb.tset")), size(col("tc.tset"))))
+        lit(tp) * greatest(size(col("tb.tset")), size(col("tc.tset"))))
+      // thresholded early-abort intersection bound before the exact count
+      // (r18) — see confirmedPairs; exact, never drops a passing pair
+      .filter(call_function("sorted_intersect_atleast",
+        col("tb.tset"), col("tc.tset"),
+        ceil(lit(tp) * (size(col("tb.tset")) + size(col("tc.tset"))) /
+          lit(1.0 + tp)).cast("int")))
       .withColumn("inter",
         call_function("sorted_intersect_count",
           col("tb.tset"), col("tc.tset")).cast("long"))

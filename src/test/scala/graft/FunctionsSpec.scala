@@ -95,6 +95,16 @@ class FunctionsSpec extends SparkSpec {
         .filter(col("fused") =!= col("builtin") || col("fo") =!= col("bo"))
         .count()
       assert(bad == 0)
+      // thresholded early-abort variant: equivalent to (count >= k) for
+      // every k in a range spanning the abort and the early-true paths
+      val badK = spark.sql(
+        """SELECT sorted_intersect_atleast(a.tset, b.tset, k) AS fused,
+                  size(array_intersect(a.tset, b.tset)) >= k AS builtin
+           FROM sorted_spec_t a JOIN sorted_spec_t b
+           LATERAL VIEW explode(array(0, 1, 2, 3, 5, 8, 13, 40)) AS k
+           WHERE a.id < b.id""")
+        .filter(col("fused") =!= col("builtin")).count()
+      assert(badK == 0)
       // edges: empty arrays, null array, disjoint
       val edge = spark.sql(
         """SELECT sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>),
@@ -136,6 +146,11 @@ class FunctionsSpec extends SparkSpec {
         val pb = b.take(b.size - math.ceil(tp * b.size).toInt + 1)
         assert(pa.toSet.intersect(pb.toSet).nonEmpty,
           s"prefix bound dropped a passing pair: |a|=${a.size} |b|=${b.size} jac=$jacR")
+        // the confirm's early-abort intersection bound (same formula as
+        // the production SQL): inter >= ceil(t'(|a|+|b|)/(1+t'))
+        val k = math.ceil(tp * (a.size + b.size) / (1.0 + tp)).toInt
+        assert(inter >= k,
+          s"intersection bound dropped a passing pair: inter=$inter k=$k jac=$jacR")
         checked += 1
       }
     }
